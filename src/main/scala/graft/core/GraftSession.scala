@@ -1,0 +1,23 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Standard session config for the engine.
+ *
+ * - shuffle partitions sized to the local core count (the driver's
+ *   contract pins 32 on the bench host); on a real cluster this is
+ *   superseded by AQE coalescing, which we leave on.
+ * - `nanosAsLong` lets us read TIMESTAMP(NANOS) parquet (the driver's
+ *   `events` table) as raw Long nanos, which we floor-divide to the
+ *   engine's epoch-second domain — exact integer math, no tz traps.
+ */
+object GraftSession {
+  def builder(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession.Builder =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

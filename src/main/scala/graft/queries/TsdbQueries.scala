@@ -1,0 +1,358 @@
+package graft.queries
+
+import graft.filters._
+import graft.operators.Latest
+import graft.query._
+import graft.sources.TsdbViews
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * TSDB operator queries (SURVEY §2.2 filters, §2.4 downsample, §2.5
+ * rate/shift, A11 group-by, A18 last-value, S5 dedupe) wired onto the
+ * driver's `events` table, each paired with an independent DuckDB oracle.
+ */
+object TsdbQueries {
+  import OracleCommon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def pts(s: SparkSession, dir: String): DataFrame = TsdbViews.points(s, dir)
+
+  private def run(s: SparkSession, dir: String, q: TsdbQuery): DataFrame =
+    QueryEngine.run(pts(s, dir), q)
+
+  /** Range-filtered + deduped points (the scan+dedupe prefix shared by the
+   *  composed multi-stage queries). */
+  private def prepared(s: SparkSession, dir: String): DataFrame =
+    QueryEngine.dedupe(
+      pts(s, dir).filter(col("ts") >= lit(Start) && col("ts") < lit(End)))
+
+  /** Standard per-series downsample output shape. */
+  private def dsOut(df: DataFrame, valueName: String, scale: Int = 4): DataFrame =
+    df.select(
+      col("metric"),
+      col("tags")("user").as("tag_user"),
+      col("bucket_ts"),
+      round(col("value"), scale).as(valueName))
+
+  private val matchAllQ =
+    (ds: DownsampleSpec) => TsdbQuery(MatchAll, Start, End, downsample = Some(ds))
+
+  // ---------------------------------------------------------------- A1-A9
+
+  val defs: Map[String, Q] = Map(
+    // A1: downsample SUM (zimsum is the NaN-skipping alias — same result here)
+    "q_ds_sum" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "sum"))), "sum_value")),
+
+    // A2 + A4: AVG and COUNT per interval (one pass; the avg output is
+    // defined as round4(sum)/count so both engines divide bit-identical
+    // doubles — raw avg() is exercised in unit tests)
+    "q_ds_avg" -> { (s, d) =>
+      QueryEngine.downsampleMulti(prepared(s, d), "1d", Start, End,
+        Seq("__sum" -> "sum", "cnt" -> "count"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(round(col("__sum"), 4) / col("cnt"), 4).as("avg_value"), col("cnt"))
+    },
+
+    // A5: MIN / MAX (mimmin/mimmax aliases), one pass
+    "q_ds_minmax" -> { (s, d) =>
+      QueryEngine.downsampleMulti(prepared(s, d), "1d", Start, End,
+        Seq("min_value" -> "min", "max_value" -> "max"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("min_value"), 4).as("min_value"),
+          round(col("max_value"), 4).as("max_value"))
+    },
+
+    // A6: LAST (last value in interval by time order)
+    "q_ds_last" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "last"))), "last_value")),
+
+    // A7: NON_OPTIMIZED plugin aggregator — exact median over buffered interval values
+    "q_ds_median" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "median"))), "median_value")),
+
+    // A8: runAll — single interval spanning the whole query range
+    "q_ds_runall" -> { (s, d) =>
+      QueryEngine.downsampleMulti(prepared(s, d), "0all", Start, End,
+        Seq("__sum" -> "sum", "__cnt" -> "count"), runAll = true)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(round(col("__sum"), 4) / col("__cnt"), 4).as("avg_value"))
+    },
+
+    // A3: reporting average — sum / expected dps per interval (24 × 1h per
+    // 1d); sum snapped to 4 decimals before the division for cross-engine
+    // bit-determinism (raw path unit-tested)
+    "q_ds_reporting_avg" -> { (s, d) =>
+      QueryEngine.downsampleMulti(prepared(s, d), "1d", Start, End, Seq("__sum" -> "sum"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(round(col("__sum"), 4) / lit(24.0), 4).as("rep_avg"))
+    },
+
+    // ---------------------------------------------------------------- W1-W5
+
+    // W1: rate — per-point derivative
+    "q_rate" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End, rate = Some(RateSpec())))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("rate"))
+    },
+
+    // W3: deltaOnly — raw difference
+    "q_rate_delta" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End, rate = Some(RateSpec(deltaOnly = true))))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("delta"))
+    },
+
+    // W2: counter semantics with dropResets (decreases dropped)
+    "q_rate_counter" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End,
+        rate = Some(RateSpec(counter = true, dropResets = true))))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("rate"))
+    },
+
+    // W4: rate-to-count — v * min(Δt, mode-of-deltas)
+    "q_rate_to_count" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End, rate = Some(RateSpec(rateToCount = true))))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("cnt_value"))
+    },
+
+    // W5: time shift — evaluate one week back, map timestamps forward
+    "q_timeshift" -> ((s, d) =>
+      dsOut(
+        run(s, d, TsdbQuery(MatchAll, Start, End,
+          downsample = Some(DownsampleSpec("1d", "sum")), shift = Some("1w"))),
+        "sum_value")),
+
+    // ---------------------------------------------------------------- A11-A13
+
+    // A11: spatial group-by over downsampled series (group keys = tag
+    // values); intermediate snapped to 4 decimals between the temporal and
+    // spatial stages for cross-engine bit-determinism
+    "q_groupby" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("host", "colo"), "sum"))
+        .select(col("host").as("tag_host"), col("colo").as("tag_colo"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
+    // A13: group-all — no group keys ⇒ single group per interval (spatial
+    // max over snapped per-series sums: order-insensitive, bit-exact)
+    "q_groupby_all" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Nil, "max"))
+        .select(col("bucket_ts"), round(col("value"), 4).as("value"))
+    },
+
+    // A18: last-value query per series
+    "q_latest" -> { (s, d) =>
+      Latest(pts(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("tags")("host").as("tag_host"), col("tags")("colo").as("tag_colo"),
+          col("last_ts"), round(col("last_value"), 4).as("last_value"))
+    },
+
+    // ---------------------------------------------------------------- F1-F9
+
+    // F1+F4: literal metric + literal tag set
+    "q_filter_literal" -> { (s, d) =>
+      val f = Chain.and(
+        MetricLiteral(Seq("click", "error")),
+        TagLiteral("user", Seq("1", "2", "3")))
+      dsOut(run(s, d, TsdbQuery(f, Start, End, downsample = Some(DownsampleSpec("1d", "count")))), "cnt")
+    },
+
+    // F2+F4: regex metric + regex tag (contains semantics)
+    "q_filter_regex" -> { (s, d) =>
+      val f = Chain.and(MetricRegexp("^(cl|pu)"), TagRegexp("host", "web0[01]"))
+      dsOut(run(s, d, TsdbQuery(f, Start, End, downsample = Some(DownsampleSpec("1d", "sum")))), "sum_value")
+    },
+
+    // F3: wildcard filter (glob → regex at plan time)
+    "q_filter_wildcard" -> { (s, d) =>
+      val f = Chain.and(TagWildcard("host", "web*"), TagLiteral("colo", Seq("sjc")))
+      dsOut(run(s, d, TsdbQuery(f, Start, End,
+        downsample = Some(DownsampleSpec("0all", "sum", runAll = true)))), "sum_value")
+    },
+
+    // F7+F8: chain with NOT member (AND / OR / NOT combination)
+    "q_filter_chain_not" -> { (s, d) =>
+      val f = Chain.and(
+        Chain.or(TagLiteral("user", Seq("1", "2", "3", "4", "5")), TagRegexp("host", "web02")),
+        Not(TagLiteral("colo", Seq("den"))))
+      dsOut(run(s, d, TsdbQuery(f, Start, End,
+        downsample = Some(DownsampleSpec("0all", "count", runAll = true)))), "cnt")
+    },
+
+    // F5+F6: tag-key presence + any-key-or-value regex match
+    "q_filter_tagkey_any" -> { (s, d) =>
+      val f = Chain.and(TagKeyLiteral(Seq("host")), AnyMatch("sjc"))
+      dsOut(run(s, d, TsdbQuery(f, Start, End,
+        downsample = Some(DownsampleSpec("0all", "sum", runAll = true)))), "sum_value")
+    },
+
+    // F9: explicit tags — series tag count must equal filter's tag-key count
+    "q_filter_explicit" -> { (s, d) =>
+      val f = Chain.and(
+        TagLiteral("user", Seq("0", "1", "2", "3", "4", "5", "6", "7")),
+        TagKeyLiteral(Seq("host", "colo")))
+      dsOut(run(s, d, TsdbQuery(f, Start, End, explicitTags = true,
+        downsample = Some(DownsampleSpec("0all", "count", runAll = true)))), "cnt")
+    }
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  private def dsOracle(aggSql: String, valueName: String,
+      where: String = "", bucket: String = s"ts - ts % 86400"): String =
+    s"""WITH $pointsCtes
+       |SELECT metric, tag_user, $bucket AS bucket_ts, $aggSql AS $valueName
+       |FROM dedup WHERE ${inRange()} $where
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ds_sum" -> dsOracle(rnd("sum(value)"), "sum_value"),
+
+    "q_ds_avg" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)")} AS avg_value,
+         |       CAST(count(value) AS DOUBLE) AS cnt
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_ds_minmax" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("min(value)")} AS min_value,
+         |       ${rnd("max(value)")} AS max_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_ds_last" -> dsOracle(rnd("arg_max(value, ts)"), "last_value"),
+
+    "q_ds_median" -> dsOracle(rnd("quantile_cont(value, 0.5)"), "median_value"),
+
+    "q_ds_runall" -> dsOracle(
+      rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)"), "avg_value",
+      bucket = s"CAST($Start AS BIGINT)"),
+
+    "q_ds_reporting_avg" -> dsOracle(rnd(s"${rnd("sum(value)")} / 24.0"), "rep_avg"),
+
+    "q_rate" ->
+      s"""WITH $pointsCtes,
+         |laged AS (
+         |  SELECT metric, tag_user, ts, value,
+         |         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+         |  FROM dedup WHERE ${inRange()}
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts))
+         |SELECT metric, tag_user, ts,
+         |       ${rnd("(value - pv) / CAST(ts - pt AS DOUBLE)", 6)} AS rate
+         |FROM laged WHERE pt IS NOT NULL""".stripMargin,
+
+    "q_rate_delta" ->
+      s"""WITH $pointsCtes,
+         |laged AS (
+         |  SELECT metric, tag_user, ts, value,
+         |         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+         |  FROM dedup WHERE ${inRange()}
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts))
+         |SELECT metric, tag_user, ts, ${rnd("value - pv", 6)} AS delta
+         |FROM laged WHERE pt IS NOT NULL""".stripMargin,
+
+    "q_rate_counter" ->
+      s"""WITH $pointsCtes,
+         |laged AS (
+         |  SELECT metric, tag_user, ts, value,
+         |         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+         |  FROM dedup WHERE ${inRange()}
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts))
+         |SELECT metric, tag_user, ts,
+         |       ${rnd("(value - pv) / CAST(ts - pt AS DOUBLE)", 6)} AS rate
+         |FROM laged WHERE pt IS NOT NULL AND value >= pv""".stripMargin,
+
+    "q_rate_to_count" ->
+      s"""WITH $pointsCtes,
+         |rng AS (SELECT * FROM dedup WHERE ${inRange()}),
+         |laged AS (
+         |  SELECT metric, tag_user, ts, value,
+         |         lag(ts) OVER w AS pt
+         |  FROM rng
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+         |md AS (
+         |  SELECT metric, tag_user, dt AS mode_dt FROM (
+         |    SELECT metric, tag_user, ts - pt AS dt, count(*) AS n,
+         |           row_number() OVER (PARTITION BY metric, tag_user
+         |                              ORDER BY count(*) DESC, ts - pt ASC) AS rn
+         |    FROM laged WHERE pt IS NOT NULL GROUP BY 1, 2, 3)
+         |  WHERE rn = 1)
+         |SELECT l.metric, l.tag_user, l.ts,
+         |       ${rnd("l.value * least(CAST(l.ts - l.pt AS DOUBLE), CAST(m.mode_dt AS DOUBLE))", 6)} AS cnt_value
+         |FROM laged l JOIN md m ON l.metric = m.metric AND l.tag_user = m.tag_user
+         |WHERE l.pt IS NOT NULL""".stripMargin,
+
+    "q_timeshift" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       (ts + 604800) - (ts + 604800) % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup
+         |WHERE ts >= ${Start - 604800} AND ts < ${End - 604800}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_groupby" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host, tag_colo,
+         |         ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
+         |FROM ds GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_groupby_all" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT bucket_ts, ${rnd("max(v)")} AS value
+         |FROM ds GROUP BY 1""".stripMargin,
+
+    "q_latest" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, tag_host, tag_colo,
+         |       ts AS last_ts, ${rnd("value")} AS last_value
+         |FROM points
+         |QUALIFY row_number() OVER (PARTITION BY metric, tag_user
+         |                           ORDER BY ts DESC, seq DESC) = 1""".stripMargin,
+
+    "q_filter_literal" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
+      where = "AND metric IN ('click', 'error') AND tag_user IN ('1', '2', '3')"),
+
+    "q_filter_regex" -> dsOracle(rnd("sum(value)"), "sum_value",
+      where = "AND regexp_matches(metric, '^(cl|pu)') AND regexp_matches(tag_host, 'web0[01]')"),
+
+    "q_filter_wildcard" -> dsOracle(rnd("sum(value)"), "sum_value",
+      where = "AND regexp_matches(tag_host, 'web.*') AND tag_colo = 'sjc'",
+      bucket = s"CAST($Start AS BIGINT)"),
+
+    "q_filter_chain_not" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
+      where = "AND (tag_user IN ('1','2','3','4','5') OR regexp_matches(tag_host, 'web02')) " +
+        "AND NOT tag_colo = 'den'",
+      bucket = s"CAST($Start AS BIGINT)"),
+
+    "q_filter_tagkey_any" -> dsOracle(rnd("sum(value)"), "sum_value",
+      where = "AND (regexp_matches(tag_user, 'sjc') OR regexp_matches(tag_host, 'sjc') " +
+        "OR regexp_matches(tag_colo, 'sjc'))",
+      bucket = s"CAST($Start AS BIGINT)"),
+
+    "q_filter_explicit" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
+      where = "AND tag_user IN ('0','1','2','3','4','5','6','7')",
+      bucket = s"CAST($Start AS BIGINT)")
+  )
+}

@@ -1,0 +1,236 @@
+package graft.query
+
+import graft.core.Intervals
+import graft.filters.SeriesFilter
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Compiles a [[TsdbQuery]] into one declarative DataFrame plan over a
+ * `points` DataFrame (schema [[graft.core.TsdbSchema.points]]).
+ *
+ * Stage order mirrors the reference's fused iterator
+ * (AuraMetricsNumericArrayIterator.next(Aggregator), reference :285-670):
+ *
+ *   scan+filter → dedupe (last-write-wins) → rate → downsample → group-by
+ *
+ * but instead of hand-fusing, each stage is a Catalyst operator and
+ * whole-stage codegen fuses them. Filters/projections push into the
+ * parquet scan; the downsample and group-by become partial+final hash
+ * aggregates (the reference's per-job accumulate + merge,
+ * AerospikeBatchQueryNode.java:393-420, falls out of Spark's
+ * HashAggregateExec); the shuffle on `series_id` plays the role of shard
+ * routing (BaseStorage.java:126-131).
+ *
+ * Scale notes (100 TB design):
+ *  - The only wide dependencies are (a) the window for dedupe/rate, keyed
+ *    by series_id, and (b) the downsample aggregate, keyed by
+ *    (series_id, bucket). Both partition by series_id, so one Exchange is
+ *    reused across stages; series_id is high-cardinality and uniform
+ *    (XXH64), so no skew.
+ *  - When the query has no rate and the input is already deduped at
+ *    ingest, the plan is a scan → partial agg → final agg with no window.
+ */
+object QueryEngine {
+
+  /** NaN-skipping view of value: the reference's aggregation loop skips
+   *  NaN cells unless infectious-NaN is on (reference :465-486). */
+  private def cleanValue(v: Column): Column = when(isnan(v), lit(null)).otherwise(v)
+
+  /** Last-write-wins dedupe of duplicate (series, ts) points — query-side
+   *  equivalent of the reference's `values[ts % len] = value` overwrite
+   *  (readAndDedupe, AuraMetricsNumericArrayIterator.java:721-746); the
+   *  arrival order is the explicit `seq` column. */
+  def dedupe(points: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series_id"), col("ts")).orderBy(col("seq").desc)
+    points
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** The temporal aggregator by name (reference alias table :159-177). */
+  private def temporalAgg(agg: String, v: Column, ts: Column, intervalSec: Long,
+      reportingIntervalSec: Option[Long]): Column = agg match {
+    case "sum" | "zimsum" => sum(v)
+    case "avg" if reportingIntervalSec.isDefined =>
+      // "reporting average": sum / expected dps per interval (reference :151-157,506-511)
+      sum(v) / lit(intervalSec.toDouble / reportingIntervalSec.get)
+    case "avg" => avg(v)
+    case "count" => count(v).cast("double")
+    case "min" | "mimmin" => min(v)
+    case "max" | "mimmax" => max(v)
+    // last non-NaN value in interval by time (reference :482,522-523);
+    // rows whose cleaned value is null are excluded from the ordering
+    case "last" => max_by(v, when(v.isNotNull, ts))
+    case "median" => expr("percentile(__v, 0.5)")
+    case p if p.startsWith("p") && p.length <= 5 =>
+      // percentile plugin aggregators (NON_OPTIMIZED path, reference :182-195)
+      val q = p.drop(1).toDouble / 100.0
+      expr(s"percentile(__v, $q)")
+    case other => throw new IllegalArgumentException(s"unknown downsample agg: $other")
+  }
+
+  /** The spatial (cross-series) aggregator (reference NumericArrayAggregator
+   *  family: sum/zimsum/avg/count/min/max). */
+  private def spatialAgg(agg: String, v: Column): Column = agg match {
+    case "sum" | "zimsum" => sum(v)
+    case "avg" => avg(v)
+    case "count" => count(v).cast("double")
+    case "min" | "mimmin" => min(v)
+    case "max" | "mimmax" => max(v)
+    case other => throw new IllegalArgumentException(s"unknown group-by agg: $other")
+  }
+
+  /** Rate stage (reference :432-463). Emits `value` replaced by the rate;
+   *  the first point of each series has no predecessor and is dropped
+   *  (the reference emits NaN there, which its downsample then skips —
+   *  dropping is the same observable result post-aggregation). */
+  def rate(points: DataFrame, spec: RateSpec): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
+    val intervalSec = Intervals.toSeconds(spec.interval).toDouble
+    val prevV = lag(col("value"), 1).over(w)
+    val prevTs = lag(col("ts"), 1).over(w)
+    val dtUnits = (col("ts") - prevTs).cast("double") / lit(intervalSec)
+
+    val rateCol: Column =
+      if (spec.deltaOnly) {
+        col("value") - prevV
+      } else if (spec.rateToCount) {
+        // v * min(Δt/interval, dataInterval); dataInterval = per-series mode
+        // of timestamp deltas (reference :364-387, 405-420)
+        col("value") * least(dtUnits, col("__mode_dt").cast("double") / lit(intervalSec))
+      } else if (spec.counter) {
+        val raw = (col("value") - prevV) / dtUnits
+        val rollover = (lit(spec.counterMax) - prevV + col("value")) / dtUnits
+        val onDecrease =
+          if (spec.dropResets) lit(null).cast("double") else rollover
+        val r = when(col("value") < prevV, onDecrease).otherwise(raw)
+        if (spec.resetValue > 0) when(r > lit(spec.resetValue), lit(0.0)).otherwise(r) else r
+      } else {
+        (col("value") - prevV) / dtUnits
+      }
+
+    val base =
+      if (spec.rateToCount) points.join(modeOfDeltas(points), Seq("series_id"), "left")
+      else points
+    base
+      .withColumn("__prev_ts", prevTs)
+      .withColumn("value", rateCol)
+      .filter(col("__prev_ts").isNotNull && col("value").isNotNull)
+      .drop("__prev_ts", "__mode_dt")
+  }
+
+  /** Per-series mode of timestamp deltas — the reference's auto-detected
+   *  "data interval" for rate-to-count (reference :364-420). Ties break to
+   *  the smallest delta for determinism. */
+  def modeOfDeltas(points: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
+    val deltas = points
+      .withColumn("__dt", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("__dt").isNotNull)
+      .groupBy(col("series_id"), col("__dt"))
+      .agg(count(lit(1)).as("__n"))
+    val pick = Window.partitionBy(col("series_id"))
+      .orderBy(col("__n").desc, col("__dt").asc)
+    deltas
+      .withColumn("__rn", row_number().over(pick))
+      .filter(col("__rn") === 1)
+      .select(col("series_id"), col("__dt").as("__mode_dt"))
+  }
+
+  /** Downsample stage: per-series temporal aggregation into aligned
+   *  interval buckets (bucket = ts - ts % interval, the reference's
+   *  `segmentTime`-style floor, TimeseriesStorageContext.java:75-77). */
+  def downsample(points: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
+    val bucket: Column =
+      if (spec.runAll) lit(start)
+      else {
+        val iv = Intervals.toSeconds(spec.interval)
+        col("ts") - (col("ts") % lit(iv))
+      }
+    val intervalSec = if (spec.runAll) end - start else Intervals.toSeconds(spec.interval)
+    val repSec = spec.reportingInterval.map(Intervals.toSeconds)
+
+    val prepared = points
+      .withColumn("__bucket", bucket)
+      .withColumn("__v", cleanValue(col("value")))
+
+    val aggCol = temporalAgg(spec.agg, col("__v"), col("ts"), intervalSec, repSec).as("__agg")
+    val grouped = prepared
+      .groupBy(col("series_id"), col("metric"), col("__bucket"))
+      .agg(
+        aggCol,
+        max(isnan(col("value"))).as("__has_nan"),
+        any_value(col("tags")).as("tags")) // tags are functionally determined by series_id
+
+    val valueCol =
+      if (spec.infectiousNan)
+        when(col("__has_nan"), lit(Double.NaN)).otherwise(col("__agg"))
+      else col("__agg")
+
+    grouped.select(
+      col("series_id"), col("metric"), col("tags"),
+      col("__bucket").as("bucket_ts"),
+      valueCol.as("value"))
+  }
+
+  /** Multi-aggregator downsample: one pass, several temporal aggregates as
+   *  named columns (the reference's ingest-time DownSampler computes its
+   *  avg/sum/count/min/max/sumofsquare chain in one pass the same way,
+   *  core/downsample/DownSampler.java:32-56). */
+  def downsampleMulti(points: DataFrame, interval: String, start: Long, end: Long,
+      aggs: Seq[(String, String)], runAll: Boolean = false): DataFrame = {
+    val bucket: Column =
+      if (runAll) lit(start)
+      else {
+        val iv = Intervals.toSeconds(interval)
+        col("ts") - (col("ts") % lit(iv))
+      }
+    val intervalSec = if (runAll) end - start else Intervals.toSeconds(interval)
+    val prepared = points
+      .withColumn("__bucket", bucket)
+      .withColumn("__v", cleanValue(col("value")))
+    val aggCols = aggs.map { case (name, agg) =>
+      temporalAgg(agg, col("__v"), col("ts"), intervalSec, None).as(name)
+    } :+ any_value(col("tags")).as("tags")
+    prepared
+      .groupBy(col("series_id"), col("metric"), col("__bucket"))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumnRenamed("__bucket", "bucket_ts")
+  }
+
+  /** Spatial group-by stage: accumulate each series' downsampled value per
+   *  bucket into per-group aggregates (reference A11; empty keys =
+   *  group-all, reference A13). */
+  def groupBySpatial(ds: DataFrame, spec: GroupBySpec): DataFrame = {
+    val keyCols = spec.keys.map(k => col("tags")(k).as(k))
+    val out = ds
+      .groupBy(keyCols :+ col("bucket_ts"): _*)
+      .agg(spatialAgg(spec.agg, col("value")).as("value"))
+    out
+  }
+
+  /** Full query compilation. */
+  def run(points: DataFrame, q: TsdbQuery): DataFrame = {
+    val shiftSec = q.shift.map(Intervals.toSeconds).getOrElse(0L)
+    val pred = SeriesFilter.compile(q.filter, col("metric"), col("tags"))
+    val timePred =
+      col("ts") >= lit(q.start - shiftSec) && col("ts") < lit(q.end - shiftSec)
+    val explicitPred =
+      if (q.explicitTags) SeriesFilter.explicitTagsPredicate(q.filter, col("tags"))
+      else lit(true)
+
+    var df = points.filter(timePred && pred && explicitPred)
+    df = dedupe(df)
+    // map shifted timestamps forward so downstream buckets align with the
+    // *query* window (reference applies shiftSeconds inside the iterator,
+    // AuraMetricsNumericArrayIterator.java:312,423)
+    if (shiftSec != 0) df = df.withColumn("ts", col("ts") + lit(shiftSec))
+    df = q.rate.map(r => rate(df, r)).getOrElse(df)
+    df = q.downsample.map(d => downsample(df, d, q.start, q.end)).getOrElse(df)
+    df = q.groupBy.map(g => groupBySpatial(df, g)).getOrElse(df)
+    df
+  }
+}

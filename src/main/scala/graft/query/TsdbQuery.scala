@@ -1,0 +1,52 @@
+package graft.query
+
+import graft.filters.SeriesFilter
+
+/**
+ * The query configuration ADT — models the reference's pushed-down query
+ * graph (TimeShift → Rate → Downsample → GroupBy absorbed into the source
+ * node, reference AuraMetricsSourceFactory.java:120-128) as one declarative
+ * value that QueryEngine compiles to a single DataFrame plan.
+ */
+
+/** Temporal aggregation (downsample) spec.
+ *
+ * Aggregator vocabulary mirrors the reference alias table
+ * (AuraMetricsNumericArrayIterator.java:159-195): sum/zimsum, avg,
+ * count, min/mimmin, max/mimmax, last, plus "non-optimized" plugin
+ * aggregators (median / pNN percentiles) run over buffered interval
+ * values (reference :182-195, 488-532).
+ */
+final case class DownsampleSpec(
+    interval: String,
+    agg: String,
+    runAll: Boolean = false, // single interval spanning the whole range (reference :199-202)
+    infectiousNan: Boolean = false, // any NaN in interval => NaN result (reference :465-473)
+    reportingInterval: Option[String] = None // "reporting average": sum / dpsInInterval (reference :151-157)
+)
+
+/** Rate (per-point derivative) spec — reference
+ *  AuraMetricsNumericArrayIterator.java:432-463. */
+final case class RateSpec(
+    interval: String = "1s", // rate denominator unit
+    counter: Boolean = false, // counter rollover semantics (reference :444-455)
+    dropResets: Boolean = false, // on decrease: drop instead of rollover math
+    counterMax: Double = Long.MaxValue.toDouble,
+    resetValue: Double = 0, // computed rate > resetValue (>0) => 0
+    deltaOnly: Boolean = false, // raw difference v - prev (reference :440-442)
+    rateToCount: Boolean = false // v * min(Δt/interval, mode-of-deltas) (reference :438-440, 364-420)
+)
+
+/** Spatial (cross-series) aggregation: group by chosen tag keys' values per
+ *  interval; empty keys = group-all (reference MystQueryBuilder.java:69-75). */
+final case class GroupBySpec(keys: Seq[String], agg: String)
+
+final case class TsdbQuery(
+    filter: SeriesFilter,
+    start: Long, // [start, end) in epoch seconds
+    end: Long,
+    downsample: Option[DownsampleSpec] = None,
+    rate: Option[RateSpec] = None,
+    groupBy: Option[GroupBySpec] = None,
+    shift: Option[String] = None, // evaluate shifted back in time, map ts forward (reference AuraMetricsQueryNode.java:137-148)
+    explicitTags: Boolean = false)

@@ -1,0 +1,64 @@
+package graft.sources
+
+import graft.core.SeriesId
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Maps the driver's synthetic tables (TESTDATA.md) onto the TSDB data
+ * model, and derives the dimension tables the engine maintains at ingest.
+ *
+ * The `events` stream table becomes the points fact table:
+ *   metric := event_type, tags := {user, host, colo} (host/colo are
+ *   deterministic functions of user, giving the tag-key variety the
+ *   reference fixtures have: FIXTURES.md §2), ts := epoch seconds,
+ *   value := value, seq := event_id (ingest order for last-write-wins).
+ */
+object TsdbViews {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Epoch seconds from a timestamp-ish column: TIMESTAMP → floor-seconds
+   *  cast; LongType (parquet TIMESTAMP(NANOS) read via nanosAsLong) →
+   *  exact integer division. */
+  def toEpochSeconds(df: DataFrame, colName: String): Column = {
+    import org.apache.spark.sql.types.LongType
+    df.schema(colName).dataType match {
+      case LongType => expr(s"$colName DIV 1000000000")
+      case _ => col(colName).cast("long")
+    }
+  }
+
+  /** The points fact view. Timestamps become epoch **seconds** (the
+   *  reference stores epoch-second ints, TimeSeriesShard.java:399). */
+  def points(spark: SparkSession, dir: String): DataFrame = {
+    val ev = table(spark, dir, "events")
+    val tags = map(
+      lit("user"), col("user_id").cast("string"),
+      lit("host"), concat(lit("web"), lpad((col("user_id") % 3).cast("string"), 2, "0")),
+      lit("colo"), when(col("user_id") % 2 === 0, lit("den")).otherwise(lit("sjc")))
+    ev.select(
+        col("event_type").as("metric"),
+        tags.as("tags"),
+        toEpochSeconds(ev, "ts").as("ts"),
+        col("value"),
+        col("event_id").as("seq"))
+      .withColumn("series_id", SeriesId.seriesId(col("metric"), col("tags")))
+      .withColumn("segment_start", SeriesId.segmentStart(col("ts")))
+  }
+
+  /** The series dimension (meta store analog, reference NewDocStore):
+   *  one row per distinct series with first/last seen. Derived here for
+   *  batch queries; maintained incrementally by the ingest stream
+   *  (graft.streaming.IngestJob). */
+  def seriesDim(points: DataFrame): DataFrame =
+    points
+      .groupBy(col("series_id"), col("metric"))
+      .agg(
+        any_value(col("tags")).as("tags"),
+        min(col("ts")).as("first_seen"),
+        max(col("ts")).as("last_seen"))
+      .withColumn("tag_count", size(map_keys(col("tags"))))
+      .select("series_id", "metric", "tags", "tag_count", "first_seen", "last_seen")
+}
