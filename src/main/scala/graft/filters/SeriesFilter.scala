@@ -112,7 +112,11 @@ object SeriesFilter {
       ms.map(compile(_, metric, tags)).reduceOption(_ && _).getOrElse(lit(true))
     case Chain(Chain.Or, ms) =>
       ms.map(compile(_, metric, tags)).reduceOption(_ || _).getOrElse(lit(false))
-    case Not(inner) => !compile(inner, metric, tags)
+    // Null-safe negation: for a series missing the tag key, the inner
+    // predicate is NULL; the reference's bitmap andNot treats such series
+    // as matching the NOT (NewDocStore.java:1030,1135), so NULL ⇒ false
+    // before negating.
+    case Not(inner) => !coalesce(compile(inner, metric, tags), lit(false))
     case MatchAll => lit(true)
   }
 

@@ -30,8 +30,9 @@ object OracleCommon {
       |         CAST(user_id AS VARCHAR) AS tag_user,
       |         'web' || lpad(CAST(user_id % 3 AS VARCHAR), 2, '0') AS tag_host,
       |         CASE WHEN user_id % 2 = 0 THEN 'den' ELSE 'sjc' END AS tag_colo,
+      |         CASE WHEN user_id % 5 = 0 THEN 'prod' ELSE NULL END AS tag_env,
       |         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
-      |         value,
+      |         CASE WHEN isnan(value) THEN NULL ELSE value END AS value,
       |         event_id AS seq
       |  FROM events),
       |dedup AS (
@@ -49,5 +50,9 @@ object OracleCommon {
    *  round-trip repr) then DECIMAL reproduces Spark bit-for-bit
    *  (verified incl. negatives and exponent-notation strings). */
   def rnd(e: String, scale: Int = 4): String =
-    s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $scale) AS DOUBLE)"
+    // |x| ≥ 1e15 doubles carry no sub-integer precision, so round(x, n>=0)
+    // is the identity in both engines — branch there to keep the DECIMAL
+    // intermediate (20 integer digits max) from overflowing at large SF.
+    s"CASE WHEN abs($e) >= 1e15 THEN CAST(($e) AS DOUBLE) ELSE " +
+      s"CAST(round(CAST(CAST(($e) AS VARCHAR) AS DECIMAL(38,18)), $scale) AS DOUBLE) END"
 }

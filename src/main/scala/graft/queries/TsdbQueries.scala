@@ -78,13 +78,29 @@ object TsdbQueries {
           round(round(col("__sum"), 4) / col("__cnt"), 4).as("avg_value"))
     },
 
-    // A3: reporting average — sum / expected dps per interval (24 × 1h per
-    // 1d); sum snapped to 4 decimals before the division for cross-engine
-    // bit-determinism (raw path unit-tested)
-    "q_ds_reporting_avg" -> { (s, d) =>
-      QueryEngine.downsampleMulti(prepared(s, d), "1d", Start, End, Seq("__sum" -> "sum"))
+    // A3: reporting average — the engine's reportingInterval branch
+    // (QueryEngine.temporalAgg: sum / (interval/reporting)). Reporting
+    // interval 3200s ⇒ odd divisor 27, so a sum with 2-decimal inputs can
+    // never land exactly on a 4-decimal rounding boundary — keeps the
+    // cross-engine compare deterministic without double-rounding.
+    "q_ds_reporting_avg" -> ((s, d) =>
+      dsOut(run(s, d, matchAllQ(
+        DownsampleSpec("1d", "avg", reportingInterval = Some("3200s")))), "rep_avg")),
+
+    // A2 via the full engine path (plain avg through QueryEngine.run)
+    "q_ds_avg_run" -> ((s, d) =>
+      dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "avg"))), "avg_value")),
+
+    // A9: infectious NaN — any NaN in an interval makes the interval NaN
+    // (reference :465-473). NaNs are injected deterministically
+    // (TsdbViews.pointsWithNan); output maps NaN→NULL for hash stability.
+    "q_ds_infectious_nan" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum", infectiousNan = true)))
+      QueryEngine.run(TsdbViews.pointsWithNan(s, d), q)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
-          round(round(col("__sum"), 4) / lit(24.0), 4).as("rep_avg"))
+          when(isnan(col("value")), lit(null).cast("double"))
+            .otherwise(round(col("value"), 4)).as("sum_value"))
     },
 
     // ---------------------------------------------------------------- W1-W5
@@ -107,6 +123,16 @@ object TsdbQueries {
     "q_rate_counter" -> { (s, d) =>
       run(s, d, TsdbQuery(MatchAll, Start, End,
         rate = Some(RateSpec(counter = true, dropResets = true))))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("rate"))
+    },
+
+    // W2 (rollover path): counter rate with rollover arithmetic
+    // (counterMax − prev + v over Δt on decrease, reference :444-455) and
+    // the resetValue clamp (rate > resetValue ⇒ 0)
+    "q_rate_counter_rollover" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End,
+        rate = Some(RateSpec(counter = true, counterMax = 500.0, resetValue = 0.001))))
         .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
           round(col("value"), 6).as("rate"))
     },
@@ -240,7 +266,26 @@ object TsdbQueries {
       rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)"), "avg_value",
       bucket = s"CAST($Start AS BIGINT)"),
 
-    "q_ds_reporting_avg" -> dsOracle(rnd(s"${rnd("sum(value)")} / 24.0"), "rep_avg"),
+    "q_ds_reporting_avg" -> dsOracle(rnd("sum(value) / 27.0"), "rep_avg"),
+
+    "q_ds_avg_run" -> dsOracle(rnd("avg(value)"), "avg_value"),
+
+    "q_ds_infectious_nan" ->
+      s"""WITH points AS (
+         |  SELECT event_type AS metric,
+         |         CAST(user_id AS VARCHAR) AS tag_user,
+         |         CAST(floor(epoch(ts)) AS BIGINT) AS ts,
+         |         CASE WHEN event_id % 101 = 0 THEN 'NaN'::DOUBLE ELSE value END AS value,
+         |         event_id AS seq
+         |  FROM events),
+         |dedup AS (
+         |  SELECT * FROM points
+         |  QUALIFY row_number() OVER (PARTITION BY metric, tag_user, ts ORDER BY seq DESC) = 1)
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       CASE WHEN bool_or(isnan(value)) THEN NULL
+         |            ELSE ${rnd("sum(CASE WHEN isnan(value) THEN NULL ELSE value END)")} END AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_rate" ->
       s"""WITH $pointsCtes,
@@ -273,6 +318,23 @@ object TsdbQueries {
          |SELECT metric, tag_user, ts,
          |       ${rnd("(value - pv) / CAST(ts - pt AS DOUBLE)", 6)} AS rate
          |FROM laged WHERE pt IS NOT NULL AND value >= pv""".stripMargin,
+
+    "q_rate_counter_rollover" ->
+      s"""WITH $pointsCtes,
+         |laged AS (
+         |  SELECT metric, tag_user, ts, value,
+         |         lag(value) OVER w AS pv, lag(ts) OVER w AS pt
+         |  FROM dedup WHERE ${inRange()}
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+         |rated AS (
+         |  SELECT metric, tag_user, ts,
+         |         CASE WHEN value < pv
+         |              THEN (500.0 - pv + value) / CAST(ts - pt AS DOUBLE)
+         |              ELSE (value - pv) / CAST(ts - pt AS DOUBLE) END AS r
+         |  FROM laged WHERE pt IS NOT NULL)
+         |SELECT metric, tag_user, ts,
+         |       ${rnd("CASE WHEN r > 0.001 THEN 0.0 ELSE r END", 6)} AS rate
+         |FROM rated""".stripMargin,
 
     "q_rate_to_count" ->
       s"""WITH $pointsCtes,
@@ -351,8 +413,10 @@ object TsdbQueries {
         "OR regexp_matches(tag_colo, 'sjc'))",
       bucket = s"CAST($Start AS BIGINT)"),
 
+    // explicit-tags: the filter references 3 tag keys, so the 4-tag series
+    // (those carrying the env tag) must be excluded
     "q_filter_explicit" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
-      where = "AND tag_user IN ('0','1','2','3','4','5','6','7')",
+      where = "AND tag_user IN ('0','1','2','3','4','5','6','7') AND tag_env IS NULL",
       bucket = s"CAST($Start AS BIGINT)")
   )
 }

@@ -64,11 +64,11 @@ object QueryEngine {
     // last non-NaN value in interval by time (reference :482,522-523);
     // rows whose cleaned value is null are excluded from the ordering
     case "last" => max_by(v, when(v.isNotNull, ts))
-    case "median" => expr("percentile(__v, 0.5)")
+    case "median" => percentile(v, lit(0.5))
     case p if p.startsWith("p") && p.length <= 5 =>
       // percentile plugin aggregators (NON_OPTIMIZED path, reference :182-195)
       val q = p.drop(1).toDouble / 100.0
-      expr(s"percentile(__v, $q)")
+      percentile(v, lit(q))
     case other => throw new IllegalArgumentException(s"unknown downsample agg: $other")
   }
 
@@ -144,13 +144,17 @@ object QueryEngine {
    *  interval buckets (bucket = ts - ts % interval, the reference's
    *  `segmentTime`-style floor, TimeseriesStorageContext.java:75-77). */
   def downsample(points: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
+    // "0all" is the whole-range marker (reference :199-202) whether or not
+    // the caller also set runAll — without this, `ts - ts % -1` would
+    // silently produce per-point buckets.
+    val runAll = spec.runAll || spec.interval == "0all"
     val bucket: Column =
-      if (spec.runAll) lit(start)
+      if (runAll) lit(start)
       else {
         val iv = Intervals.toSeconds(spec.interval)
         col("ts") - (col("ts") % lit(iv))
       }
-    val intervalSec = if (spec.runAll) end - start else Intervals.toSeconds(spec.interval)
+    val intervalSec = if (runAll) end - start else Intervals.toSeconds(spec.interval)
     val repSec = spec.reportingInterval.map(Intervals.toSeconds)
 
     val prepared = points
@@ -182,13 +186,14 @@ object QueryEngine {
    *  core/downsample/DownSampler.java:32-56). */
   def downsampleMulti(points: DataFrame, interval: String, start: Long, end: Long,
       aggs: Seq[(String, String)], runAll: Boolean = false): DataFrame = {
+    val all = runAll || interval == "0all"
     val bucket: Column =
-      if (runAll) lit(start)
+      if (all) lit(start)
       else {
         val iv = Intervals.toSeconds(interval)
         col("ts") - (col("ts") % lit(iv))
       }
-    val intervalSec = if (runAll) end - start else Intervals.toSeconds(interval)
+    val intervalSec = if (all) end - start else Intervals.toSeconds(interval)
     val prepared = points
       .withColumn("__bucket", bucket)
       .withColumn("__v", cleanValue(col("value")))

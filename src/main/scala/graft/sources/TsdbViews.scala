@@ -31,13 +31,19 @@ object TsdbViews {
   }
 
   /** The points fact view. Timestamps become epoch **seconds** (the
-   *  reference stores epoch-second ints, TimeSeriesShard.java:399). */
+   *  reference stores epoch-second ints, TimeSeriesShard.java:399).
+   *
+   *  A subset of series (user_id % 5 == 0) carries a 4th `env` tag so the
+   *  explicit-tags check (F9) is discriminating: series tag counts vary. */
   def points(spark: SparkSession, dir: String): DataFrame = {
     val ev = table(spark, dir, "events")
-    val tags = map(
-      lit("user"), col("user_id").cast("string"),
-      lit("host"), concat(lit("web"), lpad((col("user_id") % 3).cast("string"), 2, "0")),
-      lit("colo"), when(col("user_id") % 2 === 0, lit("den")).otherwise(lit("sjc")))
+    val tags = map_filter(
+      map(
+        lit("user"), col("user_id").cast("string"),
+        lit("host"), concat(lit("web"), lpad((col("user_id") % 3).cast("string"), 2, "0")),
+        lit("colo"), when(col("user_id") % 2 === 0, lit("den")).otherwise(lit("sjc")),
+        lit("env"), when(col("user_id") % 5 === 0, lit("prod"))),
+      (_, v) => v.isNotNull)
     ev.select(
         col("event_type").as("metric"),
         tags.as("tags"),
@@ -48,10 +54,19 @@ object TsdbViews {
       .withColumn("segment_start", SeriesId.segmentStart(col("ts")))
   }
 
+  /** Points view with deterministic NaN injection (every 101st ingest
+   *  sequence) — exercises the engine's NaN-skip and infectious-NaN
+   *  semantics (reference AuraMetricsNumericArrayIterator.java:465-486),
+   *  which the driver's NaN-free tables otherwise never hit. */
+  def pointsWithNan(spark: SparkSession, dir: String): DataFrame =
+    points(spark, dir).withColumn(
+      "value",
+      when(col("seq") % 101 === 0, lit(Double.NaN)).otherwise(col("value")))
+
   /** The series dimension (meta store analog, reference NewDocStore):
    *  one row per distinct series with first/last seen. Derived here for
    *  batch queries; maintained incrementally by the ingest stream
-   *  (graft.streaming.IngestJob). */
+   *  ([[graft.streaming.IngestJob]]). */
   def seriesDim(points: DataFrame): DataFrame =
     points
       .groupBy(col("series_id"), col("metric"))
