@@ -1,0 +1,156 @@
+package graft.queries
+
+import graft.events._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Events-store queries (SURVEY §2: S10 search, F11 text, F12 range+ns,
+ * A16 group/fetchLast, A17 downsample, W6 top-1, T1 paging) over the
+ * driver's `events` table via [[graft.events.EventsModel.docs]], each
+ * with an independent DuckDB oracle.
+ */
+object EventsQueries {
+  import OracleCommon.{Start, End}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame = EventsModel.docs(s, d)
+
+  val defs: Map[String, Q] = Map(
+    // S10+F11+F12: text search with namespace + time-range clause
+    "q_events_search" -> { (s, d) =>
+      EventsEngine.search(docs(s, d),
+        EventsQuery(Start, End, text = Some("by user 1*"), namespace = Some("error")))
+        .select("event_id", "namespace", "source", "title", "start_ts", "end_ts", "ongoing")
+    },
+
+    // F12 alone: range + namespace, including end-in-range / ongoing matches
+    "q_events_range_ns" -> { (s, d) =>
+      EventsEngine.search(docs(s, d), EventsQuery(Start, End, namespace = Some("purchase")))
+        .select("event_id", "start_ts", "end_ts", "ongoing", "priority")
+    },
+
+    // T1: sort newest-first + from/size paging
+    "q_events_paging" -> { (s, d) =>
+      EventsEngine.page(docs(s, d), EventsQuery(Start, End, namespace = Some("click")),
+        from = 25, size = 50)
+        .select("event_id", "start_ts", "title")
+    },
+
+    // A16: group-by dimension with hit counts
+    "q_events_group" -> { (s, d) =>
+      EventsEngine.group(docs(s, d), EventsQuery(Start, End), "host", fetchLast = false)
+    },
+
+    // A16 with fetchLast: hit count + latest event per group
+    "q_events_group_last" -> { (s, d) =>
+      EventsEngine.group(docs(s, d), EventsQuery(Start, End, text = Some("click")),
+        "colo", fetchLast = true)
+    },
+
+    // A17: per-minute downsample of matching events
+    "q_events_downsample" -> { (s, d) =>
+      EventsEngine.downsample(docs(s, d), EventsQuery(Start, End, namespace = Some("view")))
+    },
+
+    // W6: top-1 (latest) event per group value
+    "q_events_top1" -> { (s, d) =>
+      EventsEngine.topOnePerGroup(docs(s, d), EventsQuery(Start, End, namespace = Some("error")), "user")
+        .select(col("dimensions")("user").as("user"),
+          col("event_id"), col("title"), col("start_ts"))
+    }
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** The document-model view as DuckDB CTEs — restates
+   *  [[EventsModel.docs]] independently. */
+  private val docsCte: String =
+    """docs AS (
+      |  SELECT event_id,
+      |         event_type AS namespace,
+      |         'src' || CAST(user_id % 4 AS VARCHAR) AS source,
+      |         event_type || ' by user ' || CAST(user_id AS VARCHAR) AS title,
+      |         props AS message,
+      |         CASE WHEN user_id % 3 = 0 THEN 'low'
+      |              WHEN user_id % 3 = 1 THEN 'med' ELSE 'high' END AS priority,
+      |         CAST(floor(epoch(ts)) AS BIGINT) AS start_ts,
+      |         CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 7) * 600 AS end_ts,
+      |         event_id % 11 = 0 AS ongoing,
+      |         CAST(user_id AS VARCHAR) AS dim_user,
+      |         'web' || lpad(CAST(user_id % 3 AS VARCHAR), 2, '0') AS dim_host,
+      |         CASE WHEN user_id % 2 = 0 THEN 'den' ELSE 'sjc' END AS dim_colo,
+      |         value
+      |  FROM events)
+      |""".stripMargin
+
+  private def inRange(ns: String = "", extra: String = ""): String = {
+    val nsClause = if (ns.isEmpty) "" else s"AND namespace = '$ns'"
+    s"""((start_ts >= $Start AND start_ts < $End)
+       | OR (end_ts >= $Start AND end_ts < $End) OR ongoing)
+       | $nsClause $extra""".stripMargin.replace("\n", " ")
+  }
+
+  /** Multi-term multi-field text clause matching
+   *  EventsEngine.textPredicate. */
+  private def textClause(terms: Seq[String]): String =
+    terms.map { t =>
+      val re = t.replace("*", ".*").toLowerCase
+      EventsModel.SearchFields
+        .map(f => s"regexp_matches(lower($f), '$re')")
+        .mkString("(", " OR ", ")")
+    }.mkString(" AND (", " AND ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "q_events_search" ->
+      s"""WITH $docsCte
+         |SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
+         |FROM docs WHERE ${inRange("error")} ${textClause(Seq("by", "user", "1*"))}""".stripMargin,
+
+    "q_events_range_ns" ->
+      s"""WITH $docsCte
+         |SELECT event_id, start_ts, end_ts, ongoing, priority
+         |FROM docs WHERE ${inRange("purchase")}""".stripMargin,
+
+    "q_events_paging" ->
+      s"""WITH $docsCte
+         |SELECT event_id, start_ts, title
+         |FROM docs WHERE ${inRange("click")}
+         |ORDER BY start_ts DESC, event_id DESC
+         |LIMIT 50 OFFSET 25""".stripMargin,
+
+    "q_events_group" ->
+      s"""WITH $docsCte
+         |SELECT dim_host AS host, count(*) AS hits
+         |FROM docs WHERE ${inRange()}
+         |GROUP BY 1""".stripMargin,
+
+    "q_events_group_last" ->
+      s"""WITH $docsCte,
+         |filtered AS (
+         |  SELECT * FROM docs WHERE ${inRange()} ${textClause(Seq("click"))}),
+         |counts AS (SELECT dim_colo AS colo, count(*) AS hits FROM filtered GROUP BY 1),
+         |last AS (
+         |  SELECT dim_colo AS colo, event_id AS last_event_id,
+         |         title AS last_title, start_ts AS last_start_ts
+         |  FROM filtered
+         |  QUALIFY row_number() OVER (PARTITION BY dim_colo
+         |                             ORDER BY start_ts DESC, event_id DESC) = 1)
+         |SELECT c.colo, c.hits, l.last_event_id, l.last_title, l.last_start_ts
+         |FROM counts c JOIN last l USING (colo)""".stripMargin,
+
+    "q_events_downsample" ->
+      s"""WITH $docsCte
+         |SELECT start_ts - start_ts % 60 AS bucket_ts, count(*) AS hits
+         |FROM docs WHERE ${inRange("view")}
+         |GROUP BY 1""".stripMargin,
+
+    "q_events_top1" ->
+      s"""WITH $docsCte
+         |SELECT dim_user AS user, event_id, title, start_ts
+         |FROM docs WHERE ${inRange("error")}
+         |QUALIFY row_number() OVER (PARTITION BY dim_user
+         |                           ORDER BY start_ts DESC, event_id DESC) = 1""".stripMargin
+  )
+}
