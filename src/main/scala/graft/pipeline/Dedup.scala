@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators: exact (content-hash), MinHash-LSH near-dup,
+ * and exact n-gram Jaccard over LSH candidates.
+ *
+ * Scale design (the part that matters at 100 TB):
+ *  - Exact dedup is one hash-groupBy on a 16-byte digest — partial
+ *    aggregation collapses duplicates map-side before the shuffle.
+ *  - Near-dup NEVER does all-pairs. Candidate pairs come from LSH
+ *    banding: each doc emits [[HashConstants.NumBands]] (band, key)
+ *    rows; the self-join is on the band key, so only docs agreeing on
+ *    all rows of some band ever meet. Shuffle volume is
+ *    O(docs × bands), not O(docs²).
+ *  - Signatures are arrays of longs built from codegen'd expressions
+ *    (md5 + integer arithmetic) — no UDFs, no python.
+ */
+object Dedup {
+  import HashConstants._
+
+  /** Whitespace-normalized lower-cased content — the exact-dup key
+   *  domain. */
+  def normalized(text: Column): Column =
+    regexp_replace(trim(lower(text)), """\s+""", " ")
+
+  /** Exact dedup: md5 over normalized content; one row per document with
+   *  its content group's canonical id (min doc_id) and multiplicity. */
+  def exact(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(normalized(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct word-trigram shingles of a document. */
+  def shingles(text: Column): Column = {
+    val t = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** MinHash signature: NumPerms minima of (a·h + b) mod P over the
+   *  shingle hash set. */
+  def signature(text: Column): Column = {
+    val hs = transform(shingles(text), TextAnalysis.baseHash(_))
+    val sig = (0 until NumPerms).map { i =>
+      array_min(transform(hs, h => (h * lit(PermA(i)) + lit(PermB(i))) % lit(P)))
+    }
+    array(sig: _*)
+  }
+
+  /** doc_id → signature, for docs with ≥ 3 tokens. */
+  def signatures(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), signature(col("text")).as("sig"))
+
+  /** LSH banding: one row per (doc, band) with the band's row values
+   *  concatenated as the bucket key. */
+  def bands(sigs: DataFrame): DataFrame = {
+    val bandKey = (b: Int) =>
+      concat_ws("_", (0 until RowsPerBand).map(r => element_at(col("sig"), b * RowsPerBand + r + 1)): _*)
+    val pairs = (0 until NumBands).map(b => struct(lit(b).as("band"), bandKey(b).as("key")))
+    sigs.select(col("doc_id"), col("sig"), explode(array(pairs: _*)).as("bk"))
+      .select(col("doc_id"), col("sig"), col("bk.band"), col("bk.key"))
+  }
+
+  /** Candidate pairs: docs sharing at least one full band, each pair
+   *  once (a < b), with both signatures attached. */
+  def candidates(docs: DataFrame): DataFrame = {
+    val b = bands(signatures(docs))
+    val left = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+      col("band"), col("key"))
+    val right = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+      col("band"), col("key"))
+    left.join(right, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** MinHash near-dup pairs: candidate pairs with estimated Jaccard
+   *  (fraction of agreeing signature components) ≥ threshold. */
+  def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
+    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+    candidates(docs)
+      .withColumn("est_jaccard",
+        aggregate(eq, lit(0), _ + _).cast("double") / lit(NumPerms.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard, restricted to LSH candidate pairs (the
+   *  verify-after-LSH pattern: banding recalls, exact Jaccard
+   *  precision-filters). */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = docs
+      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val cand = candidates(docs).select("doc_a", "doc_b")
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", col("inter") / col("uni"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** SimHash duplicate buckets: docs whose 28-bit SimHash collides. */
+  def simhashBuckets(docs: DataFrame): DataFrame =
+    TextAnalysis.simhash(docs)
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_docs") >= 2)
+}

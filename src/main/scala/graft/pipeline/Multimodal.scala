@@ -1,0 +1,102 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal column handling: media payloads are opaque `binary` columns
+ * with typed metadata; decode / feature-extract / frame-sample are
+ * operators over them.
+ *
+ * The real media codecs are NOT in this environment, so the decode step
+ * is a deterministic stub ([[DecodeStub]]) — but everything Spark-side is
+ * real and tested: the binary schema, the per-partition batched decode
+ * (the Scala analog of `mapInPandas` — one iterator pass, batch-sized
+ * state, no per-row setup), frame offsets, and metadata projection.
+ *
+ * The driver ships no media table, so payloads are derived
+ * deterministically from `documents.text` (UTF-8 bytes) — the oracle can
+ * rebuild the same bytes.
+ */
+object Multimodal {
+
+  /** documents → media view: payload bytes + modality + typed metadata. */
+  def media(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3).cast("int") + 1).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        (lit(64) + (col("doc_id") % 8) * 16).cast("int").as("width"),
+        (lit(64) + (col("doc_id") % 5) * 32).cast("int").as("height"),
+        (col("n_chars") * 10).cast("long").as("duration_ms")).as("meta"))
+  }
+
+  val FrameBytes = 256
+
+  /** Metadata + payload-size projection (pure column ops). */
+  def metaView(media: DataFrame): DataFrame =
+    media.select(
+      col("doc_id"), col("modality"),
+      length(col("payload")).as("byte_len"),
+      col("meta.width").as("width"),
+      col("meta.height").as("height"),
+      col("meta.duration_ms").as("duration_ms"),
+      ceil(length(col("payload")).cast("double") / FrameBytes).cast("long").as("n_frames"))
+
+  /** Frame sampling: one row per FrameBytes-sized chunk with a content
+   *  fingerprint — `explode` over computed offsets; the chunk is sliced
+   *  from the payload's hex form (2 chars/byte) so the fingerprint is
+   *  portable across engines. All codegen'd built-ins. */
+  def frames(media: DataFrame): DataFrame = {
+    val nFrames = ceil(length(col("payload")).cast("double") / FrameBytes).cast("int")
+    val hexChunk = lower(hex(col("payload")))
+      .substr(col("frame_id") * (FrameBytes * 2) + 1, lit(FrameBytes * 2))
+    media
+      .select(col("doc_id"), col("payload"), explode(sequence(lit(0), nFrames - 1)).as("frame_id"))
+      .select(
+        col("doc_id"), col("frame_id"),
+        (length(hexChunk) / 2).cast("long").as("frame_bytes"),
+        substring(md5(hexChunk), 1, 12).as("frame_fp"))
+  }
+
+  private val featureSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("f0", DoubleType, nullable = false),
+    StructField("f1", DoubleType, nullable = false),
+    StructField("f2", DoubleType, nullable = false),
+    StructField("f3", DoubleType, nullable = false)))
+
+  /**
+   * Batched "decode + feature-extract" over payload bytes — the
+   * `mapInPandas` analog: a single-pass partition iterator with
+   * per-partition (not per-row) codec state. The feature extraction is a
+   * STUB — a real implementation would hand `payload` to an image/audio
+   * decoder here; this one derives 4 deterministic pseudo-features from
+   * the payload digest so the pipeline shape is testable end-to-end
+   * (each feature = a 28-bit md5 slice / 2^28 ∈ [0,1)).
+   */
+  def decodeFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rows = media.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // per-partition codec state (the expensive setup a real decoder has)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { r =>
+        val docId = r.getLong(0)
+        val payload = r.getAs[Array[Byte]](1)
+        val hexPayload = payload.map("%02x".format(_)).mkString
+        digest.reset()
+        val d = digest.digest(hexPayload.getBytes("UTF-8"))
+        val hexDigest = d.map("%02x".format(_)).mkString
+        val feats = (0 until 4).map { j =>
+          java.lang.Long.parseLong(hexDigest.substring(j * 7, j * 7 + 7), 16) / math.pow(2, 28)
+        }
+        Row(docId, feats(0), feats(1), feats(2), feats(3))
+      }
+    }
+    spark.createDataFrame(rows, featureSchema)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for a large-scale training-data pipeline:
+ * token statistics, quality scoring, language-ID heuristic, SimHash and
+ * winnowing document fingerprints.
+ *
+ * Everything here is a narrow projection built from codegen'd built-in
+ * expressions — per-row, no shuffle, no UDFs — so at 100 TB the whole
+ * stage is a single map over the scan with full whole-stage codegen.
+ */
+object TextAnalysis {
+  import HashConstants._
+
+  /** Whitespace tokens of the lower-cased, trimmed text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), """\s+""")
+
+  /** 28-bit base hash of a string: integer value of the first 7 hex chars
+   *  of md5 — the cross-engine-stable hash (see [[HashConstants]]). */
+  def baseHash(s: Column): Column =
+    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+
+  /** BPE-ish token count: runs of letters, runs of digits, and single
+   *  other non-space symbols each count as one token. */
+  val BpeRegex = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(BpeRegex), lit(0)))
+
+  /** Per-document statistics. Ratios are exact-integer divisions, hence
+   *  bit-identical across engines with no rounding needed. */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val len = length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      size(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_types"),
+      bpeCount(col("text")).as("n_bpe_tokens"),
+      length(col("text")).as("n_chars"),
+      (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") / len)
+        .as("alpha_ratio"),
+      (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / len)
+        .as("digit_ratio"),
+      (size(filter(t, x => x.isin(Stopwords: _*))).cast("double") / size(t).cast("double"))
+        .as("stopword_ratio"),
+      (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("type_token_ratio"))
+  }
+
+  /** Quality score + keep flag: mean-token-length and stopword/type
+   *  ratios combined; thresholds follow common heuristics (length
+   *  bounds, lexical diversity, stopword presence). */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val nTok = size(t).cast("double")
+    val meanTokLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
+    val stopRatio = size(filter(t, x => x.isin(Stopwords: _*))).cast("double") / nTok
+    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val score = meanTokLen / lit(10.0) + stopRatio + ttr
+    docs.select(
+      col("doc_id"),
+      meanTokLen.as("mean_token_len"),
+      score.as("quality_score"),
+      (nTok >= 8 && nTok <= 100000 && stopRatio > 0.0 && ttr > 0.1).as("keep"))
+  }
+
+  /** Stopword-marker language ID: per-language marker hit counts over
+   *  tokens; prediction = argmax with fixed priority-order tie-break. */
+  def langid(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(t, x => x.isin(markers: _*)))
+    }
+    // argmax with first-listed-language winning ties: a fold over the
+    // priority list keeps the current best unless a later lang scores
+    // strictly higher
+    val (pred, best) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((p, b), (lang, s)) => (when(s > b, lang).otherwise(p), greatest(b, s))
+    }
+    docs.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+      best.cast("long").as("marker_hits"))
+  }
+
+  /** SimHash fingerprint (28-bit): majority vote per bit over token
+   *  hashes — one aggregate expression per bit, single pass, no explode. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hs = transform(tokens(col("text")), baseHash(_))
+    val bits = (0 until 28).map { b =>
+      val vote = aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    docs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** Winnowing-style fingerprint: base-31 rolling hash over windows of
+   *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
+   *  the minimum window hash (plus the distinct-window count). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val t = tokens(col("text"))
+    val hs = transform(t, baseHash(_))
+    val n = size(t)
+    val windowHash = (i: Column) =>
+      FpWeights.zipWithIndex.map { case (w, j) =>
+        element_at(hs, i + j) * lit(w)
+      }.reduce(_ + _) % lit(P)
+    val whs = transform(sequence(lit(1), n - lit(FpWindow - 1)), windowHash)
+    docs
+      .filter(n >= FpWindow)
+      .select(col("doc_id"),
+        array_min(whs).as("min_fp"),
+        size(array_distinct(whs)).as("n_distinct_fp"))
+  }
+}

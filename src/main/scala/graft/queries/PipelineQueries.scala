@@ -1,0 +1,258 @@
+package graft.queries
+
+import graft.pipeline._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * LLM-training-data pipeline queries over the `documents` and
+ * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / n-gram
+ * Jaccard), text analysis (stats, quality, langid, fingerprints),
+ * similarity search (brute-force + LSH-bucketed ANN), and multimodal
+ * column handling.
+ *
+ * Every oracle below is *generated from the same constants*
+ * ([[graft.pipeline.HashConstants]]) as the Spark operators, so DuckDB
+ * replays the identical md5-based integer arithmetic.
+ */
+object PipelineQueries {
+  import HashConstants._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  val defs: Map[String, Q] = Map(
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
+    "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
+    "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
+    "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
+    "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
+    "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    "q_ann_brute" -> ((s, d) =>
+      Similarity.bruteForceTopK(emb(s, d), col("vec_id") % 50 === 0, 5)),
+    "q_ann_buckets" -> ((s, d) =>
+      Similarity.buckets(emb(s, d)).groupBy("bucket").agg(count(lit(1)).as("n_vecs"))),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3)),
+    "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
+    "q_mm_frames" -> ((s, d) => Multimodal.frames(Multimodal.media(s, d))),
+    "q_mm_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.media(s, d)))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** 28-bit md5-prefix base hash in DuckDB. */
+  private def bh(e: String): String = s"('0x' || substr(md5($e), 1, 7))::BIGINT"
+
+  private val toksCte: String =
+    raw"toks AS (SELECT doc_id, lang, text, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)"
+
+  private val shCte: String =
+    "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s FROM toks WHERE len(t) >= 3)"
+
+  private val hsCte: String =
+    s"hs AS (SELECT doc_id, list_transform(s, x -> ${bh("x")}) AS h FROM sh)"
+
+  private val sigList: String =
+    (0 until NumPerms)
+      .map(i => s"list_min(list_transform(h, v -> (v*${PermA(i)} + ${PermB(i)}) % $P))")
+      .mkString("[", ", ", "]")
+
+  private val bandKeyExpr: String =
+    (1 to RowsPerBand).map(r => s"sig[$RowsPerBand*bi+$r]::VARCHAR").mkString(" || '_' || ")
+
+  /** Shared MinHash CTE chain up to distinct candidate pairs. */
+  private val candCtes: String =
+    s"""$toksCte,
+       |$shCte,
+       |$hsCte,
+       |sigs AS (SELECT doc_id, $sigList AS sig FROM hs),
+       |bands AS (SELECT doc_id, bi, $bandKeyExpr AS key
+       |          FROM sigs, range(0, $NumBands) AS r(bi)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM bands a JOIN bands b
+       |           ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
+
+  private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  private val simhashExpr: String =
+    (0 until 28).map { b =>
+      s"CASE WHEN list_sum(list_transform(h, v -> CASE WHEN (v >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+
+  private val fpWindowExpr: String =
+    FpWeights.zipWithIndex
+      .map { case (w, j) => s"h[i+$j]*$w" }
+      .mkString("(", " + ", s") % $P")
+
+  private def langScore(markers: Seq[String]): String =
+    s"len(list_filter(t, x -> list_contains(${sqlList(markers)}, x)))"
+
+  private val langPred: String = {
+    // mirrors TextAnalysis.langid's fold: a later language wins only if
+    // strictly above the max of all earlier ones
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(m) }
+    val cases = scores.zipWithIndex.drop(1).reverse.map { case ((l, s), i) =>
+      val prevMax = scores.take(i).map(_._2) match {
+        case Seq(one) => one
+        case many => s"greatest(${many.mkString(", ")})"
+      }
+      s"WHEN $s > $prevMax THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${LangMarkers.head._1}' END"
+  }
+
+  private val langMax: String =
+    s"greatest(${LangMarkers.map(m => langScore(m._2)).mkString(", ")})"
+
+  private val stopList: String = sqlList(Stopwords)
+
+  private def planeList(p: Int): String =
+    Planes(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+
+  private val bucketExpr: String =
+    (0 until NumPlanes).map { p =>
+      s"CASE WHEN list_dot_product(v, ${planeList(p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+
+  import OracleCommon.rnd
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      raw"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
+           |       min(doc_id) AS canonical_id, count(*) AS n_copies
+           |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_near" ->
+      s"""WITH $candCtes
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |         len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS est_jaccard
+         |  FROM cand
+         |  JOIN sigs sa ON sa.doc_id = doc_a
+         |  JOIN sigs sb ON sb.doc_id = doc_b)
+         |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH $candCtes
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |           / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS jaccard
+         |  FROM cand
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |WHERE jaccard >= 0.3""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, list_transform(t, x -> ${bh("x")}) AS h FROM toks),
+         |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th)
+         |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
+         |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_text_stats" ->
+      raw"""WITH $toksCte
+           |SELECT doc_id,
+           |       len(t) AS n_tokens,
+           |       len(list_distinct(t)) AS n_types,
+           |       len(regexp_extract_all(lower(text), '${TextAnalysis.BpeRegex}')) AS n_bpe_tokens,
+           |       length(text) AS n_chars,
+           |       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+           |       CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+           |       CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS stopword_ratio,
+           |       CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS type_token_ratio
+           |FROM toks""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mtl,
+         |             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS sr,
+         |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         |             len(t) AS n
+         |      FROM toks)
+         |SELECT doc_id, mtl AS mean_token_len,
+         |       ((mtl / 10.0 + sr) + ttr) AS quality_score,
+         |       (n >= 8 AND n <= 100000 AND sr > 0.0 AND ttr > 0.1) AS keep
+         |FROM m""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, lang, $langPred AS pred_lang, $langMax AS marker_hits
+         |FROM toks""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, len(t) AS n, list_transform(t, x -> ${bh("x")}) AS h FROM toks),
+         |w AS (SELECT doc_id,
+         |             list_transform(range(1, n - ${FpWindow - 2}), i -> $fpWindowExpr) AS whs
+         |      FROM th WHERE n >= $FpWindow)
+         |SELECT doc_id, list_min(whs) AS min_fp, len(list_distinct(whs)) AS n_distinct_fp
+         |FROM w""".stripMargin,
+
+    "q_ann_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |pairs AS (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM q, e WHERE vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_buckets" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT $bucketExpr AS bucket, count(*) AS n_vecs
+         |FROM e GROUP BY 1""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 25 = 0),
+         |pairs AS (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM q JOIN e USING (bucket) WHERE vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_mm_meta" ->
+      s"""SELECT doc_id,
+         |       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+         |       octet_length(encode(text)) AS byte_len,
+         |       CAST(64 + (doc_id % 8) * 16 AS INT) AS width,
+         |       CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+         |       n_chars * 10 AS duration_ms,
+         |       ceil(octet_length(encode(text)) / ${Multimodal.FrameBytes}.0)::BIGINT AS n_frames
+         |FROM documents""".stripMargin,
+
+    "q_mm_frames" ->
+      s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+         |                  ceil(octet_length(encode(text)) / ${Multimodal.FrameBytes}.0)::BIGINT AS nf
+         |           FROM documents),
+         |f AS (SELECT doc_id, hx, unnest(range(0, nf)) AS frame_id FROM m)
+         |SELECT doc_id, frame_id,
+         |       (length(substr(hx, frame_id * ${Multimodal.FrameBytes * 2} + 1, ${Multimodal.FrameBytes * 2})) / 2)::BIGINT AS frame_bytes,
+         |       substr(md5(substr(hx, frame_id * ${Multimodal.FrameBytes * 2} + 1, ${Multimodal.FrameBytes * 2})), 1, 12) AS frame_fp
+         |FROM f""".stripMargin,
+
+    "q_mm_features" -> {
+      val feats = (0 until 4)
+        .map(j => s"('0x' || substr(md5(lower(hex(encode(text)))), ${j * 7 + 1}, 7))::BIGINT / 268435456.0 AS f$j")
+        .mkString(",\n       ")
+      s"""SELECT doc_id,
+         |       $feats
+         |FROM documents""".stripMargin
+    }
+  )
+}
