@@ -1,0 +1,89 @@
+package graft.meta
+
+import graft.filters.SeriesFilter
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Metadata queries (reference A15): the NAMESPACES/METRICS/TAG_KEYS/
+ * TAG_VALUES/TAG_KEYS_AND_VALUES/BASIC/TIMESERIES query family the
+ * reference runs against its inverted index
+ * (core/.../meta/MetaQueryBuilder.java:31-39 type enum; execution
+ * NewDocStore.java:883-1090; result shaping MetaSearchResults.java:147-290),
+ * re-expressed over the `series_dim` dimension table with exact
+ * `countDistinct` cardinalities.
+ *
+ * Results are capped at the reference's sizeLimit of 1024
+ * (core/.../meta/MetaQuery.java:30) after a deterministic sort (T2/T4).
+ *
+ * Scale: series_dim is O(|series|), orders of magnitude smaller than the
+ * fact table — every meta query here touches only the dimension, exactly
+ * like the reference never touches data segments for meta. The explodes
+ * are per-series (bounded by tag count ≤ 255), and the aggregates are
+ * partial+final hash aggregates.
+ */
+object MetaQueries {
+
+  /** Reference result cap (MetaQuery.java:30). */
+  val SizeLimit = 1024
+
+  private def pred(f: SeriesFilter): Column =
+    SeriesFilter.compile(f, col("metric"), col("tags"))
+
+  /** METRICS: distinct metric names with series cardinalities. */
+  def metrics(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f))
+      .groupBy(col("metric"))
+      .agg(countDistinct(col("series_id")).as("cardinality"))
+      .orderBy(col("metric"))
+      .limit(limit)
+
+  /** TAG_KEYS: distinct tag keys with series cardinalities. */
+  def tagKeys(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f))
+      .select(col("series_id"), explode(map_keys(col("tags"))).as("tag_key"))
+      .groupBy(col("tag_key"))
+      .agg(countDistinct(col("series_id")).as("cardinality"))
+      .orderBy(col("tag_key"))
+      .limit(limit)
+
+  /** TAG_VALUES: distinct values of one tag key with cardinalities. */
+  def tagValues(dim: DataFrame, f: SeriesFilter, key: String, limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f) && map_contains_key(col("tags"), lit(key)))
+      .select(col("series_id"), col("tags")(key).as("tag_value"))
+      .groupBy(col("tag_value"))
+      .agg(countDistinct(col("series_id")).as("cardinality"))
+      .orderBy(col("tag_value"))
+      .limit(limit)
+
+  /** TAG_KEYS_AND_VALUES: distinct (key, value) pairs with cardinalities. */
+  def tagKeysAndValues(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f))
+      .select(col("series_id"), explode(col("tags")).as(Seq("tag_key", "tag_value")))
+      .groupBy(col("tag_key"), col("tag_value"))
+      .agg(countDistinct(col("series_id")).as("cardinality"))
+      .orderBy(col("tag_key"), col("tag_value"))
+      .limit(limit)
+
+  /** BASIC: one-row summary cardinalities of the filtered series set. */
+  def basic(dim: DataFrame, f: SeriesFilter): DataFrame = {
+    val filtered = dim.filter(pred(f))
+    val exploded = filtered
+      .select(col("series_id"), col("metric"), explode(col("tags")).as(Seq("k", "v")))
+    exploded.agg(
+      countDistinct(col("series_id")).as("n_series"),
+      countDistinct(col("metric")).as("n_metrics"),
+      countDistinct(col("k")).as("n_tag_keys"),
+      countDistinct(col("k"), col("v")).as("n_tag_pairs"))
+  }
+
+  /** TIMESERIES: the matching series themselves (metric + tags),
+   *  deterministically ordered and capped. */
+  def timeseries(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f))
+      .select(col("metric"), col("tags")("user").as("tag_user"),
+        col("tags")("host").as("tag_host"), col("tags")("colo").as("tag_colo"),
+        col("tags")("env").as("tag_env"))
+      .orderBy(col("metric"), col("tag_user"))
+      .limit(limit)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.filters._
+import graft.meta.MetaQueries
+import graft.sources.TsdbViews
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Meta-query (A15) registry: q_meta_* queries over the series dimension
+ * with DuckDB oracles computing the same exact cardinalities from the
+ * raw events table.
+ */
+object MetaQueriesSuite {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dim(s: SparkSession, d: String): DataFrame =
+    TsdbViews.seriesDim(TsdbViews.points(s, d))
+
+  val defs: Map[String, Q] = Map(
+    // METRICS restricted by a tag filter
+    "q_meta_metrics" -> ((s, d) =>
+      MetaQueries.metrics(dim(s, d), TagLiteral("colo", Seq("sjc")))),
+
+    // TAG_KEYS over all series (env key has a smaller cardinality)
+    "q_meta_tag_keys" -> ((s, d) => MetaQueries.tagKeys(dim(s, d), MatchAll)),
+
+    // TAG_VALUES of `host`
+    "q_meta_tag_values" -> ((s, d) =>
+      MetaQueries.tagValues(dim(s, d), MatchAll, "host")),
+
+    // TAG_VALUES of `user` with a discriminating sizeLimit (150 values,
+    // capped at 100 after lexicographic sort — exercises T2+T4)
+    "q_meta_tag_values_limited" -> ((s, d) =>
+      MetaQueries.tagValues(dim(s, d), MatchAll, "user", limit = 100)),
+
+    // TAG_KEYS_AND_VALUES under a metric filter
+    "q_meta_keys_values" -> ((s, d) =>
+      MetaQueries.tagKeysAndValues(dim(s, d), MetricLiteral(Seq("click", "error")))),
+
+    // BASIC summary cardinalities
+    "q_meta_basic" -> ((s, d) => MetaQueries.basic(dim(s, d), MatchAll)),
+
+    // TIMESERIES: the matching series themselves
+    "q_meta_timeseries" -> ((s, d) =>
+      MetaQueries.timeseries(dim(s, d), TagRegexp("host", "web0[01]")))
+  )
+
+  // ------------------------------------------------------------- oracles
+
+  /** The distinct-series set (metric × derived tags) as a DuckDB CTE —
+   *  the independent restatement of seriesDim. */
+  private val seriesCte: String =
+    """series AS (
+      |  SELECT DISTINCT event_type AS metric,
+      |         CAST(user_id AS VARCHAR) AS tag_user,
+      |         'web' || lpad(CAST(user_id % 3 AS VARCHAR), 2, '0') AS tag_host,
+      |         CASE WHEN user_id % 2 = 0 THEN 'den' ELSE 'sjc' END AS tag_colo,
+      |         CASE WHEN user_id % 5 = 0 THEN 'prod' ELSE NULL END AS tag_env
+      |  FROM events)
+      |""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_meta_metrics" ->
+      s"""WITH $seriesCte
+         |SELECT metric, count(*) AS cardinality
+         |FROM series WHERE tag_colo = 'sjc'
+         |GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_tag_keys" ->
+      s"""WITH $seriesCte,
+         |k AS (
+         |  SELECT 'user' AS tag_key, count(*) AS cardinality FROM series
+         |  UNION ALL SELECT 'host', count(*) FROM series
+         |  UNION ALL SELECT 'colo', count(*) FROM series
+         |  UNION ALL SELECT 'env', count(*) FROM series WHERE tag_env IS NOT NULL)
+         |SELECT * FROM k ORDER BY tag_key LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_tag_values" ->
+      s"""WITH $seriesCte
+         |SELECT tag_host AS tag_value, count(*) AS cardinality
+         |FROM series GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_tag_values_limited" ->
+      s"""WITH $seriesCte
+         |SELECT tag_user AS tag_value, count(*) AS cardinality
+         |FROM series GROUP BY 1 ORDER BY 1 LIMIT 100""".stripMargin,
+
+    "q_meta_keys_values" ->
+      s"""WITH $seriesCte,
+         |f AS (SELECT * FROM series WHERE metric IN ('click', 'error')),
+         |kv AS (
+         |  SELECT 'user' AS tag_key, tag_user AS tag_value, count(*) AS cardinality FROM f GROUP BY 2
+         |  UNION ALL SELECT 'host', tag_host, count(*) FROM f GROUP BY 2
+         |  UNION ALL SELECT 'colo', tag_colo, count(*) FROM f GROUP BY 2
+         |  UNION ALL SELECT 'env', tag_env, count(*) FROM f WHERE tag_env IS NOT NULL GROUP BY 2)
+         |SELECT * FROM kv ORDER BY tag_key, tag_value LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_basic" ->
+      s"""WITH $seriesCte
+         |SELECT count(*) AS n_series,
+         |       count(DISTINCT metric) AS n_metrics,
+         |       3 + CASE WHEN count(*) FILTER (tag_env IS NOT NULL) > 0 THEN 1 ELSE 0 END AS n_tag_keys,
+         |       count(DISTINCT tag_user) + count(DISTINCT tag_host)
+         |         + count(DISTINCT tag_colo) + count(DISTINCT tag_env) AS n_tag_pairs
+         |FROM series""".stripMargin,
+
+    "q_meta_timeseries" ->
+      s"""WITH $seriesCte
+         |SELECT metric, tag_user, tag_host, tag_colo, tag_env
+         |FROM series WHERE regexp_matches(tag_host, 'web0[01]')
+         |ORDER BY metric, tag_user LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+  )
+}
