@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.query.DownsampleSpec
+import graft.rollup.Rollup
+import graft.sources.TsdbViews
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Rollup-routed downsample queries (A10 + A14). Each query builds the 1h
+ * rollup table from raw points, routes a coarser downsample through it
+ * (or falls back to raw when the interval doesn't divide), and is
+ * checked against a DuckDB oracle computing the answer directly from raw
+ * points — proving the two-stage rollup aggregation is lossless.
+ */
+object RollupQueries {
+  import OracleCommon._
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val RollupInterval = "1h"
+
+  private def routed(s: SparkSession, d: String, spec: DownsampleSpec): DataFrame = {
+    val pts = TsdbViews.points(s, d)
+      .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+    val rollup = Rollup.build(pts, RollupInterval)
+    Rollup.downsampleRouted(pts, rollup, RollupInterval, spec, Start, End)
+  }
+
+  private def out(df: DataFrame, name: String): DataFrame =
+    df.select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+      round(col("value"), 4).as(name))
+
+  val defs: Map[String, Q] = Map(
+    "q_rollup_sum" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "sum")), "sum_value")),
+    "q_rollup_count" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "count")), "cnt")),
+    "q_rollup_avg" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "avg")), "avg_value")),
+    "q_rollup_max" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "max")), "max_value")),
+    "q_rollup_last" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "last")), "last_value")),
+    // 90m does not divide by 1h ⇒ the router must fall back to raw points
+    "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value"))
+  )
+
+  private def oracle(aggSql: String, name: String, bucketSec: Long = 86400): String =
+    s"""WITH $pointsCtes
+       |SELECT metric, tag_user, ts - ts % $bucketSec AS bucket_ts, $aggSql AS $name
+       |FROM dedup WHERE ${inRange()}
+       |GROUP BY 1, 2, 3""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_rollup_sum" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_rollup_count" -> oracle("CAST(count(value) AS DOUBLE)", "cnt"),
+    "q_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
+    "q_rollup_max" -> oracle(rnd("max(value)"), "max_value"),
+    "q_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
+    "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400)
+  )
+}

@@ -1,0 +1,97 @@
+package graft.rollup
+
+import graft.core.Intervals
+import graft.query.{DownsampleSpec, QueryEngine}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Ingest-time rollups (A10) and rollup-aware query routing (A14).
+ *
+ * Build side mirrors the reference's ingest-time DownSampler composite —
+ * one pass computing avg/sum/count/min/max/last/sumofsquare per interval
+ * (core/.../core/downsample/DownSampler.java:32-56, AggregatorType.java,
+ * SumOfSquareAggregator.java) — as a single multi-aggregate groupBy that
+ * a streaming job appends per batch.
+ *
+ * Read side mirrors the reference's rollup decision
+ * (opentsdb/.../storage/AerospikeBatchQueryNode.java:196-226): a
+ * downsample query is served from the rollup iff the aggregator is one of
+ * the stored set AND the query interval is an exact multiple of the
+ * rollup interval. Missing buckets contribute nothing, which reproduces
+ * the count-fills-zero rule
+ * (GorillaDownSampledTimeSeriesEncoder.java:155-158) observably: a
+ * count over absent rollup rows is simply not incremented.
+ *
+ * Scale: the rollup table is ~|series| × (range/interval) rows — for 1h
+ * rollups over 24h, ~1/3600th of a 1 Hz fact table. Queries that route
+ * here scan orders of magnitude less data, and the second-stage
+ * aggregate reuses the same (series_id) partitioning.
+ */
+object Rollup {
+
+  /** Aggregators the rollup stores (reference AggregatorType vocabulary;
+   *  avg is served as sum/count, per the reference's rewrite). */
+  val StoredAggs: Set[String] =
+    Set("sum", "zimsum", "count", "min", "mimmin", "max", "mimmax", "last", "avg")
+
+  /** One-pass composite rollup of deduped raw points. */
+  def build(points: DataFrame, interval: String): DataFrame = {
+    val iv = Intervals.toSeconds(interval)
+    val deduped = QueryEngine.dedupe(points)
+    val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    deduped
+      .withColumn("__v", v)
+      .groupBy(col("series_id"), col("metric"),
+        (col("ts") - col("ts") % lit(iv)).as("bucket_ts"))
+      .agg(
+        sum(col("__v")).as("sum"),
+        count(col("__v")).as("cnt"),
+        min(col("__v")).as("min"),
+        max(col("__v")).as("max"),
+        // last by (ts, seq): last-arrival-wins like the raw path
+        max_by(col("__v"), when(col("__v").isNotNull, struct(col("ts"), col("seq")))).as("last"),
+        sum(col("__v") * col("__v")).as("sumsq"),
+        any_value(col("tags")).as("tags"))
+  }
+
+  /** The reference's serve-from-rollup test: stored agg + exact interval
+   *  divisibility (AerospikeBatchQueryNode.java:212-225). */
+  def canServe(spec: DownsampleSpec, rollupInterval: String): Boolean = {
+    val rSec = Intervals.toSeconds(rollupInterval)
+    !spec.runAll && spec.interval != "0all" &&
+      spec.reportingInterval.isEmpty && !spec.infectiousNan &&
+      StoredAggs.contains(spec.agg) &&
+      Intervals.toSeconds(spec.interval) % rSec == 0
+  }
+
+  /** Second-stage aggregation: rollup rows → query buckets. */
+  def serve(rollup: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
+    val iv = Intervals.toSeconds(spec.interval)
+    val bucket = (col("bucket_ts") - col("bucket_ts") % lit(iv)).as("__bucket")
+    val agg: Column = spec.agg match {
+      case "sum" | "zimsum" => sum(col("sum"))
+      case "count" => sum(col("cnt")).cast("double")
+      case "min" | "mimmin" => min(col("min"))
+      case "max" | "mimmax" => max(col("max"))
+      case "avg" => sum(col("sum")) / sum(col("cnt"))
+      case "last" => max_by(col("last"), when(col("last").isNotNull, col("bucket_ts")))
+      case other => throw new IllegalArgumentException(s"not a stored agg: $other")
+    }
+    // requires start aligned to the query interval (the reference only
+    // routes aligned queries — divisibility check above)
+    rollup
+      .filter(col("bucket_ts") >= lit(start) && col("bucket_ts") < lit(end))
+      .groupBy(col("series_id"), col("metric"), bucket)
+      .agg(agg.as("value"), any_value(col("tags")).as("tags"))
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("__bucket").as("bucket_ts"), col("value"))
+  }
+
+  /** The routing decision (A14): serve from the rollup when legal, else
+   *  fall back to the raw downsample path. */
+  def downsampleRouted(points: DataFrame, rollup: DataFrame, rollupInterval: String,
+      spec: DownsampleSpec, start: Long, end: Long): DataFrame =
+    if (canServe(spec, rollupInterval)) serve(rollup, spec, start, end)
+    else QueryEngine.downsample(QueryEngine.dedupe(points), spec, start, end)
+}
