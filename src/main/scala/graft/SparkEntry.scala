@@ -17,10 +17,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    TsdbQueries.defs ++ EventsQueries.defs ++ PipelineQueries.defs ++ MetaQueriesSuite.defs ++ RollupQueries.defs
+    TsdbQueries.defs ++ EventsQueries.defs ++ PipelineQueries.defs ++ MetaQueriesSuite.defs ++ RollupQueries.defs ++ StreamQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
    * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    TsdbQueries.oracles ++ EventsQueries.oracles ++ PipelineQueries.oracles ++ MetaQueriesSuite.oracles ++ RollupQueries.oracles
+    TsdbQueries.oracles ++ EventsQueries.oracles ++ PipelineQueries.oracles ++ MetaQueriesSuite.oracles ++ RollupQueries.oracles ++ StreamQueries.oracles
 }

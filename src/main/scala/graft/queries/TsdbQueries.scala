@@ -220,6 +220,22 @@ object TsdbQueries {
         downsample = Some(DownsampleSpec("0all", "sum", runAll = true)))), "sum_value")
     },
 
+    // J1: same selection as q_filter_literal but via the filter →
+    // series_dim → broadcast-left-semi-join scan path (the reference
+    // resolves series against the index before touching data,
+    // TimeSeriesShard.java:706-716)
+    "q_filter_semijoin" -> { (s, d) =>
+      val f = Chain.and(
+        MetricLiteral(Seq("click", "error")),
+        TagLiteral("user", Seq("1", "2", "3")))
+      val p = pts(s, d)
+      val scanned = graft.lake.Lake.semiJoinScan(
+        p.filter(col("ts") >= lit(Start) && col("ts") < lit(End)),
+        TsdbViews.seriesDim(p), f)
+      dsOut(QueryEngine.downsample(QueryEngine.dedupe(scanned),
+        DownsampleSpec("1d", "count"), Start, End), "cnt")
+    },
+
     // F9: explicit tags — series tag count must equal filter's tag-key count
     "q_filter_explicit" -> { (s, d) =>
       val f = Chain.and(
@@ -394,6 +410,9 @@ object TsdbQueries {
          |                           ORDER BY ts DESC, seq DESC) = 1""".stripMargin,
 
     "q_filter_literal" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
+      where = "AND metric IN ('click', 'error') AND tag_user IN ('1', '2', '3')"),
+
+    "q_filter_semijoin" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
       where = "AND metric IN ('click', 'error') AND tag_user IN ('1', '2', '3')"),
 
     "q_filter_regex" -> dsOracle(rnd("sum(value)"), "sum_value",

@@ -35,8 +35,12 @@ object TsdbViews {
    *
    *  A subset of series (user_id % 5 == 0) carries a 4th `env` tag so the
    *  explicit-tags check (F9) is discriminating: series tag counts vary. */
-  def points(spark: SparkSession, dir: String): DataFrame = {
-    val ev = table(spark, dir, "events")
+  def points(spark: SparkSession, dir: String): DataFrame =
+    pointsFromEvents(table(spark, dir, "events"))
+
+  /** The events→points mapping alone — shared by the batch view above and
+   *  the streaming ingest job (works on streaming DataFrames too). */
+  def pointsFromEvents(ev: DataFrame): DataFrame = {
     val tags = map_filter(
       map(
         lit("user"), col("user_id").cast("string"),
