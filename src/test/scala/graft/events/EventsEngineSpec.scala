@@ -1,0 +1,82 @@
+package graft.events
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Events query semantics (reference QueryRunner / LuceneQueryBuilder
+ *  scenarios on a hand-built doc fixture). */
+class EventsEngineSpec extends AnyFunSuite {
+
+  private def docs: DataFrame = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // (event_id, namespace, source, title, message, priority, start, end, ongoing, dim host)
+    Seq(
+      (1L, "alert", "srcA", "cpu high", "cpu over limit", "high", 100L, 200L, false, "web01"),
+      (2L, "alert", "srcB", "disk full", "disk usage high", "low", 150L, 150L, false, "web02"),
+      (3L, "deploy", "srcA", "release v2", "rolled out", "med", 300L, 400L, false, "web01"),
+      (4L, "alert", "srcA", "mem leak", "memory climbing", "high", 500L, 900L, true, "web01"),
+      (5L, "deploy", "srcB", "release v3", "hotfix out", "med", 950L, 960L, false, "web02"))
+      .toDF("event_id", "namespace", "source", "title", "message", "priority",
+        "start_ts", "end_ts", "ongoing", "h")
+      .selectExpr("event_id", "namespace", "source", "title", "message", "priority",
+        "start_ts", "end_ts", "ongoing", "map('host', h) AS dimensions")
+  }
+
+  private def ids(df: DataFrame): Set[Long] =
+    df.select("event_id").collect().map(_.getLong(0)).toSet
+
+  test("term → contains-regex conversion (reference convertToRegex)") {
+    assert(EventsEngine.termToRegex("cpu") === "cpu")
+    assert(EventsEngine.termToRegex("re*out") === "re.*out")
+  }
+
+  test("multi-term text search ANDs terms across fields") {
+    assert(ids(EventsEngine.search(docs, EventsQuery(0, 1000, text = Some("high")))) ===
+      Set(1L, 2L, 4L)) // matches message or priority
+    assert(ids(EventsEngine.search(docs, EventsQuery(0, 1000, text = Some("high cpu")))) ===
+      Set(1L)) // both terms must match somewhere
+    assert(ids(EventsEngine.search(docs, EventsQuery(0, 1000, text = Some("release v*")))) ===
+      Set(3L, 5L))
+  }
+
+  test("time clause: start-in-range OR end-in-range OR ongoing (F12)") {
+    // window [350, 450): event 3 matches only via its end_ts; 4 via ongoing
+    assert(ids(EventsEngine.search(docs, EventsQuery(350, 450))) === Set(3L, 4L))
+    // namespace conjunct
+    assert(ids(EventsEngine.search(docs, EventsQuery(0, 1000, namespace = Some("deploy")))) ===
+      Set(3L, 5L))
+    // dimension equality conjunct
+    assert(ids(EventsEngine.search(docs,
+      EventsQuery(0, 1000, dims = Map("host" -> "web02")))) === Set(2L, 5L))
+  }
+
+  test("paging is newest-first with deterministic offsets (T1)") {
+    val q = EventsQuery(0, 1000)
+    val page0 = EventsEngine.page(docs, q, 0, 2).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    val page1 = EventsEngine.page(docs, q, 2, 2).select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(page0 === Seq(5L, 4L))
+    assert(page1 === Seq(3L, 2L))
+  }
+
+  test("group-by with hit counts and fetch-last (A16)") {
+    val grouped = EventsEngine.group(docs, EventsQuery(0, 1000), "host", fetchLast = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // web01: 3 hits, latest event 4; web02: 2 hits, latest event 5
+    assert(grouped === Map("web01" -> (3L, 4L), "web02" -> (2L, 5L)))
+  }
+
+  test("top-1 per group (W6)") {
+    assert(ids(EventsEngine.topOnePerGroup(docs, EventsQuery(0, 1000), "host")) ===
+      Set(4L, 5L))
+  }
+
+  test("per-minute downsample (A17)") {
+    val buckets = EventsEngine.downsample(docs, EventsQuery(0, 1000))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets === Map(60L -> 1L, 120L -> 1L, 300L -> 1L, 480L -> 1L, 900L -> 1L))
+  }
+}

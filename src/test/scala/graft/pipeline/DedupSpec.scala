@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dedup operator semantics on hand-built corpora. */
+class DedupSpec extends AnyFunSuite {
+
+  private def docsOf(texts: (Long, String)*): DataFrame = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    texts.toSeq.toDF("doc_id", "text")
+  }
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+
+  test("exact dedup groups whitespace/case variants") {
+    val df = docsOf(
+      1L -> base,
+      2L -> base.toUpperCase,
+      3L -> ("  " + base.replace(" ", "   ") + " "),
+      4L -> "something entirely different here")
+    val groups = Dedup.exact(df).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // canonical -> copies
+    assert(groups === Map(1L -> 3L, 4L -> 1L))
+  }
+
+  test("identical docs have identical MinHash signatures; est Jaccard 1.0") {
+    val df = docsOf(1L -> base, 2L -> base)
+    val pairs = Dedup.nearDuplicates(df, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("near-duplicates are caught, unrelated docs are not candidates") {
+    val perturbed = base.replace("dog", "cat")
+    val df = docsOf(
+      1L -> base, 2L -> perturbed,
+      3L -> "completely unrelated words about query engines and columnar storage systems")
+    val cands = Dedup.candidates(df).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)), "perturbed copy must share an LSH band")
+    assert(!cands.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc must not pair")
+    val near = Dedup.nearDuplicates(df, 0.3).collect()
+    assert(near.length === 1 && near(0).getDouble(2) >= 0.3)
+  }
+
+  test("exact n-gram Jaccard refines LSH candidates") {
+    val df = docsOf(1L -> base, 2L -> base.replace("dog", "cat"))
+    val out = Dedup.ngramJaccard(df, 0.1).collect()
+    assert(out.length === 1)
+    val j = out(0).getDouble(2)
+    // 13 tokens → 11 trigrams; "dog" appears in 3 of them
+    assert(j > 0.5 && j < 1.0)
+  }
+
+  test("SimHash collides for identical docs and separates unrelated ones") {
+    val df = docsOf(1L -> base, 2L -> base, 3L -> "other totally distinct content stream")
+    val buckets = Dedup.simhashBuckets(df).collect()
+    assert(buckets.length === 1)
+    assert(buckets(0).getLong(1) === 2L) // the two identical docs
+  }
+
+  test("signature arithmetic stays within safe 64-bit bounds") {
+    // max h is 2^28-1; max coefficient < P < 2^31 ⇒ product < 2^59
+    assert(HashConstants.PermA.forall(a => a > 0 && a < HashConstants.P))
+    assert(HashConstants.PermB.forall(b => b >= 0 && b < HashConstants.P))
+    assert(HashConstants.PermA.distinct.length === HashConstants.NumPerms)
+  }
+}

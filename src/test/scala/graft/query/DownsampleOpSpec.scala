@@ -1,0 +1,97 @@
+package graft.query
+
+import graft.{Fixtures, TestSpark}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Downsample semantics, porting the reference scenarios from
+ * AuraMetricsNumericArrayIteratorTest (aligned 60s windows
+ * :50-77, NaN gaps :80-118, infectious NaN) onto the Spark engine.
+ */
+class DownsampleOpSpec extends AnyFunSuite {
+  TestSpark.spark
+
+  private val tagset = Map("host" -> "a")
+
+  private def run(df: org.apache.spark.sql.DataFrame, spec: DownsampleSpec0): Map[Long, Double] =
+    QueryEngine.downsample(df, spec.toSpec, spec.start, spec.end)
+      .select("bucket_ts", "value").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  private case class DownsampleSpec0(interval: String, agg: String, start: Long = 0,
+      end: Long = 3600, runAll: Boolean = false, infectious: Boolean = false) {
+    def toSpec: DownsampleSpec =
+      DownsampleSpec(interval, agg, runAll = runAll, infectiousNan = infectious)
+  }
+
+  test("aligned 60s windows, sum — every bucket has its per-minute sum") {
+    // 2 points per minute for 4 minutes: values 1,2 | 3,4 | 5,6 | 7,8
+    val df = Fixtures.series("m", tagset,
+      (0 until 8).map(i => (i * 30L, (i + 1).toDouble)): _*)
+    assert(run(df, DownsampleSpec0("1m", "sum")) ===
+      Map(0L -> 3.0, 60L -> 7.0, 120L -> 11.0, 180L -> 15.0))
+  }
+
+  test("avg / min / max / count / last per window") {
+    val df = Fixtures.series("m", tagset, (0L, 2.0), (30L, 4.0), (60L, 10.0))
+    assert(run(df, DownsampleSpec0("1m", "avg")) === Map(0L -> 3.0, 60L -> 10.0))
+    assert(run(df, DownsampleSpec0("1m", "min")) === Map(0L -> 2.0, 60L -> 10.0))
+    assert(run(df, DownsampleSpec0("1m", "max")) === Map(0L -> 4.0, 60L -> 10.0))
+    assert(run(df, DownsampleSpec0("1m", "count")) === Map(0L -> 2.0, 60L -> 1.0))
+    assert(run(df, DownsampleSpec0("1m", "last")) === Map(0L -> 4.0, 60L -> 10.0))
+  }
+
+  test("NaN gap: NaN values are skipped, empty buckets are absent") {
+    // minute 1 all-NaN, minute 2 missing entirely (reference NaN-gap test)
+    val df = Fixtures.series("m", tagset,
+      (0L, 1.0), (30L, 2.0), (60L, Double.NaN), (180L, 7.0))
+    val out = run(df, DownsampleSpec0("1m", "sum"))
+    assert(out(0L) === 3.0)
+    assert(out(180L) === 7.0)
+    // all-NaN bucket yields a row with null (skipped sum over no values)
+    val row60 = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 3600)
+      .filter(col("bucket_ts") === 60).select("value").collect()
+    assert(row60.length === 1 && row60(0).isNullAt(0))
+    assert(!out.contains(120L), "empty interval must be absent, not zero")
+  }
+
+  test("infectious NaN: any NaN in the interval poisons it (reference :465-473)") {
+    val df = Fixtures.series("m", tagset, (0L, 1.0), (30L, Double.NaN), (60L, 5.0))
+    val out = run(df, DownsampleSpec0("1m", "sum", infectious = true))
+    assert(out(0L).isNaN, "bucket with a NaN point must be NaN")
+    assert(out(60L) === 5.0)
+    // without the flag the same bucket sums the non-NaN values
+    assert(run(df, DownsampleSpec0("1m", "sum"))(0L) === 1.0)
+  }
+
+  test("runAll and the 0all marker both collapse to one whole-range bucket") {
+    val df = Fixtures.series("m", tagset, (10L, 1.0), (500L, 2.0), (3000L, 3.0))
+    assert(run(df, DownsampleSpec0("0all", "sum", runAll = true)) === Map(0L -> 6.0))
+    // ADVICE fix: "0all" without runAll must not silently bucket per-point
+    assert(run(df, DownsampleSpec0("0all", "sum")) === Map(0L -> 6.0))
+  }
+
+  test("reporting average divides by expected dps, not actual count") {
+    // interval 1m, reporting 10s ⇒ divisor 6 regardless of 2 actual points
+    val df = Fixtures.series("m", tagset, (0L, 6.0), (30L, 6.0))
+    val spec = DownsampleSpec("1m", "avg", reportingInterval = Some("10s"))
+    val out = QueryEngine.downsample(df, spec, 0, 60)
+      .select("value").collect().map(_.getDouble(0))
+    assert(out.toSeq === Seq(2.0)) // 12 / 6, not 12 / 2
+  }
+
+  test("duplicate timestamps: dedupe keeps the last arrival (S5/R3)") {
+    val df = Fixtures.points(
+      ("m", tagset, 0L, 1.0, 0L), ("m", tagset, 0L, 9.0, 1L), ("m", tagset, 30L, 2.0, 2L))
+    val out = run(QueryEngine.dedupe(df), DownsampleSpec0("1m", "sum"))
+    assert(out === Map(0L -> 11.0)) // 9 (last write) + 2
+  }
+
+  test("median and percentile aggregate the buffered interval values") {
+    val df = Fixtures.series("m", tagset, (0L, 1.0), (10L, 2.0), (20L, 9.0))
+    assert(run(df, DownsampleSpec0("1m", "median")) === Map(0L -> 2.0))
+    assert(run(df, DownsampleSpec0("1m", "p100")) === Map(0L -> 9.0))
+  }
+}

@@ -1,0 +1,62 @@
+package graft.rollup
+
+import graft.{Fixtures, TestSpark}
+import graft.query.DownsampleSpec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Rollup build + routing (A10/A14), including the plan-level proof that
+ *  a routed query scans the rollup table, not raw points. */
+class RollupSpec extends AnyFunSuite {
+
+  private val tagset = Map("host" -> "a")
+  // 4 points across two 1h buckets inside one day
+  private val pts = Fixtures.series("m", tagset,
+    (0L, 1.0), (600L, 3.0), (3600L, 10.0), (4200L, 2.0))
+
+  test("rollup stores the composite aggregates per interval (A10)") {
+    val r = Rollup.build(pts, "1h").collect()
+      .map(x => x.getAs[Long]("bucket_ts") ->
+        (x.getAs[Double]("sum"), x.getAs[Long]("cnt"), x.getAs[Double]("min"),
+          x.getAs[Double]("max"), x.getAs[Double]("last"), x.getAs[Double]("sumsq"))).toMap
+    assert(r(0L) === ((4.0, 2L, 1.0, 3.0, 3.0, 10.0)))
+    assert(r(3600L) === ((12.0, 2L, 2.0, 10.0, 2.0, 104.0)))
+  }
+
+  test("routing decision mirrors the reference's divisibility rule (A14)") {
+    assert(Rollup.canServe(DownsampleSpec("1d", "sum"), "1h"))
+    assert(Rollup.canServe(DownsampleSpec("2h", "avg"), "1h"))
+    assert(!Rollup.canServe(DownsampleSpec("90m", "sum"), "1h"), "5400 % 3600 != 0")
+    assert(!Rollup.canServe(DownsampleSpec("1d", "median"), "1h"), "median is not stored")
+    assert(!Rollup.canServe(DownsampleSpec("1d", "sum", runAll = true), "1h"))
+    assert(!Rollup.canServe(DownsampleSpec("1d", "sum", infectiousNan = true), "1h"))
+  }
+
+  test("served results equal the direct computation") {
+    val rollup = Rollup.build(pts, "1h")
+    for (agg <- Seq("sum", "count", "min", "max", "avg", "last")) {
+      val served = Rollup.serve(rollup, DownsampleSpec("2h", agg), 0, 7200)
+        .select("bucket_ts", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val direct = graft.query.QueryEngine
+        .downsample(pts, DownsampleSpec("2h", agg), 0, 7200)
+        .select("bucket_ts", "value").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(served === direct, s"agg=$agg")
+    }
+  }
+
+  test("a routed query's physical plan scans the rollup table only") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+    Rollup.build(pts, "1h").write.mode("overwrite").parquet(s"$dir/rollup_1h")
+    val rollup = spark.read.parquet(s"$dir/rollup_1h")
+    val routed = Rollup.downsampleRouted(pts, rollup, "1h", DownsampleSpec("1d", "sum"), 0, 86400)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_1h"), "must scan the rollup parquet")
+    assert(!plan.contains("LocalTableScan"), "must not fall back to the raw fixture")
+
+    val fallback = Rollup.downsampleRouted(pts, rollup, "1h", DownsampleSpec("90m", "sum"), 0, 86400)
+    assert(!fallback.queryExecution.executedPlan.toString.contains("rollup_1h"),
+      "non-divisible interval must route to raw points")
+  }
+}
