@@ -42,21 +42,28 @@ object Dedup {
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
   }
 
-  /** MinHash signature: NumPerms minima of (a·h + b) mod P over the
-   *  shingle hash set. */
-  def signature(text: Column): Column = {
-    val hs = transform(shingles(text), TextAnalysis.baseHash(_))
-    val sig = (0 until NumPerms).map { i =>
-      array_min(transform(hs, h => (h * lit(PermA(i)) + lit(PermB(i))) % lit(P)))
-    }
-    array(sig: _*)
-  }
-
-  /** doc_id → signature, for docs with ≥ 3 tokens. */
-  def signatures(docs: DataFrame): DataFrame =
-    docs
+  /** doc_id → MinHash signature (NumPerms minima of (a·h + b) mod P over
+   *  the shingle hash set), for docs with ≥ 3 tokens.
+   *
+   *  Shape matters: explode → one codegen'd md5 per shingle → a single
+   *  hash aggregate computing all NumPerms minima as independent agg
+   *  expressions. The obvious alternative — higher-order `transform` /
+   *  `array_min` over a shingle array column — falls out of whole-stage
+   *  codegen (HOFs are interpreted) and recomputes the md5 per
+   *  permutation: ~100× slower at bench scale. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hashed = docs
       .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), signature(col("text")).as("sig"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .select(col("doc_id"), TextAnalysis.baseHash(col("s")).as("h"))
+    val minCols = (0 until NumPerms).map { i =>
+      min((col("h") * lit(PermA(i)) + lit(PermB(i))) % lit(P)).as(s"__m$i")
+    }
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"__m$i")): _*).as("sig"))
+  }
 
   /** LSH banding: one row per (doc, band) with the band's row values
    *  concatenated as the bucket key. */

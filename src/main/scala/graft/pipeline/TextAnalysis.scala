@@ -84,33 +84,44 @@ object TextAnalysis {
   }
 
   /** SimHash fingerprint (28-bit): majority vote per bit over token
-   *  hashes — one aggregate expression per bit, single pass, no explode. */
+   *  hashes. Explode → codegen'd md5 once per token → one hash aggregate
+   *  with 28 vote sums (HOF-free: see [[Dedup.signatures]] for why). */
   def simhash(docs: DataFrame): DataFrame = {
-    val hs = transform(tokens(col("text")), baseHash(_))
-    val bits = (0 until 28).map { b =>
-      val vote = aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    val hashed = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .select(col("doc_id"), baseHash(col("tk")).as("h"))
+    val votes = (0 until 28).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"__v$b")
     }
-    docs.select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 28).map(b => when(col(s"__v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Winnowing-style fingerprint: base-31 rolling hash over windows of
    *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
-   *  the minimum window hash (plus the distinct-window count). */
+   *  the minimum window hash (plus the distinct-window count).
+   *  posexplode → codegen'd md5 per token → lead() window over token
+   *  position → min/countDistinct aggregate; docs with fewer than
+   *  FpWindow tokens produce no windows and drop out, matching the
+   *  n ≥ FpWindow filter. */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val hs = transform(t, baseHash(_))
-    val n = size(t)
-    val windowHash = (i: Column) =>
-      FpWeights.zipWithIndex.map { case (w, j) =>
-        element_at(hs, i + j) * lit(w)
-      }.reduce(_ + _) % lit(P)
-    val whs = transform(sequence(lit(1), n - lit(FpWindow - 1)), windowHash)
-    docs
-      .filter(n >= FpWindow)
-      .select(col("doc_id"),
-        array_min(whs).as("min_fp"),
-        size(array_distinct(whs)).as("n_distinct_fp"))
+    import org.apache.spark.sql.expressions.Window
+    val hashed = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), baseHash(col("col")).as("h"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wh = FpWeights.zipWithIndex.map { case (wt, j) =>
+      (if (j == 0) col("h") else lead(col("h"), j).over(w)) * lit(wt)
+    }.reduce(_ + _) % lit(P)
+    hashed
+      .withColumn("__wh", wh)
+      .filter(col("__wh").isNotNull) // tail positions lack a full window
+      .groupBy(col("doc_id"))
+      .agg(min(col("__wh")).as("min_fp"),
+        countDistinct(col("__wh")).as("n_distinct_fp"))
   }
 }
