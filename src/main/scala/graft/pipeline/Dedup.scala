@@ -76,9 +76,14 @@ object Dedup {
   }
 
   /** Candidate pairs: docs sharing at least one full band, each pair
-   *  once (a < b), with both signatures attached. */
+   *  once (a < b), with both signatures attached.
+   *
+   *  The band table is persisted before the self-join: both join sides
+   *  (and downstream Jaccard verification) reference it, and without the
+   *  persist Spark recomputes the whole signature pipeline per reference.
+   *  The table is O(|docs| × bands) longs — tiny next to the corpus. */
   def candidates(docs: DataFrame): DataFrame = {
-    val b = bands(signatures(docs))
+    val b = bands(signatures(docs)).persist()
     val left = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val right = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -102,18 +107,31 @@ object Dedup {
 
   /** Exact n-gram Jaccard, restricted to LSH candidate pairs (the
    *  verify-after-LSH pattern: banding recalls, exact Jaccard
-   *  precision-filters). */
+   *  precision-filters).
+   *
+   *  The intersection is computed relationally — candidates ⨝ exploded
+   *  shingles on (doc, shingle) → count per pair — instead of
+   *  `array_intersect` on paired shingle arrays: the relational form is
+   *  codegen'd, reuses one persisted shingle table for both sides, and
+   *  never ships whole shingle arrays through a shuffle. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = docs
+    val expl = docs
       .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .persist()
+    val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = candidates(docs).select("doc_a", "doc_b")
+    val inter = cand
+      .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(expl.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
   }
