@@ -59,6 +59,23 @@ object EventsQueries {
       EventsEngine.topOnePerGroup(docs(s, d), EventsQuery(Start, End, namespace = Some("error")), "user")
         .select(col("dimensions")("user").as("user"),
           col("event_id"), col("title"), col("start_ts"))
+    },
+
+    // S9+R7: upsert — every 13th event is re-indexed (closed, extended,
+    // doubled value); the store's current view must keep only v2 for
+    // those and v1 for the rest (reference LuceneWriter update semantics)
+    "q_events_upsert" -> { (s, d) =>
+      val base = docs(s, d)
+        .withColumn("doc_id", col("event_id")) // upsert key for this table
+        .withColumn("version", lit(1L))
+      val updates = base.filter(col("event_id") % 13 === 0)
+        .withColumn("version", lit(2L))
+        .withColumn("ongoing", lit(false))
+        .withColumn("end_ts", col("end_ts") + 600)
+        .withColumn("value", col("value") * 2)
+      EventsStore.current(base.unionByName(updates))
+        .select(col("event_id"), col("version"), col("start_ts"), col("end_ts"),
+          col("ongoing"), round(col("value"), 4).as("value"))
     }
   )
 
@@ -151,6 +168,18 @@ object EventsQueries {
          |SELECT dim_user AS user, event_id, title, start_ts
          |FROM docs WHERE ${inRange("error")}
          |QUALIFY row_number() OVER (PARTITION BY dim_user
-         |                           ORDER BY start_ts DESC, event_id DESC) = 1""".stripMargin
+         |                           ORDER BY start_ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_events_upsert" ->
+      s"""WITH $docsCte,
+         |log AS (
+         |  SELECT event_id, 1 AS version, start_ts, end_ts, ongoing, value FROM docs
+         |  UNION ALL
+         |  SELECT event_id, 2 AS version, start_ts, end_ts + 600, false, value * 2
+         |  FROM docs WHERE event_id % 13 = 0)
+         |SELECT event_id, version, start_ts, end_ts, ongoing,
+         |       ${OracleCommon.rnd("value")} AS value
+         |FROM log
+         |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY version DESC) = 1""".stripMargin
   )
 }

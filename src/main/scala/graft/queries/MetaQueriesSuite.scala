@@ -43,7 +43,18 @@ object MetaQueriesSuite {
 
     // TIMESERIES: the matching series themselves
     "q_meta_timeseries" -> ((s, d) =>
-      MetaQueries.timeseries(dim(s, d), TagRegexp("host", "web0[01]")))
+      MetaQueries.timeseries(dim(s, d), TagRegexp("host", "web0[01]"))),
+
+    // NAMESPACES: distinct event namespaces with document counts (the
+    // reference's NAMESPACES meta type lives in the events domain)
+    "q_meta_namespaces" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.events.EventsModel.docs(s, d)
+        .groupBy(col("namespace"))
+        .agg(count(lit(1)).as("cardinality"))
+        .orderBy(col("namespace"))
+        .limit(MetaQueries.SizeLimit)
+    }
   )
 
   // ------------------------------------------------------------- oracles
@@ -109,6 +120,10 @@ object MetaQueriesSuite {
       s"""WITH $seriesCte
          |SELECT metric, tag_user, tag_host, tag_colo, tag_env
          |FROM series WHERE regexp_matches(tag_host, 'web0[01]')
-         |ORDER BY metric, tag_user LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+         |ORDER BY metric, tag_user LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_namespaces" ->
+      s"""SELECT event_type AS namespace, count(*) AS cardinality
+         |FROM events GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
   )
 }

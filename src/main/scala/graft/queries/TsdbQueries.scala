@@ -103,6 +103,54 @@ object TsdbQueries {
             .otherwise(round(col("value"), 4)).as("sum_value"))
     },
 
+    // Dense interval arrays: every (series, bucket) cell exists, missing
+    // buckets NaN-filled (reference dense double[] output shape; NaN →
+    // NULL in the wrapper for hash stability)
+    "q_ds_dense" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+      QueryEngine.denseFill(ds, "1d", Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          when(isnan(col("value")), lit(null).cast("double"))
+            .otherwise(round(col("value"), 4)).as("sum_value"))
+    },
+
+    // S8+U3: the query-range scan as a union of "hot" (recent segments)
+    // and "cold" (older partitions = the LTS analog) sources, merged and
+    // deduped — totals must equal the single-source scan
+    "q_hot_cold_union" -> { (s, d) =>
+      val split = 1705276800L // 2024-01-15: hot/cold partition boundary
+      val p = pts(s, d).filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      val cold = p.filter(col("segment_start") < lit(split))
+      val hot = p.filter(col("segment_start") >= lit(split))
+      val merged = QueryEngine.dedupe(cold.unionByName(hot))
+      dsOut(QueryEngine.downsample(merged, DownsampleSpec("1d", "sum"), Start, End), "sum_value")
+    },
+
+    // J3: a series_id-keyed aggregate resolved back to display strings
+    // via a broadcast dictionary join on series_dim
+    "q_dict_resolve" -> { (s, d) =>
+      val p = pts(s, d)
+      val agg = QueryEngine.downsample(
+        QueryEngine.dedupe(p.filter(col("ts") >= lit(Start) && col("ts") < lit(End))),
+        DownsampleSpec("1d", "sum"), Start, End)
+        .select("series_id", "bucket_ts", "value") // strings dropped: ids only
+      graft.operators.Resolve.resolveSeries(agg, TsdbViews.seriesDim(p))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
+    // J4: meta-resolved groups × fact join, aggregated per group
+    "q_groups_fact" -> { (s, d) =>
+      val p = pts(s, d)
+      val joined = graft.operators.Resolve.groupsFactJoin(
+        p.filter(col("ts") >= lit(Start) && col("ts") < lit(End)),
+        TsdbViews.seriesDim(p), TagLiteral("colo", Seq("sjc")), Seq("host"))
+      QueryEngine.dedupe(joined)
+        .groupBy(col("g_host").as("tag_host"),
+          (col("ts") - col("ts") % lit(86400L)).as("bucket_ts"))
+        .agg(round(sum(col("value")), 4).as("sum_value"))
+    },
+
     // ---------------------------------------------------------------- W1-W5
 
     // W1: rate — per-point derivative
@@ -302,6 +350,28 @@ object TsdbQueries {
          |            ELSE ${rnd("sum(CASE WHEN isnan(value) THEN NULL ELSE value END)")} END AS sum_value
          |FROM dedup WHERE ${inRange()}
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_ds_dense" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts)
+         |SELECT s.metric, s.tag_user, b.bucket_ts, a.v AS sum_value
+         |FROM series s CROSS JOIN b
+         |LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |               AND a.bucket_ts = b.bucket_ts""".stripMargin,
+
+    "q_hot_cold_union" -> dsOracle(rnd("sum(value)"), "sum_value"),
+
+    "q_dict_resolve" -> dsOracle(rnd("sum(value)"), "sum_value"),
+
+    "q_groups_fact" ->
+      s"""WITH $pointsCtes
+         |SELECT tag_host, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()} AND tag_colo = 'sjc'
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_rate" ->
       s"""WITH $pointsCtes,

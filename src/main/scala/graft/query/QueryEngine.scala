@@ -206,6 +206,27 @@ object QueryEngine {
       .withColumnRenamed("__bucket", "bucket_ts")
   }
 
+  /** Dense interval output (reference emits one cell per interval index
+   *  with NaN fills — AuraMetricsNumericArrayIterator.java:583-657): each
+   *  series present in the downsample output is left-joined to the full
+   *  generated bucket sequence of the query range; missing buckets
+   *  surface as NaN, reproducing the reference's dense-array shape.
+   *  The generated side is O(|series| × buckets) — never a scan. */
+  def denseFill(ds: DataFrame, interval: String, start: Long, end: Long): DataFrame = {
+    val iv = Intervals.toSeconds(interval)
+    val alignedStart = start - start % iv
+    // distinct over the series identity (maps can't be set-operated on)
+    val series = ds.groupBy(col("series_id"), col("metric"))
+      .agg(any_value(col("tags")).as("tags"))
+    val buckets = series.select(col("series_id"), col("metric"), col("tags"),
+      explode(sequence(lit(alignedStart), lit(end - 1), lit(iv))).as("bucket_ts"))
+    buckets
+      .join(ds.select("series_id", "bucket_ts", "value"), Seq("series_id", "bucket_ts"), "left")
+      .withColumn("value",
+        when(col("value").isNull, lit(Double.NaN)).otherwise(col("value")))
+      .select("series_id", "metric", "tags", "bucket_ts", "value")
+  }
+
   /** Spatial group-by stage: accumulate each series' downsampled value per
    *  bucket into per-group aggregates (reference A11; empty keys =
    *  group-all, reference A13). */
