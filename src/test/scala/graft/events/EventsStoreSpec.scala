@@ -52,7 +52,7 @@ class EventsStoreSpec extends AnyFunSuite {
     assert(linked === Map(10L -> 2L, 11L -> 0L, 12L -> 0L, 13L -> 0L))
     val kids = EventsStore.withChildren(cur)
       .filter(org.apache.spark.sql.functions.col("doc_id") === 10)
-      .head.getAs[Seq[Long]]("child_ids")
-    assert(kids === Seq(11L, 12L))
+      .head.getAs[scala.collection.Seq[Long]]("child_ids")
+    assert(kids.toSeq === Seq(11L, 12L))
   }
 }
