@@ -50,27 +50,12 @@ object QueryEngine {
       .drop("__rn")
   }
 
-  /** The temporal aggregator by name (reference alias table :159-177). */
+  /** The temporal aggregator by name, resolved through the
+   *  [[Aggregators]] registry (reference alias table :159-177 + the
+   *  NumericAggregatorFactory plugin lookup :183-195). */
   private def temporalAgg(agg: String, v: Column, ts: Column, intervalSec: Long,
-      reportingIntervalSec: Option[Long]): Column = agg match {
-    case "sum" | "zimsum" => sum(v)
-    case "avg" if reportingIntervalSec.isDefined =>
-      // "reporting average": sum / expected dps per interval (reference :151-157,506-511)
-      sum(v) / lit(intervalSec.toDouble / reportingIntervalSec.get)
-    case "avg" => avg(v)
-    case "count" => count(v).cast("double")
-    case "min" | "mimmin" => min(v)
-    case "max" | "mimmax" => max(v)
-    // last non-NaN value in interval by time (reference :482,522-523);
-    // rows whose cleaned value is null are excluded from the ordering
-    case "last" => max_by(v, when(v.isNotNull, ts))
-    case "median" => percentile(v, lit(0.5))
-    case p if p.startsWith("p") && p.length <= 5 =>
-      // percentile plugin aggregators (NON_OPTIMIZED path, reference :182-195)
-      val q = p.drop(1).toDouble / 100.0
-      percentile(v, lit(q))
-    case other => throw new IllegalArgumentException(s"unknown downsample agg: $other")
-  }
+      reportingIntervalSec: Option[Long]): Column =
+    Aggregators.resolve(agg)(v, ts, intervalSec, reportingIntervalSec)
 
   /** The spatial (cross-series) aggregator (reference NumericArrayAggregator
    *  family: sum/zimsum/avg/count/min/max). */

@@ -50,15 +50,19 @@ object IngestJob {
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
 
-  /** One micro-batch: admission + the three appends. */
-  def processBatch(batch: DataFrame, cfg: Config): Unit = {
+  /** One micro-batch: admission + the three appends. The points append
+   *  goes through the sink strategy surface (P4) — default is the
+   *  segment-partitioned parquet lake. */
+  def processBatch(batch: DataFrame, cfg: Config,
+      sink: Option[graft.sinks.PointsSink] = None): Unit = {
     if (batch.isEmpty) return
     val hwm = batch.agg(max(col("ts"))).head.getLong(0)
     val admitted = batch
       .filter(col("ts") > lit(hwm - cfg.retentionSec) && col("ts") <= lit(hwm + cfg.maxFutureSec))
       .cache()
     try {
-      admitted.write.mode("append").partitionBy("segment_start").parquet(pointsPath(cfg))
+      sink.getOrElse(new graft.sinks.PartitionedParquetSink(pointsPath(cfg)))
+        .append(admitted)
       admitted
         .groupBy(col("series_id"), col("metric"))
         .agg(any_value(col("tags")).as("tags"),
