@@ -23,6 +23,7 @@ object Bench {
         val t0 = System.nanoTime()
         try { exec(name); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
+        finally spark.catalog.clearCache() // each run pays its own persists
       }.sorted
       name -> times(1) // median
     }

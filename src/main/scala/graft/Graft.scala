@@ -1,0 +1,41 @@
+package graft
+
+import graft.query.{QueryEngine, TsdbQuery}
+import graft.sources.{PointsSource, TsdbViews}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * The user-facing facade: one object to build a session, point at a
+ * source, run TSDB-semantics queries, and expose every table to plain
+ * `spark.sql`.
+ *
+ * {{{
+ * val spark = Graft.session()
+ * val src   = graft.sources.Sources.resolve("lake:/data/graft")
+ * val df    = Graft.query(spark, src, TsdbQuery(filter, start, end,
+ *               downsample = Some(DownsampleSpec("1m", "avg"))))
+ * Graft.registerViews(spark, "/root/testdata/sf0.01")
+ * spark.sql("SELECT metric, count(*) FROM graft_points GROUP BY 1")
+ * }}}
+ */
+object Graft {
+
+  def session(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession =
+    graft.core.GraftSession.builder(cpus).getOrCreate()
+
+  /** Compile and run a TSDB query against any points source. */
+  def query(spark: SparkSession, source: PointsSource, q: TsdbQuery): DataFrame =
+    QueryEngine.run(source.points(spark), q)
+
+  /** Register every engine table as a temp view for `spark.sql` users. */
+  def registerViews(spark: SparkSession, dir: String, prefix: String = "graft_"): Unit = {
+    val pts = TsdbViews.points(spark, dir)
+    pts.createOrReplaceTempView(s"${prefix}points")
+    TsdbViews.seriesDim(pts).createOrReplaceTempView(s"${prefix}series_dim")
+    graft.events.EventsModel.docs(spark, dir).createOrReplaceTempView(s"${prefix}events")
+    spark.read.parquet(s"$dir/documents.parquet")
+      .createOrReplaceTempView(s"${prefix}documents")
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .createOrReplaceTempView(s"${prefix}embeddings")
+  }
+}

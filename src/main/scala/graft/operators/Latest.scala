@@ -18,10 +18,14 @@ import org.apache.spark.sql.functions._
 object Latest {
   def apply(points: DataFrame): DataFrame =
     points
-      .groupBy(col("series_id"), col("metric"))
+      .groupBy(col("series_id"), col("metric"),
+        // JSON-string grouping key keeps the plan a HashAggregate (map or
+        // string agg buffers would force SortAggregate + a full sort)
+        to_json(col("tags")).as("__tj"))
       .agg(
-        any_value(col("tags")).as("tags"),
         max(col("ts")).as("last_ts"),
         // ties on ts resolve by ingest order (seq), i.e. last-write-wins
         max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .select("series_id", "metric", "tags", "last_ts", "last_value")
 }

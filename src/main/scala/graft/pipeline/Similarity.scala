@@ -65,6 +65,58 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       bucketId(asDouble(col("embedding"))).as("bucket"))
 
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates (never
+   *  all-pairs) filtered to cosine ≥ threshold — the embedding-space
+   *  analog of MinHash near-dup. */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
+    val withBucket = emb.select(col("vec_id"),
+      asDouble(col("embedding")).as("vec"),
+      bucketId(asDouble(col("embedding"))).as("bucket"))
+    val left = withBucket.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("bucket"))
+    val right = withBucket.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("bucket"))
+    left.join(right, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
+      .filter(col("sim") >= threshold)
+      .select("vec_a", "vec_b", "sim")
+  }
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+   *  centroid once (broadcast centroids, one codegen pass), and a query
+   *  searches only its own cell. Centroids here are a deterministic
+   *  sample of the corpus (vec_id % centroidEvery == 0) — a production
+   *  build would k-means them, the plan shape is identical. */
+  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
+    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"))
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d").asc, col("c_id").asc)
+    vecs.join(broadcast(cents), lit(true))
+      // nearest by cosine distance; deterministic c_id tiebreak
+      .withColumn("d", round(lit(1.0) - cosine(col("vec"), col("c_vec")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("vec"), col("c_id").as("cell"))
+  }
+
+  /** IVF top-k: candidates restricted to the query's cell. */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame = {
+    val assigned = ivfAssign(emb, centroidEvery).persist()
+    val queries = assigned.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+    val sim = round(cosine(col("q_vec"), col("vec")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(queries), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
   /** ANN top-k: candidates restricted to the query's bucket. */
   def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
     val withBucket = emb.select(col("vec_id"),

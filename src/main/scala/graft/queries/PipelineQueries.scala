@@ -40,6 +40,10 @@ object PipelineQueries {
       Similarity.buckets(emb(s, d)).groupBy("bucket").agg(count(lit(1)).as("n_vecs"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3)),
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(emb(s, d), col("vec_id") % 25 === 0, 3, centroidEvery = 100)),
+    "q_dedup_embed" -> ((s, d) =>
+      Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
     "q_mm_frames" -> ((s, d) => Multimodal.frames(Multimodal.media(s, d))),
     "q_mm_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.media(s, d)))
@@ -225,6 +229,31 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM e, c)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE vec_id % 25 = 0),
+         |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
+         |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings)
+         |SELECT * FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |WHERE sim >= 0.3""".stripMargin,
 
     "q_mm_meta" ->
       s"""SELECT doc_id,

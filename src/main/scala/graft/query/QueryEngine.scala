@@ -145,14 +145,19 @@ object QueryEngine {
     val prepared = points
       .withColumn("__bucket", bucket)
       .withColumn("__v", cleanValue(col("value")))
+      // tags ride the aggregate as a JSON-string GROUPING KEY: map-typed
+      // (or even string-typed first()) agg buffers force SortAggregate —
+      // an extra full sort of the fact rows — while string group keys
+      // keep the whole stage a HashAggregate. The key is functionally
+      // determined by series_id, so grouping is unchanged.
+      .withColumn("__tj", to_json(col("tags")))
 
     val aggCol = temporalAgg(spec.agg, col("__v"), col("ts"), intervalSec, repSec).as("__agg")
     val grouped = prepared
-      .groupBy(col("series_id"), col("metric"), col("__bucket"))
+      .groupBy(col("series_id"), col("metric"), col("__tj"), col("__bucket"))
       .agg(
         aggCol,
-        max(isnan(col("value"))).as("__has_nan"),
-        any_value(col("tags")).as("tags")) // tags are functionally determined by series_id
+        max(isnan(col("value"))).as("__has_nan"))
 
     val valueCol =
       if (spec.infectiousNan)
@@ -160,7 +165,8 @@ object QueryEngine {
       else col("__agg")
 
     grouped.select(
-      col("series_id"), col("metric"), col("tags"),
+      col("series_id"), col("metric"),
+      from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
       col("__bucket").as("bucket_ts"),
       valueCol.as("value"))
   }
@@ -182,12 +188,15 @@ object QueryEngine {
     val prepared = points
       .withColumn("__bucket", bucket)
       .withColumn("__v", cleanValue(col("value")))
+      .withColumn("__tj", to_json(col("tags"))) // grouping key: see downsample
     val aggCols = aggs.map { case (name, agg) =>
       temporalAgg(agg, col("__v"), col("ts"), intervalSec, None).as(name)
-    } :+ any_value(col("tags")).as("tags")
+    }
     prepared
-      .groupBy(col("series_id"), col("metric"), col("__bucket"))
+      .groupBy(col("series_id"), col("metric"), col("__tj"), col("__bucket"))
       .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .drop("__tj")
       .withColumnRenamed("__bucket", "bucket_ts")
   }
 
@@ -200,9 +209,13 @@ object QueryEngine {
   def denseFill(ds: DataFrame, interval: String, start: Long, end: Long): DataFrame = {
     val iv = Intervals.toSeconds(interval)
     val alignedStart = start - start % iv
-    // distinct over the series identity (maps can't be set-operated on)
-    val series = ds.groupBy(col("series_id"), col("metric"))
-      .agg(any_value(col("tags")).as("tags"))
+    // distinct over the series identity (maps can't be set-operated on;
+    // the JSON string as a grouping key keeps this a HashAggregate)
+    val series = ds.groupBy(col("series_id"), col("metric"),
+        to_json(col("tags")).as("__tj"))
+      .agg(count(lit(1)))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .select("series_id", "metric", "tags")
     val buckets = series.select(col("series_id"), col("metric"), col("tags"),
       explode(sequence(lit(alignedStart), lit(end - 1), lit(iv))).as("bucket_ts"))
     buckets

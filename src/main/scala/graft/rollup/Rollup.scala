@@ -42,7 +42,8 @@ object Rollup {
     val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))
     deduped
       .withColumn("__v", v)
-      .groupBy(col("series_id"), col("metric"),
+      .withColumn("__tj", to_json(col("tags"))) // grouping key: HashAggregate-friendly
+      .groupBy(col("series_id"), col("metric"), col("__tj"),
         (col("ts") - col("ts") % lit(iv)).as("bucket_ts"))
       .agg(
         sum(col("__v")).as("sum"),
@@ -51,8 +52,9 @@ object Rollup {
         max(col("__v")).as("max"),
         // last by (ts, seq): last-arrival-wins like the raw path
         max_by(col("__v"), when(col("__v").isNotNull, struct(col("ts"), col("seq")))).as("last"),
-        sum(col("__v") * col("__v")).as("sumsq"),
-        any_value(col("tags")).as("tags"))
+        sum(col("__v") * col("__v")).as("sumsq"))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .drop("__tj")
   }
 
   /** The reference's serve-from-rollup test: stored agg + exact interval
@@ -82,9 +84,11 @@ object Rollup {
     // routes aligned queries — divisibility check above)
     rollup
       .filter(col("bucket_ts") >= lit(start) && col("bucket_ts") < lit(end))
-      .groupBy(col("series_id"), col("metric"), bucket)
-      .agg(agg.as("value"), any_value(col("tags")).as("tags"))
-      .select(col("series_id"), col("metric"), col("tags"),
+      .withColumn("__tj", to_json(col("tags")))
+      .groupBy(col("series_id"), col("metric"), col("__tj"), bucket)
+      .agg(agg.as("value"))
+      .select(col("series_id"), col("metric"),
+        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
         col("__bucket").as("bucket_ts"), col("value"))
   }
 

@@ -73,11 +73,13 @@ object TsdbViews {
    *  ([[graft.streaming.IngestJob]]). */
   def seriesDim(points: DataFrame): DataFrame =
     points
-      .groupBy(col("series_id"), col("metric"))
+      .groupBy(col("series_id"), col("metric"),
+        // string grouping key keeps this a HashAggregate
+        to_json(col("tags")).as("__tj"))
       .agg(
-        any_value(col("tags")).as("tags"),
         min(col("ts")).as("first_seen"),
         max(col("ts")).as("last_seen"))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
       .withColumn("tag_count", size(map_keys(col("tags"))))
       .select("series_id", "metric", "tags", "tag_count", "first_seen", "last_seen")
 }

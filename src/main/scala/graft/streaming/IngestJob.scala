@@ -63,16 +63,19 @@ object IngestJob {
     try {
       sink.getOrElse(new graft.sinks.PartitionedParquetSink(pointsPath(cfg)))
         .append(admitted)
-      admitted
-        .groupBy(col("series_id"), col("metric"))
-        .agg(any_value(col("tags")).as("tags"),
-          min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+      val withTj = admitted.withColumn("__tj", to_json(col("tags")))
+      withTj
+        .groupBy(col("series_id"), col("metric"), col("__tj"))
+        .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
+        .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+        .select("series_id", "metric", "tags", "first_seen", "last_seen")
         .write.mode("append").parquet(seriesLogPath(cfg))
-      admitted
-        .groupBy(col("series_id"), col("metric"))
-        .agg(any_value(col("tags")).as("tags"),
-          max(col("ts")).as("last_ts"),
+      withTj
+        .groupBy(col("series_id"), col("metric"), col("__tj"))
+        .agg(max(col("ts")).as("last_ts"),
           max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"))
+        .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+        .select("series_id", "metric", "tags", "last_ts", "last_value")
         .write.mode("append").parquet(latestLogPath(cfg))
     } finally admitted.unpersist()
   }
@@ -94,18 +97,21 @@ object IngestJob {
 
   def seriesDim(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(seriesLogPath(cfg))
-      .groupBy(col("series_id"), col("metric"))
-      .agg(any_value(col("tags")).as("tags"),
-        min(col("first_seen")).as("first_seen"), max(col("last_seen")).as("last_seen"))
+      .withColumn("__tj", to_json(col("tags")))
+      .groupBy(col("series_id"), col("metric"), col("__tj"))
+      .agg(min(col("first_seen")).as("first_seen"), max(col("last_seen")).as("last_seen"))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
       .withColumn("tag_count", size(map_keys(col("tags"))))
       .select("series_id", "metric", "tags", "tag_count", "first_seen", "last_seen")
 
   def latest(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(latestLogPath(cfg))
-      .groupBy(col("series_id"), col("metric"))
-      .agg(any_value(col("tags")).as("tags"),
-        max(col("last_ts")).as("last_ts"),
+      .withColumn("__tj", to_json(col("tags")))
+      .groupBy(col("series_id"), col("metric"), col("__tj"))
+      .agg(max(col("last_ts")).as("last_ts"),
         max_by(col("last_value"), col("last_ts")).as("last_value"))
+      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .select("series_id", "metric", "tags", "last_ts", "last_value")
 
   /** R5: drop whole expired segment partitions (cheap file-level purge). */
   def purge(cfg: Config, cutoffSec: Long): Seq[Long] = {
