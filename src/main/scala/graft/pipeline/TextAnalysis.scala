@@ -29,37 +29,55 @@ object TextAnalysis {
   def bpeCount(text: Column): Column =
     size(regexp_extract_all(lower(text), lit(BpeRegex), lit(0)))
 
+  /** One row per (doc, token) — the shared relational token table every
+   *  token-level statistic aggregates over. explode of a codegen'd
+   *  split() stays in whole-stage codegen; per-doc higher-order
+   *  filter/aggregate lambdas would run interpreted. */
+  def tokenTable(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+
+  /** Token-level aggregates per document (single hash aggregate). */
+  private def tokenAggs(docs: DataFrame): DataFrame =
+    tokenTable(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("__n_tok"),
+        countDistinct(col("tk")).as("__n_typ"),
+        sum(length(col("tk"))).as("__tok_chars"),
+        sum(when(col("tk").isin(Stopwords: _*), 1L).otherwise(0L)).as("__n_stop"))
+
   /** Per-document statistics. Ratios are exact-integer divisions, hence
    *  bit-identical across engines with no rounding needed. */
   def stats(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
     val len = length(col("text")).cast("double")
-    docs.select(
+    val charSide = docs.select(
       col("doc_id"),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_types"),
       bpeCount(col("text")).as("n_bpe_tokens"),
       length(col("text")).as("n_chars"),
       (length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("double") / len)
         .as("alpha_ratio"),
       (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") / len)
-        .as("digit_ratio"),
-      (size(filter(t, x => x.isin(Stopwords: _*))).cast("double") / size(t).cast("double"))
-        .as("stopword_ratio"),
-      (size(array_distinct(t)).cast("double") / size(t).cast("double")).as("type_token_ratio"))
+        .as("digit_ratio"))
+    charSide.join(tokenAggs(docs), Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("__n_tok").cast("int").as("n_tokens"),
+        col("__n_typ").cast("int").as("n_types"),
+        col("n_bpe_tokens"), col("n_chars"), col("alpha_ratio"), col("digit_ratio"),
+        (col("__n_stop").cast("double") / col("__n_tok").cast("double")).as("stopword_ratio"),
+        (col("__n_typ").cast("double") / col("__n_tok").cast("double")).as("type_token_ratio"))
   }
 
   /** Quality score + keep flag: mean-token-length and stopword/type
    *  ratios combined; thresholds follow common heuristics (length
    *  bounds, lexical diversity, stopword presence). */
   def quality(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val nTok = size(t).cast("double")
-    val meanTokLen = aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok
-    val stopRatio = size(filter(t, x => x.isin(Stopwords: _*))).cast("double") / nTok
-    val ttr = size(array_distinct(t)).cast("double") / nTok
+    val nTok = col("__n_tok").cast("double")
+    val meanTokLen = col("__tok_chars").cast("double") / nTok
+    val stopRatio = col("__n_stop").cast("double") / nTok
+    val ttr = col("__n_typ").cast("double") / nTok
     val score = meanTokLen / lit(10.0) + stopRatio + ttr
-    docs.select(
+    tokenAggs(docs).select(
       col("doc_id"),
       meanTokLen.as("mean_token_len"),
       score.as("quality_score"),
@@ -69,18 +87,23 @@ object TextAnalysis {
   /** Stopword-marker language ID: per-language marker hit counts over
    *  tokens; prediction = argmax with fixed priority-order tie-break. */
   def langid(docs: DataFrame): DataFrame = {
-    val t = tokens(col("text"))
-    val scores = LangMarkers.map { case (lang, markers) =>
-      lang -> size(filter(t, x => x.isin(markers: _*)))
+    val scoreCols = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("tk").isin(markers: _*), 1).otherwise(0)).as(s"__s_$lang")
     }
+    val scored = tokenTable(docs)
+      .groupBy(col("doc_id"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    val scores = LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
     // argmax with first-listed-language winning ties: a fold over the
     // priority list keeps the current best unless a later lang scores
     // strictly higher
     val (pred, best) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((p, b), (lang, s)) => (when(s > b, lang).otherwise(p), greatest(b, s))
     }
-    docs.select(col("doc_id"), col("lang"), pred.as("pred_lang"),
-      best.cast("long").as("marker_hits"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), pred.as("pred_lang"),
+        best.cast("long").as("marker_hits"))
   }
 
   /** SimHash fingerprint (28-bit): majority vote per bit over token
