@@ -236,8 +236,15 @@ object QueryEngine {
     out
   }
 
-  /** Full query compilation. */
-  def run(points: DataFrame, q: TsdbQuery): DataFrame = {
+  /** Full query compilation.
+   *
+   *  `assumeDeduped = true` skips the last-write-wins window — correct
+   *  when the source is already compacted (ingest-side dedupe), which
+   *  removes the only sort in a plain downsample plan. Note: dedupe can
+   *  NOT be skipped automatically per-aggregator; under last-write-wins
+   *  even min/max change when an overwrite replaces a value, so skipping
+   *  is a property of the source, not of the aggregate. */
+  def run(points: DataFrame, q: TsdbQuery, assumeDeduped: Boolean = false): DataFrame = {
     val shiftSec = q.shift.map(Intervals.toSeconds).getOrElse(0L)
     val pred = SeriesFilter.compile(q.filter, col("metric"), col("tags"))
     val timePred =
@@ -247,7 +254,7 @@ object QueryEngine {
       else lit(true)
 
     var df = points.filter(timePred && pred && explicitPred)
-    df = dedupe(df)
+    if (!assumeDeduped) df = dedupe(df)
     // map shifted timestamps forward so downstream buckets align with the
     // *query* window (reference applies shiftSeconds inside the iterator,
     // AuraMetricsNumericArrayIterator.java:312,423)

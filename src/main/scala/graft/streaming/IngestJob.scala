@@ -91,6 +91,28 @@ object IngestJob {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Synthetic data-gen ingest (the reference's DATA_GEN input mode,
+   *  AuraMetricsService InputMode): Spark's rate source drives a
+   *  deterministic metric/tag mapping through the exact same batch
+   *  pipeline as file/Kafka input. */
+  def runDataGen(spark: SparkSession, cfg: Config, rowsPerSecond: Int = 1000,
+      numSeries: Int = 100): StreamingQuery = {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString).load()
+    val points = stream.select(
+        concat(lit("gen.metric."), (col("value") % 5).cast("string")).as("metric"),
+        map(lit("series"), (col("value") % numSeries).cast("string")).as("tags"),
+        (col("value") / lit(numSeries)).cast("long").as("ts"), // dense synthetic clock
+        (col("value") % 1000).cast("double").as("value"),
+        col("value").as("seq"))
+      .withColumn("series_id", graft.core.SeriesId.seriesId(col("metric"), col("tags")))
+      .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("ts")))
+    points.writeStream
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch((b: DataFrame, _: Long) => processBatch(b, cfg))
+      .start()
+  }
+
   /** Streamed lake views. */
   def points(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(pointsPath(cfg))

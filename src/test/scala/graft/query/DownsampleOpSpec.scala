@@ -94,4 +94,15 @@ class DownsampleOpSpec extends AnyFunSuite {
     assert(run(df, DownsampleSpec0("1m", "median")) === Map(0L -> 2.0))
     assert(run(df, DownsampleSpec0("1m", "p100")) === Map(0L -> 9.0))
   }
+
+  test("assumeDeduped skips the dedupe window; results match on clean input") {
+    import graft.filters.MatchAll
+    val df = Fixtures.series("m", tagset, (0L, 1.0), (30L, 2.0), (90L, 3.0))
+    val q = TsdbQuery(MatchAll, 0, 3600, downsample = Some(DownsampleSpec("1m", "sum")))
+    val a = QueryEngine.run(df, q).select("bucket_ts", "value").collect().toSet
+    val b = QueryEngine.run(df, q, assumeDeduped = true).select("bucket_ts", "value").collect().toSet
+    assert(a === b)
+    val plan = QueryEngine.run(df, q, assumeDeduped = true).queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowGroupLimit"), "dedupe window must be gone")
+  }
 }

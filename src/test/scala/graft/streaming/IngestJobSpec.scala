@@ -110,4 +110,22 @@ class IngestJobSpec extends AnyFunSuite {
     assert(streamed.select("series_id", "ts", "value").collect().toSet ===
       expect.select("series_id", "ts", "value").collect().toSet)
   }
+
+  test("data-gen source streams synthetic points through the same pipeline (S1 DATA_GEN)") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt", retentionSec = Long.MaxValue / 4)
+    val q = IngestJob.runDataGen(spark, cfg, rowsPerSecond = 500, numSeries = 10)
+    def rows(): Long =
+      try IngestJob.points(spark, cfg).count() catch { case _: Throwable => -1L }
+    try {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (rows() <= 0 && System.nanoTime() < deadline) Thread.sleep(250)
+    } finally { q.stop(); q.awaitTermination() }
+    val pts = IngestJob.points(spark, cfg)
+    assert(pts.count() > 0)
+    assert(pts.columns.toSet ===
+      Set("metric", "tags", "ts", "value", "seq", "series_id", "segment_start"))
+    assert(IngestJob.seriesDim(spark, cfg).count() > 0)
+  }
 }
