@@ -19,9 +19,12 @@ object TextAnalysis {
   def tokens(text: Column): Column = split(trim(lower(text)), """\s+""")
 
   /** 28-bit base hash of a string: integer value of the first 7 hex chars
-   *  of md5 — the cross-engine-stable hash (see [[HashConstants]]). */
-  def baseHash(s: Column): Column =
-    conv(substring(md5(s), 1, 7), 16, 10).cast("long")
+   *  of md5 — the cross-engine-stable hash (see [[HashConstants]]).
+   *  Served by the native codegen expression
+   *  [[graft.functions.Md5Prefix28]] (registered by GraftExtensions);
+   *  identical value to `conv(substring(md5(s),1,7),16,10)`, which is
+   *  what the DuckDB oracles replay. */
+  def baseHash(s: Column): Column = call_function("md5prefix28", s)
 
   /** BPE-ish token count: runs of letters, runs of digits, and single
    *  other non-space symbols each count as one token. */

@@ -116,11 +116,17 @@ class IngestJobSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
     val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt", retentionSec = Long.MaxValue / 4)
     val q = IngestJob.runDataGen(spark, cfg, rowsPerSecond = 500, numSeries = 10)
-    def rows(): Long =
-      try IngestJob.points(spark, cfg).count() catch { case _: Throwable => -1L }
+    // wait until a whole batch (points + both logs) is committed: the
+    // appends happen sequentially, so the latest log landing implies all
+    def ready(): Boolean =
+      try {
+        IngestJob.points(spark, cfg).count() > 0 &&
+        IngestJob.seriesDim(spark, cfg).count() > 0 &&
+        IngestJob.latest(spark, cfg).count() > 0
+      } catch { case _: Throwable => false }
     try {
-      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-      while (rows() <= 0 && System.nanoTime() < deadline) Thread.sleep(250)
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!ready() && System.nanoTime() < deadline) Thread.sleep(250)
     } finally { q.stop(); q.awaitTermination() }
     val pts = IngestJob.points(spark, cfg)
     assert(pts.count() > 0)
