@@ -77,6 +77,18 @@ object MetaQueries {
       countDistinct(col("k"), col("v")).as("n_tag_pairs"))
   }
 
+  /** Approximate-cardinality variant of METRICS (HLL sketch): the scale
+   *  path when exact distinct counts over billions of series are not
+   *  worth a full shuffle — the reference's bitmaps are exact, so this is
+   *  an extension, checked against the exact path in unit tests. */
+  def metricsApprox(dim: DataFrame, f: SeriesFilter, rsd: Double = 0.02,
+      limit: Int = SizeLimit): DataFrame =
+    dim.filter(pred(f))
+      .groupBy(col("metric"))
+      .agg(approx_count_distinct(col("series_id"), rsd).as("cardinality"))
+      .orderBy(col("metric"))
+      .limit(limit)
+
   /** TIMESERIES: the matching series themselves (metric + tags),
    *  deterministically ordered and capped. */
   def timeseries(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =

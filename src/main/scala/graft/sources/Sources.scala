@@ -44,7 +44,8 @@ object Sources {
   type Factory = String => PointsSource
   private val factories = scala.collection.concurrent.TrieMap[String, Factory](
     "events" -> (dir => new EventsTableSource(dir)),
-    "lake" -> (dir => new LakeSource(dir)))
+    "lake" -> (dir => new LakeSource(dir)),
+    "stream" -> (dir => new StreamedLakeSource(IngestJob.Config(dir, s"$dir/ckpt"))))
 
   def register(scheme: String, f: Factory): Unit = factories.put(scheme, f): Unit
 

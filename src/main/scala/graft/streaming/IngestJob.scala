@@ -50,12 +50,18 @@ object IngestJob {
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
 
+  /** Per-batch ingest accounting (the reference logs dropped-point
+   *  counters at admission; we surface them to the caller). */
+  final case class BatchStats(total: Long, admitted: Long, highWaterMark: Long) {
+    def dropped: Long = total - admitted
+  }
+
   /** One micro-batch: admission + the three appends. The points append
    *  goes through the sink strategy surface (P4) — default is the
-   *  segment-partitioned parquet lake. */
+   *  segment-partitioned parquet lake. Returns admission stats. */
   def processBatch(batch: DataFrame, cfg: Config,
-      sink: Option[graft.sinks.PointsSink] = None): Unit = {
-    if (batch.isEmpty) return
+      sink: Option[graft.sinks.PointsSink] = None): BatchStats = {
+    if (batch.isEmpty) return BatchStats(0, 0, Long.MinValue)
     val hwm = batch.agg(max(col("ts"))).head.getLong(0)
     val admitted = batch
       .filter(col("ts") > lit(hwm - cfg.retentionSec) && col("ts") <= lit(hwm + cfg.maxFutureSec))
@@ -77,6 +83,7 @@ object IngestJob {
         .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
         .select("series_id", "metric", "tags", "last_ts", "last_value")
         .write.mode("append").parquet(latestLogPath(cfg))
+      BatchStats(batch.count(), admitted.count(), hwm)
     } finally admitted.unpersist()
   }
 
@@ -87,7 +94,7 @@ object IngestJob {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val writer = TsdbViews.pointsFromEvents(stream).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch((b: DataFrame, _: Long) => processBatch(b, cfg))
+      .foreachBatch((b: DataFrame, _: Long) => { processBatch(b, cfg); () })
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
@@ -109,7 +116,7 @@ object IngestJob {
       .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("ts")))
     points.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch((b: DataFrame, _: Long) => processBatch(b, cfg))
+      .foreachBatch((b: DataFrame, _: Long) => { processBatch(b, cfg); () })
       .start()
   }
 

@@ -45,4 +45,17 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/pts").count() === 10)
     assertThrows[IllegalArgumentException](graft.sinks.Sinks.resolve("nope:x"))
   }
+
+  test("approx meta cardinalities track the exact ones") {
+    val spark = TestSpark.spark
+    val dim = graft.sources.TsdbViews.seriesDim(
+      Sources.resolve(s"events:$sf").points(spark))
+    val exact = graft.meta.MetaQueries.metrics(dim, graft.filters.MatchAll)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.meta.MetaQueries.metricsApprox(dim, graft.filters.MatchAll)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((m, c) <- exact)
+      assert(math.abs(approx(m) - c).toDouble / c < 0.1, s"$m: $c vs ${approx(m)}")
+  }
 }

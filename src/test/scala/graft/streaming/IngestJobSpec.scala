@@ -34,7 +34,9 @@ class IngestJobSpec extends AnyFunSuite {
       (2L, now - 3601, "m", 2.0), // beyond retention vs hwm → dropped
       (3L, now - 100, "m", 3.0), // fine
       (4L, now + 7200, "m", 4.0))) // absurd future — but it IS the hwm
-    IngestJob.processBatch(batch, cfg)
+    val stats = IngestJob.processBatch(batch, cfg)
+    assert(stats === IngestJob.BatchStats(4, 1, now + 7200))
+    assert(stats.dropped === 3)
     val kept = IngestJob.points(TestSpark.spark, cfg).select("seq").collect()
       .map(_.getLong(0)).toSet
     // hwm = now+7200: event 2 and 3 fall outside hwm-retention; 1 survives? no:
