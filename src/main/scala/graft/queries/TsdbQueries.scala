@@ -192,6 +192,21 @@ object TsdbQueries {
           round(col("value"), 6).as("cnt_value"))
     },
 
+    // Full pipeline composition: filter → shift → dedupe → rate →
+    // downsample → spatial group-by, one declarative plan (the
+    // reference's entire pushed-down query graph end-to-end)
+    "q_full_pipeline" -> { (s, d) =>
+      val f = Chain.and(
+        MetricLiteral(Seq("click", "purchase")), TagLiteral("colo", Seq("sjc")))
+      run(s, d, TsdbQuery(f, Start, End,
+        rate = Some(RateSpec()),
+        downsample = Some(DownsampleSpec("1d", "avg")),
+        groupBy = Some(GroupBySpec(Seq("host"), "sum")),
+        shift = Some("1w")))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
     // W5: time shift — evaluate one week back, map timestamps forward
     "q_timeshift" -> ((s, d) =>
       dsOut(
@@ -441,6 +456,25 @@ object TsdbQueries {
          |       ${rnd("l.value * least(CAST(l.ts - l.pt AS DOUBLE), CAST(m.mode_dt AS DOUBLE))", 6)} AS cnt_value
          |FROM laged l JOIN md m ON l.metric = m.metric AND l.tag_user = m.tag_user
          |WHERE l.pt IS NOT NULL""".stripMargin,
+
+    "q_full_pipeline" ->
+      s"""WITH $pointsCtes,
+         |rng AS (
+         |  SELECT metric, tag_user, tag_host, ts + 604800 AS ts, value
+         |  FROM dedup
+         |  WHERE ts >= ${Start - 604800} AND ts < ${End - 604800}
+         |    AND metric IN ('click', 'purchase') AND tag_colo = 'sjc'),
+         |rated AS (
+         |  SELECT metric, tag_user, tag_host, ts,
+         |         (value - lag(value) OVER w) / CAST(ts - lag(ts) OVER w AS DOUBLE) AS r
+         |  FROM rng
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host, ts - ts % 86400 AS bucket_ts, avg(r) AS a
+         |  FROM rated WHERE r IS NOT NULL
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tag_host, bucket_ts, ${rnd("sum(a)")} AS value
+         |FROM ds GROUP BY 1, 2""".stripMargin,
 
     "q_timeshift" ->
       s"""WITH $pointsCtes
