@@ -63,6 +63,28 @@ object Multimodal {
         substring(md5(hexChunk), 1, 12).as("frame_fp"))
   }
 
+  /** Resize stub: recompute target metadata exactly and "resample" the
+   *  payload deterministically (proportional hex prefix — a real codec
+   *  would decode + scale here). Spark-side shape is the real thing: a
+   *  per-row projection over binary + struct columns. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val srcArea = col("meta.width") * col("meta.height")
+    val frac = lit(targetW * targetH).cast("double") / srcArea.cast("double")
+    val keepBytes = greatest(
+      least(ceil(length(col("payload")).cast("double") * frac).cast("int"),
+        length(col("payload"))),
+      lit(1))
+    media
+      .filter(col("modality") === "image")
+      .select(
+        col("doc_id"),
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        keepBytes.cast("long").as("resized_bytes"),
+        substring(md5(lower(hex(col("payload"))).substr(lit(1), keepBytes * 2)), 1, 12)
+          .as("resized_fp"))
+  }
+
   private val featureSchema = StructType(Seq(
     StructField("doc_id", LongType, nullable = false),
     StructField("f0", DoubleType, nullable = false),

@@ -61,6 +61,13 @@ object EventsQueries {
           col("event_id"), col("title"), col("start_ts"))
     },
 
+    // F12 + dimension conjunct: search constrained by a dimension value
+    "q_events_dims" -> { (s, d) =>
+      EventsEngine.search(docs(s, d),
+        EventsQuery(Start, End, namespace = Some("click"), dims = Map("host" -> "web01")))
+        .select("event_id", "start_ts", "priority")
+    },
+
     // S9+R7: upsert — every 13th event is re-indexed (closed, extended,
     // doubled value); the store's current view must keep only v2 for
     // those and v1 for the rest (reference LuceneWriter update semantics)
@@ -169,6 +176,11 @@ object EventsQueries {
          |FROM docs WHERE ${inRange("error")}
          |QUALIFY row_number() OVER (PARTITION BY dim_user
          |                           ORDER BY start_ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_events_dims" ->
+      s"""WITH $docsCte
+         |SELECT event_id, start_ts, priority
+         |FROM docs WHERE ${inRange("click")} AND dim_host = 'web01'""".stripMargin,
 
     "q_events_upsert" ->
       s"""WITH $docsCte,

@@ -45,6 +45,7 @@ object PipelineQueries {
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
+    "q_mm_resize" -> ((s, d) => Multimodal.resize(Multimodal.media(s, d), 32, 32)),
     "q_mm_frames" -> ((s, d) => Multimodal.frames(Multimodal.media(s, d))),
     "q_mm_features" -> ((s, d) => Multimodal.decodeFeatures(Multimodal.media(s, d)))
   )
@@ -264,6 +265,21 @@ object PipelineQueries {
          |       n_chars * 10 AS duration_ms,
          |       ceil(octet_length(encode(text)) / ${Multimodal.FrameBytes}.0)::BIGINT AS n_frames
          |FROM documents""".stripMargin,
+
+    "q_mm_resize" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |         64 + (doc_id % 8) * 16 AS w, 64 + (doc_id % 5) * 32 AS h,
+         |         lower(hex(encode(text))) AS hx,
+         |         octet_length(encode(text)) AS len
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 0),
+         |k AS (SELECT doc_id,
+         |             greatest(least(ceil(len * (${32 * 32}.0 / (w * h)))::INT, len), 1) AS kb,
+         |             hx
+         |      FROM m)
+         |SELECT doc_id, 32 AS width, 32 AS height, kb::BIGINT AS resized_bytes,
+         |       substr(md5(substr(hx, 1, kb * 2)), 1, 12) AS resized_fp
+         |FROM k""".stripMargin,
 
     "q_mm_frames" ->
       s"""WITH m AS (SELECT doc_id, lower(hex(encode(text))) AS hx,

@@ -1,0 +1,56 @@
+package graft.query
+
+import graft.Fixtures
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Dense interval-array output + time shift, porting the reference's
+ *  dense double[] semantics (AuraMetricsNumericArrayIterator.java:583-657)
+ *  and ShiftTest scenarios. */
+class DenseFillSpec extends AnyFunSuite {
+
+  private val tagset = Map("h" -> "a")
+
+  test("every interval index exists; missing buckets are NaN, not absent") {
+    // data in minutes 0 and 3 of a 5-minute range
+    val df = Fixtures.series("m", tagset, (10L, 1.0), (190L, 4.0))
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 300)
+    val dense = QueryEngine.denseFill(ds, "1m", 0, 300)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dense.keySet === Set(0L, 60L, 120L, 180L, 240L))
+    assert(dense(0L) === 1.0 && dense(180L) === 4.0)
+    assert(dense(60L).isNaN && dense(120L).isNaN && dense(240L).isNaN)
+  }
+
+  test("dense grid covers each matched series independently") {
+    val df = Fixtures.points(
+      ("m", Map("h" -> "a"), 10L, 1.0, 0L),
+      ("m", Map("h" -> "b"), 70L, 2.0, 1L))
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 120)
+    val dense = QueryEngine.denseFill(ds, "1m", 0, 120)
+    assert(dense.count() === 4) // 2 series × 2 buckets
+    assert(dense.filter(org.apache.spark.sql.functions.isnan(col("value"))).count() === 2)
+  }
+
+  test("time shift maps shifted data onto the query window (W5)") {
+    import graft.filters.MatchAll
+    // data lives one hour before the queried window
+    val df = Fixtures.series("m", tagset, (100L, 5.0), (160L, 7.0))
+    val q = TsdbQuery(MatchAll, 3600, 3900,
+      downsample = Some(DownsampleSpec("1m", "sum")), shift = Some("1h"))
+    val out = QueryEngine.run(df, q).select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // ts 100 → 3700 (bucket 3660); ts 160 → 3760 (bucket 3720)
+    assert(out === Map(3660L -> 5.0, 3720L -> 7.0))
+  }
+
+  test("shift composes with rate: deltas computed on shifted clock") {
+    import graft.filters.MatchAll
+    val df = Fixtures.series("m", tagset, (0L, 0.0), (10L, 20.0))
+    val q = TsdbQuery(MatchAll, 3600, 3700, rate = Some(RateSpec()), shift = Some("1h"))
+    val out = QueryEngine.run(df, q).select("ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out === Map(3610L -> 2.0))
+  }
+}
