@@ -41,13 +41,19 @@ object QueryEngine {
   /** Last-write-wins dedupe of duplicate (series, ts) points — query-side
    *  equivalent of the reference's `values[ts % len] = value` overwrite
    *  (readAndDedupe, AuraMetricsNumericArrayIterator.java:721-746); the
-   *  arrival order is the explicit `seq` column. */
+   *  arrival order is the explicit `seq` column.
+   *
+   *  Shape matters at scale: partitioning by `series_id` (not
+   *  `(series_id, ts)`) and sorting `(ts asc, seq desc)` keeps the first
+   *  row of every timestamp run — the max-seq write — while producing
+   *  exactly the distribution and ordering the rate window needs, so a
+   *  dedupe→rate pipeline runs on ONE exchange + sort instead of two. */
   def dedupe(points: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("series_id"), col("ts")).orderBy(col("seq").desc)
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts").asc, col("seq").desc)
     points
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("__prev_ts").isNull || col("__prev_ts") =!= col("ts"))
+      .drop("__prev_ts")
   }
 
   /** The temporal aggregator by name, resolved through the
