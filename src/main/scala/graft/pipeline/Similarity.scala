@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
 object Similarity {
   import HashConstants._
 
-  /** Sequential-fold dot product of two equal-length double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Sequential-fold dot product of two equal-length double arrays —
+   *  the native codegen expression [[graft.functions.DotProduct]];
+   *  value-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` (and
+   *  to DuckDB's `list_dot_product`, which the oracles use), but the
+   *  interpreted higher-order fold would sit in the innermost ANN loop. */
+  def dot(a: Column, b: Column): Column = call_function("dotp", a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -71,5 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5prefix28"),
       new ExpressionInfo(classOf[graft.functions.Md5Prefix28].getName, "md5prefix28"),
       (children: Seq[Expression]) => graft.functions.Md5Prefix28(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("dotp"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dotp"),
+      (children: Seq[Expression]) =>
+        graft.functions.DotProduct(children(0), children(1))))
   }
 }

@@ -57,4 +57,19 @@ class ExtensionsSpec extends AnyFunSuite {
     // 28-bit range
     assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < (1L << 28)))
   }
+
+  test("dotp equals the higher-order fold and DuckDB's sequential order") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vecs = Seq(
+      (Seq(0.1, 0.2, 0.3), Seq(0.4, 0.5, 0.6)),
+      (Seq(1e10, -1e10, 1.0), Seq(1.0, 1.0, 1.0)), // order-sensitive case
+      (Seq.empty[Double], Seq.empty[Double]))
+    val df = vecs.toDF("a", "b").select(
+      call_function("dotp", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), _ * _), lit(0.0), _ + _).as("fold"))
+    val rows = df.collect()
+    assert(rows.forall(r => r.getDouble(0) == r.getDouble(1)),
+      "native dot must be bit-identical to the sequential fold")
+  }
 }
