@@ -35,8 +35,12 @@ object Rollup {
   val StoredAggs: Set[String] =
     Set("sum", "zimsum", "count", "min", "mimmin", "max", "mimmax", "last", "avg")
 
-  /** One-pass composite rollup of deduped raw points. */
+  /** One-pass composite rollup of deduped raw points. The interval must
+   *  come from the reference's storable-interval whitelist
+   *  (core/downsample/Interval.java:25-36). */
   def build(points: DataFrame, interval: String): DataFrame = {
+    require(Intervals.isRollupInterval(interval),
+      s"not a storable rollup interval: $interval (allowed: ${Intervals.RollupVocabulary.toSeq.sorted.mkString(",")})")
     val iv = Intervals.toSeconds(interval)
     val deduped = QueryEngine.dedupe(points)
     val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))

@@ -17,11 +17,12 @@ object TestSpark {
  *  (core/src/test/java/net/opentsdb/aura/metrics/TestUtil.java:30-60). */
 object Fixtures {
 
-  /** (metric, tags, ts, value, seq) rows → a points DataFrame. */
+  /** (metric, tags, ts, value, seq) rows → a points DataFrame, through
+   *  the typed ingest-parse shape ([[graft.core.DataPoint]]). */
   def points(rows: (String, Map[String, String], Long, Double, Long)*): DataFrame = {
     val spark = TestSpark.spark
     import spark.implicits._
-    rows.toSeq.toDF("metric", "tags", "ts", "value", "seq")
+    rows.toSeq.map(r => graft.core.DataPoint(r._1, r._2, r._3, r._4, r._5)).toDS().toDF()
       .withColumn("series_id", SeriesId.seriesId(col("metric"), col("tags")))
       .withColumn("segment_start", SeriesId.segmentStart(col("ts")))
   }

@@ -88,4 +88,20 @@ class CorePropsSpec extends AnyFunSuite {
     assert(ids(0) === ids(1))
     assert(ids(0) !== ids(2))
   }
+
+  test("metricId and tagSetId decompose the series identity (reference hash pair)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+      ("cpu", Map("h" -> "a")), ("mem", Map("h" -> "a")), ("cpu", Map("h" -> "b")))
+      .toDF("metric", "tags")
+      .select(
+        SeriesId.metricId(col("metric")).as("m"),
+        SeriesId.tagSetId(col("tags")).as("t"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows(0)._1 != rows(1)._1, "different metrics, different metric hash")
+    assert(rows(0)._1 == rows(2)._1, "same metric, same metric hash")
+    assert(rows(0)._2 == rows(1)._2, "same tag set, same tag-set hash (shard key)")
+    assert(rows(0)._2 != rows(2)._2, "different tag sets, different tag-set hash")
+  }
 }

@@ -68,4 +68,17 @@ class DedupSpec extends AnyFunSuite {
     assert(HashConstants.PermB.forall(b => b >= 0 && b < HashConstants.P))
     assert(HashConstants.PermA.distinct.length === HashConstants.NumPerms)
   }
+
+  test("relational shingleRows equals the HOF shingles column form") {
+    import org.apache.spark.sql.functions._
+    val df = docsOf(1L -> base, 2L -> "alpha beta gamma delta", 3L -> "x y z")
+    val viaRows = Dedup.shingleRows(df).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val viaColumn = df
+      .filter(size(graft.pipeline.TextAnalysis.tokens(col("text"))) >= 3)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(viaRows === viaColumn)
+    assert(viaRows.count(_._1 == 3L) === 1) // exactly one trigram for 3 tokens
+  }
 }

@@ -59,4 +59,12 @@ class RollupSpec extends AnyFunSuite {
     assert(!fallback.queryExecution.executedPlan.toString.contains("rollup_1h"),
       "non-divisible interval must route to raw points")
   }
+
+  test("rollup output conforms to the declared schema; interval vocabulary enforced") {
+    val declared = graft.core.TsdbSchema.rollup.fields.map(f => f.name -> f.dataType).toMap
+    val actual = Rollup.build(pts, "1h").schema.fields.map(f => f.name -> f.dataType).toMap
+    for ((name, dt) <- declared)
+      assert(actual.get(name).contains(dt), s"missing/mistyped rollup column $name")
+    assertThrows[IllegalArgumentException](Rollup.build(pts, "7m"))
+  }
 }
