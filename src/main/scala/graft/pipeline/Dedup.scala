@@ -99,8 +99,24 @@ object Dedup {
    *  than caching it (InMemoryRelation encoding of the array column
    *  costs more than the codegen'd recompute). At warehouse scale the
    *  signature table would be written once as a real table instead. */
-  def candidates(docs: DataFrame): DataFrame = {
-    val b = bands(signatures(docs))
+  def candidates(docs: DataFrame): DataFrame = candidates(docs, Int.MaxValue)
+
+  /** As [[candidates]] with a bucket-size cap: a band bucket holding a
+   *  huge clone cluster produces |bucket|² pairs — the classic LSH skew
+   *  degeneracy. Capped buckets are dropped whole (their members are
+   *  trivially discoverable by exact dedup instead); the cap is off by
+   *  default so the oracle-checked path is exhaustive. */
+  def candidates(docs: DataFrame, maxBucketSize: Int): DataFrame = {
+    val b0 = bands(signatures(docs))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val sizes = b0.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "key")
+        b0.join(sizes, Seq("band", "key"), "left_semi")
+      }
     val left = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
       col("band"), col("key"))
     val right = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),

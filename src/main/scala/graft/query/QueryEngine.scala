@@ -213,6 +213,7 @@ object QueryEngine {
    *  surface as NaN, reproducing the reference's dense-array shape.
    *  The generated side is O(|series| × buckets) — never a scan. */
   def denseFill(ds: DataFrame, interval: String, start: Long, end: Long): DataFrame = {
+    require(interval != "0all", "dense fill needs a finite interval")
     val iv = Intervals.toSeconds(interval)
     val alignedStart = start - start % iv
     // distinct over the series identity (maps can't be set-operated on;

@@ -81,4 +81,18 @@ class DedupSpec extends AnyFunSuite {
     assert(viaRows === viaColumn)
     assert(viaRows.count(_._1 == 3L) === 1) // exactly one trigram for 3 tokens
   }
+
+  test("bucket-size cap defuses the clone-cluster LSH degeneracy") {
+    val clones = (1L to 30L).map(_ -> base)
+    val df = docsOf(clones :+ (99L -> base.replace("dog", "cat")): _*)
+    // uncapped: the 30-clone bucket alone yields 435 pairs
+    assert(Dedup.candidates(df).count() >= 435)
+    // capped at 10: the clone bucket is dropped, the near-dup pair with
+    // doc 99 survives only if its bucket is small — here everything
+    // shares the clone bucket, so candidates collapse
+    assert(Dedup.candidates(df, maxBucketSize = 10).count() === 0)
+    // exact dedup still finds the clones trivially
+    val ex = Dedup.exact(df).filter(org.apache.spark.sql.functions.col("n_copies") >= 2).collect()
+    assert(ex.length === 1 && ex(0).getLong(2) === 30L)
+  }
 }
