@@ -1,0 +1,88 @@
+package graft
+
+import graft.events.{EventsEngine, EventsQuery}
+import graft.query._
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Boundary semantics across operators — the cases a result-hash oracle
+ *  rarely reaches. */
+class EdgeCasesSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  private val tagset = Map("h" -> "a")
+
+  test("empty selection flows through the whole engine without errors") {
+    import graft.filters._
+    val df = Fixtures.series("m", tagset, (0L, 1.0))
+    val q = TsdbQuery(MetricLiteral(Seq("nonexistent")), 0, 3600,
+      rate = Some(RateSpec()),
+      downsample = Some(DownsampleSpec("1m", "avg")),
+      groupBy = Some(GroupBySpec(Seq("h"), "sum")))
+    assert(QueryEngine.run(df, q).count() === 0)
+  }
+
+  test("single-point series: rate drops it, downsample keeps it") {
+    val df = Fixtures.series("m", tagset, (42L, 7.0))
+    assert(QueryEngine.rate(df, RateSpec()).count() === 0)
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 3600)
+      .select("bucket_ts", "value").head
+    assert(ds.getLong(0) === 0L && ds.getDouble(1) === 7.0)
+  }
+
+  test("paging beyond the result set returns empty, not an error (T1)") {
+    import spark.implicits._
+    val docs = Seq((1L, "ns", "s", "t", "m", "low", 10L, 20L, false))
+      .toDF("event_id", "namespace", "source", "title", "message", "priority",
+        "start_ts", "end_ts", "ongoing")
+      .withColumn("dimensions", map(lit("host"), lit("w")))
+    assert(EventsEngine.page(docs, EventsQuery(0, 100), from = 10, size = 5).count() === 0)
+    assert(EventsEngine.page(docs, EventsQuery(0, 100), from = 0, size = 5).count() === 1)
+  }
+
+  test("meta queries on an empty filter selection return empty results") {
+    import graft.filters._
+    val dim = graft.sources.TsdbViews.seriesDim(
+      Fixtures.series("m", tagset, (0L, 1.0)))
+    assert(graft.meta.MetaQueries.metrics(dim, TagLiteral("h", Seq("zzz"))).count() === 0)
+    assert(graft.meta.MetaQueries.tagValues(dim, MatchAll, "missing_key").count() === 0)
+  }
+
+  test("payload smaller than one frame yields exactly one short frame") {
+    import spark.implicits._
+    val docs = Seq((0L, "tiny", "en", "src0", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = docs.select(col("doc_id"), lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit(64).as("width"), lit(64).as("height"), lit(40L).as("duration_ms")).as("meta"))
+    val fr = graft.pipeline.Multimodal.frames(media).collect()
+    assert(fr.length === 1)
+    assert(fr(0).getAs[Long]("frame_bytes") === 4L)
+  }
+
+  test("rollup serve over a window with no rollup rows is empty, count included") {
+    val pts = Fixtures.series("m", tagset, (0L, 1.0))
+    val rollup = graft.rollup.Rollup.build(pts, "1h")
+    for (agg <- Seq("sum", "count")) {
+      val served = graft.rollup.Rollup.serve(rollup,
+        DownsampleSpec("2h", agg), start = 7200, end = 14400)
+      assert(served.count() === 0, s"agg=$agg: absent buckets stay absent (count fills 0 only within present rows)")
+    }
+  }
+
+  test("dedupe is a no-op on already-unique timestamps") {
+    val df = Fixtures.series("m", tagset, (0L, 1.0), (10L, 2.0), (20L, 3.0))
+    assert(QueryEngine.dedupe(df).count() === 3)
+  }
+
+  test("lsh top-k with a query alone in its bucket returns no neighbors") {
+    import spark.implicits._
+    // two orthogonal-ish vectors forced into different sign buckets
+    val emb = Seq(
+      (0L, Array.fill(64)(1.0f), 0),
+      (25L, Array.fill(64)(-1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = graft.pipeline.Similarity.lshTopK(emb, col("vec_id") === 25, 3)
+    assert(out.count() === 0)
+  }
+}
