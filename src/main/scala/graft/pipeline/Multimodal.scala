@@ -56,6 +56,8 @@ object Multimodal {
     val hexChunk = lower(hex(col("payload")))
       .substr(col("frame_id") * (FrameBytes * 2) + 1, lit(FrameBytes * 2))
     media
+      // empty payload ⇒ zero frames, not a [0, -1] descending sequence
+      .filter(length(col("payload")) > 0)
       .select(col("doc_id"), col("payload"), explode(sequence(lit(0), nFrames - 1)).as("frame_id"))
       .select(
         col("doc_id"), col("frame_id"),

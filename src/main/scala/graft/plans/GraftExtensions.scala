@@ -43,13 +43,16 @@ object SegmentPruning extends Rule[LogicalPlan] with PredicateHelper {
             case GreaterThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
               if a.semanticEquals(ts) && v >= 0 => v
             case GreaterThan(a: AttributeReference, Literal(v: Long, LongType))
-              if a.semanticEquals(ts) && v >= 0 => v + 1
+              if a.semanticEquals(ts) && v >= 0 && v < Long.MaxValue => v + 1
           }
           val upper = conjuncts.collectFirst {
             case LessThan(a: AttributeReference, Literal(v: Long, LongType))
               if a.semanticEquals(ts) && v >= 0 => v
+            // v + 1 would wrap on Long.MaxValue, deriving `segment_start <
+            // Long.MinValue` (always false); an open-ended upper bound
+            // simply derives no conjunct instead.
             case LessThanOrEqual(a: AttributeReference, Literal(v: Long, LongType))
-              if a.semanticEquals(ts) && v >= 0 => v + 1
+              if a.semanticEquals(ts) && v >= 0 && v < Long.MaxValue => v + 1
           }
           val derived = Seq(
             lower.map(a => GreaterThanOrEqual(seg, Literal((a / Seg) * Seg))),

@@ -31,9 +31,35 @@ object StreamQueries {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$d/events.parquet"))
-      // retention wide open here: the synthetic table spans 30 days in one
-      // batch; admission-drop behavior is unit-tested separately
-      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt", retentionSec = Long.MaxValue / 4)
+      // retention + future tolerance wide open here: the synthetic table
+      // spans 30 days in one batch; admission-drop behavior is
+      // unit-tested and oracle-checked (q_stream_admission) separately
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+        rollupInterval = Some(RollupInterval))
+      IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
+      cfg
+    })
+
+  private val RollupInterval = "1h"
+
+  /** Finite-retention lake for the admission oracle (S2/R2): the whole
+   *  events table arrives as one batch with no wall clock, so the
+   *  event-time admission heuristic decides — and DuckDB replays the
+   *  identical median/high-water-mark arithmetic. */
+  private val AdmissionRetention = 10L * 86400
+  private val AdmissionFuture = 86400L
+
+  private def admissionLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#admission", {
+      val base = java.nio.file.Files.createTempDirectory("graft_adm")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = AdmissionRetention, maxFutureSec = AdmissionFuture)
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       cfg
     })
@@ -63,6 +89,23 @@ object StreamQueries {
       IngestJob.seriesDim(s, lakeFor(s, d))
         .select(col("metric"), col("tags")("user").as("tag_user"), col("tag_count"),
           col("first_seen"), col("last_seen"))
+    },
+
+    // A10 served from the ingest-MAINTAINED rollup table: the query scans
+    // only rollup rows (plan-asserted in IngestJobSpec), never raw points
+    "q_rollup_streamed" -> { (s, d) =>
+      import graft.query.DownsampleSpec
+      graft.rollup.Rollup
+        .serve(IngestJob.rollup(s, lakeFor(s, d)), DownsampleSpec("1d", "sum"), Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
+    // S2/R2: the admitted row set under a finite retention window
+    "q_stream_admission" -> { (s, d) =>
+      IngestJob.points(s, admissionLakeFor(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("ts"), col("value"), col("seq"))
     }
   )
 
@@ -87,6 +130,24 @@ object StreamQueries {
          |       CASE WHEN tag_env IS NULL THEN 3 ELSE 4 END AS tag_count,
          |       min(ts) AS first_seen, max(ts) AS last_seen
          |FROM points
-         |GROUP BY 1, 2, 3""".stripMargin
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_rollup_streamed" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // replay of IngestJob's event-time admission: median → future cutoff
+    // → robust high-water mark → (hwm - retention, hwm + tolerance]
+    "q_stream_admission" ->
+      s"""WITH $pointsCtes,
+         |m AS (SELECT median(ts) AS p50 FROM points),
+         |h AS (SELECT max(ts) AS hwm FROM points
+         |      WHERE ts <= (SELECT p50 + $AdmissionFuture FROM m))
+         |SELECT metric, tag_user, ts, value, seq FROM points
+         |WHERE ts > (SELECT hwm - $AdmissionRetention FROM h)
+         |  AND ts <= (SELECT hwm + $AdmissionFuture FROM h)""".stripMargin
   )
 }

@@ -50,23 +50,28 @@ object Aggregators {
    *  factory map. */
   def register(name: String, agg: TemporalAgg): Unit = custom.put(name, agg): Unit
 
+  /** percentile plugin family pNN / pNN.N (NON_OPTIMIZED path) — one
+   *  validation shared by [[resolve]] and [[isRegistered]] so the two
+   *  never disagree on what counts as a percentile name. */
+  private val PercentileName = """^p(100(?:\.0)?|\d{1,2}(?:\.\d)?)$""".r
+
+  private def percentileQ(name: String): Option[Double] = name match {
+    case PercentileName(n) => Some(n.toDouble / 100.0)
+    case _ => None
+  }
+
   def resolve(name: String): TemporalAgg = {
     val canonical = aliases.getOrElse(name, name)
     custom.get(canonical)
       .orElse(builtin.get(canonical))
-      .getOrElse {
-        // percentile plugin family pNN / pNN.N (NON_OPTIMIZED path)
-        if (canonical.startsWith("p") && canonical.length <= 5 &&
-          canonical.drop(1).forall(c => c.isDigit || c == '.')) {
-          val q = canonical.drop(1).toDouble / 100.0
-          (v, _, _, _) => percentile(v, lit(q))
-        } else throw new IllegalArgumentException(s"unknown downsample agg: $name")
-      }
+      .orElse(percentileQ(canonical).map[TemporalAgg] { q =>
+        (v, _, _, _) => percentile(v, lit(q))
+      })
+      .getOrElse(throw new IllegalArgumentException(s"unknown downsample agg: $name"))
   }
 
   def isRegistered(name: String): Boolean = {
     val c = aliases.getOrElse(name, name)
-    custom.contains(c) || builtin.contains(c) ||
-      (c.startsWith("p") && c.length <= 5 && c.drop(1).forall(_.isDigit))
+    custom.contains(c) || builtin.contains(c) || percentileQ(c).isDefined
   }
 }

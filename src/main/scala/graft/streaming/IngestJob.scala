@@ -1,8 +1,10 @@
 package graft.streaming
 
-import graft.core.TsdbSchema
+import graft.core.{Intervals, TsdbSchema}
 import graft.sources.TsdbViews
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -17,7 +19,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  *  - **admission** (R2): points older than retention relative to the
  *    batch's high-water mark, or absurdly in the future, are dropped —
- *    the reference's isDelayed/isEarly checks.
+ *    the reference's isDelayed/isEarly checks. The high-water mark is a
+ *    robust statistic: the max ts among points within `maxFutureSec` of
+ *    the batch **median**, so a single absurd-future outlier can neither
+ *    admit itself nor drag the mark up and evict valid fresh points.
  *  - **append** points to the lake, `partitionBy("segment_start")` — the
  *    2h-aligned partition IS the reference's segment window; old-window
  *    data lands in old partitions (R4: out-of-order tolerated, ordering
@@ -25,30 +30,61 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *  - **series_dim upsert** (S3): per-batch series summaries appended to a
  *    log; [[seriesDim]] folds the log (log-structured merge — the
  *    parquet-level answer to the reference's in-place meta upsert).
- *  - **latest upsert**: per-batch per-series last (ts, value) appended;
- *    [[latest]] folds the log, so a last-value query reads
- *    O(|series| × batches) log rows, never the fact table (A18 at scale).
+ *  - **latest upsert**: per-batch per-series last (ts, value, seq)
+ *    appended; [[latest]] folds the log by (last_ts, last_seq) — the same
+ *    last-write-wins order as QueryEngine.dedupe — so a last-value query
+ *    reads O(|series| × batches) log rows, never the fact table (A18).
+ *  - **rollup maintenance** (A10): when `rollupInterval` is set, each
+ *    batch recomputes the composite rollup for the segment windows it
+ *    touched and overwrites just those partitions ([[flushRollup]]) — the
+ *    reference's flush-path DownSampler invocation
+ *    (core/.../core/downsample/DownSampler.java:32-56), with the 2h
+ *    segment as the flush unit. Queries then serve stored aggregates from
+ *    [[rollup]] without ever scanning raw points.
  *  - **retention purge** (R5): [[purge]] drops whole expired
  *    segment_start partitions — the partition-drop analog of the
  *    reference's PurgeJob freeing expired segments.
- *  - [[compact]] (R6-ish): rewrites the logs to one snapshot row per
- *    series, bounding read amplification — the meta-flush analog.
+ *  - [[compact]] (R6): rewrites the dimension logs to one snapshot row
+ *    per series; [[compactPoints]] consolidates the lake's per-batch
+ *    small files into target-sized files per segment — the
+ *    flush-consolidation analog (core/.../core/TSFlusherImp.java:168-430).
+ *
+ * Batch accounting rides on `observe()` metrics collected by the points
+ * write itself (one Spark job services both), not separate count jobs.
+ *
+ * All file manipulation goes through the Hadoop FileSystem API, so purge
+ * and compaction work unchanged on HDFS/S3-style stores, not just local
+ * disk.
  *
  * Duplicate (series, ts) points may exist across batches (R3); readers
  * dedupe by the `seq` ingest order exactly like the batch path
- * (QueryEngine.dedupe) — last-write-wins.
+ * (QueryEngine.dedupe) — last-write-wins. The maintained rollup is exact
+ * under such duplicates too: each flush recomputes its segment from the
+ * deduped lake rather than merging per-batch partial aggregates (a
+ * sum-of-partials would double-count a timestamp re-sent in a later
+ * batch).
  */
 object IngestJob {
 
+  /** `nowSec`: injectable clock for the reference's wall-clock isEarly
+   *  check (deterministic in tests, `System.currentTimeMillis/1000` in
+   *  production). When absent, admission falls back to the event-time
+   *  heuristic (future cutoff relative to the batch median) — robust to
+   *  outliers but, with no external clock, unable to distinguish a sparse
+   *  multi-hour backfill batch from future garbage; such deployments
+   *  should widen `maxFutureSec` or supply the clock. */
   final case class Config(
       lakeDir: String,
       checkpointDir: String,
       retentionSec: Long = TsdbSchema.RetentionSeconds,
-      maxFutureSec: Long = 3600)
+      maxFutureSec: Long = 3600,
+      rollupInterval: Option[String] = None,
+      nowSec: Option[() => Long] = None)
 
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
+  def rollupPath(cfg: Config): String = s"${cfg.lakeDir}/rollup"
 
   /** Per-batch ingest accounting (the reference logs dropped-point
    *  counters at admission; we surface them to the caller). */
@@ -56,15 +92,50 @@ object IngestJob {
     def dropped: Long = total - admitted
   }
 
-  /** One micro-batch: admission + the three appends. The points append
-   *  goes through the sink strategy surface (P4) — default is the
-   *  segment-partitioned parquet lake. Returns admission stats. */
+  /** One micro-batch: admission + the appends (+ rollup flush when
+   *  configured). The points append goes through the sink strategy
+   *  surface (P4) — default is the segment-partitioned parquet lake.
+   *  Returns admission stats, computed via `observe()` on the write pass
+   *  (no dedicated count jobs). */
   def processBatch(batch: DataFrame, cfg: Config,
       sink: Option[graft.sinks.PointsSink] = None): BatchStats = {
-    if (batch.isEmpty) return BatchStats(0, 0, Long.MinValue)
-    val hwm = batch.agg(max(col("ts"))).head.getLong(0)
+    // One stats pass: exact median (deterministic, oracle-replayable;
+    // micro-batches are bounded so the sort-based percentile is fine —
+    // a fixed-seed approx percentile is the swap-in for huge batches),
+    // raw max, and total count. count==0 ⇒ empty batch, done.
+    val head = batch.agg(
+      percentile(col("ts"), lit(0.5)).as("p50"),
+      max(col("ts")).as("mx"),
+      count(lit(1)).as("total")).head
+    if (head.isNullAt(1)) return BatchStats(0, 0, Long.MinValue)
+    val p50 = head.getDouble(0)
+    val rawMax = head.getLong(1)
+    val total = head.getLong(2)
+    val now: Option[Long] = cfg.nowSec.map(_.apply()) // sample the clock once per batch
+    val futureCutoff: Double = now match {
+      case Some(n) => (n + cfg.maxFutureSec).toDouble // reference isEarly
+      case None => p50 + cfg.maxFutureSec // event-time fallback
+    }
+    // Common case: no future outliers, hwm is the raw max (no extra job).
+    val hwm =
+      if (rawMax <= futureCutoff) rawMax
+      else {
+        val h = batch.filter(col("ts") <= lit(futureCutoff)).agg(max(col("ts"))).head
+        if (h.isNullAt(0)) return BatchStats(total, 0, Long.MinValue) // whole batch is future garbage
+        h.getLong(0)
+      }
+    // Admission bounds anchor on the wall clock when we have one (the
+    // reference's isEarly/isDelayed), else on the robust high-water mark:
+    // a tolerated slightly-future point must not shrink the retention
+    // window for its contemporaries.
+    val (admitLow, admitHigh): (Double, Double) = now match {
+      case Some(n) => ((n - cfg.retentionSec).toDouble, futureCutoff)
+      case None => ((hwm - cfg.retentionSec).toDouble, (hwm + cfg.maxFutureSec).toDouble)
+    }
+    val obs = Observation()
     val admitted = batch
-      .filter(col("ts") > lit(hwm - cfg.retentionSec) && col("ts") <= lit(hwm + cfg.maxFutureSec))
+      .filter(col("ts") > lit(admitLow) && col("ts") <= lit(admitHigh))
+      .observe(obs, count(lit(1)).as("admitted"))
       .cache()
     try {
       sink.getOrElse(new graft.sinks.PartitionedParquetSink(pointsPath(cfg)))
@@ -79,11 +150,17 @@ object IngestJob {
       withTj
         .groupBy(col("series_id"), col("metric"), col("__tj"))
         .agg(max(col("ts")).as("last_ts"),
-          max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"))
+          max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"),
+          max_by(col("seq"), struct(col("ts"), col("seq"))).as("last_seq"))
         .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
-        .select("series_id", "metric", "tags", "last_ts", "last_value")
+        .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
         .write.mode("append").parquet(latestLogPath(cfg))
-      BatchStats(batch.count(), admitted.count(), hwm)
+      cfg.rollupInterval.foreach { iv =>
+        val touched = admitted.select(col("segment_start")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        flushRollup(batch.sparkSession, cfg, iv, touched)
+      }
+      BatchStats(total, obs.get("admitted").asInstanceOf[Long], hwm)
     } finally admitted.unpersist()
   }
 
@@ -124,6 +201,12 @@ object IngestJob {
   def points(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(pointsPath(cfg))
 
+  /** The streaming-maintained rollup table (A10 read side): composite
+   *  sum/cnt/min/max/last/sumsq rows per (series, rollup bucket),
+   *  segment-partitioned. Feed to [[graft.rollup.Rollup.serve]]. */
+  def rollup(spark: SparkSession, cfg: Config): DataFrame =
+    spark.read.parquet(rollupPath(cfg))
+
   def seriesDim(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(seriesLogPath(cfg))
       .withColumn("__tj", to_json(col("tags")))
@@ -133,46 +216,121 @@ object IngestJob {
       .withColumn("tag_count", size(map_keys(col("tags"))))
       .select("series_id", "metric", "tags", "tag_count", "first_seen", "last_seen")
 
-  def latest(spark: SparkSession, cfg: Config): DataFrame =
+  /** Cross-batch fold of the latest log. Ties on last_ts across batches
+   *  break by last_seq — the same (ts, seq) last-write-wins order as
+   *  QueryEngine.dedupe, so re-sent timestamps resolve identically here
+   *  and on the raw path. Keeps last_seq so [[compact]]ed snapshots fold
+   *  correctly again later. */
+  private def latestFold(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(latestLogPath(cfg))
       .withColumn("__tj", to_json(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"))
       .agg(max(col("last_ts")).as("last_ts"),
-        max_by(col("last_value"), col("last_ts")).as("last_value"))
+        max_by(col("last_value"), struct(col("last_ts"), col("last_seq"))).as("last_value"),
+        max_by(col("last_seq"), struct(col("last_ts"), col("last_seq"))).as("last_seq"))
       .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+
+  def latest(spark: SparkSession, cfg: Config): DataFrame =
+    latestFold(spark, cfg)
       .select("series_id", "metric", "tags", "last_ts", "last_value")
 
-  /** R5: drop whole expired segment partitions (cheap file-level purge). */
+  /** A10: flush-time rollup maintenance. Recomputes the composite rollup
+   *  (exact — over the deduped lake, not merged per-batch partials) for
+   *  the given segment windows and overwrites just those partitions
+   *  (dynamic partition overwrite). Idempotent per segment: re-flushing a
+   *  window after late data lands simply rewrites its slice. */
+  def flushRollup(spark: SparkSession, cfg: Config, interval: String,
+      segments: Seq[Long]): Unit = {
+    if (segments.isEmpty) return
+    require(TsdbSchema.SegmentSeconds % Intervals.toSeconds(interval) == 0,
+      s"rollup interval $interval must divide the ${TsdbSchema.SegmentSeconds}s segment")
+    val pts = points(spark, cfg)
+      .filter(col("segment_start").isin(segments: _*))
+    graft.rollup.Rollup.build(pts, interval)
+      .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("bucket_ts")))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segment_start")
+      .parquet(rollupPath(cfg))
+  }
+
+  /** R5: drop whole expired segment partitions (cheap file-level delete,
+   *  no data rewrite) from the points lake and the maintained rollup. */
   def purge(cfg: Config, cutoffSec: Long): Seq[Long] = {
-    val root = new java.io.File(pointsPath(cfg))
-    val expired = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("segment_start="))
-      .filter(_.getName.stripPrefix("segment_start=").toLong < cutoffSec)
-    expired.foreach(deleteRecursively)
-    expired.map(_.getName.stripPrefix("segment_start=").toLong).toSeq.sorted
+    val conf = hadoopConf()
+    dropSegmentsBefore(conf, rollupPath(cfg), cutoffSec)
+    dropSegmentsBefore(conf, pointsPath(cfg), cutoffSec)
+  }
+
+  private def dropSegmentsBefore(conf: Configuration, dir: String, cutoffSec: Long): Seq[Long] = {
+    val fs = new Path(dir).getFileSystem(conf)
+    val expired = segmentDirs(conf, dir).filter(_._2 < cutoffSec)
+    expired.foreach { case (p, _) => fs.delete(p, true) }
+    expired.map(_._2).sorted
   }
 
   /** Compact the series/latest logs to one row per series. */
   def compact(spark: SparkSession, cfg: Config): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
     val dim = seriesDim(spark, cfg).cache()
-    val lat = latest(spark, cfg).cache()
+    val lat = latestFold(spark, cfg).cache()
     try {
       dim.select("series_id", "metric", "tags", "first_seen", "last_seen")
         .write.mode("overwrite").parquet(s"${cfg.lakeDir}/series_log_compact")
-      lat.write.mode("overwrite").parquet(s"${cfg.lakeDir}/latest_log_compact")
-      replaceDir(s"${cfg.lakeDir}/series_log_compact", seriesLogPath(cfg))
-      replaceDir(s"${cfg.lakeDir}/latest_log_compact", latestLogPath(cfg))
-    } finally { dim.unpersist(); lat.unpersist() }
+      lat.select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
+        .write.mode("overwrite").parquet(s"${cfg.lakeDir}/latest_log_compact")
+      replaceDir(conf, s"${cfg.lakeDir}/series_log_compact", seriesLogPath(cfg))
+      replaceDir(conf, s"${cfg.lakeDir}/latest_log_compact", latestLogPath(cfg))
+    } finally { dim.unpersist(); lat.unpersist(): Unit }
   }
 
-  private def replaceDir(src: String, dst: String): Unit = {
-    deleteRecursively(new java.io.File(dst))
-    if (!new java.io.File(src).renameTo(new java.io.File(dst)))
+  /** R6: consolidate the lake's per-micro-batch small files — rewrite
+   *  each segment partition down to ceil(bytes / targetFileBytes) files.
+   *  A closed segment needs this exactly once; pass `segments` to bound
+   *  the work to recently-closed windows on a real deployment. Partitions
+   *  already at or under the target file count are left untouched.
+   *  Returns the segments rewritten. */
+  def compactPoints(spark: SparkSession, cfg: Config,
+      targetFileBytes: Long = 128L << 20, segments: Option[Seq[Long]] = None): Seq[Long] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rewritten = for {
+      (partDir, seg) <- segmentDirs(conf, pointsPath(cfg))
+      if segments.forall(_.contains(seg))
+      fs = partDir.getFileSystem(conf)
+      dataFiles = fs.listStatus(partDir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+      target = math.max(1L, math.ceil(dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+      if dataFiles.length > target
+    } yield {
+      val tmp = s"${cfg.lakeDir}/.compact_points_$seg"
+      spark.read.parquet(partDir.toString).coalesce(target)
+        .write.mode("overwrite").parquet(tmp)
+      replaceDir(conf, tmp, partDir.toString)
+      seg
+    }
+    rewritten.sorted
+  }
+
+  private def hadoopConf(): Configuration =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** (partition dir, segment_start) pairs under a segment-partitioned root. */
+  private def segmentDirs(conf: Configuration, dir: String): Seq[(Path, Long)] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("segment_start="))
+      .map(s => s.getPath -> s.getPath.getName.stripPrefix("segment_start=").toLong)
+  }
+
+  private def replaceDir(conf: Configuration, src: String, dst: String): Unit = {
+    val dstPath = new Path(dst)
+    val fs = dstPath.getFileSystem(conf)
+    if (fs.exists(dstPath) && !fs.delete(dstPath, true))
+      throw new java.io.IOException(s"delete $dst failed")
+    if (!fs.rename(new Path(src), dstPath))
       throw new java.io.IOException(s"rename $src -> $dst failed")
-  }
-
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
-    f.delete(): Unit
   }
 }

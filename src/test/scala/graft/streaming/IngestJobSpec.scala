@@ -33,15 +33,37 @@ class IngestJobSpec extends AnyFunSuite {
       (1L, now, "m", 1.0), // fresh
       (2L, now - 3601, "m", 2.0), // beyond retention vs hwm → dropped
       (3L, now - 100, "m", 3.0), // fine
-      (4L, now + 7200, "m", 4.0))) // absurd future — but it IS the hwm
+      (4L, now + 7200, "m", 4.0))) // absurd future → dropped, and NOT the hwm
+    // robust hwm: median ts = 99950; the outlier at now+7200 is beyond
+    // median+maxFutureSec so it neither becomes the mark nor evicts the
+    // valid fresh points. hwm = 100000; retention floor 96400.
     val stats = IngestJob.processBatch(batch, cfg)
-    assert(stats === IngestJob.BatchStats(4, 1, now + 7200))
-    assert(stats.dropped === 3)
+    assert(stats === IngestJob.BatchStats(4, 2, now))
+    assert(stats.dropped === 2)
     val kept = IngestJob.points(TestSpark.spark, cfg).select("seq").collect()
       .map(_.getLong(0)).toSet
-    // hwm = now+7200: event 2 and 3 fall outside hwm-retention; 1 survives? no:
-    // 100000 > 107200-3600 = 103600 is false → dropped too. Only 4 remains.
-    assert(kept === Set(4L))
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("a future outlier within tolerance of the true mark is admitted (R2)") {
+    val cfg = freshCfg(retention = 3600)
+    val now = 200000L
+    // point at now+3000: ahead of the bulk but <= hwm+maxFutureSec — legal
+    val batch = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (1L, now, "m", 1.0), (2L, now - 10, "m", 2.0), (3L, now + 3000, "m", 3.0)))
+    val stats = IngestJob.processBatch(batch, cfg)
+    assert(stats === IngestJob.BatchStats(3, 3, now + 3000))
+  }
+
+  test("wall-clock admission: isEarly vs the injected clock (R2)") {
+    val now = 400000L
+    val cfg = freshCfg(retention = 3600).copy(nowSec = Some(() => now))
+    val batch = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (1L, now - 10, "m", 1.0), // fresh
+      (2L, now + 3599, "m", 2.0), // within tolerance of the clock
+      (3L, now + 3601, "m", 3.0))) // early → dropped
+    val stats = IngestJob.processBatch(batch, cfg)
+    assert(stats === IngestJob.BatchStats(3, 2, now + 3599))
   }
 
   test("lake is partitioned by segment window; dims and latest match (S3)") {
@@ -86,9 +108,60 @@ class IngestJobSpec extends AnyFunSuite {
     assert(IngestJob.latest(spark, cfg).head.getAs[Double]("last_value") === 42.0)
   }
 
-  test("purge drops expired segment partitions (R5)") {
+  test("points compactor bounds file count per segment; data unchanged (R6)") {
+    val spark = TestSpark.spark
     val cfg = freshCfg(retention = Long.MaxValue / 4)
+    val t0 = 40 * seg
+    // 4 micro-batches into the same segment → ≥4 files in one partition
+    for (i <- 0 until 4)
+      IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(
+        eventsDf((i.toLong + 1, t0 + i * 10, "cpu", i.toDouble))), cfg)
+    val before = IngestJob.points(spark, cfg)
+      .select("seq", "ts", "value").collect().toSet
+    def fileCount(): Int = {
+      val dir = new java.io.File(s"${IngestJob.pointsPath(cfg)}/segment_start=$t0")
+      dir.listFiles().count(f => f.isFile && !f.getName.startsWith("_") && !f.getName.endsWith(".crc"))
+    }
+    assert(fileCount() >= 4)
+    val rewritten = IngestJob.compactPoints(spark, cfg)
+    assert(rewritten === Seq(t0))
+    assert(fileCount() === 1) // tiny partition → one target file
+    assert(IngestJob.points(spark, cfg).select("seq", "ts", "value").collect().toSet === before)
+    // idempotent: already at target → nothing rewritten
+    assert(IngestJob.compactPoints(spark, cfg) === Seq.empty)
+  }
+
+  test("rollup is maintained at ingest and exact under cross-batch duplicate ts (A10)") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ru").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, rollupInterval = Some("1h"))
+    val t0 = 50 * seg
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0, "cpu", 1.0), (300L, t0 + 60, "cpu", 5.0))), cfg)
+    // second batch re-sends ts=t0 for the same series (user 0) with a
+    // higher seq — LWW: the rollup must use 7.0, not 1.0 or 1.0+7.0
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (450L, t0, "cpu", 7.0), (600L, t0 + 3600, "cpu", 9.0))), cfg)
+    val ru = IngestJob.rollup(spark, cfg)
+      .filter(col("metric") === "cpu")
+      .select(col("bucket_ts").cast("long"), col("sum"), col("cnt"), col("last"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(ru(t0) === ((12.0, 2L, 5.0))) // 7.0 (LWW) + 5.0; last by ts = 5.0
+    assert(ru(t0 + 3600) === ((9.0, 1L, 9.0)))
+    // a rollup-served query's plan scans the MAINTAINED table, never raw points
+    val served = graft.rollup.Rollup.serve(IngestJob.rollup(spark, cfg),
+      graft.query.DownsampleSpec("2h", "sum"), t0, t0 + 2 * seg)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("/rollup"), "must scan the maintained rollup table")
+    assert(!plan.contains("lake/points"), "must not touch raw points")
+  }
+
+  test("purge drops expired segment partitions (R5)") {
     val t0 = 30 * seg
+    // wall-clock admission mode: this batch legitimately spans 4h
+    val cfg = freshCfg(retention = Long.MaxValue / 4)
+      .copy(nowSec = Some(() => t0 + 2 * seg))
     IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
       (1L, t0, "cpu", 1.0), (2L, t0 + seg, "cpu", 2.0), (3L, t0 + 2 * seg, "cpu", 3.0))), cfg)
     val dropped = IngestJob.purge(cfg, cutoffSec = t0 + seg)
