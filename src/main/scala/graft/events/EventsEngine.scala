@@ -57,15 +57,28 @@ object EventsEngine {
     time && ns && text && dims
   }
 
-  /** Search scan (S10): day-partition pruning conjunct + full predicate.
-   *  The day bound is widened by the max end-start span (6×600 s) so
-   *  events whose *end* falls in range keep their (earlier) day
-   *  partitions; ongoing events are rare enough that the reference also
-   *  only consults indices in the query range (QueryRunner.java:99-131),
-   *  so ongoing-only matches outside the day range are dropped there too
-   *  — we keep them by not bounding days below when ongoing can match. */
+  /** Upper bound on end_ts − start_ts in the document model (6×600 s).
+   *  A real deployment tracks the max open span as index metadata. */
+  val MaxEventSpanSec: Long = 3600L
+
+  /** Daily-index selection (reference QueryRunner.java:99-131): only day
+   *  partitions that could hold a match are consulted. The lower bound
+   *  is widened by [[MaxEventSpanSec]] so an event whose *end* falls in
+   *  range keeps its (earlier) start-day partition. Semantics decision,
+   *  reference-faithful: an ongoing event whose start day lies outside
+   *  the widened window does NOT match — exactly as the reference never
+   *  opens that day's index. Both bounds are foldable literals, so on a
+   *  day-partitioned store this becomes a partition filter and whole day
+   *  directories are skipped; fixtures without a `day` column skip the
+   *  conjunct (and the pruning). */
+  def dayConjunct(docs: DataFrame, q: EventsQuery): Column =
+    if (!docs.columns.contains("day")) lit(true)
+    else col("day") >= date_format(to_timestamp(lit(q.start - MaxEventSpanSec)), "yyyy-MM-dd") &&
+      col("day") <= date_format(to_timestamp(lit(q.end - 1)), "yyyy-MM-dd")
+
+  /** Search scan (S10): day-partition pruning conjunct + full predicate. */
   def search(docs: DataFrame, q: EventsQuery): DataFrame =
-    docs.filter(matchPredicate(q))
+    docs.filter(dayConjunct(docs, q) && matchPredicate(q))
 
   /** Sort + paging (T1): newest first by start time, from/size offsets
    *  (reference QueryRunner.java:99-143). Ties break by event_id for

@@ -25,9 +25,20 @@ import org.apache.spark.sql.functions._
 object EventsStore {
 
   /** Append a batch of (possibly re-indexed) event docs to the log.
-   *  `version` is the writer's monotonic sequence — arrival order. */
-  def append(batch: DataFrame, storeDir: String): Unit =
-    batch.write.mode("append").parquet(s"$storeDir/events_log")
+   *  `version` is the writer's monotonic sequence — arrival order.
+   *
+   *  Document batches carry a `day` column and land
+   *  `partitionBy("day")` — the physical counterpart of the reference's
+   *  one-Lucene-index-per-UTC-day layout (events-common/.../
+   *  EventWriter.java:58-68): queries prune whole day directories
+   *  (EventsEngine.dayConjunct) exactly like the reference only opens
+   *  the daily indices its range selects. Day-less logs (generic upsert
+   *  tests) fall back to an unpartitioned append. */
+  def append(batch: DataFrame, storeDir: String): Unit = {
+    val w = batch.write.mode("append")
+    (if (batch.columns.contains("day")) w.partitionBy("day") else w)
+      .parquet(s"$storeDir/events_log")
+  }
 
   def log(spark: SparkSession, storeDir: String): DataFrame =
     spark.read.parquet(s"$storeDir/events_log")
@@ -54,18 +65,16 @@ object EventsStore {
       .withColumn("n_children", coalesce(col("n_children"), lit(0L)))
   }
 
-  /** Rewrite the log to its resolved state (one version per doc). */
+  /** Rewrite the log to its resolved state (one version per doc),
+   *  preserving the daily-index partitioning. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val resolved = current(log(spark, storeDir)).cache()
     try {
-      resolved.write.mode("overwrite").parquet(s"$storeDir/events_log_compact")
-      val dst = new java.io.File(s"$storeDir/events_log")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(dst)
-      if (!new java.io.File(s"$storeDir/events_log_compact").renameTo(dst))
-        throw new java.io.IOException("compact rename failed")
-    } finally resolved.unpersist()
+      val w = resolved.write.mode("overwrite")
+      (if (resolved.columns.contains("day")) w.partitionBy("day") else w)
+        .parquet(s"$storeDir/events_log_compact")
+      graft.core.Fs.replaceDir(spark.sessionState.newHadoopConf(),
+        s"$storeDir/events_log_compact", s"$storeDir/events_log")
+    } finally resolved.unpersist(): Unit
   }
 }

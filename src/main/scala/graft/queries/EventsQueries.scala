@@ -15,7 +15,21 @@ object EventsQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def docs(s: SparkSession, d: String): DataFrame = EventsModel.docs(s, d)
+  /** One day-partitioned store per source dir per JVM: the document view
+   *  is written through [[EventsStore.append]] (partitionBy("day") — the
+   *  reference's daily-index layout) and queries read it back, so every
+   *  events query below exercises real partition pruning, not just the
+   *  in-memory column. */
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val dir = stores.getOrElseUpdate(d, {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_evstore").toString
+      EventsStore.append(EventsModel.docs(s, d), tmp)
+      tmp
+    })
+    EventsStore.log(s, dir)
+  }
 
   val defs: Map[String, Q] = Map(
     // S10+F11+F12: text search with namespace + time-range clause
@@ -111,8 +125,21 @@ object EventsQueries {
 
   private def inRange(ns: String = "", extra: String = ""): String = {
     val nsClause = if (ns.isEmpty) "" else s"AND namespace = '$ns'"
+    // The day clause restates EventsEngine.dayConjunct: only events whose
+    // UTC start day falls in [day(Start - maxSpan), day(End - 1)] are
+    // visible — the reference's daily-index selection, which also bounds
+    // ongoing events (an ongoing doc in an unopened day index never
+    // matches).
+    // (pure epoch-day integer arithmetic — no engine-timezone dependence;
+    // the Spark session is pinned UTC so its yyyy-MM-dd day partitions
+    // coincide with these epoch-day buckets)
+    val dayClause =
+      s"""AND start_ts - start_ts % 86400
+         |     BETWEEN ${((Start - 3600) / 86400) * 86400}
+         |         AND ${((End - 1) / 86400) * 86400}""".stripMargin
     s"""((start_ts >= $Start AND start_ts < $End)
        | OR (end_ts >= $Start AND end_ts < $End) OR ongoing)
+       | $dayClause
        | $nsClause $extra""".stripMargin.replace("\n", " ")
   }
 

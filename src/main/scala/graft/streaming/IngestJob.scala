@@ -310,10 +310,7 @@ object IngestJob {
     rewritten.sorted
   }
 
-  private def hadoopConf(): Configuration =
-    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+  private def hadoopConf(): Configuration = graft.core.Fs.hadoopConf()
 
   /** (partition dir, segment_start) pairs under a segment-partitioned root. */
   private def segmentDirs(conf: Configuration, dir: String): Seq[(Path, Long)] = {
@@ -325,12 +322,6 @@ object IngestJob {
       .map(s => s.getPath -> s.getPath.getName.stripPrefix("segment_start=").toLong)
   }
 
-  private def replaceDir(conf: Configuration, src: String, dst: String): Unit = {
-    val dstPath = new Path(dst)
-    val fs = dstPath.getFileSystem(conf)
-    if (fs.exists(dstPath) && !fs.delete(dstPath, true))
-      throw new java.io.IOException(s"delete $dst failed")
-    if (!fs.rename(new Path(src), dstPath))
-      throw new java.io.IOException(s"rename $src -> $dst failed")
-  }
+  private def replaceDir(conf: Configuration, src: String, dst: String): Unit =
+    graft.core.Fs.replaceDir(conf, src, dst)
 }

@@ -41,6 +41,32 @@ class EventsStoreSpec extends AnyFunSuite {
     assert(after === Map(1L -> "v2", 3L -> "x"))
   }
 
+  test("day-partitioned store: search prunes day partitions; ongoing outside the window is invisible (S10)") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val day = 86400L
+    val t0 = 19700 * day
+    val rows = Seq(
+      (1L, t0 - 2 * day, t0 - 2 * day + 600, true), // ongoing, 2 days early → day-pruned away
+      (2L, t0 - 600, t0 + 60, false), // previous day, but its END is in range → kept
+      (3L, t0 + 100, t0 + 200, false), // squarely in range
+      (4L, t0 + 2 * day, t0 + 2 * day + 10, false)) // after the window → pruned
+    val docs = rows.toDF("event_id", "start_ts", "end_ts", "ongoing")
+      .withColumn("namespace", lit("ns")).withColumn("source", lit("s"))
+      .withColumn("title", lit("t")).withColumn("message", lit("m"))
+      .withColumn("priority", lit("low"))
+      .withColumn("dimensions", map(lit("host"), lit("web01")))
+      .withColumn("day", date_format(to_timestamp(col("start_ts")), "yyyy-MM-dd"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_evday").toString
+    EventsStore.append(docs, dir)
+    val res = EventsEngine.search(EventsStore.log(spark, dir), EventsQuery(t0, t0 + day))
+    assert(res.select("event_id").collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    val plan = res.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*day""".r.findFirstIn(plan).isDefined,
+      s"day conjunct must become a partition filter; plan was:\n$plan")
+  }
+
   test("children link to parents; parents count their children") {
     val cur = EventsStore.current(toDf(
       doc(10, 1, "parent", ongoing = false),
