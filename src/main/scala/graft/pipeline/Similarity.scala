@@ -84,29 +84,68 @@ object Similarity {
       .select("vec_a", "vec_b", "sim")
   }
 
-  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
-   *  centroid once (broadcast centroids, one codegen pass), and a query
-   *  searches only its own cell. Centroids here are a deterministic
-   *  sample of the corpus (vec_id % centroidEvery == 0) — a production
-   *  build would k-means them, the plan shape is identical. */
-  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame = {
-    val cents = emb.filter(col("vec_id") % centroidEvery === 0)
+  /** Sampled centroids: a deterministic corpus sample (vec_id %
+   *  centroidEvery == 0). Seed-free, so the DuckDB oracle replays the
+   *  whole IVF path bit-for-bit. */
+  def sampledCentroids(emb: DataFrame, centroidEvery: Int): DataFrame =
+    emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"))
+
+  /** K-means centroids: the sampled init refined by `iters` Lloyd
+   *  rounds, each round two narrow DataFrame jobs — assign (broadcast
+   *  centroids × corpus, codegen'd distance, no shuffle of the corpus)
+   *  and update (posexplode → per-(cell, dim) mean → re-assemble; one
+   *  hash-aggregate shuffle keyed by cell). Deterministic init and
+   *  tie-breaks; the means carry distributed-summation FP noise, so
+   *  IVF-over-kmeans is checked by recall against brute force rather
+   *  than a bit-exact oracle (the sampled path keeps that role). */
+  def kmeansCentroids(emb: DataFrame, centroidEvery: Int, iters: Int = 2): DataFrame = {
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    var cents = sampledCentroids(emb, centroidEvery)
+    for (_ <- 0 until iters) {
+      cents = assignToCells(vecs, cents)
+        .select(col("cell"), posexplode(col("vec")))
+        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_vec"))
+        .select(col("cell").as("c_id"), col("c_vec"))
+    }
+    cents
+  }
+
+  /** Nearest-centroid assignment (broadcast centroids, one codegen pass
+   *  over the corpus; deterministic c_id tiebreak). */
+  private def assignToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d").asc, col("c_id").asc)
     vecs.join(broadcast(cents), lit(true))
-      // nearest by cosine distance; deterministic c_id tiebreak
       .withColumn("d", round(lit(1.0) - cosine(col("vec"), col("c_vec")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("c_id").as("cell"))
+      .select(col("vec_id"), col("vec"), col("c_id").as("cell"), col("d"))
   }
 
-  /** IVF top-k: candidates restricted to the query's cell. */
-  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame = {
-    val assigned = ivfAssign(emb, centroidEvery).persist()
+  /** Mean cosine distance to the assigned centroid — the k-means
+   *  objective. Lloyd iterations must not increase it (the testable
+   *  guarantee; single-cell recall is data-dependent and NOT guaranteed
+   *  to rise — on near-uniform corpora Lloyd mostly equalizes cell
+   *  sizes). */
+  def quantizationCost(emb: DataFrame, cents: DataFrame): Double =
+    assignToCells(emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents)
+      .agg(avg(col("d"))).head.getDouble(0)
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+   *  centroid once, and a query searches only its own cell. */
+  def ivfAssign(emb: DataFrame, centroidEvery: Int): DataFrame =
+    assignToCells(emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")),
+      sampledCentroids(emb, centroidEvery))
+
+  /** IVF top-k over an explicit centroid table. */
+  def ivfTopKWith(emb: DataFrame, cents: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val assigned = assignToCells(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents).persist()
     val queries = assigned.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
     val sim = round(cosine(col("q_vec"), col("vec")), 4)
@@ -120,13 +159,29 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "sim")
   }
 
-  /** ANN top-k: candidates restricted to the query's bucket. */
-  def lshTopK(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** IVF top-k: candidates restricted to the query's cell (sampled
+   *  centroids — the oracle-replayable path). */
+  def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame =
+    ivfTopKWith(emb, sampledCentroids(emb, centroidEvery), queryPred, k)
+
+  /** ANN top-k: candidates restricted to the query's bucket
+   *  (`probeRadius` = 0), or to all buckets within that Hamming radius
+   *  of it (multi-probe LSH). Radius 1 probes NumPlanes+1 buckets per
+   *  query — recall rises at ~(NumPlanes+1)× candidate cost on the
+   *  (small, broadcast) query side only; the corpus is still touched
+   *  via one equi-join on bucket id. */
+  def lshTopK(emb: DataFrame, queryPred: Column, k: Int, probeRadius: Int = 0): DataFrame = {
+    require(probeRadius >= 0 && probeRadius <= 1, "probeRadius 0 or 1")
     val withBucket = emb.select(col("vec_id"),
       asDouble(col("embedding")).as("vec"),
       bucketId(asDouble(col("embedding"))).as("bucket"))
+    val probes: Seq[Column] =
+      if (probeRadius == 0) Seq(col("bucket"))
+      else col("bucket") +:
+        (0 until NumPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))
     val queries = withBucket.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"),
+        explode(array(probes: _*)).as("bucket"))
     val sim = round(cosine(col("q_vec"), col("vec")), 4)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)

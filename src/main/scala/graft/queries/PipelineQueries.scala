@@ -42,6 +42,16 @@ object PipelineQueries {
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3)),
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopK(emb(s, d), col("vec_id") % 25 === 0, 3, centroidEvery = 100)),
+    // multi-probe LSH: Hamming-radius-1 bucket union per query
+    "q_ann_multiprobe" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3, probeRadius = 1)),
+    // IVF over Lloyd-refined centroids: the means carry distributed-sum
+    // FP noise, so this is rows-checked here and recall-checked (vs
+    // brute force, >= the sampled-centroid path) in SimilaritySpec
+    "q_ann_kmeans" -> ((s, d) =>
+      Similarity.ivfTopKWith(emb(s, d),
+        Similarity.kmeansCentroids(emb(s, d), centroidEvery = 100, iters = 2),
+        col("vec_id") % 25 === 0, 3)),
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
@@ -224,6 +234,23 @@ object PipelineQueries {
     "q_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 25 = 0),
+         |pairs AS (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM q JOIN e USING (bucket) WHERE vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
+
+    // no bit-exact SQL replay: Lloyd means carry distributed-sum FP
+    // noise (rows-only here; recall + quantization-cost asserted in
+    // SimilaritySpec)
+    "q_ann_kmeans" -> "",
+
+    "q_ann_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id % 25 = 0),
+         |q AS (SELECT q_id, qv, xor(bucket, m) AS bucket
+         |      FROM q0, (SELECT unnest(${(0L +: (0 until NumPlanes).map(1L << _)).mkString("[", ", ", "]")}) AS m)),
          |pairs AS (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
          |          FROM q JOIN e USING (bucket) WHERE vec_id != q_id)
          |SELECT q_id, rank, vec_id, sim FROM (

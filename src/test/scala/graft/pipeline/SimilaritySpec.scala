@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ANN quality: recall of the bucketed/IVF paths against the brute-force
+ *  baseline, and the ordering the scale knobs must respect (multi-probe
+ *  ≥ single-bucket; k-means centroids ≥ sampled centroids). */
+class SimilaritySpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+  private val K = 3
+  private def spark = TestSpark.spark
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def pred = col("vec_id") % 25 === 0
+
+  /** |ann ∩ brute| / |brute| over (q_id, vec_id) pairs. */
+  private def recallVsBrute(ann: DataFrame, brute: DataFrame): Double = {
+    val hits = ann.select("q_id", "vec_id")
+      .join(brute.select("q_id", "vec_id"), Seq("q_id", "vec_id")).count()
+    hits.toDouble / brute.count()
+  }
+
+  test("multi-probe LSH recall is at least single-bucket recall (and candidates superset)") {
+    val brute = Similarity.bruteForceTopK(emb, pred, K).cache()
+    val single = recallVsBrute(Similarity.lshTopK(emb, pred, K), brute)
+    val multi = recallVsBrute(Similarity.lshTopK(emb, pred, K, probeRadius = 1), brute)
+    info(f"recall@$K single-bucket=$single%.3f multi-probe=$multi%.3f")
+    assert(multi >= single)
+    assert(multi > 0.0)
+    brute.unpersist(): Unit
+  }
+
+  test("Lloyd iterations monotonically reduce quantization cost; recall stays at parity") {
+    // The k-means guarantee is on the quantization objective, not on
+    // single-cell recall: on this (near-uniform) synthetic corpus Lloyd
+    // mostly equalizes cell sizes, so recall lands at parity with the
+    // sampled init (measured 0.58-0.60 both ways at sf0.01) while the
+    // mean distance-to-centroid strictly drops.
+    val init = Similarity.sampledCentroids(emb, centroidEvery = 100)
+    val c1 = Similarity.kmeansCentroids(emb, centroidEvery = 100, iters = 1)
+    val c2 = Similarity.kmeansCentroids(emb, centroidEvery = 100, iters = 2)
+    val cost0 = Similarity.quantizationCost(emb, init)
+    val cost1 = Similarity.quantizationCost(emb, c1)
+    val cost2 = Similarity.quantizationCost(emb, c2)
+    info(f"quantization cost init=$cost0%.4f iter1=$cost1%.4f iter2=$cost2%.4f")
+    assert(cost1 < cost0)
+    assert(cost2 <= cost1)
+
+    val brute = Similarity.bruteForceTopK(emb, pred, K).cache()
+    val sampled = recallVsBrute(Similarity.ivfTopK(emb, pred, K, centroidEvery = 100), brute)
+    val kmeans = recallVsBrute(Similarity.ivfTopKWith(emb, c2, pred, K), brute)
+    info(f"recall@$K sampled=$sampled%.3f kmeans=$kmeans%.3f")
+    assert(kmeans >= sampled - 0.05, "kmeans recall must stay at parity with the sampled init")
+    assert(kmeans > 0.0)
+    brute.unpersist(): Unit
+  }
+
+  test("kmeans centroids keep the dimension and cover every init cell's data") {
+    val cents = Similarity.kmeansCentroids(emb, centroidEvery = 100, iters = 1)
+      .collect()
+    assert(cents.nonEmpty)
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    assert(cents.forall(_.getAs[scala.collection.Seq[Double]]("c_vec").length == dim))
+  }
+}
