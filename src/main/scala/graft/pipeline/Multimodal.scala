@@ -1,8 +1,7 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /**
  * Multimodal column handling: media payloads are opaque `binary` columns
@@ -87,40 +86,35 @@ object Multimodal {
           .as("resized_fp"))
   }
 
-  private val featureSchema = StructType(Seq(
-    StructField("doc_id", LongType, nullable = false),
-    StructField("f0", DoubleType, nullable = false),
-    StructField("f1", DoubleType, nullable = false),
-    StructField("f2", DoubleType, nullable = false),
-    StructField("f3", DoubleType, nullable = false)))
-
   /**
    * Batched "decode + feature-extract" over payload bytes — the
    * `mapInPandas` analog: a single-pass partition iterator with
-   * per-partition (not per-row) codec state. The feature extraction is a
-   * STUB — a real implementation would hand `payload` to an image/audio
-   * decoder here; this one derives 4 deterministic pseudo-features from
-   * the payload digest so the pipeline shape is testable end-to-end
-   * (each feature = a 28-bit md5 slice / 2^28 ∈ [0,1)).
+   * per-partition (not per-row) codec state, expressed as a typed
+   * Dataset `mapPartitions` so rows stay on Tungsten encoders (no Row
+   * RDD detour). The feature extraction is a STUB — a real
+   * implementation would hand `payload` to an image/audio decoder here
+   * (or use `mapInArrow` for a columnar-batch handoff); this one derives
+   * 4 deterministic pseudo-features from the payload digest so the
+   * pipeline shape is testable end-to-end (each feature = a 28-bit md5
+   * slice / 2^28 ∈ [0,1)).
    */
   def decodeFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val rows = media.select("doc_id", "payload").rdd.mapPartitions { it =>
-      // per-partition codec state (the expensive setup a real decoder has)
-      val digest = java.security.MessageDigest.getInstance("MD5")
-      it.map { r =>
-        val docId = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val hexPayload = payload.map("%02x".format(_)).mkString
-        digest.reset()
-        val d = digest.digest(hexPayload.getBytes("UTF-8"))
-        val hexDigest = d.map("%02x".format(_)).mkString
-        val feats = (0 until 4).map { j =>
-          java.lang.Long.parseLong(hexDigest.substring(j * 7, j * 7 + 7), 16) / math.pow(2, 28)
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition codec state (the expensive setup a real decoder has)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, payload) =>
+          val hexPayload = payload.map("%02x".format(_)).mkString
+          digest.reset()
+          val d = digest.digest(hexPayload.getBytes("UTF-8"))
+          val hexDigest = d.map("%02x".format(_)).mkString
+          def f(j: Int): Double =
+            java.lang.Long.parseLong(hexDigest.substring(j * 7, j * 7 + 7), 16) / math.pow(2, 28)
+          (docId, f(0), f(1), f(2), f(3))
         }
-        Row(docId, feats(0), feats(1), feats(2), feats(3))
       }
-    }
-    spark.createDataFrame(rows, featureSchema)
+      .toDF("doc_id", "f0", "f1", "f2", "f3")
   }
 }

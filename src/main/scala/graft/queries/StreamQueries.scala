@@ -38,6 +38,9 @@ object StreamQueries {
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
         rollupInterval = Some(RollupInterval))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
+      // post-ingest flush consolidation, as a production cadence would —
+      // every q_stream_* read below exercises the compacted layout
+      IngestJob.compactPoints(s, cfg)
       cfg
     })
 

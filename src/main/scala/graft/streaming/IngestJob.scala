@@ -248,6 +248,9 @@ object IngestJob {
       .filter(col("segment_start").isin(segments: _*))
     graft.rollup.Rollup.build(pts, interval)
       .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("bucket_ts")))
+      // co-locate each segment in one task: one file per segment partition
+      // instead of (shuffle-partitions × segments) small files
+      .repartition(col("segment_start"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_start")
@@ -285,29 +288,45 @@ object IngestJob {
   }
 
   /** R6: consolidate the lake's per-micro-batch small files — rewrite
-   *  each segment partition down to ceil(bytes / targetFileBytes) files.
-   *  A closed segment needs this exactly once; pass `segments` to bound
-   *  the work to recently-closed windows on a real deployment. Partitions
-   *  already at or under the target file count are left untouched.
-   *  Returns the segments rewritten. */
+   *  oversized segment partitions down to ceil(bytes / targetFileBytes)
+   *  files each. One Spark job covers every selected segment (salted
+   *  repartition keyed by segment so each segment lands in its target
+   *  number of tasks), written to a staging root and swapped in with
+   *  per-partition FileSystem renames — never an in-place overwrite of a
+   *  path being read. A closed segment needs this exactly once; pass
+   *  `segments` to bound the work to recently-closed windows on a real
+   *  deployment. Partitions already at or under the target file count
+   *  are left untouched. Returns the segments rewritten. */
   def compactPoints(spark: SparkSession, cfg: Config,
       targetFileBytes: Long = 128L << 20, segments: Option[Seq[Long]] = None): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    val rewritten = for {
+    val plan = for {
       (partDir, seg) <- segmentDirs(conf, pointsPath(cfg))
       if segments.forall(_.contains(seg))
       fs = partDir.getFileSystem(conf)
       dataFiles = fs.listStatus(partDir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
       target = math.max(1L, math.ceil(dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
       if dataFiles.length > target
-    } yield {
-      val tmp = s"${cfg.lakeDir}/.compact_points_$seg"
-      spark.read.parquet(partDir.toString).coalesce(target)
-        .write.mode("overwrite").parquet(tmp)
-      replaceDir(conf, tmp, partDir.toString)
-      seg
+    } yield seg -> target
+    if (plan.isEmpty) return Nil
+    val targets = spark.createDataFrame(plan.map { case (s, n) => (s, n) })
+      .toDF("segment_start", "__nf")
+    val tmp = s"${cfg.lakeDir}/.compact_points_tmp"
+    points(spark, cfg)
+      .filter(col("segment_start").isin(plan.map(_._1): _*)) // partition-pruned read
+      .join(broadcast(targets), Seq("segment_start"))
+      .withColumn("__salt", pmod(hash(col("series_id")), col("__nf")))
+      .repartition(col("segment_start"), col("__salt"))
+      .drop("__nf", "__salt")
+      .write.mode("overwrite").partitionBy("segment_start").parquet(tmp)
+    val sorted = plan.map(_._1).sorted
+    try sorted.foreach { seg =>
+      replaceDir(conf, s"$tmp/segment_start=$seg",
+        s"${pointsPath(cfg)}/segment_start=$seg")
+    } finally {
+      new Path(tmp).getFileSystem(conf).delete(new Path(tmp), true): Unit
     }
-    rewritten.sorted
+    sorted
   }
 
   private def hadoopConf(): Configuration = graft.core.Fs.hadoopConf()
