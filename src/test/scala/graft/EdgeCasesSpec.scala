@@ -60,6 +60,53 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(fr(0).getAs[Long]("frame_bytes") === 4L)
   }
 
+  test("empty payload yields zero frames, not a spurious descending sequence") {
+    import spark.implicits._
+    val docs = Seq((0L, "", "en", "src0", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = docs.select(col("doc_id"), lit("image").as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(lit(64).as("width"), lit(64).as("height"), lit(0L).as("duration_ms")).as("meta"))
+    assert(graft.pipeline.Multimodal.frames(media).count() === 0)
+  }
+
+  test("percentile name validation: resolve and isRegistered agree, bad names throw") {
+    for (ok <- Seq("p50", "p99.9", "p0", "p100"))
+      assert(Aggregators.isRegistered(ok), ok)
+    for (bad <- Seq("p", "p..", "p101", "pabc", "p99.99", "p-1"))
+      assert(!Aggregators.isRegistered(bad), bad)
+    for (bad <- Seq("p", "p..", "p101", "nope"))
+      assertThrows[IllegalArgumentException](Aggregators.resolve(bad))
+  }
+
+  test("ingest maintenance no-ops are safe: empty rollup flush, missing lake compaction") {
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_ing").toString
+    val cfg = graft.streaming.IngestJob.Config(s"$base/lake", s"$base/ckpt")
+    graft.streaming.IngestJob.flushRollup(spark, cfg, "1h", Seq.empty) // no segments: no-op
+    assert(graft.streaming.IngestJob.compactPoints(spark, cfg) === Seq.empty) // no lake yet
+    assert(graft.streaming.IngestJob.purge(cfg, Long.MaxValue) === Seq.empty)
+  }
+
+  test("ingest input modes resolve by scheme; unknown scheme throws") {
+    assertThrows[IllegalArgumentException](
+      graft.streaming.IngestInputs.start(spark, "bogus:x",
+        graft.streaming.IngestJob.Config("/tmp/x", "/tmp/y")))
+    assertThrows[IllegalArgumentException](
+      graft.streaming.IngestInputs.start(spark, "kafka:no-topic-part",
+        graft.streaming.IngestJob.Config("/tmp/x", "/tmp/y")))
+    // file mode runs the real pipeline end-to-end
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_edge_in")
+    val src = s"$base/src"
+    Seq((1L, 1000L * 1000000000L, 1L, "cpu", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(src)
+    val cfg = graft.streaming.IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4)
+    graft.streaming.IngestInputs.start(spark, s"file:$src", cfg).awaitTermination()
+    assert(graft.streaming.IngestJob.points(spark, cfg).count() === 1)
+  }
+
   test("rollup serve over a window with no rollup rows is empty, count included") {
     val pts = Fixtures.series("m", tagset, (0L, 1.0))
     val rollup = graft.rollup.Rollup.build(pts, "1h")
