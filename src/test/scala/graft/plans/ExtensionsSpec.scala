@@ -31,6 +31,18 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(filtered.count() > 0)
   }
 
+  test("open-ended upper bound at Long.MaxValue does not wrap to an empty result") {
+    val spark = TestSpark.spark
+    val pts = graft.sources.TsdbViews.points(spark, sf)
+    // ts <= Long.MaxValue: the v+1 rewrite would overflow to Long.MinValue
+    // and derive segment_start < Long.MinValue (false for every row)
+    val open = pts.filter(col("ts") >= lit(1704067200L) && col("ts") <= lit(Long.MaxValue))
+    assert(open.count() === pts.filter(col("ts") >= lit(1704067200L)).count())
+    assert(open.count() > 0)
+    val gt = pts.filter(col("ts") > lit(Long.MaxValue))
+    assert(gt.count() === 0) // and the GreaterThan guard derives nothing bogus
+  }
+
   test("rule is idempotent and leaves non-ts filters alone") {
     val spark = TestSpark.spark
     val pts = graft.sources.TsdbViews.points(spark, sf)
