@@ -67,6 +67,32 @@ object StreamQueries {
       cfg
     })
 
+  /** Segments strictly before this are purged in the maintenance lake —
+   *  inside the admitted window, so the purge visibly removes rows. */
+  private val PurgeCutoff = OracleCommon.Start + 5 * 86400
+
+  /** The ops-cycle lake (S7/R5/R6): same admission as above, then the
+   *  full maintenance pass — log compaction, points-file compaction,
+   *  retention purge — BEFORE any query reads it. Compaction must
+   *  preserve every row hash; purge must remove exactly the segments the
+   *  oracle's cutoff clause removes. */
+  private def maintenanceLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#maintenance", {
+      val base = java.nio.file.Files.createTempDirectory("graft_mnt")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = AdmissionRetention, maxFutureSec = AdmissionFuture)
+      IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
+      IngestJob.compact(s, cfg)
+      IngestJob.compactPoints(s, cfg)
+      IngestJob.purge(cfg, PurgeCutoff)
+      cfg
+    })
+
   val defs: Map[String, Q] = Map(
     // A18 served from the streaming-maintained latest log (no fact scan)
     "q_stream_latest" -> { (s, d) =>
@@ -109,6 +135,23 @@ object StreamQueries {
       IngestJob.points(s, admissionLakeFor(s, d))
         .select(col("metric"), col("tags")("user").as("tag_user"),
           col("ts"), col("value"), col("seq"))
+    },
+
+    // R5+R6: the lake after the full maintenance cycle — points-file
+    // compaction must keep every admitted row bit-identical, purge must
+    // drop exactly the pre-cutoff segments
+    "q_stream_maintenance" -> { (s, d) =>
+      IngestJob.points(s, maintenanceLakeFor(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("ts"), col("value"), col("seq"))
+    },
+
+    // S7: series_dim served from the COMPACTED log (one snapshot row per
+    // series) still equals the dimension derived from admitted points
+    "q_stream_dim_compacted" -> { (s, d) =>
+      IngestJob.seriesDim(s, maintenanceLakeFor(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("tag_count"),
+          col("first_seen"), col("last_seen"))
     }
   )
 
@@ -146,11 +189,33 @@ object StreamQueries {
     // → robust high-water mark → (hwm - retention, hwm + tolerance]
     "q_stream_admission" ->
       s"""WITH $pointsCtes,
-         |m AS (SELECT median(ts) AS p50 FROM points),
-         |h AS (SELECT max(ts) AS hwm FROM points
-         |      WHERE ts <= (SELECT p50 + $AdmissionFuture FROM m))
-         |SELECT metric, tag_user, ts, value, seq FROM points
-         |WHERE ts > (SELECT hwm - $AdmissionRetention FROM h)
-         |  AND ts <= (SELECT hwm + $AdmissionFuture FROM h)""".stripMargin
+         |$admittedCtes
+         |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
+
+    "q_stream_maintenance" ->
+      s"""WITH $pointsCtes,
+         |$admittedCtes
+         |SELECT metric, tag_user, ts, value, seq FROM admitted
+         |WHERE ts - ts % 7200 >= $PurgeCutoff""".stripMargin,
+
+    "q_stream_dim_compacted" ->
+      s"""WITH $pointsCtes,
+         |$admittedCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN tag_env IS NULL THEN 3 ELSE 4 END AS tag_count,
+         |       min(ts) AS first_seen, max(ts) AS last_seen
+         |FROM admitted
+         |GROUP BY 1, 2, 3""".stripMargin
   )
+
+  /** The admission replay (median → robust hwm → drop bounds) as CTEs
+   *  over `points` — shared by the three maintenance-path oracles. */
+  private def admittedCtes: String =
+    s"""m AS (SELECT median(ts) AS p50 FROM points),
+       |h AS (SELECT max(ts) AS hwm FROM points
+       |      WHERE ts <= (SELECT p50 + $AdmissionFuture FROM m)),
+       |admitted AS (
+       |  SELECT * FROM points
+       |  WHERE ts > (SELECT hwm - $AdmissionRetention FROM h)
+       |    AND ts <= (SELECT hwm + $AdmissionFuture FROM h))""".stripMargin
 }
