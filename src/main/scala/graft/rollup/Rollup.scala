@@ -11,8 +11,12 @@ import org.apache.spark.sql.functions._
  * Build side mirrors the reference's ingest-time DownSampler composite —
  * one pass computing avg/sum/count/min/max/last/sumofsquare per interval
  * (core/.../core/downsample/DownSampler.java:32-56, AggregatorType.java,
- * SumOfSquareAggregator.java) — as a single multi-aggregate groupBy that
- * a streaming job appends per batch.
+ * SumOfSquareAggregator.java) — as a single multi-aggregate groupBy.
+ * The streaming ingest maintains the rollup table with this build:
+ * [[graft.streaming.IngestJob.flushRollup]] recomputes each touched
+ * segment window and overwrites its partition (exact under cross-batch
+ * duplicate timestamps, where merging per-batch partials would
+ * double-count a re-sent point).
  *
  * Read side mirrors the reference's rollup decision
  * (opentsdb/.../storage/AerospikeBatchQueryNode.java:196-226): a
