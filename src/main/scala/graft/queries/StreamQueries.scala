@@ -71,6 +71,33 @@ object StreamQueries {
    *  inside the admitted window, so the purge visibly removes rows. */
   private val PurgeCutoff = OracleCommon.Start + 5 * 86400
 
+  /** The mapGroupsWithState latest path (A18, third engine for the same
+   *  semantics): stream → stateful latest → update-mode memory sink,
+   *  snapshotted to parquet once per source dir. One file ⇒ one batch ⇒
+   *  exactly one update row per series. */
+  private def latestStateLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#lstate", {
+      val base = java.nio.file.Files.createTempDirectory("graft_lstate")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val schema = s.read.parquet(srcDir.toString).schema
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val tableName = s"graft_latest_state_${math.abs(d.hashCode)}"
+      val q = graft.streaming.StreamOps
+        .latestByState(graft.sources.TsdbViews.pointsFromEvents(stream))
+        .writeStream.format("memory").queryName(tableName)
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(tableName).write.parquet(s"$base/latest_state")
+      IngestJob.Config(s"$base", s"$base/ckpt") // lakeDir doubles as the snapshot root
+    })
+
   /** The ops-cycle lake (S7/R5/R6): same admission as above, then the
    *  full maintenance pass — log compaction, points-file compaction,
    *  retention purge — BEFORE any query reads it. Compaction must
@@ -152,6 +179,15 @@ object StreamQueries {
       IngestJob.seriesDim(s, maintenanceLakeFor(s, d))
         .select(col("metric"), col("tags")("user").as("tag_user"), col("tag_count"),
           col("first_seen"), col("last_seen"))
+    },
+
+    // A18 via mapGroupsWithState: the stateful-streaming latest agrees
+    // with the latest-log fold and the batch aggregate on the same oracle
+    "q_stream_latest_state" -> { (s, d) =>
+      s.read.parquet(s"${latestStateLakeFor(s, d).lakeDir}/latest_state")
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("tags")("host").as("tag_host"), col("tags")("colo").as("tag_colo"),
+          col("last_ts"), round(col("last_value"), 4).as("last_value"))
     }
   )
 
@@ -191,6 +227,14 @@ object StreamQueries {
       s"""WITH $pointsCtes,
          |$admittedCtes
          |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
+
+    "q_stream_latest_state" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, tag_host, tag_colo,
+         |       ts AS last_ts, ${rnd("value")} AS last_value
+         |FROM points
+         |QUALIFY row_number() OVER (PARTITION BY metric, tag_user
+         |                           ORDER BY ts DESC, seq DESC) = 1""".stripMargin,
 
     "q_stream_maintenance" ->
       s"""WITH $pointsCtes,

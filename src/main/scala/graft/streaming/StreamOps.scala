@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.core.Intervals
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** A point row as the stateful operators consume it. */
+final case class PointRow(
+    series_id: Long, metric: String, tags: Map[String, String],
+    ts: Long, value: Double, seq: Long)
+
+/** Per-series last-write state carried across micro-batches. */
+final case class LatestState(last_ts: Long, last_seq: Long, last_value: Double)
+
+/** The updated latest row a batch emits for a series. */
+final case class LatestUpdate(
+    series_id: Long, metric: String, tags: Map[String, String],
+    last_ts: Long, last_value: Double)
+
+/**
+ * Spark-native continuous operators over the points stream — the
+ * Structured Streaming state/window surfaces, complementing the
+ * foreachBatch lake pipeline ([[IngestJob]]):
+ *
+ *  - [[latestByState]]: the reference's in-memory per-series last-value
+ *    tracking (core/.../core/TimeSeriesShard.java:853-959 keeps the live
+ *    tail of every series on heap) as `groupByKey(series).
+ *    mapGroupsWithState` — state is exactly one (ts, seq, value) triple
+ *    per series, Spark's state store handles persistence/recovery, and
+ *    each micro-batch emits the updated latest rows. Same
+ *    last-write-wins order ((ts, seq) max) as QueryEngine.dedupe and the
+ *    latest-log fold, so all three A18 paths agree.
+ *  - [[windowedDownsample]]: the ingest-time interval aggregation
+ *    (core/.../core/downsample/DownSampler.java:32-56) as an event-time
+ *    window aggregate with a watermark: late points inside the watermark
+ *    delay still land in their window; a window finalizes (append mode)
+ *    once the watermark passes its end — the streaming analog of a
+ *    segment flush.
+ *
+ * Both run on an unbounded stream with state bounded by |series| (plus
+ * open windows), which is the property that matters at 100 TB/day: no
+ * per-point state, no unbounded buffers.
+ */
+object StreamOps {
+
+  /** Streaming A18: continuously-maintained per-series latest value. Use
+   *  `outputMode("update")`; each batch emits only series that changed. */
+  def latestByState(points: DataFrame): Dataset[LatestUpdate] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("ts"), col("value"), col("seq"))
+      .as[PointRow]
+      .groupByKey(_.series_id)
+      .mapGroupsWithState[LatestState, LatestUpdate](GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[PointRow], state: GroupState[LatestState]) =>
+          var cur = state.getOption.getOrElse(LatestState(Long.MinValue, Long.MinValue, Double.NaN))
+          var repr: PointRow = null
+          rows.foreach { p =>
+            repr = p
+            if (p.ts > cur.last_ts || (p.ts == cur.last_ts && p.seq > cur.last_seq))
+              cur = LatestState(p.ts, p.seq, p.value)
+          }
+          state.update(cur)
+          LatestUpdate(repr.series_id, repr.metric, repr.tags, cur.last_ts, cur.last_value)
+      }
+  }
+
+  /** Streaming downsample: event-time tumbling windows + watermark. Use
+   *  `outputMode("append")`; a window row is emitted exactly once, when
+   *  the watermark passes its end. */
+  def windowedDownsample(points: DataFrame, interval: String,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val sec = Intervals.toSeconds(interval)
+    points
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .groupBy(col("series_id"), col("metric"),
+        window(col("event_time"), s"$sec seconds"))
+      .agg(sum(col("value")).as("value"), count(lit(1)).as("cnt"))
+      .select(col("series_id"), col("metric"),
+        unix_timestamp(col("window.start")).as("bucket_ts"),
+        col("value"), col("cnt"))
+  }
+}

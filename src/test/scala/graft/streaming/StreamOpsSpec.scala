@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.TestSpark
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The Structured Streaming state/window operators: per-series latest via
+ *  mapGroupsWithState, windowed downsample via watermark + event-time
+ *  windows. MemoryStream gives exact micro-batch boundaries. */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private def pt(sid: Long, ts: Long, v: Double, seq: Long) =
+    PointRow(sid, s"m$sid", Map("s" -> sid.toString), ts, v, seq)
+
+  test("mapGroupsWithState latest: cross-batch LWW incl. duplicate-ts seq tiebreak (A18)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.latestByState(input.toDF())
+      .writeStream.format("memory").queryName("latest_state")
+      .outputMode("update").start()
+    try {
+      input.addData(pt(1, 100, 1.0, 1), pt(1, 200, 2.0, 2), pt(2, 50, 9.0, 3))
+      q.processAllAvailable()
+      // duplicate ts with higher seq wins; an older point changes nothing
+      input.addData(pt(1, 200, 3.0, 4), pt(1, 150, 0.5, 5))
+      q.processAllAvailable()
+      val rows = spark.table("latest_state")
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getDouble(4))).toSet
+      assert(rows === Set((1L, 200L, 2.0), (2L, 50L, 9.0), (1L, 200L, 3.0)))
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS latest_state") }
+  }
+
+  test("watermarked windowed downsample: late-within-delay lands, windows finalize once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.windowedDownsample(input.toDF(), "1m", "30 seconds")
+      .writeStream.format("memory").queryName("win_ds")
+      .outputMode("append").start()
+    try {
+      // batch 1: windows [0,60) and [60,120); watermark after = 119-30 = 89
+      input.addData(pt(1, 10, 1.0, 1), pt(1, 50, 2.0, 2), pt(1, 119, 4.0, 3))
+      q.processAllAvailable()
+      // batch 2: watermark 89 finalizes window 0; ts=70 is late but within
+      // the delay for the still-open window 60; ts=300 advances wm to 270
+      input.addData(pt(1, 70, 8.0, 4), pt(1, 300, 16.0, 5))
+      q.processAllAvailable()
+      // batch 3: watermark 270 finalizes window 60 (with the late point);
+      // ts=400 then advances the watermark to 370, finalizing window 300
+      input.addData(pt(1, 400, 32.0, 6))
+      q.processAllAvailable()
+      val rows = spark.table("win_ds")
+        .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+      assert(rows === Set((0L, 3.0, 2L), (60L, 12.0, 2L), (300L, 16.0, 1L))) // 400 still open
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_ds") }
+  }
+}
