@@ -156,6 +156,8 @@ object IngestJob {
         .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
         .write.mode("append").parquet(latestLogPath(cfg))
       cfg.rollupInterval.foreach { iv =>
+        // control-flow collect, not a data loop: a micro-batch touches a
+        // handful of 2h windows (cached input, O(segments-per-batch) ids)
         val touched = admitted.select(col("segment_start")).distinct()
           .collect().map(_.getLong(0)).toSeq
         flushRollup(batch.sparkSession, cfg, iv, touched)
