@@ -63,6 +63,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * deduped lake rather than merging per-batch partial aggregates (a
  * sum-of-partials would double-count a timestamp re-sent in a later
  * batch).
+ *
+ * The same property makes the whole pipeline replay-tolerant
+ * (effectively-once on read over foreachBatch's at-least-once): replaying
+ * a micro-batch appends rows with the same (ts, seq), which every
+ * reader's LWW fold collapses, and re-runs the idempotent per-segment
+ * rollup flush — tested in IngestJobSpec ("replaying a micro-batch").
  */
 object IngestJob {
 

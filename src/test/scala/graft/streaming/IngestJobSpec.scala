@@ -157,6 +157,29 @@ class IngestJobSpec extends AnyFunSuite {
     assert(!plan.contains("lake/points"), "must not touch raw points")
   }
 
+  test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
+    // foreachBatch is at-least-once on failure/restart; the lake absorbs a
+    // replay because every reader resolves duplicates by (ts, seq) LWW and
+    // the rollup flush recomputes its segments from the deduped lake
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, rollupInterval = Some("1h"))
+    val t0 = 60 * seg
+    val batch = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0, "cpu", 1.0), (300L, t0 + 60, "cpu", 5.0)))
+    IngestJob.processBatch(batch, cfg)
+    def snapshot() = (
+      graft.query.QueryEngine.dedupe(IngestJob.points(spark, cfg))
+        .select("ts", "value").collect().toSet,
+      IngestJob.latest(spark, cfg).select("last_ts", "last_value").collect().toSet,
+      IngestJob.seriesDim(spark, cfg).select("series_id", "first_seen", "last_seen").collect().toSet,
+      IngestJob.rollup(spark, cfg).select("bucket_ts", "sum", "cnt").collect().toSet)
+    val before = snapshot()
+    IngestJob.processBatch(batch, cfg) // the replay
+    assert(snapshot() === before)
+  }
+
   test("purge drops expired segment partitions (R5)") {
     val t0 = 30 * seg
     // wall-clock admission mode: this batch legitimately spans 4h
