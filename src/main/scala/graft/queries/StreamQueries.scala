@@ -85,7 +85,7 @@ object StreamQueries {
         java.nio.file.Paths.get(s"$d/events.parquet"))
       val schema = s.read.parquet(srcDir.toString).schema
       val stream = s.readStream.schema(schema).parquet(srcDir.toString)
-      val tableName = s"graft_latest_state_${math.abs(d.hashCode)}"
+      val tableName = s"graft_latest_state_${Integer.toHexString(d.hashCode)}"
       val q = graft.streaming.StreamOps
         .latestByState(graft.sources.TsdbViews.pointsFromEvents(stream))
         .writeStream.format("memory").queryName(tableName)
