@@ -12,8 +12,13 @@ package graft
  *     instead of every sample of one query;
  *   - per-run times go to stderr, so contamination is visible in the log;
  *   - any query whose median exceeds 3× the suite median is re-measured
- *     (fresh median of 3) and the smaller of the two medians is recorded
- *     — a genuine slow query reproduces, a host stall doesn't. */
+ *     (3 fresh samples) and the median of ALL its samples is recorded —
+ *     a genuine slow query reproduces across all six samples and keeps
+ *     its high median; a one-pass host stall is outvoted. (Recording
+ *     min(median, re-median) would bias slow-but-variable queries low.)
+ *
+ *  The full per-query JSON line is also written to BENCH_LOCAL.json so a
+ *  truncated stdout capture never loses per-query numbers. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -50,15 +55,19 @@ object Bench {
     val suiteMedian = median(medians.map(_._2).filter(_ >= 0))
     val results = medians.map { case (name, m) =>
       if (suiteMedian > 0 && m > 3 * suiteMedian) {
-        val re = median((1 to reps).map(_ => timeOne(name)).filter(_ >= 0))
+        val all = samples(name) ++ (1 to reps).map(_ => timeOne(name))
+        val re = median(all.filter(_ >= 0))
         System.err.println(
-          f"[bench] outlier $name: recorded $m%.3f s, re-measured $re%.3f s")
-        name -> (if (re >= 0) math.min(m, re) else m)
+          f"[bench] outlier $name: first median $m%.3f s, median of ${all.size} samples $re%.3f s")
+        name -> (if (re >= 0) re else m)
       } else name -> m
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()
   }
 }

@@ -115,16 +115,26 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment (broadcast centroids, one codegen pass
-   *  over the corpus; deterministic c_id tiebreak). */
+   *  over the corpus; deterministic c_id tiebreak). The argmin over the
+   *  n·k (corpus × centroids) expansion is a `min` over (d, c_id) packed
+   *  into one long — a primitive-buffer HashAggregate whose map-side
+   *  partial collapses the expansion back to n rows before any exchange
+   *  (a row_number window here would shuffle and sort all n·k rows).
+   *  `vec` rides in the grouping key (grouping keys may be arrays; only
+   *  aggregation buffers must stay primitive for hash aggregation).
+   *  Packing: d is already rounded to 4 decimals and 1-cosine ≤ 2, so
+   *  d·10⁴ fits 15 bits + sign; c_id gets the low 44 bits (≤ 1.7e13
+   *  centroid ids — far beyond any corpus). Arithmetic shift + mask
+   *  decode stays exact even for the FP-noise case d = -0.0001. */
   private def assignToCells(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("d").asc, col("c_id").asc)
+    val packed = round(col("d") * lit(10000)).cast("long") * lit(1L << 44) + col("c_id")
     vecs.join(broadcast(cents), lit(true))
       .withColumn("d", round(lit(1.0) - cosine(col("vec"), col("c_vec")), 4))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("vec"), col("c_id").as("cell"), col("d"))
+      .groupBy(col("vec_id"), col("vec"))
+      .agg(min(packed).as("__p"))
+      .select(col("vec_id"), col("vec"),
+        col("__p").bitwiseAND(lit((1L << 44) - 1)).as("cell"),
+        (shiftright(col("__p"), 44).cast("double") / lit(10000.0)).as("d"))
   }
 
   /** Mean cosine distance to the assigned centroid — the k-means

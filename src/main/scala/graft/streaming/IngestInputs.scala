@@ -13,10 +13,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
  *   file:<dir>                — parquet file stream ([[IngestJob.run]])
  *   datagen:<rowsPerSecond>   — synthetic rate source ([[IngestJob.runDataGen]])
  *   kafka:<brokers>/<topic>   — broker stream ([[KafkaSource.run]])
+ *   pulsar:<serviceUrl>/<topic> — broker stream ([[PulsarSource.run]])
  *
- * A Pulsar mode registers the same way (its Spark connector exposes a
- * key/value wire schema [[KafkaSource.parse]] can serve with a column
- * rename); no broker of either kind exists in this environment.
+ * No broker of either kind exists in this environment; both broker modes
+ * are wire-schema-tested through their `parse` stages.
  */
 object IngestInputs {
 
@@ -29,6 +29,10 @@ object IngestInputs {
     "kafka" -> ((s, rest, cfg) => rest.split("/", 2) match {
       case Array(brokers, topic) => KafkaSource.run(s, brokers, topic, cfg)
       case _ => throw new IllegalArgumentException(s"kafka:<brokers>/<topic> expected: $rest")
+    }),
+    "pulsar" -> ((s, rest, cfg) => rest.split("/", 2) match {
+      case Array(url, topic) => PulsarSource.run(s, url, topic, cfg)
+      case _ => throw new IllegalArgumentException(s"pulsar:<serviceUrl>/<topic> expected: $rest")
     }))
 
   def register(scheme: String, starter: Starter): Unit = modes.put(scheme, starter): Unit

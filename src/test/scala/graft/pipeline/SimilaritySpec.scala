@@ -65,4 +65,12 @@ class SimilaritySpec extends AnyFunSuite {
     val dim = emb.select(size(col("embedding"))).head.getInt(0)
     assert(cents.forall(_.getAs[scala.collection.Seq[Double]]("c_vec").length == dim))
   }
+
+  test("centroid assignment collapses the n·k expansion in a HashAggregate (no Window/Sort)") {
+    val plan = Similarity.ivfAssign(emb, centroidEvery = 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected HashAggregate in:\n$plan")
+    assert(!plan.contains("Window"), s"argmin must not plan a Window:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"argmin buffer must stay primitive:\n$plan")
+  }
 }
