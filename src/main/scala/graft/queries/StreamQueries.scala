@@ -67,6 +67,28 @@ object StreamQueries {
       cfg
     })
 
+  /** Sampling modulus for the seeded-approx admission variant (~6% of the
+   *  batch feeds the median sort). */
+  private val AdmissionSampleMod = 16
+
+  /** Same admission lake, but the median is the md5-seeded sampled one
+   *  (Config.admissionSampleMod) — the large-batch configuration. The
+   *  oracle replays the identical sample + median arithmetic. */
+  private def admissionApproxLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#admission_approx", {
+      val base = java.nio.file.Files.createTempDirectory("graft_adm_approx")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = AdmissionRetention, maxFutureSec = AdmissionFuture,
+        admissionSampleMod = Some(AdmissionSampleMod))
+      IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
+      cfg
+    })
+
   /** Segments strictly before this are purged in the maintenance lake —
    *  inside the admitted window, so the purge visibly removes rows. */
   private val PurgeCutoff = OracleCommon.Start + 5 * 86400
@@ -164,6 +186,14 @@ object StreamQueries {
           col("ts"), col("value"), col("seq"))
     },
 
+    // S2/R2 with the seeded-approx median (the large-batch admission
+    // configuration): DuckDB replays the md5 sample + median exactly
+    "q_stream_admission_approx" -> { (s, d) =>
+      IngestJob.points(s, admissionApproxLakeFor(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("ts"), col("value"), col("seq"))
+    },
+
     // R5+R6: the lake after the full maintenance cycle — points-file
     // compaction must keep every admitted row bit-identical, purge must
     // drop exactly the pre-cutoff segments
@@ -188,6 +218,23 @@ object StreamQueries {
         .select(col("metric"), col("tags")("user").as("tag_user"),
           col("tags")("host").as("tag_host"), col("tags")("colo").as("tag_colo"),
           col("last_ts"), round(col("last_value"), 4).as("last_value"))
+    },
+
+    // P3 inside the correctness gate: both sides of the union come from
+    // scheme-resolved source factories (`stream:` = the ingest-maintained
+    // lake, `events:` = the raw table). The two sources carry the same
+    // logical rows, so the cross-source LWW dedupe must collapse the
+    // union back to the single-copy answer — any factory-plumbing drift
+    // (schema, seq, partition column) breaks the hash.
+    "q_source_factory" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      val hot = graft.sources.Sources.resolve(s"stream:${cfg.lakeDir}").points(s)
+      val cold = graft.sources.Sources.resolve(s"events:$d").points(s)
+      val pts = hot.unionByName(cold)
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      QueryEngine.downsample(QueryEngine.dedupe(pts), DownsampleSpec("1d", "sum"), Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
     }
   )
 
@@ -228,6 +275,13 @@ object StreamQueries {
          |$admittedCtes
          |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
 
+    // identical replay, but the median comes from the md5-seeded sample
+    "q_stream_admission_approx" ->
+      s"""WITH $pointsCtes,
+         |${admittedCtesFrom(
+            s"SELECT median(ts) AS p50 FROM points WHERE ${sampledSeq(AdmissionSampleMod)}")}
+         |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
+
     "q_stream_latest_state" ->
       s"""WITH $pointsCtes
          |SELECT metric, tag_user, tag_host, tag_colo,
@@ -249,17 +303,32 @@ object StreamQueries {
          |       CASE WHEN tag_env IS NULL THEN 3 ELSE 4 END AS tag_count,
          |       min(ts) AS first_seen, max(ts) AS last_seen
          |FROM admitted
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the factory-resolved hot∪cold union must dedupe to the plain answer
+    "q_source_factory" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
          |GROUP BY 1, 2, 3""".stripMargin
   )
 
   /** The admission replay (median → robust hwm → drop bounds) as CTEs
-   *  over `points` — shared by the three maintenance-path oracles. */
-  private def admittedCtes: String =
-    s"""m AS (SELECT median(ts) AS p50 FROM points),
+   *  over `points` — shared by the maintenance-path oracles. The median
+   *  subquery is pluggable so the seeded-sample variant replays too. */
+  private def admittedCtesFrom(medianSql: String): String =
+    s"""m AS ($medianSql),
        |h AS (SELECT max(ts) AS hwm FROM points
        |      WHERE ts <= (SELECT p50 + $AdmissionFuture FROM m)),
        |admitted AS (
        |  SELECT * FROM points
        |  WHERE ts > (SELECT hwm - $AdmissionRetention FROM h)
        |    AND ts <= (SELECT hwm + $AdmissionFuture FROM h))""".stripMargin
+
+  private def admittedCtes: String =
+    admittedCtesFrom("SELECT median(ts) AS p50 FROM points")
+
+  /** DuckDB side of `md5prefix28(cast(seq as string)) % m == 0`. */
+  private def sampledSeq(m: Int): String =
+    s"('0x' || substr(md5(CAST(seq AS VARCHAR)), 1, 7))::BIGINT % $m = 0"
 }

@@ -4,7 +4,7 @@ import graft.core.{Intervals, TsdbSchema}
 import graft.sources.TsdbViews
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -78,14 +78,27 @@ object IngestJob {
    *  heuristic (future cutoff relative to the batch median) — robust to
    *  outliers but, with no external clock, unable to distinguish a sparse
    *  multi-hour backfill batch from future garbage; such deployments
-   *  should widen `maxFutureSec` or supply the clock. */
+   *  should widen `maxFutureSec` or supply the clock.
+   *
+   *  `admissionSampleMod`: when set to m, the admission median is the
+   *  exact median of the deterministic ~1/m row sample where
+   *  `md5prefix28(seq) % m == 0` — the large-batch swap-in for the full
+   *  sort-based percentile. This is a *seeded* approximation: Spark's
+   *  own `approx_percentile` (a Greenwald-Khanna sketch) merges partial
+   *  summaries in partition order and cannot be replayed by another
+   *  engine, while a hash-seeded sample + exact median is bit-replayable
+   *  in DuckDB with the shared md5 arithmetic (the oracle for
+   *  q_stream_admission_approx does exactly that). The admission median
+   *  only anchors the future-outlier cutoff, so a sampled median admits
+   *  an (acceptably) slightly different boundary set — deterministically. */
   final case class Config(
       lakeDir: String,
       checkpointDir: String,
       retentionSec: Long = TsdbSchema.RetentionSeconds,
       maxFutureSec: Long = 3600,
       rollupInterval: Option[String] = None,
-      nowSec: Option[() => Long] = None)
+      nowSec: Option[() => Long] = None,
+      admissionSampleMod: Option[Int] = None)
 
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
@@ -105,16 +118,25 @@ object IngestJob {
    *  (no dedicated count jobs). */
   def processBatch(batch: DataFrame, cfg: Config,
       sink: Option[graft.sinks.PointsSink] = None): BatchStats = {
-    // One stats pass: exact median (deterministic, oracle-replayable;
-    // micro-batches are bounded so the sort-based percentile is fine —
-    // a fixed-seed approx percentile is the swap-in for huge batches),
+    // One stats pass: the admission median (deterministic,
+    // oracle-replayable: exact by default, or the exact median of the
+    // md5-seeded 1/m sample for huge batches — Config.admissionSampleMod),
     // raw max, and total count. count==0 ⇒ empty batch, done.
+    val medianOf: Column => Column = ts => percentile(ts, lit(0.5))
+    val p50Col = cfg.admissionSampleMod match {
+      case Some(m) => medianOf(when(
+        pmod(call_function("md5prefix28", col("seq").cast("string")), lit(m)) === 0, col("ts")))
+      case None => medianOf(col("ts"))
+    }
     val head = batch.agg(
-      percentile(col("ts"), lit(0.5)).as("p50"),
+      p50Col.as("p50"),
       max(col("ts")).as("mx"),
       count(lit(1)).as("total")).head
     if (head.isNullAt(1)) return BatchStats(0, 0, Long.MinValue)
-    val p50 = head.getDouble(0)
+    // empty sample (tiny batch): fall back to the full exact median
+    val p50 = if (head.isNullAt(0))
+      batch.agg(medianOf(col("ts"))).head.getDouble(0)
+    else head.getDouble(0)
     val rawMax = head.getLong(1)
     val total = head.getLong(2)
     val now: Option[Long] = cfg.nowSec.map(_.apply()) // sample the clock once per batch

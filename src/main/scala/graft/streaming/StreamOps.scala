@@ -70,18 +70,37 @@ object StreamOps {
 
   /** Streaming downsample: event-time tumbling windows + watermark. Use
    *  `outputMode("append")`; a window row is emitted exactly once, when
-   *  the watermark passes its end. */
+   *  the watermark passes its end — and it carries the full A10 composite
+   *  (sum/cnt/min/max/last/sumsq, [[graft.rollup.Rollup.build]]'s column
+   *  vocabulary, same NaN-as-null convention and (ts, seq)
+   *  last-write-wins `last`), so in a pure-streaming deployment this
+   *  operator can feed the rollup table directly: the segment flush
+   *  becomes `writeStream.partitionBy(segment_start)` over these rows.
+   *  One caveat vs the batch flush: a point for an already-finalized
+   *  window is silently dropped by the watermark, where the micro-batch
+   *  lake path re-flushes the touched segment — the deployment chooses
+   *  lateness tolerance via `watermarkDelay`. */
   def windowedDownsample(points: DataFrame, interval: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val sec = Intervals.toSeconds(interval)
+    val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))
     points
       .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withColumn("__v", v)
+      .withColumn("__tj", to_json(col("tags")))
       .withWatermark("event_time", watermarkDelay)
-      .groupBy(col("series_id"), col("metric"),
+      .groupBy(col("series_id"), col("metric"), col("__tj"),
         window(col("event_time"), s"$sec seconds"))
-      .agg(sum(col("value")).as("value"), count(lit(1)).as("cnt"))
+      .agg(
+        sum(col("__v")).as("sum"),
+        count(col("__v")).as("cnt"),
+        min(col("__v")).as("min"),
+        max(col("__v")).as("max"),
+        max_by(col("__v"), when(col("__v").isNotNull, struct(col("ts"), col("seq")))).as("last"),
+        sum(col("__v") * col("__v")).as("sumsq"))
       .select(col("series_id"), col("metric"),
+        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
         unix_timestamp(col("window.start")).as("bucket_ts"),
-        col("value"), col("cnt"))
+        col("sum"), col("cnt"), col("min"), col("max"), col("last"), col("sumsq"))
   }
 }

@@ -32,7 +32,7 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS latest_state") }
   }
 
-  test("watermarked windowed downsample: late-within-delay lands, windows finalize once") {
+  test("watermarked windowed downsample: full composite finalizes once per window") {
     val spark = TestSpark.spark
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -41,8 +41,10 @@ class StreamOpsSpec extends AnyFunSuite {
       .writeStream.format("memory").queryName("win_ds")
       .outputMode("append").start()
     try {
-      // batch 1: windows [0,60) and [60,120); watermark after = 119-30 = 89
-      input.addData(pt(1, 10, 1.0, 1), pt(1, 50, 2.0, 2), pt(1, 119, 4.0, 3))
+      // batch 1: windows [0,60) and [60,120); watermark after = 119-30 = 89.
+      // The NaN point must count for nothing (A10's NaN-as-null).
+      input.addData(pt(1, 10, 1.0, 1), pt(1, 50, 2.0, 2), pt(1, 119, 4.0, 3),
+        pt(1, 55, Double.NaN, 9))
       q.processAllAvailable()
       // batch 2: watermark 89 finalizes window 0; ts=70 is late but within
       // the delay for the still-open window 60; ts=300 advances wm to 270
@@ -52,9 +54,18 @@ class StreamOpsSpec extends AnyFunSuite {
       // ts=400 then advances the watermark to 370, finalizing window 300
       input.addData(pt(1, 400, 32.0, 6))
       q.processAllAvailable()
-      val rows = spark.table("win_ds")
-        .collect().map(r => (r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
-      assert(rows === Set((0L, 3.0, 2L), (60L, 12.0, 2L), (300L, 16.0, 1L))) // 400 still open
+      val out = spark.table("win_ds").collect()
+      // once per window: exactly one row each for windows 0, 60, 300
+      assert(out.length === 3)
+      val rows = out.map(r => (r.getLong(3),
+        (r.getDouble(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+          r.getDouble(8), r.getDouble(9)))).toMap
+      // (sum, cnt, min, max, last-by-(ts,seq), sumsq); 400 still open
+      assert(rows === Map(
+        0L -> ((3.0, 2L, 1.0, 2.0, 2.0, 5.0)),
+        60L -> ((12.0, 2L, 4.0, 8.0, 4.0, 80.0)), // last = ts119 despite seq4@70
+        300L -> ((16.0, 1L, 16.0, 16.0, 16.0, 256.0))))
+      assert(out.forall(r => r.getAs[Map[String, String]]("tags").nonEmpty))
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_ds") }
   }
 }
