@@ -38,9 +38,38 @@ object StreamQueries {
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
         rollupInterval = Some(RollupInterval))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
-      // post-ingest flush consolidation, as a production cadence would —
-      // every q_stream_* read below exercises the compacted layout
+      // post-ingest maintenance, as a production shutdown would: complete
+      // the close-gated rollup over the final open tail, then consolidate
+      // files — every q_stream_* read below exercises that layout
+      IngestJob.finalizeRollup(s, cfg)
       IngestJob.compactPoints(s, cfg)
+      cfg
+    })
+
+  /** The hybrid lake's frozen ingest clock: mid-query-range, so the lake
+   *  is a genuine live-deployment snapshot — segments before the clock
+   *  are closed (rolled up), the clock's own segment is open, and the
+   *  reference's isEarly check drops everything past clock+tolerance. */
+  private val HybridNowSec = OracleCommon.Start + 15 * 86400 // 2024-01-20 00:00
+  private val HybridFutureSec = 3600L
+
+  /** Ingest WITHOUT the shutdown flush, under the frozen wall clock: the
+   *  close gate leaves the clock's segment un-rolled, so this lake has a
+   *  genuine open tail inside [Start, End) — q_rollup_hybrid must route
+   *  closed segments to the rollup and the tail to raw points. */
+  private def hybridLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#hybrid", {
+      val base = java.nio.file.Files.createTempDirectory("graft_hybrid")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = Long.MaxValue / 4, maxFutureSec = HybridFutureSec,
+        rollupInterval = Some(RollupInterval),
+        nowSec = Some(() => HybridNowSec))
+      IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       cfg
     })
 
@@ -179,6 +208,21 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // A10+A14 hybrid: closed segments from the maintained rollup UNION
+    // the open tail from raw points (frontier = the flush boundary).
+    // The answer must equal the all-raw oracle exactly — the straddling
+    // query bucket reads raw, so no partial-merge error can hide here.
+    "q_rollup_hybrid" -> { (s, d) =>
+      import graft.query.DownsampleSpec
+      val cfg = hybridLakeFor(s, d)
+      val frontier = IngestJob.rollupFrontier(s, cfg)
+      graft.rollup.Rollup.downsampleHybrid(
+          IngestJob.points(s, cfg), IngestJob.rollup(s, cfg), RollupInterval,
+          DownsampleSpec("1d", "sum"), Start, End, frontier)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // S2/R2: the admitted row set under a finite retention window
     "q_stream_admission" -> { (s, d) =>
       IngestJob.points(s, admissionLakeFor(s, d))
@@ -266,6 +310,15 @@ object StreamQueries {
          |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
          |       ${rnd("sum(value)")} AS sum_value
          |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the ingest clock's isEarly check capped admission at now+tolerance;
+    // within that, hybrid rollup∪raw must equal the all-raw answer
+    "q_rollup_hybrid" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()} AND ts <= ${HybridNowSec + HybridFutureSec}
          |GROUP BY 1, 2, 3""".stripMargin,
 
     // replay of IngestJob's event-time admission: median → future cutoff

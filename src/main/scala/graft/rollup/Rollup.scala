@@ -101,9 +101,46 @@ object Rollup {
   }
 
   /** The routing decision (A14): serve from the rollup when legal, else
-   *  fall back to the raw downsample path. */
+   *  fall back to the raw downsample path. The rollup is assumed complete
+   *  over [start, end) — for an ingest-maintained rollup with an open
+   *  tail, use [[downsampleHybrid]]. */
   def downsampleRouted(points: DataFrame, rollup: DataFrame, rollupInterval: String,
       spec: DownsampleSpec, start: Long, end: Long): DataFrame =
-    if (canServe(spec, rollupInterval)) serve(rollup, spec, start, end)
-    else QueryEngine.downsample(QueryEngine.dedupe(points), spec, start, end)
+    downsampleHybrid(points, rollup, rollupInterval, spec, start, end, Long.MaxValue)
+
+  /** Hybrid rollup∪raw routing: closed segments (rollup complete below
+   *  `rollupUntil`, the ingest's flush frontier —
+   *  [[graft.streaming.IngestJob.rollupFrontier]]) are served from the
+   *  rollup table; the open tail is served from raw points — the
+   *  reference's LTS-rollup + hot-raw split
+   *  (opentsdb/.../storage/AerospikeBatchQueryNode.java:196-226 rollup
+   *  decision vs the hot AuraMetricsQueryNode path). Without this, any
+   *  query touching the open segment (every "last 24 h" dashboard)
+   *  forfeits the rollup for ALL closed segments.
+   *
+   *  The split lands on a query-bucket boundary at or below the frontier:
+   *  a bucket straddling the frontier reads entirely from raw (its closed
+   *  segments included), so no per-aggregator partial-merge logic is
+   *  needed — sum/min/max/last all stay exact by construction. The raw
+   *  side carries a foldable segment_start conjunct, so it scans only the
+   *  tail partitions, never the whole lake. */
+  def downsampleHybrid(points: DataFrame, rollup: DataFrame, rollupInterval: String,
+      spec: DownsampleSpec, start: Long, end: Long, rollupUntil: Long): DataFrame = {
+    def raw(from: Long): DataFrame = {
+      val seg = from - Math.floorMod(from, graft.core.TsdbSchema.SegmentSeconds)
+      val pts = points
+        .filter(col("segment_start") >= lit(seg)) // partition pruning
+        .filter(col("ts") >= lit(from) && col("ts") < lit(end))
+      QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
+    }
+    if (!canServe(spec, rollupInterval)) raw(start)
+    else {
+      val qSec = Intervals.toSeconds(spec.interval)
+      val clamped = math.min(math.max(rollupUntil, start), end)
+      val frontier = start + ((clamped - start) / qSec) * qSec // floor to query bucket
+      if (frontier <= start) raw(start)
+      else if (frontier >= end) serve(rollup, spec, start, end)
+      else serve(rollup, spec, start, frontier).unionByName(raw(frontier))
+    }
+  }
 }

@@ -34,13 +34,17 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *    appended; [[latest]] folds the log by (last_ts, last_seq) — the same
  *    last-write-wins order as QueryEngine.dedupe — so a last-value query
  *    reads O(|series| × batches) log rows, never the fact table (A18).
- *  - **rollup maintenance** (A10): when `rollupInterval` is set, each
- *    batch recomputes the composite rollup for the segment windows it
- *    touched and overwrites just those partitions ([[flushRollup]]) — the
- *    reference's flush-path DownSampler invocation
- *    (core/.../core/downsample/DownSampler.java:32-56), with the 2h
- *    segment as the flush unit. Queries then serve stored aggregates from
- *    [[rollup]] without ever scanning raw points.
+ *  - **rollup maintenance** (A10): when `rollupInterval` is set, a
+ *    segment's composite rollup is built ONCE, when the segment closes —
+ *    the high-water mark passes its end + `rollupLatenessSec` — exactly
+ *    the reference's lifecycle (rollups are built at flush-to-LTS time,
+ *    not per write: core/.../core/TSFlusherImp.java:168-430 invoking
+ *    downsample/DownSampler.java:32-56). A late point landing in an
+ *    already-closed segment idempotently re-flushes just that segment.
+ *    Queries serve closed segments from [[rollup]] and the open tail
+ *    from raw points ([[graft.rollup.Rollup.downsampleHybrid]] with
+ *    [[rollupFrontier]]); [[finalizeRollup]] completes the table at
+ *    stream end/shutdown.
  *  - **retention purge** (R5): [[purge]] drops whole expired
  *    segment_start partitions — the partition-drop analog of the
  *    reference's PurgeJob freeing expired segments.
@@ -91,6 +95,8 @@ object IngestJob {
    *  q_stream_admission_approx does exactly that). The admission median
    *  only anchors the future-outlier cutoff, so a sampled median admits
    *  an (acceptably) slightly different boundary set — deterministically. */
+  /** `rollupLatenessSec`: how long after a segment's end the flush waits
+   *  for stragglers before building its rollup (the close gate). */
   final case class Config(
       lakeDir: String,
       checkpointDir: String,
@@ -98,7 +104,8 @@ object IngestJob {
       maxFutureSec: Long = 3600,
       rollupInterval: Option[String] = None,
       nowSec: Option[() => Long] = None,
-      admissionSampleMod: Option[Int] = None)
+      admissionSampleMod: Option[Int] = None,
+      rollupLatenessSec: Long = 0)
 
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
@@ -187,8 +194,30 @@ object IngestJob {
         // control-flow collect, not a data loop: a micro-batch touches a
         // handful of 2h windows (cached input, O(segments-per-batch) ids)
         val touched = admitted.select(col("segment_start")).distinct()
-          .collect().map(_.getLong(0)).toSeq
-        flushRollup(batch.sparkSession, cfg, iv, touched)
+          .collect().map(_.getLong(0)).toSet
+        // CLOSE GATE: flush a segment once, when the high-water mark
+        // passes its end + lateness (the reference builds rollups at
+        // flush-to-LTS time, once per segment — TSFlusherImp.java:168-430
+        // — not on every write). Flushing the live segment on every
+        // micro-batch would rewrite O(segment volume) per batch: at a
+        // 1-min cadence into a 2h segment, ~120 rewrites of the same
+        // partition. The open tail is served from raw points instead
+        // (Rollup.downsampleHybrid). Two flush triggers, both exact and
+        // idempotent:
+        //  - a closed segment touched by this batch (late straggler
+        //    inside the admission window) → recompute it;
+        //  - a closed lake segment with no rollup partition yet (it
+        //    closed since the batch that last wrote it) → first flush.
+        val anchor = now.getOrElse(hwm)
+        val conf = batch.sparkSession.sessionState.newHadoopConf()
+        def closed(seg: Long): Boolean =
+          seg + TsdbSchema.SegmentSeconds + cfg.rollupLatenessSec <= anchor
+        val unflushed = {
+          val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
+          segmentDirs(conf, pointsPath(cfg)).map(_._2).filterNot(rolled).toSet
+        }
+        val due = (touched ++ unflushed).filter(closed)
+        flushRollup(batch.sparkSession, cfg, iv, due.toSeq.sorted)
       }
       BatchStats(total, obs.get("admitted").asInstanceOf[Long], hwm)
     } finally admitted.unpersist()
@@ -237,12 +266,15 @@ object IngestJob {
   def rollup(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(rollupPath(cfg))
 
-  def seriesDim(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.parquet(seriesLogPath(cfg))
+  private def foldSeriesLog(log: DataFrame): DataFrame =
+    log
       .withColumn("__tj", to_json(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"))
       .agg(min(col("first_seen")).as("first_seen"), max(col("last_seen")).as("last_seen"))
       .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+
+  def seriesDim(spark: SparkSession, cfg: Config): DataFrame =
+    foldSeriesLog(spark.read.parquet(seriesLogPath(cfg)))
       .withColumn("tag_count", size(map_keys(col("tags"))))
       .select("series_id", "metric", "tags", "tag_count", "first_seen", "last_seen")
 
@@ -251,8 +283,8 @@ object IngestJob {
    *  QueryEngine.dedupe, so re-sent timestamps resolve identically here
    *  and on the raw path. Keeps last_seq so [[compact]]ed snapshots fold
    *  correctly again later. */
-  private def latestFold(spark: SparkSession, cfg: Config): DataFrame =
-    spark.read.parquet(latestLogPath(cfg))
+  private def foldLatestLog(log: DataFrame): DataFrame =
+    log
       .withColumn("__tj", to_json(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"))
       .agg(max(col("last_ts")).as("last_ts"),
@@ -261,7 +293,7 @@ object IngestJob {
       .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
 
   def latest(spark: SparkSession, cfg: Config): DataFrame =
-    latestFold(spark, cfg)
+    foldLatestLog(spark.read.parquet(latestLogPath(cfg)))
       .select("series_id", "metric", "tags", "last_ts", "last_value")
 
   /** A10: flush-time rollup maintenance. Recomputes the composite rollup
@@ -287,6 +319,32 @@ object IngestJob {
       .parquet(rollupPath(cfg))
   }
 
+  /** End-of-stream / shutdown flush: build the rollup for every lake
+   *  segment that doesn't have one yet (the open tail the close gate
+   *  deliberately skipped, plus any segment that closed after its last
+   *  write). After this the rollup covers the whole lake and
+   *  [[rollupFrontier]] is +∞. */
+  def finalizeRollup(spark: SparkSession, cfg: Config): Seq[Long] =
+    cfg.rollupInterval.toSeq.flatMap { iv =>
+      val conf = spark.sessionState.newHadoopConf()
+      val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
+      val missing = segmentDirs(conf, pointsPath(cfg)).map(_._2)
+        .filterNot(rolled).sorted
+      flushRollup(spark, cfg, iv, missing)
+      missing
+    }
+
+  /** The flush frontier: every lake segment strictly below it has a
+   *  maintained rollup partition; at or above it, queries must read raw
+   *  points ([[graft.rollup.Rollup.downsampleHybrid]]'s `rollupUntil`).
+   *  Long.MaxValue when the rollup covers the whole lake. */
+  def rollupFrontier(spark: SparkSession, cfg: Config): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
+    val missing = segmentDirs(conf, pointsPath(cfg)).map(_._2).filterNot(rolled)
+    if (missing.isEmpty) Long.MaxValue else missing.min
+  }
+
   /** R5: drop whole expired segment partitions (cheap file-level delete,
    *  no data rewrite) from the points lake and the maintained rollup. */
   def purge(cfg: Config, cutoffSec: Long): Seq[Long] = {
@@ -302,31 +360,47 @@ object IngestJob {
     expired.map(_._2).sorted
   }
 
-  /** Compact the series/latest logs to one row per series. */
+  /** Compact the series/latest logs to one row per series. Race-safe
+   *  against a concurrently-running ingest: the snapshot is computed over
+   *  exactly the log files listed at plan time, staged, moved in, and
+   *  only those planned files are deleted — a batch appending between
+   *  plan and swap keeps its rows, and the log FOLD (min/max / LWW over
+   *  snapshot + newer rows) remains correct by construction. */
   def compact(spark: SparkSession, cfg: Config): Unit = {
     val conf = spark.sessionState.newHadoopConf()
-    val dim = seriesDim(spark, cfg).cache()
-    val lat = latestFold(spark, cfg).cache()
-    try {
-      dim.select("series_id", "metric", "tags", "first_seen", "last_seen")
-        .write.mode("overwrite").parquet(s"${cfg.lakeDir}/series_log_compact")
-      lat.select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
-        .write.mode("overwrite").parquet(s"${cfg.lakeDir}/latest_log_compact")
-      replaceDir(conf, s"${cfg.lakeDir}/series_log_compact", seriesLogPath(cfg))
-      replaceDir(conf, s"${cfg.lakeDir}/latest_log_compact", latestLogPath(cfg))
-    } finally { dim.unpersist(); lat.unpersist(): Unit }
+    compactLog(spark, conf, seriesLogPath(cfg), log =>
+      foldSeriesLog(log).select("series_id", "metric", "tags", "first_seen", "last_seen"))
+    compactLog(spark, conf, latestLogPath(cfg), log =>
+      foldLatestLog(log).select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq"))
+  }
+
+  private def compactLog(spark: SparkSession, conf: Configuration, dir: String,
+      fold: DataFrame => DataFrame): Unit = {
+    val planned = graft.core.Fs.dataFiles(conf, dir)
+    if (planned.isEmpty) return
+    val tmp = s"$dir.compact_tmp"
+    fold(spark.read.parquet(planned.map(_.toString): _*))
+      .write.mode("overwrite").parquet(tmp)
+    try graft.core.Fs.swapInFiles(conf, tmp, dir, planned)
+    finally new Path(tmp).getFileSystem(conf).delete(new Path(tmp), true): Unit
   }
 
   /** R6: consolidate the lake's per-micro-batch small files — rewrite
    *  oversized segment partitions down to ceil(bytes / targetFileBytes)
    *  files each. One Spark job covers every selected segment (salted
    *  repartition keyed by segment so each segment lands in its target
-   *  number of tasks), written to a staging root and swapped in with
-   *  per-partition FileSystem renames — never an in-place overwrite of a
-   *  path being read. A closed segment needs this exactly once; pass
-   *  `segments` to bound the work to recently-closed windows on a real
-   *  deployment. Partitions already at or under the target file count
-   *  are left untouched. Returns the segments rewritten. */
+   *  number of tasks), written to a staging root and swapped in per file.
+   *
+   *  Race-safe against a live ingest: the rewrite reads EXACTLY the data
+   *  files listed at plan time, and the swap moves the staged files in
+   *  and deletes only those planned files ([[graft.core.Fs.swapInFiles]])
+   *  — a micro-batch appending to the segment between plan and swap
+   *  keeps its files and its rows appear exactly once. (The previous
+   *  whole-directory replace could silently delete such an append.)
+   *  A closed segment needs this exactly once; pass `segments` to bound
+   *  the work to recently-closed windows on a real deployment. Partitions
+   *  already at or under the target file count are left untouched.
+   *  Returns the segments rewritten. */
   def compactPoints(spark: SparkSession, cfg: Config,
       targetFileBytes: Long = 128L << 20, segments: Option[Seq[Long]] = None): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -334,29 +408,31 @@ object IngestJob {
       (partDir, seg) <- segmentDirs(conf, pointsPath(cfg))
       if segments.forall(_.contains(seg))
       fs = partDir.getFileSystem(conf)
-      dataFiles = fs.listStatus(partDir).filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
-      target = math.max(1L, math.ceil(dataFiles.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
-      if dataFiles.length > target
-    } yield seg -> target
+      files = fs.listStatus(partDir).toSeq
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+          && !f.getPath.getName.startsWith("."))
+      target = math.max(1L, math.ceil(files.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+      if files.length > target
+    } yield (seg, target, files.map(_.getPath))
     if (plan.isEmpty) return Nil
-    val targets = spark.createDataFrame(plan.map { case (s, n) => (s, n) })
+    val targets = spark.createDataFrame(plan.map { case (s, n, _) => (s, n) })
       .toDF("segment_start", "__nf")
     val tmp = s"${cfg.lakeDir}/.compact_points_tmp"
-    points(spark, cfg)
-      .filter(col("segment_start").isin(plan.map(_._1): _*)) // partition-pruned read
+    spark.read.option("basePath", pointsPath(cfg))
+      .parquet(plan.flatMap(_._3).map(_.toString): _*) // exactly the planned files
       .join(broadcast(targets), Seq("segment_start"))
       .withColumn("__salt", pmod(hash(col("series_id")), col("__nf")))
       .repartition(col("segment_start"), col("__salt"))
       .drop("__nf", "__salt")
       .write.mode("overwrite").partitionBy("segment_start").parquet(tmp)
-    val sorted = plan.map(_._1).sorted
-    try sorted.foreach { seg =>
-      replaceDir(conf, s"$tmp/segment_start=$seg",
-        s"${pointsPath(cfg)}/segment_start=$seg")
+    val sorted = plan.sortBy(_._1)
+    try sorted.foreach { case (seg, _, planned) =>
+      graft.core.Fs.swapInFiles(conf, s"$tmp/segment_start=$seg",
+        s"${pointsPath(cfg)}/segment_start=$seg", planned)
     } finally {
       new Path(tmp).getFileSystem(conf).delete(new Path(tmp), true): Unit
     }
-    sorted
+    sorted.map(_._1)
   }
 
   private def hadoopConf(): Configuration = graft.core.Fs.hadoopConf()
@@ -371,6 +447,4 @@ object IngestJob {
       .map(s => s.getPath -> s.getPath.getName.stripPrefix("segment_start=").toLong)
   }
 
-  private def replaceDir(conf: Configuration, src: String, dst: String): Unit =
-    graft.core.Fs.replaceDir(conf, src, dst)
 }

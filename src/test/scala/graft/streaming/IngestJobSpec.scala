@@ -143,6 +143,11 @@ class IngestJobSpec extends AnyFunSuite {
     // higher seq — LWW: the rollup must use 7.0, not 1.0 or 1.0+7.0
     IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
       (450L, t0, "cpu", 7.0), (600L, t0 + 3600, "cpu", 9.0))), cfg)
+    // segment t0 is still open (hwm inside it) → close-gated, no flush yet;
+    // a later batch pushes the hwm past t0's end and triggers the flush
+    assert(!new java.io.File(IngestJob.rollupPath(cfg)).exists())
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (750L, t0 + seg + 60, "mem", 3.0))), cfg)
     val ru = IngestJob.rollup(spark, cfg)
       .filter(col("metric") === "cpu")
       .select(col("bucket_ts").cast("long"), col("sum"), col("cnt"), col("last"))
@@ -157,17 +162,76 @@ class IngestJobSpec extends AnyFunSuite {
     assert(!plan.contains("lake/points"), "must not touch raw points")
   }
 
+  test("close gate: mid-segment batches never rewrite the open segment's rollup; late data re-flushes a closed one") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val now = 80 * seg + 2 * seg + 100 // wall clock inside the third segment
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, rollupInterval = Some("1h"),
+      nowSec = Some(() => now))
+    val t0 = 80 * seg
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0), (300L, t0 + seg + 10, "cpu", 2.0),
+      (450L, t0 + 2 * seg + 10, "cpu", 4.0))), cfg)
+    def rollupParts(): Map[String, Long] = {
+      val d = new java.io.File(IngestJob.rollupPath(cfg))
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.startsWith("segment_start="))
+        .flatMap(p => p.listFiles().filter(_.isFile).map(f => f.getPath -> f.lastModified()))
+        .toMap
+    }
+    // the two closed segments flushed; the open (clock's) segment did not
+    val after1 = rollupParts()
+    assert(after1.keys.exists(_.contains(s"segment_start=$t0")))
+    assert(after1.keys.exists(_.contains(s"segment_start=${t0 + seg}")))
+    assert(!after1.keys.exists(_.contains(s"segment_start=${t0 + 2 * seg}")))
+    // a mid-segment batch into the open segment: NO rollup write at all
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (600L, t0 + 2 * seg + 200, "cpu", 8.0))), cfg)
+    assert(rollupParts() === after1, "open-segment batch must not touch the rollup")
+    // late data into a CLOSED segment: exactly that partition re-flushes
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (751L, t0 + 20, "cpu", 16.0))), cfg)
+    val after3 = rollupParts()
+    assert(after3.keys.exists(_.contains(s"segment_start=$t0")))
+    assert(after3.filter(_._1.contains(s"segment_start=${t0 + seg}")) ===
+      after1.filter(_._1.contains(s"segment_start=${t0 + seg}")),
+      "untouched closed segment must not be rewritten")
+    assert(!after3.keys.exists(_.contains(s"segment_start=${t0 + 2 * seg}")))
+    val frontier = IngestJob.rollupFrontier(spark, cfg)
+    assert(frontier === t0 + 2 * seg)
+    // hybrid routing: closed segments from the rollup, the open tail raw
+    val res = graft.rollup.Rollup.downsampleHybrid(
+      IngestJob.points(spark, cfg), IngestJob.rollup(spark, cfg), "1h",
+      graft.query.DownsampleSpec("2h", "sum"), t0, t0 + 3 * seg, frontier)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("/rollup"), "closed segments must come from the rollup scan")
+    assert(plan.contains("/points"), "the open tail must come from a raw scan")
+    assert(plan.contains(s">= ${t0 + 2 * seg}"),
+      s"raw side must carry the segment_start pruning conjunct:\n$plan")
+    val byBucket = res.filter(col("metric") === "cpu")
+      .groupBy(col("bucket_ts").cast("long").as("b")).agg(sum(col("value")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(byBucket === Map(
+      t0 -> 17.0, // 1.0 + late-arriving 16.0 (re-flushed closed segment)
+      (t0 + seg) -> 2.0,
+      (t0 + 2 * seg) -> 12.0)) // 4.0 + 8.0 from the raw open tail
+  }
+
   test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
     // foreachBatch is at-least-once on failure/restart; the lake absorbs a
     // replay because every reader resolves duplicates by (ts, seq) LWW and
-    // the rollup flush recomputes its segments from the deduped lake
+    // the rollup flush recomputes its segments from the deduped lake.
+    // The batch spans two segments so the earlier one closes and flushes —
+    // the replay must re-run that flush idempotently.
     val spark = TestSpark.spark
     val base = java.nio.file.Files.createTempDirectory("graft_replay").toString
     val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
-      retentionSec = Long.MaxValue / 4, rollupInterval = Some("1h"))
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"))
     val t0 = 60 * seg
     val batch = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
-      (150L, t0, "cpu", 1.0), (300L, t0 + 60, "cpu", 5.0)))
+      (150L, t0 - seg, "cpu", 1.0), (300L, t0 + 60, "cpu", 5.0)))
     IngestJob.processBatch(batch, cfg)
     def snapshot() = (
       graft.query.QueryEngine.dedupe(IngestJob.points(spark, cfg))
