@@ -66,15 +66,38 @@ object EventsStore {
   }
 
   /** Rewrite the log to its resolved state (one version per doc),
-   *  preserving the daily-index partitioning. */
+   *  preserving the daily-index partitioning. Race-safe against a
+   *  concurrent [[append]]: the rewrite reads exactly the files listed
+   *  at plan time and the swap deletes only those
+   *  ([[graft.core.Fs.swapInFiles]]) — a batch appended mid-compaction
+   *  keeps its files, and [[current]]'s version fold resolves snapshot
+   *  rows against the newer appends correctly by construction. */
   def compact(spark: SparkSession, storeDir: String): Unit = {
-    val resolved = current(log(spark, storeDir)).cache()
-    try {
-      val w = resolved.write.mode("overwrite")
-      (if (resolved.columns.contains("day")) w.partitionBy("day") else w)
-        .parquet(s"$storeDir/events_log_compact")
-      graft.core.Fs.replaceDir(spark.sessionState.newHadoopConf(),
-        s"$storeDir/events_log_compact", s"$storeDir/events_log")
-    } finally resolved.unpersist(): Unit
+    val conf = spark.sessionState.newHadoopConf()
+    val logDir = s"$storeDir/events_log"
+    val root = new org.apache.hadoop.fs.Path(logDir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val dayDirs = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(_.getPath.getName)
+    // plan: (relative partition dir, its data files at plan time)
+    val parts: Seq[(String, Seq[org.apache.hadoop.fs.Path])] =
+      if (dayDirs.nonEmpty) dayDirs.map(d => d -> graft.core.Fs.dataFiles(conf, s"$logDir/$d"))
+      else Seq("" -> graft.core.Fs.dataFiles(conf, logDir))
+    val nonEmpty = parts.filter(_._2.nonEmpty)
+    if (nonEmpty.isEmpty) return
+    val planned = nonEmpty.flatMap(_._2).map(_.toString)
+    val snapshot = spark.read.option("basePath", logDir).parquet(planned: _*)
+    val resolved = current(snapshot)
+    val tmp = s"$storeDir/.events_log_compact_tmp"
+    val w = resolved.write.mode("overwrite")
+    (if (resolved.columns.contains("day")) w.partitionBy("day") else w).parquet(tmp)
+    try nonEmpty.foreach { case (rel, files) =>
+      val sub = if (rel.isEmpty) "" else s"/$rel"
+      graft.core.Fs.swapInFiles(conf, s"$tmp$sub", s"$logDir$sub", files)
+    } finally {
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true): Unit
+    }
   }
 }
