@@ -174,4 +174,45 @@ object Dedup {
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") >= 2)
+
+  /** Duplicate clusters from near-dup PAIRS: connected components by
+   *  min-label propagation, yielding (doc_id, cluster_id) where
+   *  cluster_id is the smallest doc id in the component — the keep-one
+   *  representative rule a dedup pipeline applies after pairwise
+   *  detection (near-duplication is not transitive, so pairs alone
+   *  over-delete: A~B, B~C must collapse to ONE cluster keeping A, not
+   *  two pairs deleting B and C independently).
+   *
+   *  Each iteration is one equi-join + hash aggregate keyed by doc
+   *  (shuffle O(edges)), labels only decrease, and the driver stops when
+   *  the label sum stops falling — iterations ≤ component diameter, and
+   *  LSH-sourced components are small by construction. Results are
+   *  persisted per round so each iteration computes one delta, not the
+   *  whole chain; a production deployment at 100 TB would swap the
+   *  persist for `localCheckpoint` to also truncate lineage, or the
+   *  large-star/small-star variant for billion-edge graphs. */
+  def duplicateClusters(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("label", col("doc")).persist()
+    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    var converged = false
+    while (!converged) {
+      val viaNeighbors = edges
+        .join(labels.select(col("doc").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a").as("doc")).agg(min(col("nl")).as("nl"))
+      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .persist()
+      val s = next.agg(sum(col("label"))).head.getLong(0)
+      labels.unpersist()
+      labels = next
+      converged = s == prevSum // labels are non-increasing: fixpoint iff sum holds
+      prevSum = s
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

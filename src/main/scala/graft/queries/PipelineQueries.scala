@@ -30,6 +30,10 @@ object PipelineQueries {
     "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
+    // pairwise near-dup is not transitive: collapse pairs to components
+    // (min-label propagation) so the pipeline keeps ONE doc per cluster
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(Dedup.nearDuplicates(docs(s, d), 0.5))),
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
@@ -168,6 +172,26 @@ object PipelineQueries {
          |  JOIN sh sa ON sa.doc_id = doc_a
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.3""".stripMargin,
+
+    // connected components as a recursive transitive closure: min
+    // reachable id == the propagation fixpoint the Spark side converges to
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $candCtes,
+         |np AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS ej
+         |    FROM cand
+         |    JOIN sigs sa ON sa.doc_id = doc_a
+         |    JOIN sigs sb ON sb.doc_id = doc_b)
+         |  WHERE ej >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+         |          UNION ALL SELECT doc_b, doc_a FROM np),
+         |reach AS (
+         |  SELECT DISTINCT a AS doc, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b)
+         |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $toksCte,

@@ -70,6 +70,16 @@ object TsdbQueries {
     // A7: NON_OPTIMIZED plugin aggregator — exact median over buffered interval values
     "q_ds_median" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "median"))), "median_value")),
 
+    // P1/A7 CUSTOM plugin path: an aggregator registered at runtime
+    // resolves through the same registry as built-ins (the reference's
+    // NumericAggregatorFactory plugin lookup) and composes with the
+    // engine's grouping — the registration itself is the operator under
+    // test here
+    "q_ds_range_plugin" -> { (s, d) =>
+      graft.query.Aggregators.register("range", (v, _, _, _) => max(v) - min(v))
+      dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "range"))), "range_value")
+    },
+
     // A8: runAll — single interval spanning the whole query range
     "q_ds_runall" -> { (s, d) =>
       QueryEngine.downsampleMulti(prepared(s, d), "0all", Start, End,
@@ -340,6 +350,10 @@ object TsdbQueries {
     "q_ds_last" -> dsOracle(rnd("arg_max(value, ts)"), "last_value"),
 
     "q_ds_median" -> dsOracle(rnd("quantile_cont(value, 0.5)"), "median_value"),
+
+    // both engines compute max/min over identical doubles, so the
+    // subtraction is bit-identical before the shared rounding
+    "q_ds_range_plugin" -> dsOracle(rnd("max(value) - min(value)"), "range_value"),
 
     "q_ds_runall" -> dsOracle(
       rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)"), "avg_value",

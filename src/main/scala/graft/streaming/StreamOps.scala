@@ -76,10 +76,15 @@ object StreamOps {
    *  last-write-wins `last`), so in a pure-streaming deployment this
    *  operator can feed the rollup table directly: the segment flush
    *  becomes `writeStream.partitionBy(segment_start)` over these rows.
-   *  One caveat vs the batch flush: a point for an already-finalized
-   *  window is silently dropped by the watermark, where the micro-batch
-   *  lake path re-flushes the touched segment — the deployment chooses
-   *  lateness tolerance via `watermarkDelay`. */
+   *  Two caveats vs the lake-path flush (which recomputes segments from
+   *  the deduped lake): a point for an already-finalized window is
+   *  silently dropped by the watermark (the deployment chooses lateness
+   *  tolerance via `watermarkDelay`), and a re-sent (series, ts)
+   *  duplicate double-counts here — streaming last-write-wins dedupe
+   *  isn't expressible with built-in operators
+   *  (`dropDuplicatesWithinWatermark` keeps the FIRST arrival, the
+   *  reference keeps the last), so exactly-once producers are assumed on
+   *  this path. */
   def windowedDownsample(points: DataFrame, interval: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val sec = Intervals.toSeconds(interval)

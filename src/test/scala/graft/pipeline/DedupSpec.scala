@@ -95,4 +95,22 @@ class DedupSpec extends AnyFunSuite {
     val ex = Dedup.exact(df).filter(org.apache.spark.sql.functions.col("n_copies") >= 2).collect()
     assert(ex.length === 1 && ex(0).getLong(2) === 30L)
   }
+
+  test("duplicateClusters: transitive chain collapses to one component, min id wins") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // A~B, B~C chain (near-dup is not transitive: A,C need not pair) plus
+    // an independent D~E pair and a lone pair member F~G
+    val pairs = Seq(
+      (10L, 20L, 0.9), (20L, 30L, 0.8), // chain 10-20-30
+      (40L, 50L, 0.7), // pair
+      (70L, 60L, 0.6)  // reversed input order: min label still wins
+    ).toDF("doc_a", "doc_b", "est_jaccard")
+    val out = graft.pipeline.Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(
+      10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L,
+      60L -> 60L, 70L -> 60L))
+  }
 }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.TestSpark
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The Structured Streaming state/window operators: per-series latest via
@@ -67,5 +68,43 @@ class StreamOpsSpec extends AnyFunSuite {
         300L -> ((16.0, 1L, 16.0, 16.0, 16.0, 256.0))))
       assert(out.forall(r => r.getAs[Map[String, String]]("tags").nonEmpty))
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_ds") }
+  }
+
+  test("streaming composite rows equal Rollup.build on finalized windows (pure-streaming A10 path)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // no duplicate (series, ts) re-sends here: the streaming window path
+    // aggregates raw arrivals (a re-sent ts would double-count — the
+    // documented trade vs the lake path, which recomputes from the
+    // deduped lake); equality with Rollup.build holds on clean input
+    val points = Seq(
+      pt(1, 10, 1.0, 1), pt(1, 50, 2.0, 2), pt(1, 119, 4.0, 3),
+      pt(2, 30, 7.0, 4), pt(1, 55, 3.0, 5),
+      pt(1, 500, 99.0, 6)) // advances the watermark, finalizing [0,60)/[60,120)
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.windowedDownsample(input.toDF(), "1m", "30 seconds")
+      .writeStream.format("memory").queryName("win_bridge")
+      .outputMode("append").start()
+    try {
+      input.addData(points.take(5): _*)
+      q.processAllAvailable()
+      input.addData(points.drop(5): _*)
+      q.processAllAvailable()
+      input.addData(pt(9, 9999, 0.0, 9)) // trailing batch emits nothing new below wm
+      q.processAllAvailable()
+      val cols = Seq("series_id", "metric", "bucket_ts", "sum", "cnt", "min", "max", "last", "sumsq")
+      val finalized = spark.table("win_bridge").filter(col("bucket_ts") < 500)
+        .selectExpr(cols: _*).collect().toSet
+      // the batch-side A10 build over the SAME points, restricted to the
+      // finalized windows, must produce identical composite rows
+      val ptsDf = points.toDF()
+        .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("ts")))
+      val batch = graft.rollup.Rollup.build(ptsDf, "1m")
+        .filter(col("bucket_ts") < 500)
+        .selectExpr(cols: _*).collect().toSet
+      assert(finalized === batch)
+      assert(finalized.nonEmpty)
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_bridge") }
   }
 }
