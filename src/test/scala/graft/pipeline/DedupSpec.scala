@@ -113,4 +113,37 @@ class DedupSpec extends AnyFunSuite {
       40L -> 40L, 50L -> 40L,
       60L -> 60L, 70L -> 60L))
   }
+
+  test("duplicateClusters equals brute-force components on random graphs (property)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val gen = for {
+      n <- org.scalacheck.Gen.choose(2, 10)
+      m <- org.scalacheck.Gen.choose(1, 12)
+      edges <- org.scalacheck.Gen.listOfN(m, org.scalacheck.Gen.zip(
+        org.scalacheck.Gen.choose(0L, n.toLong), org.scalacheck.Gen.choose(0L, n.toLong)))
+    } yield edges.filter(e => e._1 != e._2)
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed0)(_.next).take(8).foreach { seed =>
+      gen.apply(org.scalacheck.Gen.Parameters.default, seed).foreach { edges =>
+        if (edges.nonEmpty) {
+          // brute-force union-find
+          val parent = scala.collection.mutable.Map.empty[Long, Long]
+          def find(x: Long): Long = {
+            val p = parent.getOrElseUpdate(x, x)
+            if (p == x) x else { val r = find(p); parent(x) = r; r }
+          }
+          edges.foreach { case (a, b) =>
+            val (ra, rb) = (find(a), find(b))
+            if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+          }
+          val want = parent.keys.map(d => d -> find(d)).toMap
+          val got = graft.pipeline.Dedup.duplicateClusters(
+              edges.toDF("doc_a", "doc_b"))
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          assert(got === want, s"edges=$edges")
+        }
+      }
+    }
+  }
 }

@@ -67,4 +67,30 @@ class RollupSpec extends AnyFunSuite {
       assert(actual.get(name).contains(dt), s"missing/mistyped rollup column $name")
     assertThrows[IllegalArgumentException](Rollup.build(pts, "7m"))
   }
+
+  test("hybrid routing: frontier clamps, floors to query buckets, and degrades to pure raw/rollup") {
+    import org.apache.spark.sql.functions._
+    val p = graft.Fixtures.series("m", tagset,
+      (0L, 1.0), (600L, 3.0), (7300L, 5.0), (14500L, 7.0)) // 3 segments
+    val ru = Rollup.build(p, "1h")
+    val spec = DownsampleSpec("2h", "sum")
+    val expect = Map(0L -> 4.0, 7200L -> 5.0, 14400L -> 7.0)
+    def run(rollup: org.apache.spark.sql.DataFrame, until: Long) =
+      Rollup.downsampleHybrid(p, rollup, "1h", spec, 0, 21600, until)
+        .collect().map(r => r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap
+    // frontier past end → pure rollup; at/below start → pure raw (even
+    // with an EMPTY rollup table)
+    assert(run(ru, Long.MaxValue) === expect)
+    assert(run(ru.limit(0), 0L) === expect)
+    assert(run(ru.limit(0), -5L) === expect)
+    // mid-segment frontier floors DOWN to a query-bucket boundary: with
+    // the rollup missing everything >= 7200, frontier 8000 must still
+    // serve bucket 7200 from raw (a ceil would silently lose it)
+    assert(run(ru.filter(col("bucket_ts") < 7200), 8000L) === expect)
+    // non-servable spec ignores the rollup entirely
+    val fallback = Rollup.downsampleHybrid(p, ru.limit(0), "1h",
+      DownsampleSpec("90m", "sum"), 0, 21600, 7200)
+      .agg(sum(col("value"))).head.getDouble(0)
+    assert(fallback === 16.0)
+  }
 }
