@@ -42,7 +42,9 @@ object Bench {
     // warmup: one representative multi-stage query
     try exec("q_groupby") catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional name filter for local iteration on specific queries
+    val names = (if (args.nonEmpty) SparkEntry.queries.keys.toSeq.filter(args.toSet)
+      else SparkEntry.queries.keys.toSeq).sorted
     val reps = 3
     val samples = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)

@@ -150,7 +150,7 @@ object Dedup {
    *  codegen'd, reuses one persisted shingle table for both sides, and
    *  never ships whole shingle arrays through a shuffle. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
-    val expl = shingleRows(docs)
+    val expl = shingleRows(docs).persist()
     val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val cand = candidates(docs).select("doc_a", "doc_b")
     val inter = cand
