@@ -156,12 +156,34 @@ object Similarity {
     assignToCells(emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")),
       sampledCentroids(emb, centroidEvery))
 
-  /** IVF top-k over an explicit centroid table. */
-  def ivfTopKWith(emb: DataFrame, cents: DataFrame, queryPred: Column, k: Int): DataFrame = {
+  /** IVF top-k over an explicit centroid table. `nprobe` > 1 probes each
+   *  query's n nearest cells (the IVF analog of multi-probe LSH): recall
+   *  rises at ~nprobe× candidate cost on the broadcast query side only —
+   *  the corpus is still touched through one equi-join on cell id, and
+   *  each corpus vector lives in exactly one cell, so no candidate
+   *  dedup is needed. The query-side top-n window runs over |queries|×k
+   *  rows (both small); the corpus-side argmin stays the packed-long
+   *  hash aggregate. */
+  def ivfTopKWith(emb: DataFrame, cents: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe >= 1")
     val assigned = assignToCells(
       emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents).persist()
-    val queries = assigned.filter(queryPred)
-      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+    val queries =
+      if (nprobe == 1)
+        assigned.filter(queryPred)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d").asc, col("c_id").asc)
+        assigned.filter(queryPred)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+          .join(broadcast(cents), lit(true))
+          .withColumn("d", round(lit(1.0) - cosine(col("q_vec"), col("c_vec")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nprobe)
+          .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+      }
     val sim = round(cosine(col("q_vec"), col("vec")), 4)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)

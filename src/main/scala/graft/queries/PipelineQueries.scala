@@ -34,6 +34,12 @@ object PipelineQueries {
     // (min-label propagation) so the pipeline keeps ONE doc per cluster
     "q_dedup_clusters" -> ((s, d) =>
       Dedup.duplicateClusters(Dedup.nearDuplicates(docs(s, d), 0.5))),
+    // the end-to-end corpus selection a pretraining pipeline runs:
+    // quality gate ∧ exact-dup canonical ∧ near-dup cluster representative
+    "q_pipeline_corpus" -> { (s, d) =>
+      Corpus.select(docs(s, d), 0.5)
+        .select(col("doc_id"), round(col("quality_score"), 4).as("quality_score"))
+    },
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
@@ -56,6 +62,12 @@ object PipelineQueries {
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.kmeansCentroids(emb(s, d), centroidEvery = 100, iters = 2),
         col("vec_id") % 25 === 0, 3)),
+    // multi-probe IVF: each query searches its 2 nearest cells (the IVF
+    // analog of Hamming-1 multi-probe LSH)
+    "q_ann_ivf_probe" -> ((s, d) =>
+      Similarity.ivfTopKWith(emb(s, d),
+        Similarity.sampledCentroids(emb(s, d), 100),
+        col("vec_id") % 25 === 0, 3, nprobe = 2)),
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
@@ -100,6 +112,25 @@ object PipelineQueries {
        |           ON a.bi = b.bi AND a.key = b.key AND a.doc_id < b.doc_id)""".stripMargin
 
   private def sqlList(xs: Seq[String]): String = xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  /** Near-dup pairs → connected components (requires candCtes; the whole
+   *  chain must sit under WITH RECURSIVE). `cl` = doc → min-id cluster. */
+  private val clusterCtes: String =
+    s"""np AS (
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT doc_a, doc_b,
+       |           len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS ej
+       |    FROM cand
+       |    JOIN sigs sa ON sa.doc_id = doc_a
+       |    JOIN sigs sb ON sb.doc_id = doc_b)
+       |  WHERE ej >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+       |          UNION ALL SELECT doc_b, doc_a FROM np),
+       |reach AS (
+       |  SELECT DISTINCT a AS doc, a AS r FROM edges
+       |  UNION
+       |  SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b),
+       |cl AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
 
   private val simhashExpr: String =
     (0 until 28).map { b =>
@@ -177,21 +208,30 @@ object PipelineQueries {
     // reachable id == the propagation fixpoint the Spark side converges to
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $candCtes,
-         |np AS (
-         |  SELECT doc_a, doc_b FROM (
-         |    SELECT doc_a, doc_b,
-         |           len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS ej
-         |    FROM cand
-         |    JOIN sigs sa ON sa.doc_id = doc_a
-         |    JOIN sigs sb ON sb.doc_id = doc_b)
-         |  WHERE ej >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
-         |          UNION ALL SELECT doc_b, doc_a FROM np),
-         |reach AS (
-         |  SELECT DISTINCT a AS doc, a AS r FROM edges
-         |  UNION
-         |  SELECT e.a AS doc, reach.r FROM edges e JOIN reach ON reach.doc = e.b)
-         |SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc""".stripMargin,
+         |$clusterCtes
+         |SELECT doc AS doc_id, cluster_id FROM cl""".stripMargin,
+
+    // quality ∧ exact-canonical ∧ cluster-representative, all replayed
+    "q_pipeline_corpus" ->
+      s"""WITH RECURSIVE $candCtes,
+         |$clusterCtes,
+         |m AS (SELECT doc_id,
+         |             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mtl,
+         |             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS sr,
+         |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         |             len(t) AS n
+         |      FROM toks),
+         |ex AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |       FROM documents),
+         |exmin AS (SELECT h, min(doc_id) AS canon FROM ex GROUP BY 1)
+         |SELECT m.doc_id, ${rnd("((m.mtl / 10.0 + m.sr) + m.ttr)")} AS quality_score
+         |FROM m
+         |JOIN ex ON ex.doc_id = m.doc_id
+         |JOIN exmin ON exmin.h = ex.h
+         |LEFT JOIN cl ON cl.doc = m.doc_id
+         |WHERE m.n >= 8 AND m.n <= 100000 AND m.sr > 0.0 AND m.ttr > 0.1
+         |  AND exmin.canon = m.doc_id
+         |  AND (cl.cluster_id IS NULL OR cl.cluster_id = m.doc_id)""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $toksCte,
@@ -295,6 +335,32 @@ object PipelineQueries {
          |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE vec_id % 25 = 0),
          |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
          |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
+
+    // same assignment replay, but queries probe their 2 nearest cells
+    "q_ann_ivf_probe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM e, c)
+         |  WHERE rn = 1),
+         |qsel AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+         |probe AS (
+         |  SELECT q_id, qv, c_id AS cell FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("q.qv", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM qsel q, c)
+         |  WHERE rn <= 2),
+         |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
+         |          FROM probe JOIN asg a USING (cell) WHERE a.vec_id != q_id)
          |SELECT q_id, rank, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)

@@ -73,4 +73,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!plan.contains("Window"), s"argmin must not plan a Window:\n$plan")
     assert(!plan.contains("SortAggregate"), s"argmin buffer must stay primitive:\n$plan")
   }
+
+  test("multi-probe IVF: recall at least single-cell, candidates a superset") {
+    val brute = Similarity.bruteForceTopK(emb, pred, K).cache()
+    val one = recallVsBrute(Similarity.ivfTopK(emb, pred, K, centroidEvery = 100), brute)
+    val two = recallVsBrute(Similarity.ivfTopKWith(
+      emb, Similarity.sampledCentroids(emb, 100), pred, K, nprobe = 2), brute)
+    info(f"recall@$K nprobe1=$one%.3f nprobe2=$two%.3f")
+    assert(two >= one)
+    brute.unpersist(): Unit
+  }
 }
