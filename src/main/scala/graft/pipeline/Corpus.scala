@@ -24,6 +24,55 @@ import org.apache.spark.sql.functions._
  */
 object Corpus {
 
+  /** Deterministic hash sampling: keep a row iff
+   *  `md5prefix28(key) % 1000 < permille`. Unlike `df.sample`, the
+   *  decision is a pure function of the key — stable across reruns,
+   *  partitionings, and engines (the oracle replays the identical md5
+   *  arithmetic), which is what makes a 100 TB pipeline's samples
+   *  reproducible and its holdout splits leak-proof (complementary
+   *  permille ranges can never overlap). */
+  def hashSample(df: DataFrame, key: org.apache.spark.sql.Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000, "permille in [0, 1000]")
+    df.filter(pmod(call_function("md5prefix28", key.cast("string")), lit(1000)) < lit(permille))
+  }
+
+  /** Stratified corpus mixing: per-language sampling rates (domain
+   *  re-weighting). Language comes from the n-gram langid; unlisted
+   *  languages fall back to `defaultPermille`. One scan, no shuffle
+   *  beyond langid's own token aggregate. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    val lang = TextAnalysis.langid(docs).select(col("doc_id"), col("pred_lang"))
+    val permille = rates.foldLeft(lit(defaultPermille)) { case (acc, (l, p)) =>
+      when(col("pred_lang") === l, lit(p)).otherwise(acc)
+    }
+    docs.join(lang, "doc_id")
+      .filter(pmod(call_function("md5prefix28", col("doc_id").cast("string")),
+        lit(1000)) < permille)
+      .select((docs.columns.map(col) :+ col("pred_lang")): _*)
+  }
+
+  /** Sequence packing (contiguous fill): documents, in doc_id order, fill
+   *  context bins of `budgetTokens`; a doc lands in the bin where its
+   *  token span begins. Packing runs per `shardEvery`-sized doc_id shard
+   *  so the prefix-sum window parallelizes (a single global ORDER BY
+   *  window would serialize the whole corpus through one task — the
+   *  classic scale trap); bins are (shard, bin) pairs, and the only
+   *  waste vs a global pack is ≤ 1 partial bin per shard. */
+  def pack(docs: DataFrame, budgetTokens: Long, shardEvery: Long = 100000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", (col("doc_id") - pmod(col("doc_id"), lit(shardEvery))) / lit(shardEvery))
+      .withColumn("shard", col("shard").cast("long"))
+      .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("shard"),
+        (col("__before") / lit(budgetTokens)).cast("long").as("bin"),
+        pmod(col("__before"), lit(budgetTokens)).as("bin_offset"))
+  }
+
   /** Surviving documents with their quality score. A doc survives iff
    *  its quality gate passes, it is its content group's canonical (min
    *  doc_id), and it is not a non-representative member of a near-dup

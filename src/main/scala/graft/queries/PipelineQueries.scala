@@ -40,6 +40,18 @@ object PipelineQueries {
       Corpus.select(docs(s, d), 0.5)
         .select(col("doc_id"), round(col("quality_score"), 4).as("quality_score"))
     },
+    // reproducible hash split: sample membership is a pure function of
+    // the key, so holdout ranges can never leak across reruns
+    "q_pipeline_sample" -> ((s, d) =>
+      Corpus.hashSample(docs(s, d), col("doc_id"), 250).select(col("doc_id"))),
+    // domain re-weighting: per-language rates over the langid prediction
+    "q_pipeline_sample_stratified" -> ((s, d) =>
+      Corpus.stratifiedSample(docs(s, d), Map("en" -> 800, "de" -> 300), 100)
+        .select(col("doc_id"), col("pred_lang"))),
+    // sequence packing into 512-token context bins, sharded so the
+    // prefix-sum window parallelizes
+    "q_pipeline_pack" -> ((s, d) =>
+      Corpus.pack(docs(s, d), budgetTokens = 512, shardEvery = 100)),
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
@@ -339,6 +351,29 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_pipeline_sample" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000 < 250""".stripMargin,
+
+    "q_pipeline_sample_stratified" ->
+      s"""WITH $toksCte
+         |SELECT doc_id, $langPred AS pred_lang FROM toks
+         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
+         |      < CASE WHEN $langPred = 'de' THEN 300
+         |             WHEN $langPred = 'en' THEN 800 ELSE 100 END""".stripMargin,
+
+    "q_pipeline_pack" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, len(t) AS n_tokens, doc_id // 100 AS shard FROM toks),
+         |p AS (SELECT doc_id, n_tokens, shard,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |      FROM n)
+         |SELECT doc_id, n_tokens, shard,
+         |       CAST(before // 512 AS BIGINT) AS bin,
+         |       CAST(before % 512 AS BIGINT) AS bin_offset
+         |FROM p""".stripMargin,
 
     // same assignment replay, but queries probe their 2 nearest cells
     "q_ann_ivf_probe" ->

@@ -1,0 +1,56 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Corpus-level training-data operators: selection, reproducible
+ *  sampling, sequence packing. */
+class CorpusSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+  private def spark = TestSpark.spark
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hashSample: deterministic, monotone in rate, exact at the extremes") {
+    val all = docs.count()
+    assert(Corpus.hashSample(docs, col("doc_id"), 0).count() === 0)
+    assert(Corpus.hashSample(docs, col("doc_id"), 1000).count() === all)
+    val s250 = Corpus.hashSample(docs, col("doc_id"), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s500 = Corpus.hashSample(docs, col("doc_id"), 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s250.subsetOf(s500), "a lower rate must be a subset of a higher one")
+    // rerun: membership is a pure function of the key
+    val again = Corpus.hashSample(docs, col("doc_id"), 250)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === s250)
+  }
+
+  test("pack: offsets stay under budget, spans are contiguous per shard") {
+    val budget = 512L
+    val packed = Corpus.pack(docs, budget, shardEvery = 100)
+      .orderBy("shard", "doc_id").collect()
+    assert(packed.nonEmpty)
+    assert(packed.forall(r => r.getAs[Long]("bin_offset") < budget))
+    // within a shard: each doc starts exactly where the previous ended
+    packed.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      var expectBefore = 0L
+      rows.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        val globalOffset = r.getAs[Long]("bin") * budget + r.getAs[Long]("bin_offset")
+        assert(globalOffset === expectBefore)
+        expectBefore += r.getAs[Long]("n_tokens")
+      }
+    }
+  }
+
+  test("corpus selection survivors are quality-keepers and unique per content/cluster") {
+    val sel = Corpus.select(docs, 0.5)
+    val ids = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.nonEmpty && ids.size < docs.count())
+    // no two survivors share normalized content
+    val hashes = docs.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(md5(Dedup.normalized(col("text")))).collect().map(_.getString(0))
+    assert(hashes.length === hashes.distinct.length)
+  }
+}
