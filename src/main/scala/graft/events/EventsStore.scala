@@ -65,6 +65,22 @@ object EventsStore {
       .withColumn("n_children", coalesce(col("n_children"), lit(0L)))
   }
 
+  /** Retention purge: drop whole expired day partitions (the reference
+   *  expires old daily Lucene indices; a file-level directory delete is
+   *  the parquet counterpart — no data rewrite). Returns dropped days. */
+  def purgeDays(storeDir: String, cutoffDay: String): Seq[String] = {
+    val conf = graft.core.Fs.hadoopConf()
+    val root = new org.apache.hadoop.fs.Path(s"$storeDir/events_log")
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val expired = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+      .map(s => s.getPath -> s.getPath.getName.stripPrefix("day="))
+      .filter(_._2 < cutoffDay) // ISO day strings order lexicographically
+    expired.foreach { case (p, _) => fs.delete(p, true) }
+    expired.map(_._2).sorted
+  }
+
   /** Rewrite the log to its resolved state (one version per doc),
    *  preserving the daily-index partitioning. Race-safe against a
    *  concurrent [[append]]: the rewrite reads exactly the files listed

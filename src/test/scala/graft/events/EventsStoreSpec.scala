@@ -81,4 +81,22 @@ class EventsStoreSpec extends AnyFunSuite {
       .head.getAs[scala.collection.Seq[Long]]("child_ids")
     assert(kids.toSeq === Seq(11L, 12L))
   }
+
+  test("purgeDays drops exactly the expired day partitions (events retention)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_purge").toString
+    val rows = Seq(
+      (1L, 1L, "a", false, "2024-01-01"),
+      (2L, 1L, "b", false, "2024-01-02"),
+      (3L, 1L, "c", false, "2024-01-03"))
+      .toDF("doc_id", "version", "title", "ongoing", "day")
+    EventsStore.append(rows, dir)
+    val dropped = EventsStore.purgeDays(dir, cutoffDay = "2024-01-03")
+    assert(dropped === Seq("2024-01-01", "2024-01-02"))
+    val left = EventsStore.log(spark, dir).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left === Set(3L))
+    // idempotent
+    assert(EventsStore.purgeDays(dir, cutoffDay = "2024-01-03") === Seq.empty)
+  }
 }
