@@ -190,7 +190,11 @@ object Dedup {
    *  persisted per round so each iteration computes one delta, not the
    *  whole chain; a production deployment at 100 TB would swap the
    *  persist for `localCheckpoint` to also truncate lineage, or the
-   *  large-star/small-star variant for billion-edge graphs. */
+   *  large-star/small-star variant for billion-edge graphs. (A
+   *  pointer-doubling step — adopt my label's own label, O(log d)
+   *  rounds — was measured SLOWER here: the extra self-join per round
+   *  costs more than the rounds it saves at realistic near-dup chain
+   *  lengths; it only pays past diameter ≈ 8.) */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
