@@ -200,7 +200,14 @@ object Dedup {
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("label", col("doc")).persist()
-    var prevSum = labels.agg(sum(col("label"))).head.getLong(0)
+    // a clean corpus has no pairs: sum(label) over zero rows is null,
+    // and there is nothing to propagate
+    val first = labels.agg(sum(col("label"))).head
+    if (first.isNullAt(0)) {
+      edges.unpersist(); labels.unpersist()
+      return labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
+    }
+    var prevSum = first.getLong(0)
     var converged = false
     while (!converged) {
       val viaNeighbors = edges

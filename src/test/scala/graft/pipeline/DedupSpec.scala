@@ -146,4 +146,11 @@ class DedupSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("duplicateClusters on an empty pair set returns an empty mapping (clean corpus)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.pipeline.Dedup.duplicateClusters(none).count() === 0)
+  }
 }
