@@ -68,7 +68,9 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    // A name-filtered local run must not clobber the full-suite artifact.
+    val artifact = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_partial.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     spark.stop()
   }

@@ -73,6 +73,43 @@ object Corpus {
         pmod(col("__before"), lit(budgetTokens)).as("bin_offset"))
   }
 
+  /** Benchmark decontamination: which training documents share word-
+   *  trigram shingles with an evaluation set? Emits one row per
+   *  (train doc, eval doc) pair whose DISTINCT-shingle overlap reaches
+   *  `minOverlap`, with the overlap fraction of the eval doc's shingle
+   *  set — the standard n-gram-collision eval-leak detector a
+   *  pretraining pipeline runs before training.
+   *
+   *  Shape at 100 TB: both sides explode to (doc, shingle) rows and meet
+   *  in ONE equi-join keyed by the shingle — shuffle O(total shingles),
+   *  never |train| × |eval|. A shingle appearing in huge numbers of
+   *  documents fans the join out quadratically AND carries no
+   *  contamination signal (it is corpus boilerplate), so `maxDf` drops
+   *  shingles whose document frequency exceeds the cap before the join —
+   *  the same skew-cap convention as [[Dedup.candidates]], off by
+   *  default so the oracle-checked path is exhaustive. */
+  def decontaminate(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+      minOverlap: Long = 2, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh0 = Dedup.shingleRows(docs)
+    val sh =
+      if (maxDf == Int.MaxValue) sh0
+      else {
+        val rare = sh0.groupBy(col("s")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf).select("s")
+        sh0.join(rare, Seq("s"), "left_semi")
+      }
+    val ev = sh.filter(isEval).select(col("doc_id").as("eval_id"), col("s"))
+    val tr = sh.filter(!isEval).select(col("doc_id").as("train_id"), col("s"))
+    val overlap = tr.join(ev, "s")
+      .groupBy(col("train_id"), col("eval_id"))
+      .agg(count(lit(1)).as("n_overlap"))
+    val evalSizes = ev.groupBy(col("eval_id")).agg(count(lit(1)).as("__n_eval"))
+    overlap.join(evalSizes, "eval_id")
+      .filter(col("n_overlap") >= minOverlap)
+      .select(col("train_id"), col("eval_id"), col("n_overlap"),
+        (col("n_overlap").cast("double") / col("__n_eval").cast("double")).as("overlap_frac"))
+  }
+
   /** Surviving documents with their quality score. A doc survives iff
    *  its quality gate passes, it is its content group's canonical (min
    *  doc_id), and it is not a non-representative member of a near-dup

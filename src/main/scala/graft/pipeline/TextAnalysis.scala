@@ -127,6 +127,103 @@ object TextAnalysis {
           .reduce(_ + _).as("simhash"))
   }
 
+  /** Gopher-style repetition metrics per document — the quality signals
+   *  a pretraining pipeline uses to drop boilerplate / degenerate text
+   *  (Rae et al. 2021 §A1.1: fraction of characters in the most frequent
+   *  n-gram, fraction of characters in duplicated n-grams):
+   *
+   *   - `top_bigram_cover` / `top_bigram_frac`: characters covered by the
+   *     word-2-gram with the largest `count × length` (the covered-chars
+   *     maximum is deterministic under count ties, unlike "the" most
+   *     frequent gram), over the space-joined token stream length;
+   *   - `dup_5gram_chars` / `dup_5gram_frac`: characters inside word
+   *     5-grams occurring more than once;
+   *   - `max_token_run`: longest run of consecutive identical tokens.
+   *
+   *  One posexplode + ONE window pass (partitioned by doc, ordered by
+   *  position) supplies the lead/lag columns for all three branches; the
+   *  windowed table is persisted because three aggregates consume it.
+   *  Every ratio is an exact integer division — bit-identical across
+   *  engines, no rounding needed. At 100 TB the window partitions by
+   *  doc_id (no global sort) and each branch is a hash aggregate. */
+  def repetition(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("tk"),
+        lead(col("col"), 1).over(w).as("__t1"),
+        lead(col("col"), 2).over(w).as("__t2"),
+        lead(col("col"), 3).over(w).as("__t3"),
+        lead(col("col"), 4).over(w).as("__t4"),
+        lag(col("col"), 1).over(w).as("__tp"))
+      .persist()
+    val totals = base.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      (sum(length(col("tk"))) + count(lit(1)) - 1).as("__total_chars"))
+    val bigram = base.filter(col("__t1").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tk"), col("__t1")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c") * length(col("g"))).as("__cover"))
+    val five = base.filter(col("__t4").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tk"), col("__t1"), col("__t2"), col("__t3"), col("__t4")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+      .groupBy(col("doc_id")).agg(sum(col("c") * length(col("g"))).as("__dup5"))
+    val runs = base
+      .withColumn("__chg", when(col("__tp").isNull || col("__tp") =!= col("tk"), 1).otherwise(0))
+      .withColumn("__run", sum(col("__chg")).over(w))
+      .groupBy(col("doc_id"), col("__run")).agg(count(lit(1)).as("__rl"))
+      .groupBy(col("doc_id")).agg(max(col("__rl")).as("max_token_run"))
+    totals
+      .join(bigram, Seq("doc_id"), "left")
+      .join(five, Seq("doc_id"), "left")
+      .join(runs, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("__cover"), lit(0L)).as("top_bigram_cover"),
+        (coalesce(col("__cover"), lit(0L)).cast("double") / col("__total_chars").cast("double"))
+          .as("top_bigram_frac"),
+        coalesce(col("__dup5"), lit(0L)).as("dup_5gram_chars"),
+        (coalesce(col("__dup5"), lit(0L)).cast("double") / col("__total_chars").cast("double"))
+          .as("dup_5gram_frac"),
+        col("max_token_run"))
+  }
+
+  /** Corpus-unigram language-model scoring (the CCNet-style "how typical
+   *  of the corpus is this document" quality signal) plus doc-local token
+   *  entropy:
+   *
+   *   - `avg_logprob` = Σ c·ln(cnt/total) / n — per-token mean log-prob
+   *     of the doc under the corpus unigram distribution;
+   *   - `entropy` = ln(n) − Σ c·ln(c) / n — the doc's own token
+   *     distribution entropy (0 for a one-token-repeated doc).
+   *
+   *  Two-pass relational shape: one hash aggregate builds the corpus
+   *  vocabulary (token → count), one builds per-(doc, token) counts, and
+   *  a join keyed by token scores every document. The scalar corpus
+   *  total rides a broadcast crossJoin; the vocab join is a plain
+   *  equi-join (Zipf-hot tokens are AQE-skew territory, not a
+   *  correctness issue). Log-prob sums are FP order-dependent, so query
+   *  surfaces round(…, 4) — see OracleCommon.rnd. */
+  def corpusLogProb(docs: DataFrame): DataFrame = {
+    val tk = tokenTable(docs)
+    val dc = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
+    val vocab = tk.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).as("__total"))
+    val n = sum(col("c")).cast("double")
+    dc.join(vocab, "tk")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        (sum(col("c") * log(col("cnt").cast("double") / col("__total").cast("double"))) / n)
+          .as("avg_logprob"),
+        (log(n) - sum(col("c") * log(col("c").cast("double"))) / n).as("entropy"))
+  }
+
   /** Winnowing-style fingerprint: base-31 rolling hash over windows of
    *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
    *  the minimum window hash (plus the distinct-window count).

@@ -52,7 +52,20 @@ object PipelineQueries {
     // prefix-sum window parallelizes
     "q_pipeline_pack" -> ((s, d) =>
       Corpus.pack(docs(s, d), budgetTokens = 512, shardEvery = 100)),
+    // eval-leak detection: train docs sharing ≥2 distinct trigram
+    // shingles with the (doc_id % 97 == 0) holdout slice
+    "q_pipeline_decontam" -> ((s, d) =>
+      Corpus.decontaminate(docs(s, d), col("doc_id") % 97 === 0, minOverlap = 2)),
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
+    // Gopher-style repetition quality signals (all exact-integer ratios)
+    "q_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
+    // corpus-unigram LM score + doc entropy; FP sums → round(…, 4)
+    "q_text_logprob" -> { (s, d) =>
+      TextAnalysis.corpusLogProb(docs(s, d))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("avg_logprob"), 4).as("avg_logprob"),
+          round(col("entropy"), 4).as("entropy"))
+    },
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -251,6 +264,68 @@ object PipelineQueries {
          |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
          |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_pipeline_decontam" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 97 != 0),
+         |ov AS (SELECT train_id, eval_id, count(*) AS n_overlap
+         |       FROM tr JOIN ev USING (g) GROUP BY 1, 2),
+         |ec AS (SELECT eval_id, count(*) AS n_eval FROM ev GROUP BY 1)
+         |SELECT train_id, eval_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+         |       CAST(n_overlap AS DOUBLE) / n_eval AS overlap_frac
+         |FROM ov JOIN ec USING (eval_id)
+         |WHERE n_overlap >= 2""".stripMargin,
+
+    "q_text_repetition" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk, unnest(range(1, len(t)+1)) AS pos FROM toks),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |               CAST(sum(length(tk)) + count(*) - 1 AS BIGINT) AS total_chars
+         |        FROM u GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |                i -> t[i] || ' ' || t[i+1])) AS g
+         |       FROM toks WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bgt AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS cover FROM bgc GROUP BY 1),
+         |fg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |       FROM toks WHERE len(t) >= 5),
+         |fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+         |fgd AS (SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS dup5
+         |        FROM fgc WHERE c >= 2 GROUP BY 1),
+         |r AS (SELECT doc_id, pos,
+         |             CASE WHEN lag(tk) OVER (PARTITION BY doc_id ORDER BY pos)
+         |                  IS DISTINCT FROM tk THEN 1 ELSE 0 END AS chg
+         |      FROM u),
+         |rid AS (SELECT doc_id, pos,
+         |               sum(chg) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+         |        FROM r),
+         |runs AS (SELECT doc_id, run_id, count(*) AS rl FROM rid GROUP BY 1, 2),
+         |mr AS (SELECT doc_id, CAST(max(rl) AS BIGINT) AS max_token_run FROM runs GROUP BY 1)
+         |SELECT t.doc_id, t.n_tokens,
+         |       coalesce(bgt.cover, 0) AS top_bigram_cover,
+         |       CAST(coalesce(bgt.cover, 0) AS DOUBLE) / t.total_chars AS top_bigram_frac,
+         |       coalesce(fgd.dup5, 0) AS dup_5gram_chars,
+         |       CAST(coalesce(fgd.dup5, 0) AS DOUBLE) / t.total_chars AS dup_5gram_frac,
+         |       mr.max_token_run
+         |FROM tot t
+         |LEFT JOIN bgt USING (doc_id)
+         |LEFT JOIN fgd USING (doc_id)
+         |JOIN mr USING (doc_id)""".stripMargin,
+
+    "q_text_logprob" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |dc AS (SELECT doc_id, tk, count(*) AS c FROM u GROUP BY 1, 2),
+         |v AS (SELECT tk, count(*) AS cnt FROM u GROUP BY 1),
+         |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |       ${rnd("sum(c * ln(CAST(cnt AS DOUBLE) / total)) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob,
+         |       ${rnd("ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS entropy
+         |FROM dc JOIN v USING (tk), tt
+         |GROUP BY doc_id""".stripMargin,
 
     "q_text_stats" ->
       raw"""WITH $toksCte

@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Repetition metrics and corpus-LM scoring on hand-built corpora with
+ *  closed-form expected values. */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def corpus(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("repetition: bigram cover, duplicated 5-grams, token runs") {
+    val docs = corpus(
+      1L -> "a b a b a b c",          // "a b" ×3 → cover 9; no dup 5-gram
+      2L -> "x x x x y",              // run of 4; "x x" ×3 → cover 9
+      3L -> "p q p q p q p q p q")    // every 5-gram duplicated
+    val out = TextAnalysis.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") === 7L)
+    assert(d1.getAs[Long]("top_bigram_cover") === 9L) // "a b": 3 × len 3
+    assert(d1.getAs[Double]("top_bigram_frac") === 9.0 / 13.0)
+    assert(d1.getAs[Long]("dup_5gram_chars") === 0L)
+    assert(d1.getAs[Long]("max_token_run") === 1L)
+
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("max_token_run") === 4L)
+    assert(d2.getAs[Long]("top_bigram_cover") === 9L) // "x x": 3 × len 3
+
+    // "p q p q p" at positions 0/2/4 and "q p q p q" at 1/3/5: all six
+    // windows are duplicates → 6 × 9 chars over a 19-char stream
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("dup_5gram_chars") === 54L)
+    assert(d3.getAs[Double]("dup_5gram_frac") === 54.0 / 19.0)
+    assert(d3.getAs[Long]("max_token_run") === 1L)
+  }
+
+  test("corpusLogProb: closed-form entropy and corpus log-prob") {
+    val docs = corpus(1L -> "a a a a", 2L -> "a b") // vocab: a→5, b→1
+    val out = TextAnalysis.corpusLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") === 4L)
+    assert(math.abs(d1.getAs[Double]("avg_logprob") - math.log(5.0 / 6.0)) < 1e-12)
+    assert(math.abs(d1.getAs[Double]("entropy")) < 1e-12) // single-token doc
+
+    val d2 = out(2L)
+    val expectedLp = (math.log(5.0 / 6.0) + math.log(1.0 / 6.0)) / 2.0
+    assert(math.abs(d2.getAs[Double]("avg_logprob") - expectedLp) < 1e-12)
+    assert(math.abs(d2.getAs[Double]("entropy") - math.log(2.0)) < 1e-12)
+  }
+
+  test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {
+    val docs = corpus(
+      0L -> "alpha beta gamma delta",          // eval: 2 distinct shingles
+      1L -> "alpha beta gamma delta epsilon",  // shares both
+      2L -> "zeta eta theta iota")             // shares none
+    val hits = Corpus.decontaminate(docs, col("doc_id") === 0, minOverlap = 2).collect()
+    assert(hits.length === 1)
+    assert(hits.head.getAs[Long]("train_id") === 1L)
+    assert(hits.head.getAs[Long]("eval_id") === 0L)
+    assert(hits.head.getAs[Long]("n_overlap") === 2L)
+    assert(hits.head.getAs[Double]("overlap_frac") === 1.0)
+
+    // both overlapping shingles live in 2 docs → a df cap of 1 removes them
+    val capped = Corpus.decontaminate(docs, col("doc_id") === 0,
+      minOverlap = 1, maxDf = 1)
+    assert(capped.count() === 0)
+  }
+}
