@@ -110,6 +110,35 @@ object Corpus {
         (col("n_overlap").cast("double") / col("__n_eval").cast("double")).as("overlap_frac"))
   }
 
+  /** One-row corpus funnel report — the "data card" numbers a pipeline
+   *  publishes with every corpus build: doc counts at each gate
+   *  (quality, exact-dup canonical, near-dup survivor) and token totals
+   *  before/after. Each number is a single-row aggregate of an
+   *  already-oracle-checked stage; the 1-row frames meet in broadcast
+   *  crossJoins, so the report costs one pass per stage and no extra
+   *  shuffles at any scale. */
+  def report(docs: DataFrame, nearThreshold: Double): DataFrame = {
+    val withTok = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("__n_tok"))
+    val totals = withTok.agg(
+      count(lit(1)).as("n_docs"), sum(col("__n_tok")).as("tokens_total"))
+    val nQuality = TextAnalysis.quality(docs)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep_quality"))
+    val nCanonical = Dedup.exact(docs)
+      .agg(count(lit(1)).as("n_exact_canonical"))
+    val clusters = Dedup.duplicateClusters(Dedup.nearDuplicates(docs, nearThreshold))
+      .agg(count(lit(1)).as("n_clustered_docs"),
+        countDistinct(col("cluster_id")).as("n_clusters"))
+    val selected = select(docs, nearThreshold)
+      .join(withTok, "doc_id")
+      .agg(count(lit(1)).as("n_selected"), sum(col("__n_tok")).as("tokens_selected"))
+    totals
+      .crossJoin(broadcast(nQuality))
+      .crossJoin(broadcast(nCanonical))
+      .crossJoin(broadcast(clusters))
+      .crossJoin(broadcast(selected))
+  }
+
   /** Surviving documents with their quality score. A doc survives iff
    *  its quality gate passes, it is its content group's canonical (min
    *  doc_id), and it is not a non-representative member of a near-dup

@@ -168,6 +168,29 @@ object Dedup {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Streaming exact dedup: content-hash keyed, first-arrival-wins,
+   *  across micro-batches — dedup-on-ingest for a continuously arriving
+   *  document feed, so downstream stages never see a copy of content
+   *  already admitted. First-wins is the CORRECT semantics for document
+   *  dedup (any copy is as good as another; admit the earliest), which is
+   *  why `dropDuplicates` works here while the points path can't use it
+   *  (points need LAST-write-wins — see [[graft.streaming.StreamOps]]).
+   *
+   *  State is one entry per distinct content hash. Pass `eventTimeCol`
+   *  to bound it with a watermark (`dropDuplicatesWithinWatermark`):
+   *  copies arriving within `delay` of each other still collapse, and
+   *  state older than the watermark is evicted — the 100 TB/day
+   *  deployment shape, where unbounded hash state would grow forever. */
+  def exactStreaming(docs: DataFrame, eventTimeCol: Option[String] = None,
+      delay: String = "1 hour"): DataFrame = {
+    val hashed = docs.withColumn("content_hash", md5(normalized(col("text"))))
+    eventTimeCol match {
+      case Some(c) =>
+        hashed.withWatermark(c, delay).dropDuplicatesWithinWatermark("content_hash")
+      case None => hashed.dropDuplicates("content_hash")
+    }
+  }
+
   /** SimHash duplicate buckets: docs whose 28-bit SimHash collides. */
   def simhashBuckets(docs: DataFrame): DataFrame =
     TextAnalysis.simhash(docs)

@@ -52,6 +52,8 @@ object PipelineQueries {
     // prefix-sum window parallelizes
     "q_pipeline_pack" -> ((s, d) =>
       Corpus.pack(docs(s, d), budgetTokens = 512, shardEvery = 100)),
+    // corpus "data card": doc/token counts at each selection gate
+    "q_pipeline_report" -> ((s, d) => Corpus.report(docs(s, d), 0.5)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
     // shingles with the (doc_id % 97 == 0) holdout slice
     "q_pipeline_decontam" -> ((s, d) =>
@@ -95,6 +97,13 @@ object PipelineQueries {
         col("vec_id") % 25 === 0, 3, nprobe = 2)),
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
+    // semantic dedup collapse: connected components over the embedding
+    // near-dup pair graph (same propagation engine as q_dedup_clusters)
+    "q_dedup_embed_clusters" -> ((s, d) =>
+      Dedup.duplicateClusters(
+        Similarity.cosineNearDuplicates(emb(s, d), 0.3)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))),
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
     "q_mm_resize" -> ((s, d) => Multimodal.resize(Multimodal.media(s, d), 32, 32)),
     "q_mm_frames" -> ((s, d) => Multimodal.frames(Multimodal.media(s, d))),
@@ -475,6 +484,51 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_dedup_embed_clusters" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
+         |np AS (SELECT vec_a, vec_b FROM (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
+         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.3),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM np
+         |          UNION ALL SELECT vec_b, vec_a FROM np),
+         |reach AS (
+         |  SELECT DISTINCT a AS doc, a AS r FROM edges
+         |  UNION
+         |  SELECT g.a AS doc, reach.r FROM edges g JOIN reach ON reach.doc = g.b),
+         |cl AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc AS vec_id, cluster_id FROM cl""".stripMargin,
+
+    "q_pipeline_report" ->
+      s"""WITH RECURSIVE $candCtes,
+         |$clusterCtes,
+         |m AS (SELECT doc_id,
+         |             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS sr,
+         |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         |             len(t) AS n
+         |      FROM toks),
+         |ex AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |       FROM documents),
+         |exmin AS (SELECT h, min(doc_id) AS canon FROM ex GROUP BY 1),
+         |sel AS (SELECT m.doc_id, m.n
+         |        FROM m
+         |        JOIN ex ON ex.doc_id = m.doc_id
+         |        JOIN exmin ON exmin.h = ex.h
+         |        LEFT JOIN cl ON cl.doc = m.doc_id
+         |        WHERE m.n >= 8 AND m.n <= 100000 AND m.sr > 0.0 AND m.ttr > 0.1
+         |          AND exmin.canon = m.doc_id
+         |          AND (cl.cluster_id IS NULL OR cl.cluster_id = m.doc_id)),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |               CAST(sum(len(t)) AS BIGINT) AS tokens_total FROM toks),
+         |qual AS (SELECT CAST(count(*) AS BIGINT) AS n_keep_quality FROM m
+         |         WHERE n >= 8 AND n <= 100000 AND sr > 0.0 AND ttr > 0.1),
+         |can AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact_canonical FROM ex),
+         |clu AS (SELECT CAST(count(*) AS BIGINT) AS n_clustered_docs,
+         |               CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters FROM cl),
+         |selagg AS (SELECT CAST(count(*) AS BIGINT) AS n_selected,
+         |                  CAST(sum(n) AS BIGINT) AS tokens_selected FROM sel)
+         |SELECT * FROM tot, qual, can, clu, selagg""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings)

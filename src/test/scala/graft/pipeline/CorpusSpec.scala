@@ -44,6 +44,20 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("report: one-row funnel with consistent gate counts") {
+    val rep = Corpus.report(docs, 0.5).collect()
+    assert(rep.length === 1)
+    val r = rep.head
+    val nDocs = r.getAs[Long]("n_docs")
+    assert(nDocs === docs.count())
+    assert(r.getAs[Long]("n_keep_quality") <= nDocs)
+    assert(r.getAs[Long]("n_exact_canonical") <= nDocs)
+    assert(r.getAs[Long]("n_selected") <= r.getAs[Long]("n_keep_quality"))
+    assert(r.getAs[Long]("tokens_selected") <= r.getAs[Long]("tokens_total"))
+    assert(r.getAs[Long]("n_clusters") <= r.getAs[Long]("n_clustered_docs"))
+    assert(r.getAs[Long]("n_selected") === Corpus.select(docs, 0.5).count())
+  }
+
   test("corpus selection survivors are quality-keepers and unique per content/cluster") {
     val sel = Corpus.select(docs, 0.5)
     val ids = sel.select("doc_id").collect().map(_.getLong(0)).toSet

@@ -153,4 +153,24 @@ class DedupSpec extends AnyFunSuite {
     val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
     assert(graft.pipeline.Dedup.duplicateClusters(none).count() === 0)
   }
+
+  test("exactStreaming: first arrival wins across micro-batches") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.pipeline.Dedup.exactStreaming(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("stream_dedup")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> "alpha beta", 2L -> "gamma delta")
+      q.processAllAvailable()
+      // 3 normalizes to doc 1's content (whitespace/case) → dropped; 4 is new
+      input.addData(3L -> "  Alpha   BETA ", 4L -> "epsilon zeta")
+      q.processAllAvailable()
+      val ids = spark.table("stream_dedup")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L, 2L, 4L))
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS stream_dedup") }
+  }
 }

@@ -83,4 +83,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(two >= one)
     brute.unpersist(): Unit
   }
+
+  test("semantic dedup clusters: every near-dup edge's endpoints share the component-min label") {
+    val pairs = Similarity.cosineNearDuplicates(emb, 0.3)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
+    val labels = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    edges.foreach { case (a, b) => assert(labels(a) === labels(b)) }
+    // the label is the component minimum, so it labels itself
+    labels.values.foreach(c => assert(labels(c) === c))
+    pairs.unpersist(): Unit
+  }
 }
