@@ -73,6 +73,31 @@ object Corpus {
         pmod(col("__before"), lit(budgetTokens)).as("bin_offset"))
   }
 
+  /** Fixed-window chunking — the complement of [[pack]]: where pack
+   *  concatenates short documents into bins, chunk SPLITS each document's
+   *  token stream into consecutive `budgetTokens`-sized windows (the
+   *  standard preprocessing for context-length-bounded training when
+   *  documents exceed the window). Emits one row per (doc, chunk) with
+   *  the chunk's token count and an md5 fingerprint of its joined
+   *  tokens.
+   *
+   *  Pure per-row generation: explode of a `sequence` over the chunk
+   *  count, then codegen'd `slice`/`concat_ws`/`md5` — no shuffle at
+   *  all; at 100 TB this is a map over the scan. */
+  def chunk(docs: DataFrame, budgetTokens: Int): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0),
+          ((size(col("__t")) - 1) / lit(budgetTokens)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("__t"), col("chunk_id") * lit(budgetTokens) + 1, lit(budgetTokens)).as("__c"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(col("__c")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("__c"))).as("chunk_fp"))
+  }
+
   /** Benchmark decontamination: which training documents share word-
    *  trigram shingles with an evaluation set? Emits one row per
    *  (train doc, eval doc) pair whose DISTINCT-shingle overlap reaches

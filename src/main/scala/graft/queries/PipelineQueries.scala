@@ -52,6 +52,8 @@ object PipelineQueries {
     // prefix-sum window parallelizes
     "q_pipeline_pack" -> ((s, d) =>
       Corpus.pack(docs(s, d), budgetTokens = 512, shardEvery = 100)),
+    // fixed-window chunking: docs split into 32-token training windows
+    "q_pipeline_chunks" -> ((s, d) => Corpus.chunk(docs(s, d), 32)),
     // corpus "data card": doc/token counts at each selection gate
     "q_pipeline_report" -> ((s, d) => Corpus.report(docs(s, d), 0.5)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
@@ -273,6 +275,16 @@ object PipelineQueries {
          |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
          |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_pipeline_chunks" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t,
+         |             unnest(range(0, CAST(ceil(len(t) / 32.0) AS BIGINT))) AS chunk_id
+         |      FROM toks)
+         |SELECT doc_id, chunk_id,
+         |       CAST(len(list_slice(t, chunk_id*32 + 1, chunk_id*32 + 32)) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(list_slice(t, chunk_id*32 + 1, chunk_id*32 + 32), ' ')) AS chunk_fp
+         |FROM c""".stripMargin,
 
     "q_pipeline_decontam" ->
       s"""WITH $toksCte,

@@ -44,6 +44,23 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk: windows cover every token exactly once, only the tail is short") {
+    val budget = 32L
+    val chunks = Corpus.chunk(docs, budget.toInt).collect()
+    val tokenCounts = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val n = tokenCounts(id)
+      assert(rows.length === ((n + budget - 1) / budget))
+      assert(rows.map(_.getAs[Long]("n_tokens")).sum === n)
+      // chunk ids are 0..k-1 and every chunk but the last is full
+      val byId = rows.sortBy(_.getAs[Long]("chunk_id"))
+      assert(byId.map(_.getAs[Long]("chunk_id")).toSeq === (0L until rows.length.toLong))
+      assert(byId.dropRight(1).forall(_.getAs[Long]("n_tokens") === budget))
+    }
+  }
+
   test("report: one-row funnel with consistent gate counts") {
     val rep = Corpus.report(docs, 0.5).collect()
     assert(rep.length === 1)
