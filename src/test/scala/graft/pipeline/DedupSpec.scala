@@ -154,6 +154,19 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.pipeline.Dedup.duplicateClusters(none).count() === 0)
   }
 
+  test("duplicateClusters survives a long chain (checkpointed lineage + doubling rounds)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // a path 0-1-2-…-24: diameter 24 forces > 8 rounds — without lineage
+    // truncation the per-round plan doubles and analysis blows up; with
+    // doubling past round 8 the remaining distance halves per round
+    val chain = (0L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = graft.pipeline.Dedup.duplicateClusters(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === 25)
+    assert(labels.values.forall(_ === 0L))
+  }
+
   test("exactStreaming: first arrival wins across micro-batches") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
