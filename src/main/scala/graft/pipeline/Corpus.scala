@@ -73,6 +73,30 @@ object Corpus {
         pmod(col("__before"), lit(budgetTokens)).as("bin_offset"))
   }
 
+  /** Domain-balanced selection: the top `k` documents per predicted
+   *  language by quality score — "keep the best N per domain", the
+   *  budgeted flavor of stratified mixing. Ordering is (score desc,
+   *  doc_id asc): the score is a deterministic per-row FP expression of
+   *  exact integer ratios, so both engines rank identically.
+   *
+   *  The rank filter compiles to Spark's WindowGroupLimit: each map task
+   *  keeps only its local top-k per language BEFORE the shuffle, so the
+   *  per-language partition never sees more than k·tasks rows — without
+   *  it a per-domain window would funnel every document of a language
+   *  through one task (languages are few and huge at corpus scale). */
+  def topKByDomain(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang"))
+      .orderBy(col("__score").desc, col("doc_id").asc)
+    TextAnalysis.langid(docs).select(col("doc_id"), col("pred_lang"))
+      .join(TextAnalysis.quality(docs)
+        .select(col("doc_id"), col("quality_score").as("__score")), "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("pred_lang"), col("rank"),
+        round(col("__score"), 4).as("quality_score"))
+  }
+
   /** Fixed-window chunking — the complement of [[pack]]: where pack
    *  concatenates short documents into bins, chunk SPLITS each document's
    *  token stream into consecutive `budgetTokens`-sized windows (the

@@ -226,6 +226,31 @@ object TextAnalysis {
         (log(n) - sum(col("c") * log(col("c").cast("double"))) / n).as("entropy"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` tokens per document by
+   *  `tf · ln(N/df)`. Document frequencies are one hash aggregate over
+   *  the distinct (doc, token) table; scoring joins it back keyed by
+   *  token; the per-doc rank filter compiles to WindowGroupLimit (local
+   *  top-k before the shuffle). The score is per-row FP over exact
+   *  integers — no distributed sums — so ranking is engine-stable; ties
+   *  break on token order. */
+  def keywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dc = tokenTable(docs).groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = dc.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n"))
+    val score = col("tf") * log(col("__n").cast("double") / col("df").cast("double"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("__tfidf").desc, col("tk").asc)
+    dc.join(dfreq, "tk")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("__tfidf", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tk").as("token"),
+        round(col("__tfidf"), 4).as("tfidf"))
+  }
+
   /** Winnowing-style fingerprint: base-31 rolling hash over windows of
    *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
    *  the minimum window hash (plus the distinct-window count).

@@ -56,6 +56,10 @@ object PipelineQueries {
     "q_pipeline_chunks" -> ((s, d) => Corpus.chunk(docs(s, d), 32)),
     // corpus "data card": doc/token counts at each selection gate
     "q_pipeline_report" -> ((s, d) => Corpus.report(docs(s, d), 0.5)),
+    // budgeted domain mixing: best 25 docs per predicted language
+    "q_pipeline_topk_domain" -> ((s, d) => Corpus.topKByDomain(docs(s, d), 25)),
+    // tf-idf top-3 keywords per document
+    "q_text_keywords" -> ((s, d) => TextAnalysis.keywords(docs(s, d), 3)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
     // shingles with the (doc_id % 97 == 0) holdout slice
     "q_pipeline_decontam" -> ((s, d) =>
@@ -275,6 +279,36 @@ object PipelineQueries {
          |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
          |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_pipeline_topk_domain" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mtl,
+         |             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS sr,
+         |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr
+         |      FROM toks),
+         |l AS (SELECT doc_id, $langPred AS pred_lang FROM toks),
+         |sc AS (SELECT m.doc_id, l.pred_lang, ((m.mtl / 10.0 + m.sr) + m.ttr) AS score
+         |       FROM m JOIN l USING (doc_id))
+         |SELECT doc_id, pred_lang, rank, ${rnd("score")} AS quality_score FROM (
+         |  SELECT doc_id, pred_lang, score,
+         |         row_number() OVER (PARTITION BY pred_lang ORDER BY score DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 25""".stripMargin,
+
+    "q_text_keywords" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |dc AS (SELECT doc_id, tk, count(*) AS tf FROM u GROUP BY 1, 2),
+         |dfq AS (SELECT tk, count(*) AS df FROM dc GROUP BY 1),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+         |sc AS (SELECT doc_id, tk, tf * ln(CAST(nd AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         |       FROM dc JOIN dfq USING (tk), n)
+         |SELECT doc_id, rank, token, tfidf FROM (
+         |  SELECT doc_id, tk AS token, ${rnd("score")} AS tfidf,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tk ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 3""".stripMargin,
 
     "q_pipeline_chunks" ->
       s"""WITH $toksCte,

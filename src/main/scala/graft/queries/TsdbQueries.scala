@@ -70,6 +70,9 @@ object TsdbQueries {
     // A7: NON_OPTIMIZED plugin aggregator — exact median over buffered interval values
     "q_ds_median" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "median"))), "median_value")),
 
+    // A7 percentile family (pNN name → exact interpolated percentile)
+    "q_ds_p90" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "p90"))), "p90_value")),
+
     // P1/A7 CUSTOM plugin path: an aggregator registered at runtime
     // resolves through the same registry as built-ins (the reference's
     // NumericAggregatorFactory plugin lookup) and composes with the
@@ -350,6 +353,8 @@ object TsdbQueries {
     "q_ds_last" -> dsOracle(rnd("arg_max(value, ts)"), "last_value"),
 
     "q_ds_median" -> dsOracle(rnd("quantile_cont(value, 0.5)"), "median_value"),
+
+    "q_ds_p90" -> dsOracle(rnd("quantile_cont(value, 0.9)"), "p90_value"),
 
     // both engines compute max/min over identical doubles, so the
     // subtraction is bit-identical before the shared rounding

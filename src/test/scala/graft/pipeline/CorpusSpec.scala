@@ -44,6 +44,25 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("topKByDomain: dense ranks per language, scores non-increasing, true top-k") {
+    val k = 5
+    val top = Corpus.topKByDomain(docs, k).collect()
+    assert(top.nonEmpty)
+    val all = TextAnalysis.langid(docs).select(col("doc_id"), col("pred_lang"))
+      .join(TextAnalysis.quality(docs).select(col("doc_id"), col("quality_score")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    top.groupBy(_.getAs[String]("pred_lang")).foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("quality_score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // the selected ids are exactly the language's best-k by (score, id)
+      val expect = all.filter(_._2 == lang).sortBy(t => (-t._3, t._1))
+        .take(k).map(_._1).toSet
+      assert(sorted.map(_.getAs[Long]("doc_id")).toSet === expect)
+    }
+  }
+
   test("chunk: windows cover every token exactly once, only the tail is short") {
     val budget = 32L
     val chunks = Corpus.chunk(docs, budget.toInt).collect()

@@ -59,6 +59,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(d2.getAs[Double]("entropy") - math.log(2.0)) < 1e-12)
   }
 
+  test("keywords: rare tokens outrank common ones; ranks dense and ordered") {
+    val docs = corpus(
+      1L -> "common common zebra",   // zebra: df=1 → max idf
+      2L -> "common words here",
+      3L -> "common words there")
+    val kw = TextAnalysis.keywords(docs, 2).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    // doc 1: zebra (tf=1, df=1) scores ln(3); common (tf=2, df=3) scores 0
+    val d1 = kw(1L).sortBy(_.getAs[Int]("rank"))
+    assert(d1.head.getAs[String]("token") === "zebra")
+    assert(math.abs(d1.head.getAs[Double]("tfidf") - math.log(3.0)) < 1e-3)
+    kw.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq === (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {
     val docs = corpus(
       0L -> "alpha beta gamma delta",          // eval: 2 distinct shingles
