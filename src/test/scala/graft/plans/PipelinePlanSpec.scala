@@ -1,0 +1,45 @@
+package graft.plans
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the pipeline operators' scale
+ *  claims — the properties PLANS.md documents, pinned as assertions so a
+ *  refactor cannot silently reintroduce a scale trap. */
+class PipelinePlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def spark = TestSpark.spark
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("per-group top-k compiles to WindowGroupLimit (local top-k before the shuffle)") {
+    assert(plan(graft.pipeline.Corpus.topKByDomain(docs, 25))
+      .contains("WindowGroupLimit"))
+    assert(plan(graft.pipeline.TextAnalysis.keywords(docs, 3))
+      .contains("WindowGroupLimit"))
+  }
+
+  test("chunking is pure per-row generation: no exchange anywhere") {
+    val p = plan(graft.pipeline.Corpus.chunk(docs, 32))
+    assert(!p.contains("Exchange"), s"chunk must not shuffle:\n$p")
+  }
+
+  test("decontamination and near-dup joins have no cartesian product") {
+    val p1 = plan(graft.pipeline.Corpus.decontaminate(docs, col("doc_id") % 97 === 0, 2))
+    val p2 = plan(graft.pipeline.Dedup.nearDuplicates(docs, 0.5))
+    Seq(p1, p2).foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+        s"all-pairs product crept in:\n$p")
+    }
+  }
+
+  test("repetition metrics stay window + hash aggregates: no sort aggregate") {
+    val p = plan(graft.pipeline.TextAnalysis.repetition(docs))
+    assert(!p.contains("SortAggregate"), s"SortAggregate crept in:\n$p")
+  }
+}
