@@ -55,6 +55,39 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "sim")
   }
 
+  /** Per-group embedding centroids (mean pooling): one (group, dim,
+   *  value) row per centroid component, plus the member count — class
+   *  prototypes / per-domain anchor vectors. posexplode → one hash
+   *  aggregate keyed by (group, dim): shuffle O(n·dim) with map-side
+   *  partial sums, never a vector-typed aggregation buffer (array
+   *  buffers force SortAggregate). Means carry distributed-sum FP
+   *  noise, so output is rounded to 4 decimals. */
+  def centroidsBy(emb: DataFrame, group: Column): DataFrame =
+    emb.select(group.as("grp"), posexplode(asDouble(col("embedding"))))
+      .groupBy(col("grp"), col("pos").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"), round(avg(col("col")), 4).as("value"))
+      .select(col("grp"), col("dim").cast("long").as("dim"), col("n_vecs"), col("value"))
+
+  /** Scalar int8-style quantization of a vector subset: per-DIMENSION
+   *  min/max over the whole corpus (two exact aggregates — no FP
+   *  summation), then `floor((v-min)/(max-min)·255 + 0.5)` per
+   *  component. floor keeps the rounding engine-stable (round() differs
+   *  on exact halves across engines); the corpus stats broadcast to the
+   *  quantization map, so the pass over the vectors is shuffle-free —
+   *  the compression step an ANN deployment runs before serving. */
+  def quantize(emb: DataFrame, pred: Column): DataFrame = {
+    val expl = emb.select(col("vec_id"), posexplode(asDouble(col("embedding"))))
+      .select(col("vec_id"), col("pos").as("dim"), col("col").as("v"))
+    val stats = expl.groupBy(col("dim"))
+      .agg(min(col("v")).as("__lo"), max(col("v")).as("__hi"))
+    expl.filter(pred)
+      .join(broadcast(stats), "dim")
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        when(col("__hi") === col("__lo"), lit(0L)) // degenerate constant dim
+          .otherwise(floor((col("v") - col("__lo")) / (col("__hi") - col("__lo")) * 255 + 0.5)
+            .cast("long")).as("q"))
+  }
+
   /** Sign-bucket id from the fixed hyperplanes: bit p set iff
    *  dot(plane_p, v) > 0. */
   def bucketId(vec: Column): Column =

@@ -101,6 +101,12 @@ object PipelineQueries {
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.sampledCentroids(emb(s, d), 100),
         col("vec_id") % 25 === 0, 3, nprobe = 2)),
+    // mean-pooled class prototypes: one centroid per label
+    "q_ann_label_centroids" -> ((s, d) =>
+      Similarity.centroidsBy(emb(s, d), col("label"))),
+    // int8-style scalar quantization of a vector subset (corpus stats)
+    "q_ann_quantize" -> ((s, d) =>
+      Similarity.quantize(emb(s, d), col("vec_id") % 50 === 0)),
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
     // semantic dedup collapse: connected components over the embedding
@@ -530,6 +536,23 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_label_centroids" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT label AS grp, unnest(v) AS val, unnest(range(0, len(v))) AS dim FROM e)
+         |SELECT grp, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       ${rnd("avg(val)")} AS value
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_ann_quantize" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT vec_id, unnest(range(0, len(v))) AS dim, unnest(v) AS val FROM e),
+         |st AS (SELECT dim, min(val) AS lo, max(val) AS hi FROM x GROUP BY 1)
+         |SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+         |       CAST(CASE WHEN hi = lo THEN 0
+         |                 ELSE floor((val - lo) / (hi - lo) * 255 + 0.5) END AS BIGINT) AS q
+         |FROM x JOIN st USING (dim)
+         |WHERE vec_id % 50 = 0""".stripMargin,
 
     "q_dedup_embed_clusters" ->
       s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),

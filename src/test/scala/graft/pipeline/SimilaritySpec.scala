@@ -84,6 +84,28 @@ class SimilaritySpec extends AnyFunSuite {
     brute.unpersist(): Unit
   }
 
+  test("centroidsBy: one row per (group, dim); member counts constant across dims") {
+    val cents = Similarity.centroidsBy(emb, col("label")).collect()
+    val groups = cents.groupBy(_.getAs[Any]("grp").toString)
+    assert(groups.nonEmpty)
+    groups.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("dim")).sorted.toSeq === (0L until 64L))
+      assert(rows.map(_.getAs[Long]("n_vecs")).distinct.length === 1)
+    }
+  }
+
+  test("quantize: components land in [0, 255] and use the grid; full corpus attains both ends") {
+    val sub = Similarity.quantize(emb, col("vec_id") % 50 === 0)
+      .collect().map(_.getAs[Long]("q"))
+    assert(sub.nonEmpty)
+    assert(sub.forall(v => v >= 0L && v <= 255L))
+    assert(sub.distinct.length > 16) // a real spread, not a constant map
+    // quantizing the WHOLE corpus must hit both grid ends: each dim's
+    // min maps to 0 and max to 255 by construction
+    val all = Similarity.quantize(emb, lit(true)).agg(min(col("q")), max(col("q"))).head
+    assert(all.getLong(0) === 0L && all.getLong(1) === 255L)
+  }
+
   test("semantic dedup clusters: every near-dup edge's endpoints share the component-min label") {
     val pairs = Similarity.cosineNearDuplicates(emb, 0.3)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
