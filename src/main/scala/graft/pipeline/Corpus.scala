@@ -171,14 +171,32 @@ object Corpus {
       size(TextAnalysis.tokens(col("text"))).cast("long").as("__n_tok"))
     val totals = withTok.agg(
       count(lit(1)).as("n_docs"), sum(col("__n_tok")).as("tokens_total"))
-    val nQuality = TextAnalysis.quality(docs)
+    val quality = TextAnalysis.quality(docs).select(col("doc_id"), col("keep"))
+    val canonical = docs
+      .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("__h"))
+      .join(Dedup.exact(docs).select(col("content_hash").as("__h"), col("canonical_id")), "__h")
+      .select(col("doc_id"), col("canonical_id"))
+    // ONE cluster collapse serves both the cluster stats and the
+    // survivor gate (calling select() here would run the whole LSH +
+    // propagation a second time — measured at ~2 s of pure duplicate
+    // work at sf0.1); the labels frame is checkpointed, so both readers
+    // hit materialized data
+    val clusterFrame = Dedup.duplicateClusters(Dedup.nearDuplicates(docs, nearThreshold))
+    val nQuality = quality
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep_quality"))
     val nCanonical = Dedup.exact(docs)
       .agg(count(lit(1)).as("n_exact_canonical"))
-    val clusters = Dedup.duplicateClusters(Dedup.nearDuplicates(docs, nearThreshold))
+    val clusters = clusterFrame
       .agg(count(lit(1)).as("n_clustered_docs"),
         countDistinct(col("cluster_id")).as("n_clusters"))
-    val selected = select(docs, nearThreshold)
+    // same survivor predicate as [[select]], over the shared frames
+    val selected = docs.select(col("doc_id"))
+      .join(quality, "doc_id")
+      .join(canonical, "doc_id")
+      .join(clusterFrame, Seq("doc_id"), "left")
+      .filter(col("keep") &&
+        col("canonical_id") === col("doc_id") &&
+        (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
       .join(withTok, "doc_id")
       .agg(count(lit(1)).as("n_selected"), sum(col("__n_tok")).as("tokens_selected"))
     totals
