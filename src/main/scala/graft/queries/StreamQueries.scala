@@ -96,6 +96,23 @@ object StreamQueries {
       cfg
     })
 
+  /** Lake with idle-series purge applied after ingest (R5 second half):
+   *  series silent since [[OracleCommon.End]] leave the dim/latest logs. */
+  private def idleLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#idle", {
+      val base = java.nio.file.Files.createTempDirectory("graft_idle")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4)
+      IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
+      IngestJob.purgeIdleSeries(s, cfg, OracleCommon.End)
+      cfg
+    })
+
   /** Sampling modulus for the seeded-approx admission variant (~6% of the
    *  batch feeds the median sort). */
   private val AdmissionSampleMod = 16
@@ -194,6 +211,14 @@ object StreamQueries {
     // series_dim maintained by the stream matches the batch-derived one
     "q_stream_series_dim" -> { (s, d) =>
       IngestJob.seriesDim(s, lakeFor(s, d))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("tag_count"),
+          col("first_seen"), col("last_seen"))
+    },
+
+    // R5 idle-series purge: series silent since the cutoff are gone from
+    // the dim; the oracle replays the cutoff as a HAVING clause
+    "q_stream_idle_purge" -> { (s, d) =>
+      IngestJob.seriesDim(s, idleLakeFor(s, d))
         .select(col("metric"), col("tags")("user").as("tag_user"), col("tag_count"),
           col("first_seen"), col("last_seen"))
     },
@@ -304,6 +329,15 @@ object StreamQueries {
          |       min(ts) AS first_seen, max(ts) AS last_seen
          |FROM points
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_stream_idle_purge" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN tag_env IS NULL THEN 3 ELSE 4 END AS tag_count,
+         |       min(ts) AS first_seen, max(ts) AS last_seen
+         |FROM points
+         |GROUP BY 1, 2, 3
+         |HAVING max(ts) >= $End""".stripMargin,
 
     "q_rollup_streamed" ->
       s"""WITH $pointsCtes

@@ -360,6 +360,25 @@ object IngestJob {
     expired.map(_._2).sorted
   }
 
+  /** R5 second half — idle-series deletion: series whose last admitted
+   *  point precedes the cutoff leave the series and latest logs (the
+   *  reference's PurgeJob deleting idle series and their meta docs,
+   *  core/.../core/TimeSeriesShard.java:446-645,552-569). Same race-safe
+   *  swap as [[compact]]: the filtered fold covers exactly the plan-time
+   *  log files, so a concurrent batch's appends survive — and a purged
+   *  series that writes again is simply re-created by its new log rows
+   *  (first_seen restarts), which is the reference's behavior for a
+   *  deleted-then-reappearing series. */
+  def purgeIdleSeries(spark: SparkSession, cfg: Config, cutoffSec: Long): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    compactLog(spark, conf, seriesLogPath(cfg), log =>
+      foldSeriesLog(log).filter(col("last_seen") >= cutoffSec)
+        .select("series_id", "metric", "tags", "first_seen", "last_seen"))
+    compactLog(spark, conf, latestLogPath(cfg), log =>
+      foldLatestLog(log).filter(col("last_ts") >= cutoffSec)
+        .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq"))
+  }
+
   /** Compact the series/latest logs to one row per series. Race-safe
    *  against a concurrently-running ingest: the snapshot is computed over
    *  exactly the log files listed at plan time, staged, moved in, and

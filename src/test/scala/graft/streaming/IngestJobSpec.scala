@@ -258,6 +258,28 @@ class IngestJobSpec extends AnyFunSuite {
     assert(remaining === Set(t0 + seg, t0 + 2 * seg))
   }
 
+  test("idle-series purge removes silent series from dim + latest; rewrite resurrects (R5)") {
+    val spark = TestSpark.spark
+    val t0 = 40 * seg
+    val cfg = freshCfg(retention = Long.MaxValue / 4)
+      .copy(nowSec = Some(() => t0 + seg))
+    // user 0 (event_id 150) goes idle at t0; user 1 (event_id 151) stays active
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0, "cpu", 1.0), (151L, t0 + seg, "cpu", 2.0))), cfg)
+    IngestJob.purgeIdleSeries(spark, cfg, cutoffSec = t0 + 1)
+    def users() = IngestJob.seriesDim(spark, cfg)
+      .select(col("tags")("user")).collect().map(_.getString(0)).toSet
+    assert(users() === Set("1"))
+    assert(IngestJob.latest(spark, cfg).count() === 1)
+    // the purged series writes again → re-created, first_seen restarts
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (300L, t0 + seg + 10, "cpu", 9.0))), cfg) // event 300 % 150 == user 0
+    assert(users() === Set("0", "1"))
+    val reborn = IngestJob.seriesDim(spark, cfg)
+      .filter(col("tags")("user") === "0").select("first_seen").head.getLong(0)
+    assert(reborn === t0 + seg + 10)
+  }
+
   test("end-to-end stream: file source → lake equals batch mapping (S1)") {
     val spark = TestSpark.spark
     val base = java.nio.file.Files.createTempDirectory("graft_e2e")
