@@ -116,6 +116,15 @@ object PipelineQueries {
         Similarity.cosineNearDuplicates(emb(s, d), 0.3)
           .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .select(col("doc_id").as("vec_id"), col("cluster_id"))),
+    // hybrid dedup: a doc joins a cluster if EITHER the MinHash text
+    // signal OR the embedding-cosine signal pairs it — the union of both
+    // edge sets collapsed by one propagation (doc_id ≡ vec_id here)
+    "q_dedup_hybrid_clusters" -> { (s, d) =>
+      val textPairs = Dedup.nearDuplicates(docs(s, d), 0.5).select("doc_a", "doc_b")
+      val embPairs = Similarity.cosineNearDuplicates(emb(s, d), 0.3)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      Dedup.duplicateClusters(textPairs.unionByName(embPairs).distinct())
+    },
     "q_mm_meta" -> ((s, d) => Multimodal.metaView(Multimodal.media(s, d))),
     "q_mm_resize" -> ((s, d) => Multimodal.resize(Multimodal.media(s, d), 32, 32)),
     "q_mm_frames" -> ((s, d) => Multimodal.frames(Multimodal.media(s, d))),
@@ -568,6 +577,31 @@ object PipelineQueries {
          |  SELECT g.a AS doc, reach.r FROM edges g JOIN reach ON reach.doc = g.b),
          |cl AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
          |SELECT doc AS vec_id, cluster_id FROM cl""".stripMargin,
+
+    "q_dedup_hybrid_clusters" ->
+      s"""WITH RECURSIVE $candCtes,
+         |np1 AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS ej
+         |    FROM cand
+         |    JOIN sigs sa ON sa.doc_id = doc_a
+         |    JOIN sigs sb ON sb.doc_id = doc_b)
+         |  WHERE ej >= 0.5),
+         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
+         |np2 AS (SELECT doc_a, doc_b FROM (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
+         |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  WHERE sim >= 0.3),
+         |np AS (SELECT doc_a, doc_b FROM np1 UNION SELECT doc_a, doc_b FROM np2),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
+         |          UNION ALL SELECT doc_b, doc_a FROM np),
+         |reach AS (
+         |  SELECT DISTINCT a AS doc, a AS r FROM edges
+         |  UNION
+         |  SELECT g.a AS doc, reach.r FROM edges g JOIN reach ON reach.doc = g.b),
+         |cl AS (SELECT doc, min(r) AS cluster_id FROM reach GROUP BY doc)
+         |SELECT doc AS doc_id, cluster_id FROM cl""".stripMargin,
 
     "q_pipeline_report" ->
       s"""WITH RECURSIVE $candCtes,
