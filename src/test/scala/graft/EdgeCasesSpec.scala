@@ -132,4 +132,37 @@ class EdgeCasesSpec extends AnyFunSuite {
     val out = graft.pipeline.Similarity.lshTopK(emb, col("vec_id") === 25, 3)
     assert(out.count() === 0)
   }
+
+  test("pipeline operators survive an empty corpus") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+    import graft.pipeline._
+    assert(TextAnalysis.repetition(none).count() === 0)
+    assert(TextAnalysis.corpusLogProb(none).count() === 0)
+    assert(TextAnalysis.keywords(none, 3).count() === 0)
+    assert(Corpus.chunk(none, 32).count() === 0)
+    assert(Corpus.decontaminate(none, col("doc_id") % 97 === 0).count() === 0)
+    assert(Corpus.topKByDomain(none, 5).count() === 0)
+    // the funnel report still emits its single row, with zero counts
+    val rep = Corpus.report(none, 0.5).collect()
+    assert(rep.length === 1)
+    assert(rep.head.getAs[Long]("n_docs") === 0L)
+    assert(rep.head.getAs[Long]("n_selected") === 0L)
+  }
+
+  test("pipeline operators on a one-token document") {
+    import spark.implicits._
+    val one = Seq((7L, "word")).toDF("doc_id", "text")
+    import graft.pipeline._
+    val rep = TextAnalysis.repetition(one).collect()
+    assert(rep.length === 1) // no bigrams/5-grams: covers coalesce to 0
+    assert(rep.head.getAs[Long]("top_bigram_cover") === 0L)
+    assert(rep.head.getAs[Long]("max_token_run") === 1L)
+    val ch = Corpus.chunk(one, 32).collect()
+    assert(ch.length === 1 && ch.head.getAs[Long]("n_tokens") === 1L)
+    val lp = TextAnalysis.corpusLogProb(one).collect()
+    assert(lp.length === 1)
+    assert(lp.head.getAs[Double]("avg_logprob") === 0.0) // p = 1/1
+    assert(lp.head.getAs[Double]("entropy") === 0.0)
+  }
 }
