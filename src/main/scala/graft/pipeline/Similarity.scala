@@ -101,20 +101,58 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       bucketId(asDouble(col("embedding"))).as("bucket"))
 
-  /** Embedding-cosine near-duplicate pairs: LSH-bucket candidates (never
-   *  all-pairs) filtered to cosine ≥ threshold — the embedding-space
-   *  analog of MinHash near-dup. */
-  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame = {
-    val withBucket = emb.select(col("vec_id"),
-      asDouble(col("embedding")).as("vec"),
-      bucketId(asDouble(col("embedding"))).as("bucket"))
-    val left = withBucket.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("bucket"))
-    val right = withBucket.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("bucket"))
-    left.join(right, Seq("bucket"))
+  /** Sign-bucket id in near-dup table `t` from
+   *  [[HashConstants.NdPlanes]]: bit p set iff dot(plane_tp, v) > 0. */
+  def ndBucketId(vec: Column, t: Int): Column =
+    (0 until NdPlanesPerTable).map { p =>
+      val planeLit = array(NdPlanes(t)(p).map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-duplicate pairs: multi-table banded
+   *  hyperplane-LSH candidates (never all-pairs) filtered to cosine ≥
+   *  threshold — the embedding-space analog of MinHash banding
+   *  ([[Dedup.candidates]]). Each vector lands in one bucket per table
+   *  (shuffle O(n·NdTables)); the self-join runs per (table, bucket), so
+   *  only same-table bucket-mates ever meet, and the cross-table union
+   *  is a scalar `distinct` AFTER the sim threshold — surviving pairs
+   *  shuffle as three scalars, never the vectors. */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double): DataFrame =
+    cosineNearDuplicates(emb, threshold, Int.MaxValue)
+
+  /** As [[cosineNearDuplicates]] with the bucket-size cap the MinHash
+   *  side has ([[Dedup.candidates]]): a bucket holding a huge clone
+   *  cluster is |bucket|² pairs — the LSH skew degeneracy — and identical
+   *  vectors collide in EVERY table, so the cap drops such buckets whole
+   *  (their members are trivially discoverable by exact-embedding dedup
+   *  instead). Off by default so the oracle-checked path is exhaustive;
+   *  at warehouse scale run with a cap (e.g. 10⁴) and route capped
+   *  buckets through exact dedup. */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val tb = (0 until NdTables).map(t =>
+      struct(lit(t).as("tbl"), ndBucketId(col("vec"), t).as("bucket")))
+    val b0 = vecs.select(col("vec_id"), col("vec"), explode(array(tb: _*)).as("tb"))
+      .select(col("vec_id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val b =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val ok = b0.groupBy(col("tbl"), col("bucket"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("tbl", "bucket")
+        b0.join(ok, Seq("tbl", "bucket"), "left_semi")
+      }
+    val left = b.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("tbl"), col("bucket"))
+    val right = b.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("tbl"), col("bucket"))
+    left.join(right, Seq("tbl", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 4))
       .filter(col("sim") >= threshold)
+      // sim is a pure function of the pair, so the cross-table union is a
+      // plain distinct over three scalars — hash aggregate, no arrays
       .select("vec_a", "vec_b", "sim")
+      .distinct()
   }
 
   /** Sampled centroids: a deterministic corpus sample (vec_id %

@@ -227,6 +227,22 @@ object PipelineQueries {
       s"CASE WHEN list_dot_product(v, ${planeList(p)}) > 0 THEN ${1L << p} ELSE 0 END"
     }.mkString(" + ")
 
+  private def ndPlaneList(t: Int, p: Int): String =
+    NdPlanes(t)(p).map(v => f"$v%.3f").mkString("[", ", ", "]")
+
+  private def ndBucketExpr(t: Int): String =
+    (0 until NdPlanesPerTable).map { p =>
+      s"CASE WHEN list_dot_product(v, ${ndPlaneList(t, p)}) > 0 THEN ${1L << p} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Multi-table near-dup bucketing: one row per (vec, table). Replays
+   *  [[Similarity.ndBucketId]] over every [[NdTables]] table. */
+  private val ndBucketsCte: String =
+    "eb AS (" +
+      (0 until NdTables).map { t =>
+        s"SELECT vec_id, v, $t AS tbl, ${ndBucketExpr(t)} AS bucket FROM e"
+      }.mkString("\n  UNION ALL ") + ")"
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -564,10 +580,11 @@ object PipelineQueries {
          |WHERE vec_id % 50 = 0""".stripMargin,
 
     "q_dedup_embed_clusters" ->
-      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
-         |np AS (SELECT vec_a, vec_b FROM (
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$ndBucketsCte,
+         |np AS (SELECT DISTINCT vec_a, vec_b FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |  WHERE sim >= 0.3),
          |edges AS (SELECT vec_a AS a, vec_b AS b FROM np
          |          UNION ALL SELECT vec_b, vec_a FROM np),
@@ -588,10 +605,11 @@ object PipelineQueries {
          |    JOIN sigs sa ON sa.doc_id = doc_a
          |    JOIN sigs sb ON sb.doc_id = doc_b)
          |  WHERE ej >= 0.5),
-         |ee AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
-         |np2 AS (SELECT doc_a, doc_b FROM (
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$ndBucketsCte,
+         |np2 AS (SELECT DISTINCT doc_a, doc_b FROM (
          |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
-         |  FROM ee a JOIN ee b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |  WHERE sim >= 0.3),
          |np AS (SELECT doc_a, doc_b FROM np1 UNION SELECT doc_a, doc_b FROM np2),
          |edges AS (SELECT doc_a AS a, doc_b AS b FROM np
@@ -634,10 +652,11 @@ object PipelineQueries {
          |SELECT * FROM tot, qual, can, clu, selagg""".stripMargin,
 
     "q_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings)
-         |SELECT * FROM (
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$ndBucketsCte
+         |SELECT DISTINCT vec_a, vec_b, sim FROM (
          |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${rnd(cosSql("a.v", "b.v"))} AS sim
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |  FROM eb a JOIN eb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |WHERE sim >= 0.3""".stripMargin,
 
     "q_mm_meta" ->

@@ -106,6 +106,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(all.getLong(0) === 0L && all.getLong(1) === 255L)
   }
 
+  test("multi-table near-dup recall beats a single table; pairs are a subset of ground truth") {
+    import HashConstants._
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // ground truth: ALL pairs at cosine >= 0.3 (test-only all-pairs join)
+    val truth = vecs.as("a").join(vecs.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(Similarity.cosine(col("a.v"), col("b.v")), 4))
+      .filter(col("sim") >= 0.3)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b")).cache()
+    val nTruth = truth.count().toDouble
+    assert(nTruth > 0)
+    val multi = Similarity.cosineNearDuplicates(emb, 0.3)
+    // every reported pair must be genuine (LSH only recalls, never invents)
+    assert(multi.join(truth, Seq("vec_a", "vec_b"), "left_anti").count() === 0L)
+    // single-table recall = pairs colliding in table 0 only
+    val t0 = vecs.select(col("vec_id"), Similarity.ndBucketId(col("v"), 0).as("bucket"))
+    val singleHits = t0.as("a").join(t0.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .join(truth, Seq("vec_a", "vec_b"), "left_semi").count().toDouble
+    val multiHits = multi.count().toDouble
+    val (rMulti, rSingle) = (multiHits / nTruth, singleHits / nTruth)
+    info(f"near-dup recall@0.3: ${NdTables}-table=$rMulti%.3f single-table=$rSingle%.3f (n_truth=${nTruth.toLong})")
+    assert(rMulti >= rSingle, "union of tables must recall at least any one table")
+    assert(rMulti > 0.0)
+    truth.unpersist(): Unit
+  }
+
+  test("bucket-size cap drops a planted clone cluster instead of joining it quadratically") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 30-vector corpus: ids 0-9 are IDENTICAL (a clone cluster — collides
+    // in every table), ids 10-29 spread deterministic distinct directions
+    val clone = Array.tabulate(64)(i => math.sin(i + 1))
+    val rows = (0L until 30L).map { id =>
+      val v = if (id < 10) clone
+              else Array.tabulate(64)(i => math.cos((id * 67 + i * 13 + 1).toDouble))
+      (id, v.map(_.toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDuplicates(df, 0.99)
+    val clonePairsUncapped = uncapped
+      .filter(col("vec_a") < 10 && col("vec_b") < 10).count()
+    assert(clonePairsUncapped === 45L, "uncapped: all 10·9/2 clone pairs surface")
+    val capped = Similarity.cosineNearDuplicates(df, 0.99, maxBucketSize = 5)
+    assert(capped.filter(col("vec_a") < 10 && col("vec_b") < 10).count() === 0L,
+      "capped: the over-full clone buckets are dropped whole")
+    // and capping never invents pairs
+    assert(capped.join(uncapped, Seq("vec_a", "vec_b"), "left_anti").count() === 0L)
+  }
+
   test("semantic dedup clusters: every near-dup edge's endpoints share the component-min label") {
     val pairs = Similarity.cosineNearDuplicates(emb, 0.3)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
