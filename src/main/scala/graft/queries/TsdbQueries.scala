@@ -319,6 +319,44 @@ object TsdbQueries {
         TagKeyLiteral(Seq("host", "colo")))
       dsOut(run(s, d, TsdbQuery(f, Start, End, explicitTags = true,
         downsample = Some(DownsampleSpec("0all", "count", runAll = true)))), "cnt")
+    },
+
+    // The OpenTSDB query-JSON front end (QueryBuilderTSDBExt.java:48-122
+    // semantics): the SAME selection as q_filter_chain_not, but the whole
+    // query — filter tree, range, downsample — arrives as a client JSON
+    // document and replays through TsdbJson.parseQuery → QueryEngine.run
+    // (oracle identical to q_filter_chain_not's)
+    "q_json_chain_not" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "filter": {"type": "Chain", "op": "AND", "filters": [
+          {"type": "Chain", "op": "OR", "filters": [
+            {"type": "TagValueLiteralOr", "tagKey": "user", "filter": "1|2|3|4|5"},
+            {"type": "TagValueRegex", "tagKey": "host", "filter": "web02"}]},
+          {"type": "Not", "filter":
+            {"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "den"}}]},
+        "downsample": {"interval": "0all", "aggregator": "count", "runAll": true}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "cnt")
+    },
+
+    // Full pushed-down query graph from JSON: filter + rate + downsample +
+    // groupBy + timeShift (the reference's absorbed source-node configs,
+    // AuraMetricsSourceFactory.java:120-128); same oracle as q_full_pipeline
+    "q_json_full" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "filter": {"type": "Chain", "op": "AND", "filters": [
+          {"type": "MetricLiteral", "metric": "click|purchase"},
+          {"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "sjc"}]},
+        "rate": {},
+        "downsample": {"interval": "1d", "aggregator": "avg"},
+        "groupBy": {"tagKeys": ["host"], "aggregator": "sum"},
+        "timeShift": "1w"
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
     }
   )
 
@@ -331,7 +369,7 @@ object TsdbQueries {
        |FROM dedup WHERE ${inRange()} $where
        |GROUP BY 1, 2, 3""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     "q_ds_sum" -> dsOracle(rnd("sum(value)"), "sum_value"),
 
     "q_ds_avg" ->
@@ -561,4 +599,11 @@ object TsdbQueries {
       where = "AND tag_user IN ('0','1','2','3','4','5','6','7') AND tag_env IS NULL",
       bucket = s"CAST($Start AS BIGINT)")
   )
+
+  // JSON front-end replays: selections are identical to the direct-ADT
+  // queries above, so the oracles are shared verbatim — any divergence
+  // between the JSON parser and the ADT shows up as a hash mismatch
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
+    "q_json_full" -> oraclesBase("q_full_pipeline"))
 }

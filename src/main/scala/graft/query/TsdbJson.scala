@@ -1,0 +1,148 @@
+package graft.query
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.filters._
+
+import scala.jdk.CollectionConverters._
+
+/**
+ * OpenTSDB semantic-query JSON front end: parses the TSDB 3.x
+ * `QueryFilter` JSON tree (type-discriminated nodes: Chain / Not /
+ * ExplicitTags / TagValueLiteralOr / TagValueRegex / TagValueWildcard /
+ * MetricLiteral / MetricRegex / TagKeyLiteralOr / TagKeyRegex /
+ * AnyFieldRegex) into the [[graft.filters.SeriesFilter]] IR — the same
+ * conversion the reference performs in
+ * QueryBuilderTSDBExt.java:48-122 (`fromTSDBQueryFilter`): ExplicitTags
+ * unwraps and sets the exact-match flag (:52-56), Chain maps member-wise
+ * (:67-81), Not pushes a NOT operator onto its child (:82-86), literal-or
+ * values split on `|`, and wildcards rewrite `*` → `.*` (:105-114).
+ *
+ * [[parseQuery]] additionally reads the pushed-down query-node configs the
+ * reference absorbs into its source node (time range + downsample + rate +
+ * groupBy + timeShift, AuraMetricsSourceFactory.java:120-128) so a client
+ * query replays through [[QueryEngine.run]] unchanged.
+ */
+object TsdbJson {
+
+  /** Filter + the two builder outputs the reference derives alongside it:
+   *  the explicit-tags flag (top-level ExplicitTagsFilter) and the count
+   *  of distinct tag keys referenced by TagValue filters — including
+   *  NOT-negated ones, matching QueryBuilderTSDBExt.java:89 (the engine's
+   *  explicit-tags predicate counts positive keys only; the two agree on
+   *  every query without a NOT over a tag-value term). */
+  final case class ParsedFilter(filter: SeriesFilter, explicitTags: Boolean, tagCount: Int)
+
+  private val mapper = new ObjectMapper()
+
+  def parseFilter(json: String): ParsedFilter = filterFromNode(mapper.readTree(json))
+
+  def filterFromNode(root: JsonNode): ParsedFilter = {
+    val keys = scala.collection.mutable.Set.empty[String]
+    val f = build(unwrapTop(root), keys)
+    ParsedFilter(f, explicitTags = typeOf(root) == "explicittags", tagCount = keys.size)
+  }
+
+  /** Top-level ExplicitTags only sets the flag; the tree it wraps is the
+   *  filter (reference :64-66 unwraps it wherever it appears). */
+  private def unwrapTop(n: JsonNode): JsonNode =
+    if (typeOf(n) == "explicittags") n.get("filter") else n
+
+  private def typeOf(n: JsonNode): String = {
+    val t = n.get("type")
+    require(t != null, s"filter node missing 'type': $n")
+    t.asText.toLowerCase
+  }
+
+  private def str(n: JsonNode, field: String, alt: String = null): String = {
+    val v = Option(n.get(field)).orElse(Option(alt).flatMap(a => Option(n.get(a))))
+    require(v.isDefined, s"filter node missing '$field': $n")
+    v.get.asText
+  }
+
+  private def pipeSplit(s: String): Seq[String] =
+    s.split("\\|").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  private def build(n: JsonNode, tagKeys: scala.collection.mutable.Set[String]): SeriesFilter =
+    typeOf(n) match {
+      case "explicittags" => // nested: just unwrap (reference :64-66)
+        build(n.get("filter"), tagKeys)
+      case "chain" =>
+        val op = Option(n.get("op")).map(_.asText.toUpperCase).getOrElse("AND") match {
+          case "AND" => Chain.And
+          case "OR" => Chain.Or
+          case other => throw new IllegalArgumentException(s"unsupported chain op $other")
+        }
+        val members = Option(n.get("filters")).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
+        Chain(op, members.map(build(_, tagKeys)))
+      case "not" =>
+        Not(build(n.get("filter"), tagKeys))
+      case "tagvalueliteralor" =>
+        val k = str(n, "tagKey", "key"); tagKeys += k
+        TagLiteral(k, pipeSplit(str(n, "filter")))
+      case "tagvalueregex" =>
+        val k = str(n, "tagKey", "key"); tagKeys += k
+        TagRegexp(k, str(n, "filter"))
+      case "tagvaluewildcard" =>
+        val k = str(n, "tagKey", "key"); tagKeys += k
+        TagWildcard(k, str(n, "filter"))
+      case "metricliteral" =>
+        MetricLiteral(pipeSplit(str(n, "metric", "filter")))
+      case "metricregex" =>
+        MetricRegexp(str(n, "metric", "filter"))
+      case "tagkeyliteralor" | "tagkeyliteral" =>
+        TagKeyLiteral(pipeSplit(str(n, "filter")))
+      case "tagkeyregex" =>
+        TagKeyRegexp(str(n, "filter"))
+      case "anyfieldregex" =>
+        AnyMatch(str(n, "filter"))
+      case other =>
+        throw new IllegalArgumentException(s"Unsupported QueryFilter type '$other'")
+    }
+
+  // ------------------------------------------------------------ full query
+
+  /** Parse a pushed-down source-node query: `start`/`end` epoch seconds,
+   *  optional `filter` tree, optional `downsample` / `rate` / `groupBy` /
+   *  `timeShift` configs (field names follow the TSDB query-node configs
+   *  the reference absorbs, AuraMetricsSourceFactory.java:120-128). */
+  def parseQuery(json: String): TsdbQuery = {
+    val n = mapper.readTree(json)
+    require(n.has("start") && n.has("end"), s"query needs start/end: $json")
+    val pf = Option(n.get("filter")).map(filterFromNode)
+      .getOrElse(ParsedFilter(MatchAll, explicitTags = false, 0))
+    val ds = Option(n.get("downsample")).map { d =>
+      DownsampleSpec(
+        interval = str(d, "interval"),
+        agg = str(d, "aggregator", "agg"),
+        runAll = Option(d.get("runAll")).exists(_.asBoolean) ||
+          Option(d.get("interval")).exists(_.asText == "0all"),
+        infectiousNan = Option(d.get("infectiousNan")).exists(_.asBoolean),
+        reportingInterval = Option(d.get("reportingInterval")).map(_.asText))
+    }
+    val rate = Option(n.get("rate")).map { r =>
+      RateSpec(
+        interval = Option(r.get("interval")).map(_.asText).getOrElse("1s"),
+        counter = Option(r.get("counter")).exists(_.asBoolean),
+        dropResets = Option(r.get("dropResets")).exists(_.asBoolean),
+        counterMax = Option(r.get("counterMax")).map(_.asDouble).getOrElse(Long.MaxValue.toDouble),
+        resetValue = Option(r.get("resetValue")).map(_.asDouble).getOrElse(0d),
+        deltaOnly = Option(r.get("deltaOnly")).exists(_.asBoolean),
+        rateToCount = Option(r.get("rateToCount")).exists(_.asBoolean))
+    }
+    val gb = Option(n.get("groupBy")).map { g =>
+      GroupBySpec(
+        keys = Option(g.get("tagKeys")).map(_.elements.asScala.map(_.asText).toSeq)
+          .getOrElse(Seq.empty),
+        agg = str(g, "aggregator", "agg"))
+    }
+    TsdbQuery(
+      filter = pf.filter,
+      start = n.get("start").asLong,
+      end = n.get("end").asLong,
+      downsample = ds,
+      rate = rate,
+      groupBy = gb,
+      shift = Option(n.get("timeShift")).map(_.asText),
+      explicitTags = pf.explicitTags)
+  }
+}

@@ -1,0 +1,104 @@
+package graft.query
+
+import graft.filters._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The OpenTSDB query-JSON → filter-IR conversion, porting the
+ *  reference's QueryBuilderTSDBExtTest.java scenarios (NOT-over-regex,
+ *  ExplicitTags-over-chain, wildcard rewrite) plus the full-query
+ *  config parse. */
+class TsdbJsonSpec extends AnyFunSuite {
+
+  // QueryBuilderTSDBExtTest.foobar: NOT over a tag-value regex
+  test("NOT over TagValueRegex parses to Not(TagRegexp)") {
+    val p = TsdbJson.parseFilter(
+      """{"type": "Not", "filter":
+           {"type": "TagValueRegex", "tagKey": "host", "filter": "foo"}}""")
+    assert(p.filter === Not(TagRegexp("host", "foo")))
+    assert(!p.explicitTags)
+    // the reference counts tag keys of TagValue filters even under NOT
+    // (QueryBuilderTSDBExt.java:89 adds before the operator branch)
+    assert(p.tagCount === 1)
+  }
+
+  // QueryBuilderTSDBExtTest.foo: ExplicitTags over a mixed AND chain
+  test("ExplicitTags over chain: flag set, literal-or pipe-split, nested chain defaults to AND") {
+    val p = TsdbJson.parseFilter(
+      """{"type": "ExplicitTags", "filter":
+           {"type": "Chain", "op": "AND", "filters": [
+             {"type": "TagValueLiteralOr", "tagKey": "_aggregate", "filter": "SUM"},
+             {"type": "Chain", "filters": [
+               {"type": "TagValueLiteralOr", "tagKey": "namespace", "filter": "Yamas|Foo"}]},
+             {"type": "TagValueRegex", "tagKey": "hostgroup", "filter": ".*"}]}}""")
+    assert(p.explicitTags)
+    assert(p.tagCount === 3)
+    val Chain(Chain.And, members) = p.filter
+    assert(members(0) === TagLiteral("_aggregate", Seq("SUM")))
+    assert(members(1) === Chain(Chain.And, Seq(TagLiteral("namespace", Seq("Yamas", "Foo")))))
+    assert(members(2) === TagRegexp("hostgroup", ".*"))
+  }
+
+  // QueryBuilderTSDBExtTest.testWildcardFilter: '*' → '.*'
+  test("wildcard filter rewrites * to .* (at compile time)") {
+    val p = TsdbJson.parseFilter(
+      """{"type": "TagValueWildcard", "tagKey": "key", "filter": "VAL*"}""")
+    assert(p.filter === TagWildcard("key", "VAL*"))
+    assert(SeriesFilter.globToRegex("VAL*") === "VAL.*")
+    assert(p.tagCount === 1)
+  }
+
+  test("metric / tag-key / any-field filters and the 'key' field alias") {
+    val p = TsdbJson.parseFilter(
+      """{"type": "Chain", "op": "OR", "filters": [
+           {"type": "MetricLiteral", "metric": "sys.cpu|sys.mem"},
+           {"type": "MetricRegex", "metric": "^net\\."},
+           {"type": "TagKeyLiteralOr", "filter": "host|colo"},
+           {"type": "TagKeyRegex", "filter": "^h"},
+           {"type": "AnyFieldRegex", "filter": "web"},
+           {"type": "TagValueLiteralOr", "key": "user", "filter": "1"}]}""")
+    val Chain(Chain.Or, ms) = p.filter
+    assert(ms(0) === MetricLiteral(Seq("sys.cpu", "sys.mem")))
+    assert(ms(1) === MetricRegexp("^net\\."))
+    assert(ms(2) === TagKeyLiteral(Seq("host", "colo")))
+    assert(ms(3) === TagKeyRegexp("^h"))
+    assert(ms(4) === AnyMatch("web"))
+    assert(ms(5) === TagLiteral("user", Seq("1")))
+    assert(p.tagCount === 1) // only the TagValue filter contributes
+  }
+
+  test("unsupported filter type raises, like the reference's UnsupportedOperationException") {
+    val e = intercept[IllegalArgumentException] {
+      TsdbJson.parseFilter("""{"type": "FieldLiteralOr", "filter": "x"}""")
+    }
+    assert(e.getMessage.contains("Unsupported"))
+  }
+
+  test("full query JSON: range + filter + downsample + rate + groupBy + shift") {
+    val q = TsdbJson.parseQuery(
+      """{"start": 100, "end": 200,
+          "filter": {"type": "ExplicitTags", "filter":
+            {"type": "TagValueLiteralOr", "tagKey": "host", "filter": "web01"}},
+          "downsample": {"interval": "1h", "aggregator": "avg",
+                         "infectiousNan": true, "reportingInterval": "60s"},
+          "rate": {"counter": true, "counterMax": 500.0, "dropResets": true},
+          "groupBy": {"tagKeys": ["host", "colo"], "aggregator": "sum"},
+          "timeShift": "1w"}""")
+    assert(q === TsdbQuery(
+      filter = TagLiteral("host", Seq("web01")),
+      start = 100L, end = 200L,
+      downsample = Some(DownsampleSpec("1h", "avg",
+        infectiousNan = true, reportingInterval = Some("60s"))),
+      rate = Some(RateSpec(counter = true, counterMax = 500.0, dropResets = true)),
+      groupBy = Some(GroupBySpec(Seq("host", "colo"), "sum")),
+      shift = Some("1w"),
+      explicitTags = true))
+  }
+
+  test("query defaults: no filter means MatchAll; 0all interval implies runAll") {
+    val q = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2, "downsample": {"interval": "0all", "aggregator": "sum"}}""")
+    assert(q.filter === MatchAll)
+    assert(q.downsample.get.runAll)
+    assert(!q.explicitTags)
+  }
+}
