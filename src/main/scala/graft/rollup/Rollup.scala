@@ -133,11 +133,20 @@ object Rollup {
         .filter(col("ts") >= lit(from) && col("ts") < lit(end))
       QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
     }
-    if (!canServe(spec, rollupInterval)) raw(start)
+    val qSec = Intervals.toSeconds(spec.interval)
+    // An interval-unaligned start cannot be served from the rollup at all:
+    // the epoch-aligned first rollup bucket would mix pre-start points
+    // into the partial first query bucket (the raw path clips by ts range;
+    // a stored composite cannot be clipped). The reference only routes
+    // aligned queries — enforce that here instead of by comment.
+    if (!canServe(spec, rollupInterval) || Math.floorMod(start, qSec.toLong) != 0L) raw(start)
     else {
-      val qSec = Intervals.toSeconds(spec.interval)
       val clamped = math.min(math.max(rollupUntil, start), end)
-      val frontier = start + ((clamped - start) / qSec) * qSec // floor to query bucket
+      // floor to an EPOCH-aligned query bucket (≡ start-relative now that
+      // start is aligned): serve() and downsample() both bucket by
+      // `ts - ts % qSec`, so any other split would double-emit the
+      // straddling bucket
+      val frontier = clamped - Math.floorMod(clamped, qSec)
       if (frontier <= start) raw(start)
       else if (frontier >= end) serve(rollup, spec, start, end)
       else serve(rollup, spec, start, frontier).unionByName(raw(frontier))

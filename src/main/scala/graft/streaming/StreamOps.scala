@@ -10,6 +10,19 @@ final case class PointRow(
     series_id: Long, metric: String, tags: Map[String, String],
     ts: Long, value: Double, seq: Long)
 
+/** Per-(series, window) LWW buffer: the winning (seq, value) per
+ *  timestamp, carried until the watermark closes the window. */
+final case class LwwWindowState(
+    metric: String, tags: Map[String, String],
+    pending: Map[Long, (Long, Double)])
+
+/** A finalized window in [[graft.rollup.Rollup.build]]'s composite
+ *  column vocabulary (None ⇔ the NaN-as-null convention). */
+final case class CompositeRow(
+    series_id: Long, metric: String, tags: Map[String, String], bucket_ts: Long,
+    sum: Option[Double], cnt: Long, min: Option[Double], max: Option[Double],
+    last: Option[Double], sumsq: Option[Double])
+
 /** Per-series last-write state carried across micro-batches. */
 final case class LatestState(last_ts: Long, last_seq: Long, last_value: Double)
 
@@ -84,7 +97,88 @@ object StreamOps {
    *  isn't expressible with built-in operators
    *  (`dropDuplicatesWithinWatermark` keeps the FIRST arrival, the
    *  reference keeps the last), so exactly-once producers are assumed on
-   *  this path. */
+   *  this path — use [[windowedDownsampleLww]] when producers may
+   *  re-send. */
+  /** LWW-deduping streaming downsample: [[windowedDownsample]] without
+   *  the exactly-once-producer assumption. One
+   *  `flatMapGroupsWithState` keyed by (series, window) buffers the
+   *  WINNING (max-seq) value per timestamp — a re-sent (series, ts)
+   *  duplicate with a changed value REPLACES the old one instead of
+   *  double-counting (the reference's readAndDedupe last-write-wins,
+   *  core/.../RawTimeSeriesEncoder.java:34) — and emits the full A10
+   *  composite exactly once, when the watermark passes the window end
+   *  (event-time timeout). State is bounded by open windows ×
+   *  points-per-window (≤ interval seconds at 1 Hz), evicted at emit.
+   *
+   *  Emission parity with [[graft.rollup.Rollup.build]] on the deduped
+   *  lake is the contract (StreamOpsSpec asserts it bit-equal): same
+   *  NaN-as-null convention, same (ts, seq) last-write-wins `last`, and
+   *  deterministic ts-ordered summation. Late points beyond the
+   *  watermark are dropped, as on the windowedDownsample path. */
+  def windowedDownsampleLww(points: DataFrame, interval: String,
+      watermarkDelay: String = "1 hour"): Dataset[CompositeRow] = {
+    val sec = Intervals.toSeconds(interval)
+    val spark = points.sparkSession
+    import spark.implicits._
+
+    def finalizeWindow(sid: Long, bucket: Long, st: LwwWindowState): CompositeRow = {
+      // ts-ordered fold: deterministic summation order, replayable by a
+      // batch engine (Map iteration order is not)
+      val vals = st.pending.toSeq.sortBy(_._1)
+        .map { case (ts, (seq, v)) => (ts, seq, v) }
+      val live = vals.filter(t => !t._3.isNaN) // NaN-as-null convention
+      val sum = if (live.isEmpty) None else Some(live.map(_._3).sum)
+      CompositeRow(sid, st.metric, st.tags, bucket,
+        sum = sum,
+        cnt = live.size.toLong,
+        min = live.map(_._3).minOption,
+        max = live.map(_._3).maxOption,
+        last = live.maxByOption(t => (t._1, t._2)).map(_._3),
+        sumsq = if (live.isEmpty) None else Some(live.map(t => t._3 * t._3).sum))
+    }
+
+    points
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("ts"), col("value"), col("seq"))
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay) // column must survive to the stateful op
+      .as[PointRow]
+      .groupByKey(p => (p.series_id, p.ts - java.lang.Math.floorMod(p.ts, sec)))
+      .flatMapGroupsWithState[LwwWindowState, CompositeRow](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case ((sid, bucket), rows, state) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          val end = bucket + sec
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(finalizeWindow(sid, bucket, st))
+          } else if (end <= wmSec && state.getOption.isEmpty) {
+            // straggler past an already-finalized window: drop, like the
+            // watermark drops it on the built-in aggregation path
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(LwwWindowState("", Map.empty, Map.empty))
+            rows.foreach { p =>
+              val winner = st.pending.get(p.ts) match {
+                case Some((seq, _)) if seq >= p.seq => false // LWW by seq within a ts
+                case _ => true
+              }
+              if (winner)
+                st = LwwWindowState(p.metric, p.tags, st.pending.updated(p.ts, (p.seq, p.value)))
+            }
+            if (end <= wmSec) { // watermark already past: close immediately
+              state.remove()
+              Iterator.single(finalizeWindow(sid, bucket, st))
+            } else {
+              state.update(st)
+              state.setTimeoutTimestamp(end * 1000) // fires once wm ≥ end
+              Iterator.empty
+            }
+          }
+      }
+  }
+
   def windowedDownsample(points: DataFrame, interval: String,
       watermarkDelay: String = "1 hour"): DataFrame = {
     val sec = Intervals.toSeconds(interval)

@@ -93,4 +93,30 @@ class RollupSpec extends AnyFunSuite {
       .agg(sum(col("value"))).head.getDouble(0)
     assert(fallback === 16.0)
   }
+
+  test("hybrid routing with an unaligned start falls back to raw (partial first bucket unservable)") {
+    import org.apache.spark.sql.functions._
+    val p = graft.Fixtures.series("m", tagset,
+      (0L, 1.0), (600L, 3.0), (7300L, 5.0), (14500L, 7.0))
+    val ru = Rollup.build(p, "1h")
+    val spec = DownsampleSpec("2h", "sum")
+    // start=600 is NOT a multiple of the 2h query interval: the epoch
+    // rollup bucket 0 contains ts=0 (before start), so serving it from
+    // the stored composite would overcount — and a start-relative
+    // frontier floor (600 + k*7200) would additionally double-emit the
+    // straddling bucket. The route must be pure raw and match the raw
+    // engine exactly.
+    val out = Rollup.downsampleHybrid(p, ru, "1h", spec, 600, 21600, 7900)
+      .collect().map(r => r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value"))
+    assert(out.map(_._1).distinct.length === out.length, s"duplicate buckets in ${out.toSeq}")
+    assert(out.toMap === Map(0L -> 3.0, 7200L -> 5.0, 14400L -> 7.0))
+    val direct = graft.query.QueryEngine.downsample(
+        p.filter(col("ts") >= 600 && col("ts") < 21600), spec, 600, 21600)
+      .collect().map(r => r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap
+    assert(out.toMap === direct)
+    // and the unaligned route never touches the rollup table in the plan
+    val plan = Rollup.downsampleHybrid(p, ru, "1h", spec, 600, 21600, 7900)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("sumsq"), s"rollup columns leaked into the raw plan:\n$plan")
+  }
 }

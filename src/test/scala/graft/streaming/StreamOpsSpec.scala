@@ -70,6 +70,51 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_ds") }
   }
 
+  test("LWW streaming downsample: out-of-order resends replace instead of double-count; " +
+      "finalized windows bit-equal Rollup.build on the deduped lake") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.windowedDownsampleLww(input.toDF(), "1m", "30 seconds")
+      .writeStream.format("memory").queryName("win_lww")
+      .outputMode("append").start()
+    // every arrival, in order — including the duplicates the built-in
+    // window path would double-count
+    val arrivals = Seq(
+      pt(1, 10, 1.5, 1), pt(1, 50, 2.25, 2), pt(2, 30, 7.0, 3), // batch 1
+      pt(1, 50, 20.5, 5), // RESEND with changed value: must replace 2.25
+      pt(1, 10, 8.8, 0), // stale resend (lower seq): must be ignored
+      pt(1, 55, Double.NaN, 6), // NaN point: counts for nothing (A10)
+      pt(1, 70, 4.0, 4), // batch 2
+      pt(1, 500, 99.0, 7), // batch 3: advances wm to 470
+      pt(9, 9999, 0.0, 9)) // batch 4: timeout pass finalizes closed windows
+    try {
+      input.addData(arrivals.take(3): _*); q.processAllAvailable()
+      input.addData(arrivals.slice(3, 7): _*); q.processAllAvailable()
+      input.addData(arrivals(7)); q.processAllAvailable()
+      input.addData(arrivals(8)); q.processAllAvailable()
+      val cols = Seq("series_id", "metric", "bucket_ts", "sum", "cnt", "min", "max", "last", "sumsq")
+      val out = spark.table("win_lww").filter(col("bucket_ts") < 480)
+      // exactly one finalized row per (series, window) despite the resends
+      assert(out.groupBy("series_id", "bucket_ts").count()
+        .filter(col("count") > 1).count() === 0L)
+      val finalized = out.selectExpr(cols: _*).collect().toSet
+      // the batch A10 build over ALL arrivals (Rollup.build dedupes the
+      // lake first) must produce identical composite rows
+      val ptsDf = arrivals.toDF()
+        .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("ts")))
+      val batch = graft.rollup.Rollup.build(ptsDf, "1m")
+        .filter(col("bucket_ts") < 480)
+        .selectExpr(cols: _*).collect().toSet
+      assert(finalized === batch)
+      assert(finalized.nonEmpty)
+      // the replaced value (not the sum of both sends) is what landed
+      val w0 = finalized.find(t => t.getLong(0) == 1L && t.getLong(2) == 0L).get
+      assert(w0.getDouble(3) === 22.0) // 1.5 + 20.5, NOT + 2.25 or 8.8
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_lww") }
+  }
+
   test("streaming composite rows equal Rollup.build on finalized windows (pure-streaming A10 path)") {
     val spark = TestSpark.spark
     import spark.implicits._
