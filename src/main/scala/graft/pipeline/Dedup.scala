@@ -70,8 +70,14 @@ object Dedup {
    *  `array_min` over a shingle array column — falls out of whole-stage
    *  codegen (HOFs are interpreted) and recomputes the md5 per
    *  permutation: ~100× slower at bench scale. */
-  def signatures(docs: DataFrame): DataFrame = {
-    val hashed = shingleRows(docs)
+  def signatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingleRows(docs))
+
+  /** As [[signatures]], over a precomputed (doc_id, s) shingle table —
+   *  callers that also need the shingles (the verify-after-LSH stage)
+   *  compute them ONCE and share the frame across both consumers. */
+  def signaturesFromShingles(shingles: DataFrame): DataFrame = {
+    val hashed = shingles
       .select(col("doc_id"), TextAnalysis.baseHash(col("s")).as("h"))
     val minCols = (0 until NumPerms).map { i =>
       min((col("h") * lit(PermA(i)) + lit(PermB(i))) % lit(P)).as(s"__m$i")
@@ -93,12 +99,14 @@ object Dedup {
   }
 
   /** Candidate pairs: docs sharing at least one full band, each pair
-   *  once (a < b), with both signatures attached.
-   *
-   *  Both join sides recompute the signature pipeline — measured cheaper
-   *  than caching it (InMemoryRelation encoding of the array column
-   *  costs more than the codegen'd recompute). At warehouse scale the
-   *  signature table would be written once as a real table instead. */
+   *  once (a < b), with both signatures attached. The signature table is
+   *  persisted and computed ONCE — the band self-join sides carry only
+   *  scalars (doc_id, band, key), so the 32-long signature array neither
+   *  rides the 8-way band explode through the shuffle nor gets
+   *  recomputed per join side; sig_a/sig_b attach by two equi-joins
+   *  after the pair set is deduped. (The persisted frame is released by
+   *  Spark's context cleaner when unreferenced; eager operators like
+   *  [[ngramJaccard]] unpersist explicitly.) */
   def candidates(docs: DataFrame): DataFrame = candidates(docs, Int.MaxValue)
 
   /** As [[candidates]] with a bucket-size cap: a band bucket holding a
@@ -106,8 +114,22 @@ object Dedup {
    *  degeneracy. Capped buckets are dropped whole (their members are
    *  trivially discoverable by exact dedup instead); the cap is off by
    *  default so the oracle-checked path is exhaustive. */
-  def candidates(docs: DataFrame, maxBucketSize: Int): DataFrame = {
-    val b0 = bands(signatures(docs))
+  def candidates(docs: DataFrame, maxBucketSize: Int): DataFrame =
+    candidatesFromSignatures(signatures(docs).persist(), maxBucketSize)
+
+  /** Candidate pairs from a signature table the CALLER owns (and should
+   *  persist — the plan references it four times: two band sides, two
+   *  signature attaches). */
+  def candidatesFromSignatures(sigs: DataFrame, maxBucketSize: Int): DataFrame =
+    candidatePairsFromSignatures(sigs, maxBucketSize)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+
+  /** Candidate pair IDS only — consumers that verify by other means (the
+   *  exact-Jaccard stage) skip the signature-attach joins entirely. */
+  def candidatePairsFromSignatures(sigs: DataFrame, maxBucketSize: Int): DataFrame = {
+    val b0 = bands(sigs).select("doc_id", "band", "key") // scalars only
     val b =
       if (maxBucketSize == Int.MaxValue) b0
       else {
@@ -117,16 +139,13 @@ object Dedup {
           .select("band", "key")
         b0.join(sizes, Seq("band", "key"), "left_semi")
       }
-    val left = b.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-      col("band"), col("key"))
-    val right = b.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-      col("band"), col("key"))
-    left.join(right, Seq("band", "key"))
+    b.select(col("doc_id").as("doc_a"), col("band"), col("key"))
+      .join(b.select(col("doc_id").as("doc_b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
-      // distinct over all columns: sigs are functions of the doc ids, and
-      // key-only dedupe (agg-buffered arrays) would force SortAggregate
-      .dropDuplicates()
+      // scalar pair dedup (hash aggregate); with sigs in tow this would
+      // be an array-buffered dropDuplicates
+      .select("doc_a", "doc_b")
+      .distinct()
   }
 
   /** MinHash near-dup pairs: candidate pairs with estimated Jaccard
@@ -150,14 +169,18 @@ object Dedup {
    *  codegen'd, reuses one persisted shingle table for both sides, and
    *  never ships whole shingle arrays through a shuffle. */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    // ONE shingle table feeds the signature pipeline, the per-doc counts,
+    // and both intersection sides; eagerly materialize the (small) result
+    // so the big intermediates can be unpersisted before returning
     val expl = shingleRows(docs).persist()
+    val sigs = signaturesFromShingles(expl).persist()
     val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidates(docs).select("doc_a", "doc_b")
+    val cand = candidatePairsFromSignatures(sigs, Int.MaxValue)
     val inter = cand
       .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(expl.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
-    cand
+    val out = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("i"))
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -166,6 +189,9 @@ object Dedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
+      .localCheckpoint() // materialize: pairs ≥ threshold only (small)
+    expl.unpersist(); sigs.unpersist()
+    out
   }
 
   /** Streaming exact dedup: content-hash keyed, first-arrival-wins,
@@ -225,9 +251,52 @@ object Dedup {
    *     rounds first and turns doubling on past that crossover, giving
    *     O(8 + log d) rounds on pathological chains without taxing the
    *     common small-component case. */
-  def duplicateClusters(pairs: DataFrame): DataFrame = {
+  def duplicateClusters(pairs: DataFrame): DataFrame =
+    duplicateClusters(pairs, maxDriverEdges = 5000000)
+
+  /** As [[duplicateClusters]] with an explicit driver-collapse bound.
+   *
+   *  Two regimes, chosen by edge count:
+   *   - **≤ maxDriverEdges**: exact union-find on the driver — O(E·α)
+   *    in ONE collect + one parallelize, instead of O(8 + log d)
+   *    driver-coordinated shuffle rounds. A dedup edge set is pairs
+   *    ABOVE the similarity threshold, orders of magnitude smaller than
+   *    the corpus (5M edges ≈ 80 MB on the driver); on the measured
+   *    sf0.1 graph this cut the embedding-cluster collapse 34 s → 2 s
+   *    after multi-table LSH raised recall (denser graph, diameter ≈
+   *    hundreds — each extra diameter hop was a full shuffle round).
+   *   - **above the bound**: the distributed min-label propagation loop
+   *    below (unchanged), for warehouse-scale edge sets that must not
+   *    transit the driver. */
+  def duplicateClusters(pairs: DataFrame, maxDriverEdges: Long): DataFrame = {
     val DoublingAfter = 8
     val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b")).persist()
+    val nEdges = fwd.count()
+    if (nEdges <= maxDriverEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      // min-rooted union-find with path compression: the final root of
+      // every component is its minimum doc id — the same label the
+      // propagation fixpoint (and the recursive-CTE oracle) yields
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      fwd.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      fwd.unpersist()
+      val labels = parent.keys.toSeq.sorted.map(d => (d, find(d)))
+      return labels.toDF("doc_id", "cluster_id")
+        .repartition(col("doc_id")) // downstream joins hash on doc_id
+    }
     val edges = fwd.unionByName(fwd.select(col("b").as("a"), col("a").as("b"))).persist()
     // init = min(self, min direct neighbor): the first propagation round
     // folded into the same aggregate that enumerates the nodes — one
