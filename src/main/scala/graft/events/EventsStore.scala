@@ -77,8 +77,9 @@ object EventsStore {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
       .map(s => s.getPath -> s.getPath.getName.stripPrefix("day="))
       .filter(_._2 < cutoffDay) // ISO day strings order lexicographically
-    expired.foreach { case (p, _) => fs.delete(p, true) }
-    expired.map(_._2).sorted
+    // only days whose directory delete actually succeeded are reported
+    // dropped; a failed delete stays on disk and stays in the next purge
+    expired.filter { case (p, _) => fs.delete(p, true) }.map(_._2).sorted
   }
 
   /** Rewrite the log to its resolved state (one version per doc),

@@ -54,19 +54,24 @@ object Corpus {
 
   /** Sequence packing (contiguous fill): documents, in doc_id order, fill
    *  context bins of `budgetTokens`; a doc lands in the bin where its
-   *  token span begins. Packing runs per `shardEvery`-sized doc_id shard
-   *  so the prefix-sum window parallelizes (a single global ORDER BY
-   *  window would serialize the whole corpus through one task — the
-   *  classic scale trap); bins are (shard, bin) pairs, and the only
-   *  waste vs a global pack is ≤ 1 partial bin per shard. */
-  def pack(docs: DataFrame, budgetTokens: Long, shardEvery: Long = 100000): DataFrame = {
+   *  token span begins. Packing runs per HASH shard —
+   *  `md5prefix28(doc_id) % nShards`, the same reproducible hash as
+   *  [[hashSample]] — so the prefix-sum window parallelizes (a single
+   *  global ORDER BY window would serialize the whole corpus through one
+   *  task) AND shard sizes stay balanced whatever the id space looks
+   *  like (a `doc_id / shardEvery` range shard skews under sparse or
+   *  clustered ids). Within a shard, docs still pack in doc_id order;
+   *  bins are (shard, bin) pairs, and the only waste vs a global pack is
+   *  ≤ 1 partial bin per shard. */
+  def pack(docs: DataFrame, budgetTokens: Long, nShards: Int = 1024): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .withColumn("shard", (col("doc_id") - pmod(col("doc_id"), lit(shardEvery))) / lit(shardEvery))
-      .withColumn("shard", col("shard").cast("long"))
+      .withColumn("shard",
+        pmod(call_function("md5prefix28", col("doc_id").cast("string")), lit(nShards.toLong)))
       .withColumn("__before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("shard"),
         (col("__before") / lit(budgetTokens)).cast("long").as("bin"),
@@ -147,8 +152,16 @@ object Corpus {
           .filter(col("__df") <= maxDf).select("s")
         sh0.join(rare, Seq("s"), "left_semi")
       }
-    val ev = sh.filter(isEval).select(col("doc_id").as("eval_id"), col("s"))
-    val tr = sh.filter(!isEval).select(col("doc_id").as("train_id"), col("s"))
+    // isEval is evaluated against the full DOCUMENT row (so predicates
+    // over any doc column — a source flag, a dataset name — work), then
+    // joined onto the shingles by doc_id; evaluating it on the shingle
+    // table directly would resolve only (doc_id, s)
+    val flags = docs.select(col("doc_id"), isEval.as("__is_eval"))
+    val flagged = sh.join(flags, "doc_id")
+    val ev = flagged.filter(col("__is_eval") === true)
+      .select(col("doc_id").as("eval_id"), col("s"))
+    val tr = flagged.filter(col("__is_eval") === false)
+      .select(col("doc_id").as("train_id"), col("s"))
     val overlap = tr.join(ev, "s")
       .groupBy(col("train_id"), col("eval_id"))
       .agg(count(lit(1)).as("n_overlap"))

@@ -362,11 +362,15 @@ object StreamQueries {
          |$admittedCtes
          |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
 
-    // identical replay, but the median comes from the md5-seeded sample
+    // identical replay, but the median comes from the md5-seeded sample —
+    // with IngestJob.processBatch's empty-sample fallback mirrored: a
+    // batch too small to hit the 1/m sample anchors on the FULL median
+    // (without the COALESCE the subquery yields NULL and admits nothing)
     "q_stream_admission_approx" ->
       s"""WITH $pointsCtes,
          |${admittedCtesFrom(
-            s"SELECT median(ts) AS p50 FROM points WHERE ${sampledSeq(AdmissionSampleMod)}")}
+            s"SELECT coalesce((SELECT median(ts) FROM points WHERE ${sampledSeq(AdmissionSampleMod)}), " +
+              "(SELECT median(ts) FROM points)) AS p50")}
          |SELECT metric, tag_user, ts, value, seq FROM admitted""".stripMargin,
 
     "q_stream_latest_state" ->

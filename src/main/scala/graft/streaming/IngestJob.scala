@@ -356,8 +356,9 @@ object IngestJob {
   private def dropSegmentsBefore(conf: Configuration, dir: String, cutoffSec: Long): Seq[Long] = {
     val fs = new Path(dir).getFileSystem(conf)
     val expired = segmentDirs(conf, dir).filter(_._2 < cutoffSec)
-    expired.foreach { case (p, _) => fs.delete(p, true) }
-    expired.map(_._2).sorted
+    // report only segments actually deleted; a failed delete stays on
+    // disk and is retried by the next maintenance pass
+    expired.filter { case (p, _) => fs.delete(p, true) }.map(_._2).sorted
   }
 
   /** R5 second half — idle-series deletion: series whose last admitted

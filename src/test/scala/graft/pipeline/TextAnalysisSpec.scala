@@ -94,5 +94,13 @@ class TextAnalysisSpec extends AnyFunSuite {
     val capped = Corpus.decontaminate(docs, col("doc_id") === 0,
       minOverlap = 1, maxDf = 1)
     assert(capped.count() === 0)
+
+    // the eval predicate may reference ANY document column, not just the
+    // ones the shingle table carries (it is evaluated against docs and
+    // joined on doc_id)
+    val flagged = docs.withColumn("src",
+      when(col("doc_id") === 0, "eval").otherwise("train"))
+    val byCol = Corpus.decontaminate(flagged, col("src") === "eval", minOverlap = 2).collect()
+    assert(byCol.toSeq === hits.toSeq)
   }
 }
