@@ -48,10 +48,10 @@ object PipelineQueries {
     "q_pipeline_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(docs(s, d), Map("en" -> 800, "de" -> 300), 100)
         .select(col("doc_id"), col("pred_lang"))),
-    // sequence packing into 512-token context bins, sharded so the
-    // prefix-sum window parallelizes
+    // sequence packing into 512-token context bins, hash-sharded so the
+    // prefix-sum window parallelizes and shard sizes ignore the id space
     "q_pipeline_pack" -> ((s, d) =>
-      Corpus.pack(docs(s, d), budgetTokens = 512, shardEvery = 100)),
+      Corpus.pack(docs(s, d), budgetTokens = 512, nShards = 8)),
     // fixed-window chunking: docs split into 32-token training windows
     "q_pipeline_chunks" -> ((s, d) => Corpus.chunk(docs(s, d), 32)),
     // corpus "data card": doc/token counts at each selection gate
@@ -526,7 +526,8 @@ object PipelineQueries {
 
     "q_pipeline_pack" ->
       s"""WITH $toksCte,
-         |n AS (SELECT doc_id, len(t) AS n_tokens, doc_id // 100 AS shard FROM toks),
+         |n AS (SELECT doc_id, len(t) AS n_tokens,
+         |             ${bh("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM toks),
          |p AS (SELECT doc_id, n_tokens, shard,
          |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before

@@ -29,7 +29,7 @@ class CorpusSpec extends AnyFunSuite {
 
   test("pack: offsets stay under budget, spans are contiguous per shard") {
     val budget = 512L
-    val packed = Corpus.pack(docs, budget, shardEvery = 100)
+    val packed = Corpus.pack(docs, budget, nShards = 8)
       .orderBy("shard", "doc_id").collect()
     assert(packed.nonEmpty)
     assert(packed.forall(r => r.getAs[Long]("bin_offset") < budget))
@@ -42,6 +42,22 @@ class CorpusSpec extends AnyFunSuite {
         expectBefore += r.getAs[Long]("n_tokens")
       }
     }
+  }
+
+  test("pack: hash sharding balances a sparse, clustered id space") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pathological id space for a range shard: one dense cluster at 0-99
+    // and one sparse far cluster at 10M + 1000*i — doc_id/shardEvery puts
+    // each cluster in its own shard (2 used shards, 100:100); the hash
+    // shard must spread BOTH clusters across all shards
+    val ids = (0L until 100L) ++ (0L until 100L).map(i => 10000000L + i * 1000L)
+    val skewed = ids.map(i => (i, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val byShard = Corpus.pack(skewed, 512, nShards = 8)
+      .groupBy("shard").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byShard.size === 8, s"all shards used: $byShard")
+    assert(byShard.values.max <= 3L * byShard.values.min,
+      s"hash shards must stay balanced, got $byShard")
   }
 
   test("topKByDomain: dense ranks per language, scores non-increasing, true top-k") {
