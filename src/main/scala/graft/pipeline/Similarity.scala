@@ -167,16 +167,17 @@ object Similarity {
    *  centroids × corpus, codegen'd distance, no shuffle of the corpus)
    *  and update (posexplode → per-(cell, dim) mean → re-assemble; one
    *  hash-aggregate shuffle keyed by cell). Deterministic init and
-   *  tie-breaks; the means carry distributed-summation FP noise, so
-   *  IVF-over-kmeans is checked by recall against brute force rather
-   *  than a bit-exact oracle (the sampled path keeps that role). */
+   *  tie-breaks; each round's means are ROUNDED to 4 decimals — same
+   *  snap as assignToCells' distances — which absorbs distributed-sum
+   *  FP noise and makes the whole refinement replayable bit-for-bit by
+   *  a batch SQL engine (the q_ann_kmeans oracle). */
   def kmeansCentroids(emb: DataFrame, centroidEvery: Int, iters: Int = 2): DataFrame = {
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
     var cents = sampledCentroids(emb, centroidEvery)
     for (_ <- 0 until iters) {
       cents = assignToCells(vecs, cents)
         .select(col("cell"), posexplode(col("vec")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"), col("pos")).agg(round(avg(col("col")), 4).as("m"))
         .groupBy(col("cell"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_vec"))

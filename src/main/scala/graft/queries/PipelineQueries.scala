@@ -88,9 +88,10 @@ object PipelineQueries {
     // multi-probe LSH: Hamming-radius-1 bucket union per query
     "q_ann_multiprobe" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3, probeRadius = 1)),
-    // IVF over Lloyd-refined centroids: the means carry distributed-sum
-    // FP noise, so this is rows-checked here and recall-checked (vs
-    // brute force, >= the sampled-centroid path) in SimilaritySpec
+    // IVF over Lloyd-refined centroids: per-round means round to 4
+    // decimals (like the assign distances), so the refinement replays
+    // bit-for-bit in the oracle; recall is additionally checked vs brute
+    // force in SimilaritySpec
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.kmeansCentroids(emb(s, d), centroidEvery = 100, iters = 2),
@@ -247,6 +248,29 @@ object PipelineQueries {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
   import OracleCommon.rnd
+
+  /** One Lloyd assign step as a CTE: nearest centroid from `centsCte` by
+   *  4-decimal-rounded cosine distance, c_id tiebreak — the SQL replay of
+   *  [[Similarity]]'s packed-long argmin. */
+  private def kmAssign(name: String, centsCte: String): String =
+    s"""$name AS (
+       |  SELECT vec_id, v, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+       |    FROM e, $centsCte c)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** One Lloyd update step as a CTE: per-(cell, dim) mean ROUNDED to 4
+   *  decimals (the snap that makes the refinement engine-replayable),
+   *  reassembled in dim order. */
+  private def kmUpdate(assignCte: String, outCte: String): String =
+    s"""$outCte AS (
+       |  SELECT cell AS c_id, list(mm ORDER BY pos) AS cv FROM (
+       |    SELECT cell, pos, ${rnd("avg(val)")} AS mm
+       |    FROM (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM $assignCte)
+       |    GROUP BY 1, 2)
+       |  GROUP BY 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -478,10 +502,25 @@ object PipelineQueries {
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
 
-    // no bit-exact SQL replay: Lloyd means carry distributed-sum FP
-    // noise (rows-only here; recall + quantization-cost asserted in
-    // SimilaritySpec)
-    "q_ann_kmeans" -> "",
+    // full bit-exact replay of the 2-round Lloyd refinement: per-round
+    // means are rounded to 4 decimals on BOTH engines (assign distances
+    // were already rounded), so the sampled init, both refinement rounds,
+    // the final assignment, and the in-cell top-k all replay identically
+    "q_ann_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |${kmAssign("a1", "c0")},
+         |${kmUpdate("a1", "c1")},
+         |${kmAssign("a2", "c1")},
+         |${kmUpdate("a2", "c2")},
+         |${kmAssign("asg", "c2")},
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE vec_id % 25 = 0),
+         |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
+         |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
 
     "q_ann_multiprobe" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, $bucketExpr AS bucket FROM embeddings),
