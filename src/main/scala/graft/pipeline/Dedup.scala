@@ -189,9 +189,9 @@ object Dedup {
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-      .localCheckpoint() // materialize: pairs ≥ threshold only (small)
+    val materialized = Iterate.truncate(out) // pairs ≥ threshold only (small)
     expl.unpersist(); sigs.unpersist()
-    out
+    materialized
   }
 
   /** Streaming exact dedup: content-hash keyed, first-arrival-wins,
@@ -242,8 +242,10 @@ object Dedup {
    *     without truncation the analyzed plan doubles per round —
    *     exponential in rounds, and an 8 GB driver heap dies at component
    *     diameter ≈ 9 (the embedding near-dup graph at sf0.1 has exactly
-   *     such chains). `localCheckpoint` per round makes every iteration
-   *     start from a leaf; at warehouse scale use reliable checkpoints.
+   *     such chains). [[Iterate.truncate]] per round makes every
+   *     iteration start from a leaf — reliable `checkpoint()` when
+   *     `sc.setCheckpointDir` is configured (executor-loss-safe at
+   *     warehouse scale), `localCheckpoint` otherwise.
    *   - **Hybrid pointer doubling**: plain neighbor-min needs diameter
    *     rounds; a doubling step (also adopt my label's own label) costs
    *     an extra self-join per round but halves the remaining distance —
@@ -329,7 +331,7 @@ object Dedup {
           step.join(asMap, Seq("label"))
             .select(col("doc"), least(col("label"), col("__ll")).as("label"))
         }
-      val next = hopped.localCheckpoint() // truncate the doubling lineage
+      val next = Iterate.truncate(hopped) // truncate the doubling lineage
       val s = next.agg(sum(col("label"))).head.getLong(0)
       labels.unpersist()
       labels = next

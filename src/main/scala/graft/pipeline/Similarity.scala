@@ -182,10 +182,10 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("c_vec"))
         .select(col("cell").as("c_id"), col("c_vec"))
-        // materialize the (tiny: |corpus|/centroidEvery rows) centroid
-        // table per round: without this each iteration's broadcast
-        // re-executes the whole previous-round chain — O(iters²) work
-        .localCheckpoint()
+      // materialize the (tiny: |corpus|/centroidEvery rows) centroid
+      // table per round: without this each iteration's broadcast
+      // re-executes the whole previous-round chain — O(iters²) work
+      cents = Iterate.truncate(cents)
     }
     cents
   }

@@ -4,6 +4,8 @@ import graft.TestSpark
 import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 /** Dedup operator semantics on hand-built corpora. */
 class DedupSpec extends AnyFunSuite {
 
@@ -159,12 +161,36 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     // a path 0-1-2-…-24: diameter 24 forces > 8 rounds — without lineage
     // truncation the per-round plan doubles and analysis blows up; with
-    // doubling past round 8 the remaining distance halves per round
+    // doubling past round 8 the remaining distance halves per round.
+    // maxDriverEdges = 0 forces the DISTRIBUTED loop (the driver
+    // union-find would otherwise absorb a graph this small).
     val chain = (0L until 24L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = graft.pipeline.Dedup.duplicateClusters(chain)
+    val labels = graft.pipeline.Dedup.duplicateClusters(chain, maxDriverEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size === 25)
     assert(labels.values.forall(_ === 0L))
+  }
+
+  test("driver union-find and distributed propagation agree; distributed loop honors a checkpoint dir") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val edges = Seq((3L, 9L), (9L, 4L), (12L, 11L), (4L, 1L), (20L, 21L))
+      .toDF("doc_a", "doc_b")
+    val viaDriver = graft.pipeline.Dedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reliable checkpoints: once the context has a checkpoint dir, the
+    // distributed loop's lineage truncation must write there (executor-
+    // loss-safe at warehouse scale) and labels must be unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    val viaLoop = graft.pipeline.Dedup.duplicateClusters(edges, maxDriverEdges = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLoop === viaDriver)
+    assert(viaLoop === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L,
+      11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
+    val written = java.nio.file.Files.walk(dir).iterator().asScala
+      .count(p => p.getFileName.toString.startsWith("rdd-"))
+    assert(written > 0, "reliable checkpoint directories must be written under the checkpoint dir")
   }
 
   test("exactStreaming: first arrival wins across micro-batches") {
