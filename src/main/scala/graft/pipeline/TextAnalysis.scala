@@ -206,17 +206,20 @@ object TextAnalysis {
    *  Two-pass relational shape: one hash aggregate builds the corpus
    *  vocabulary (token → count), one builds per-(doc, token) counts, and
    *  a join keyed by token scores every document. The scalar corpus
-   *  total rides a broadcast crossJoin; the vocab join is a plain
-   *  equi-join (Zipf-hot tokens are AQE-skew territory, not a
-   *  correctness issue). Log-prob sums are FP order-dependent, so query
-   *  surfaces round(…, 4) — see OracleCommon.rnd. */
-  def corpusLogProb(docs: DataFrame): DataFrame = {
+   *  total rides a broadcast crossJoin. The vocab join handles Zipf skew
+   *  by construction ([[zipfHeadJoin]]): the head of the vocabulary
+   *  broadcasts, so the hot tokens' fact rows never enter a token-keyed
+   *  shuffle (AQE's skew-join rule cannot fire here — the vocab side is
+   *  an aggregate reusing its own shuffle, not a splittable shuffle
+   *  stage). Log-prob sums are FP order-dependent, so query surfaces
+   *  round(…, 4) — see OracleCommon.rnd. */
+  def corpusLogProb(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
     val tk = tokenTable(docs)
     val dc = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))
     val vocab = tk.groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
     val total = vocab.agg(sum(col("cnt")).as("__total"))
     val n = sum(col("c")).cast("double")
-    dc.join(vocab, "tk")
+    zipfHeadJoin(dc, vocab, col("cnt"), hotVocab)
       .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(
@@ -226,14 +229,33 @@ object TextAnalysis {
         (log(n) - sum(col("c") * log(col("c").cast("double"))) / n).as("entropy"))
   }
 
+  /** Zipf-skew-proof token-dimension join: the `hotN` heaviest dim rows
+   *  (by `weight`, token tiebreak) BROADCAST — the hot tokens' fact rows
+   *  join map-side and never enter a token-keyed shuffle — while the
+   *  long tail meets in a plain equi-join whose per-key fan-in is
+   *  bounded by the (hotN+1)-th heaviest token. Lossless (every fact
+   *  row matches exactly one side), so oracle results are unchanged;
+   *  the two fact branches share one exchange via ReuseExchange. This
+   *  is the load-bearing skew defense: AQE's OptimizeSkewedJoin cannot
+   *  split this plan shape (the dim side is an aggregate reusing its
+   *  own shuffle, not a raw shuffle stage). */
+  private[pipeline] def zipfHeadJoin(fact: DataFrame, dim: DataFrame,
+      weight: Column, hotN: Int): DataFrame = {
+    val hot = dim.orderBy(weight.desc, col("tk").asc).limit(hotN)
+    val cold = dim.join(broadcast(hot.select("tk")), Seq("tk"), "left_anti")
+    fact.join(broadcast(hot), Seq("tk"))
+      .unionByName(fact.join(cold, Seq("tk")))
+  }
+
   /** TF-IDF keyword extraction: the top `k` tokens per document by
    *  `tf · ln(N/df)`. Document frequencies are one hash aggregate over
    *  the distinct (doc, token) table; scoring joins it back keyed by
-   *  token; the per-doc rank filter compiles to WindowGroupLimit (local
-   *  top-k before the shuffle). The score is per-row FP over exact
-   *  integers — no distributed sums — so ranking is engine-stable; ties
-   *  break on token order. */
-  def keywords(docs: DataFrame, k: Int): DataFrame = {
+   *  token (Zipf head broadcast, [[zipfHeadJoin]]); the per-doc rank
+   *  filter compiles to WindowGroupLimit (local top-k before the
+   *  shuffle). The score is per-row FP over exact integers — no
+   *  distributed sums — so ranking is engine-stable; ties break on
+   *  token order. */
+  def keywords(docs: DataFrame, k: Int, hotVocab: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val dc = tokenTable(docs).groupBy(col("doc_id"), col("tk"))
       .agg(count(lit(1)).as("tf"))
@@ -242,7 +264,7 @@ object TextAnalysis {
     val score = col("tf") * log(col("__n").cast("double") / col("df").cast("double"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("__tfidf").desc, col("tk").asc)
-    dc.join(dfreq, "tk")
+    zipfHeadJoin(dc, dfreq, col("df"), hotVocab)
       .crossJoin(broadcast(nDocs))
       .withColumn("__tfidf", score)
       .withColumn("rank", row_number().over(w))

@@ -103,4 +103,48 @@ class TextAnalysisSpec extends AnyFunSuite {
     val byCol = Corpus.decontaminate(flagged, col("src") === "eval", minOverlap = 2).collect()
     assert(byCol.toSeq === hits.toSeq)
   }
+
+  test("corpusLogProb under a Zipf-hot token: head broadcasts, tail equi-joins, values exact") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val conf = spark.conf
+    val savedBroadcast = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable AUTO broadcasting so the plan proves the point: only the
+      // explicit Zipf-head broadcast keeps the hot token's fact rows out
+      // of the token-keyed shuffle (AQE's skew rule can't fire on this
+      // shape — the dim side is an aggregate reusing its own shuffle)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 90%-one-token corpus: "the" dominates every document
+      val corpus = (0L until 400L).map { i =>
+        val toks = Seq.fill(45)("the") ++
+          Seq(s"tok$i", s"u${i % 7}", s"v${i % 13}", s"w${i % 3}", s"x${i % 5}")
+        i -> toks
+      }
+      val docs = corpus.map { case (i, t) => (i, t.mkString(" ")) }.toDF("doc_id", "text")
+      val out = TextAnalysis.corpusLogProb(docs, hotVocab = 4)
+      val rows = out.collect().map(r =>
+        r.getAs[Long]("doc_id") -> (r.getAs[Double]("avg_logprob"), r.getAs[Double]("entropy"))).toMap
+      // ground truth recomputed in plain Scala from the same corpus
+      val cnt = corpus.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val total = cnt.values.sum.toDouble
+      corpus.foreach { case (i, toks) =>
+        val byTok = toks.groupBy(identity).map { case (t, xs) => t -> xs.size }
+        val n = toks.size.toDouble
+        val lp = byTok.map { case (t, c) => c * math.log(cnt(t) / total) }.sum / n
+        val en = math.log(n) - byTok.map { case (_, c) => c * math.log(c.toDouble) }.sum / n
+        assert(math.abs(rows(i)._1 - lp) < 1e-9, s"doc $i avg_logprob")
+        assert(math.abs(rows(i)._2 - en) < 1e-9, s"doc $i entropy")
+      }
+      // plan evidence: the head joins via an EXPLICIT broadcast while the
+      // tail goes through the shuffled join — the hot token never shuffles
+      val plan = out.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), s"hot head must broadcast:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"cold tail keeps the shuffled equi-join:\n$plan")
+    } finally savedBroadcast match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
