@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Scale-probe bench: runs the heavy pipeline/ANN queries on two
+ * self-generated corpora 10× apart (same generator, same seed recipe,
+ * same distributions) and reports the wall-time ratio per query — the
+ * near-linearity evidence behind every "scales to 100 TB" docstring.
+ *
+ * The corpora mimic the driver testdata's shape (vocab-sampled texts
+ * with planted exact/near dups; per-label anchored 64-dim embeddings)
+ * but are generated HERE so both scale points come from one recipe —
+ * `/root/testdata` is read-only and ships no sf1.
+ *
+ * Usage: `sbt "runMain graft.ScaleProbe [outJson]"`. Writes one JSON
+ * object: per-query {small, large, ratio} seconds + row counts.
+ * Documented super-linear rows: q_ann_brute (O(q·n) with q ∝ n — the
+ * correctness BASELINE, not the scale path) and q_dedup_embed* (bucket
+ * self-join is O(n²/2^planes) per table — at a fixed plane count,
+ * pair volume grows quadratically; production raises planes/tables
+ * with corpus size, see HashConstants.NdPlanesPerTable).
+ */
+object ScaleProbe {
+
+  private val Vocab = Array("batch", "part", "spark", "line", "column", "order", "small",
+    "sort", "fast", "value", "scan", "hash", "slow", "group", "agg", "filter", "query",
+    "big", "key", "window", "row", "table", "stream", "merge", "data", "vector", "a",
+    "the", "join", "shard")
+  private val Langs = Array("en", "en", "en", "de", "es", "fr", "zh")
+
+  /** Deterministic LCG (same family as HashConstants.lcg). */
+  private final class Lcg(seed: Long) {
+    private var x = seed
+    def next(): Long = { x = (1103515245L * x + 12345L) % 2147483648L; x }
+    def nextInt(bound: Int): Int = (next() % bound).toInt
+    def nextDouble(): Double = next().toDouble / 2147483648.0
+  }
+
+  def genDocs(spark: SparkSession, n: Int, dir: String): Unit = {
+    import spark.implicits._
+    val r = new Lcg(42)
+    val rows = new scala.collection.mutable.ArrayBuffer[(Long, String, String, String, Long)](n)
+    var prev = ""
+    for (i <- 0 until n) {
+      val text =
+        if (i % 500 == 499 && prev.nonEmpty) prev // planted exact dup
+        else if (i % 100 == 99 && prev.nonEmpty) { // planted near dup (one token swapped)
+          val t = prev.split(" "); t(r.nextInt(t.length)) = Vocab(r.nextInt(Vocab.length))
+          t.mkString(" ")
+        } else {
+          val len = 16 + r.nextInt(285)
+          Seq.fill(len)(Vocab(r.nextInt(Vocab.length))).mkString(" ")
+        }
+      prev = text
+      rows += ((i.toLong, text, Langs(r.nextInt(Langs.length)),
+        s"src${r.nextInt(10)}", text.length.toLong))
+    }
+    rows.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  def genEmbeddings(spark: SparkSession, n: Int, dir: String): Unit = {
+    import spark.implicits._
+    val r = new Lcg(4242)
+    val anchors = Array.fill(10, 64)(r.nextDouble() * 2 - 1)
+    val rows = (0 until n).map { i =>
+      val label = r.nextInt(10)
+      val a = anchors(label)
+      val v = Array.tabulate(64)(d => (a(d) * 0.6 + (r.nextDouble() * 2 - 1) * 0.8).toFloat)
+      (i.toLong, v, label)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  /** The doc/embedding-only queries (TSDB queries need the events table
+   *  and are scale-proven by the lake's partition pruning instead). */
+  private val Probed: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dedup_clusters", "q_dedup_embed", "q_dedup_embed_clusters",
+    "q_dedup_hybrid_clusters",
+    "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack",
+    "q_pipeline_chunks", "q_pipeline_topk_domain", "q_pipeline_decontam",
+    "q_pipeline_sample", "q_pipeline_sample_stratified",
+    "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
+    "q_text_logprob", "q_text_keywords", "q_text_fingerprint",
+    "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
+    "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
+    "q_ann_label_centroids")
+
+  private def time(f: => Long): (Double, Long) = {
+    val t0 = System.nanoTime()
+    val rows = f
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("BENCH_SCALE.json")
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val (small, large) = (s"$base/small", s"$base/large")
+    val (nSmall, nLarge) = (5000, 50000)
+    genDocs(spark, nSmall, small); genEmbeddings(spark, nSmall * 2 / 5, small)
+    genDocs(spark, nLarge, large); genEmbeddings(spark, nLarge * 2 / 5, large)
+
+    val queries = SparkEntry.queries
+    val sb = new StringBuilder
+    sb ++= "{\"docs_small\": " + nSmall + ", \"docs_large\": " + nLarge + ", \"queries\": {"
+    var first = true
+    for (q <- Probed if queries.contains(q)) {
+      // warm both (JIT + file listing), then measure
+      queries(q)(spark, small).count()
+      val (ts, rs) = time(queries(q)(spark, small).count())
+      val (tl, rl) = time(queries(q)(spark, large).count())
+      val ratio = tl / math.max(ts, 1e-9)
+      if (!first) sb ++= ", "
+      first = false
+      sb ++= f"""\n  "$q": {"small_sec": $ts%.3f, "large_sec": $tl%.3f, "ratio": $ratio%.2f, "rows_small": $rs, "rows_large": $rl}"""
+      println(f"$q%-28s small=$ts%7.2fs large=$tl%8.2fs ratio=$ratio%6.2f rows=$rs%8d -> $rl%9d")
+    }
+    sb ++= "\n}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}
