@@ -60,11 +60,22 @@ object HashConstants {
    *  per table and more tables, plus the bucket-size cap. */
   val NdTables = 4
   val NdPlanesPerTable = 8
-  val NdPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
+
+  /** Plane tables for ANY (tables, planesPerTable) — one fixed lcg
+   *  stream, so (NdTables, NdPlanesPerTable) reproduces [[NdPlanes]]
+   *  exactly and a larger planesPerTable REFINES table 0's buckets
+   *  (its first planes coincide), while a larger table count EXTENDS
+   *  the table set (strictly more recall). These are the scale knobs:
+   *  a bigger corpus wants more planes per table (smaller buckets) and
+   *  more tables (recall back up). */
+  def ndPlaneTables(tables: Int, planesPerTable: Int): IndexedSeq[IndexedSeq[IndexedSeq[Double]]] = {
     val it = lcg(31337)
-    IndexedSeq.fill(NdTables)(IndexedSeq.fill(NdPlanesPerTable)(
+    IndexedSeq.fill(tables)(IndexedSeq.fill(planesPerTable)(
       IndexedSeq.fill(Dim)(((it.next() % 2001) - 1000) / 8.0)))
   }
+
+  val NdPlanes: IndexedSeq[IndexedSeq[IndexedSeq[Double]]] =
+    ndPlaneTables(NdTables, NdPlanesPerTable)
 
   /** Language-ID stopword markers, in tie-break priority order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -103,9 +103,11 @@ object Similarity {
 
   /** Sign-bucket id in near-dup table `t` from
    *  [[HashConstants.NdPlanes]]: bit p set iff dot(plane_tp, v) > 0. */
-  def ndBucketId(vec: Column, t: Int): Column =
-    (0 until NdPlanesPerTable).map { p =>
-      val planeLit = array(NdPlanes(t)(p).map(lit): _*)
+  def ndBucketId(vec: Column, t: Int): Column = bucketIdFromPlanes(vec, NdPlanes(t))
+
+  private def bucketIdFromPlanes(vec: Column, planes: IndexedSeq[IndexedSeq[Double]]): Column =
+    planes.indices.map { p =>
+      val planeLit = array(planes(p).map(lit): _*)
       when(dot(vec, planeLit) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -128,10 +130,24 @@ object Similarity {
    *  instead). Off by default so the oracle-checked path is exhaustive;
    *  at warehouse scale run with a cap (e.g. 10⁴) and route capped
    *  buckets through exact dedup. */
-  def cosineNearDuplicates(emb: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame =
+    cosineNearDuplicates(emb, threshold, maxBucketSize, NdTables, NdPlanesPerTable)
+
+  /** As [[cosineNearDuplicates]] with explicit banding knobs — the 100 TB
+   *  tuning surface. A bigger corpus raises `planesPerTable` (buckets
+   *  shrink 2× per extra plane, collapsing the O(n²/2^b) per-bucket
+   *  join) and raises `tables` to buy recall back (each extra table is
+   *  an independent chance to collide). [[HashConstants.ndPlaneTables]]
+   *  generates the planes from one fixed stream, so the defaults
+   *  reproduce the oracle constants exactly and a larger table count
+   *  strictly extends the default tables (recall is monotone in
+   *  `tables` — spec-pinned). */
+  def cosineNearDuplicates(emb: DataFrame, threshold: Double, maxBucketSize: Int,
+      tables: Int, planesPerTable: Int): DataFrame = {
+    val planes = ndPlaneTables(tables, planesPerTable)
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    val tb = (0 until NdTables).map(t =>
-      struct(lit(t).as("tbl"), ndBucketId(col("vec"), t).as("bucket")))
+    val tb = (0 until tables).map(t =>
+      struct(lit(t).as("tbl"), bucketIdFromPlanes(col("vec"), planes(t)).as("bucket")))
     val b0 = vecs.select(col("vec_id"), col("vec"), explode(array(tb: _*)).as("tb"))
       .select(col("vec_id"), col("vec"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
     val b =

@@ -54,6 +54,17 @@ object MetaQueriesSuite {
         .agg(count(lit(1)).as("cardinality"))
         .orderBy(col("namespace"))
         .limit(MetaQueries.SizeLimit)
+    },
+
+    // META via the query-JSON front end (the reference's
+    // MetaQueryBuilderTSDBExt.fromTSDBQueryFilter path,
+    // MetaQueryBuilderTSDBExt.java:58-66): the SAME selection as
+    // q_meta_metrics, with the filter arriving as a client JSON document;
+    // shares q_meta_metrics' oracle verbatim
+    "q_json_meta_metrics" -> { (s, d) =>
+      val parsed = graft.query.TsdbJson.parseFilter(
+        """{"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "sjc"}""")
+      MetaQueries.metrics(dim(s, d), parsed.filter)
     }
   )
 
@@ -125,5 +136,13 @@ object MetaQueriesSuite {
     "q_meta_namespaces" ->
       s"""SELECT event_type AS namespace, count(*) AS cardinality
          |FROM events GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+  ) ++ Map(
+    // JSON front-end replay: same selection, same oracle — a parser
+    // divergence shows up as a hash mismatch
+    "q_json_meta_metrics" ->
+      s"""WITH $seriesCte
+         |SELECT metric, count(*) AS cardinality
+         |FROM series WHERE tag_colo = 'sjc'
+         |GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
   )
 }

@@ -133,6 +133,22 @@ class SimilaritySpec extends AnyFunSuite {
     truth.unpersist(): Unit
   }
 
+  test("banding knobs: more tables recall a superset; more planes shrink candidate volume") {
+    val base = Similarity.cosineNearDuplicates(emb, 0.3).cache()
+    // 8 tables extend the default 4 (same plane stream): strictly more
+    // collision chances, so the pair set is a superset
+    val moreTables = Similarity.cosineNearDuplicates(emb, 0.3, Int.MaxValue,
+      tables = 8, planesPerTable = 8)
+    assert(base.join(moreTables, Seq("vec_a", "vec_b"), "left_anti").count() === 0L)
+    assert(moreTables.count() >= base.count())
+    // 16 planes per table quarter the bucket occupancy: candidate volume
+    // (and thus the found pairs on this sim-moderate corpus) shrinks
+    val finer = Similarity.cosineNearDuplicates(emb, 0.3, Int.MaxValue,
+      tables = 4, planesPerTable = 16)
+    assert(finer.count() <= base.count())
+    base.unpersist(): Unit
+  }
+
   test("bucket-size cap drops a planted clone cluster instead of joining it quadratically") {
     val spark2 = spark
     import spark2.implicits._
