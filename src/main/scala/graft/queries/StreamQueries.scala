@@ -188,7 +188,55 @@ object StreamQueries {
       cfg
     })
 
+  /** One LWW-windowed-downsample run per source dir: the whole events
+   *  table streams through [[graft.streaming.StreamOps.windowedDownsampleLww]]
+   *  (MemoryStream batches; two far-future sentinel batches advance the
+   *  watermark so every real window finalizes), and the emitted
+   *  composites are cached for the query below. */
+  private val lwwRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def lwwWindows(s: SparkSession, d: String): DataFrame =
+    lwwRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = graft.sources.TsdbViews.points(s, d)
+        .select(col("series_id"), col("metric"), col("tags"),
+          col("ts"), col("value"), col("seq"))
+        .as[graft.streaming.PointRow].collect().toSeq
+      val maxTs = pts.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.PointRow]
+      val name = "lww_win_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps
+        .windowedDownsampleLww(input.toDF(), "1h", "30 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) = graft.streaming.PointRow(
+          -1L, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+        input.addData(pts: _*); q.processAllAvailable()
+        // watermark lags one batch: two sentinel batches close every
+        // real window (wm after #1 = maxTs + 2h - 30m covers all ends)
+        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("metric") =!= "__sentinel")
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("sum"), 4).as("sum_value"), col("cnt"),
+          round(col("min"), 4).as("min_value"), round(col("max"), 4).as("max_value"),
+          round(col("last"), 4).as("last_value"))
+        .persist()
+    })
+
   val defs: Map[String, Q] = Map(
+    // the PURE-streaming A10 composite (R3 last-write-wins included):
+    // every 1h window of every series, finalized by watermark through
+    // flatMapGroupsWithState, must equal the batch composite the oracle
+    // computes from the deduped points — the streaming rollup path with
+    // no exactly-once-producer assumption
+    "q_stream_lww_windows" -> ((s, d) => lwwWindows(s, d)),
+
     // A18 served from the streaming-maintained latest log (no fact scan)
     "q_stream_latest" -> { (s, d) =>
       IngestJob.latest(s, lakeFor(s, d))
@@ -344,6 +392,19 @@ object StreamQueries {
          |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
          |       ${rnd("sum(value)")} AS sum_value
          |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the batch restatement of the watermark-finalized streaming
+    // composite: every 1h window over the LWW-deduped points
+    "q_stream_lww_windows" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 3600 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value,
+         |       count(value) AS cnt,
+         |       ${rnd("min(value)")} AS min_value,
+         |       ${rnd("max(value)")} AS max_value,
+         |       ${rnd("arg_max(value, ts)")} AS last_value
+         |FROM dedup
          |GROUP BY 1, 2, 3""".stripMargin,
 
     // the ingest clock's isEarly check capped admission at now+tolerance;
