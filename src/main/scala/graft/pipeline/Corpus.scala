@@ -144,7 +144,11 @@ object Corpus {
    *  default so the oracle-checked path is exhaustive. */
   def decontaminate(docs: DataFrame, isEval: org.apache.spark.sql.Column,
       minOverlap: Long = 2, maxDf: Int = Int.MaxValue): DataFrame = {
-    val sh0 = Dedup.shingleRows(docs)
+    // isEval is evaluated against the full DOCUMENT row (so predicates
+    // over any doc column — a source flag, a dataset name — work) and
+    // rides the shingle window as a per-doc column: no join back needed
+    val sh0 = Dedup.shingleRowsKeeping(
+      docs.withColumn("__is_eval", isEval), Seq("__is_eval"))
     val sh =
       if (maxDf == Int.MaxValue) sh0
       else {
@@ -152,15 +156,9 @@ object Corpus {
           .filter(col("__df") <= maxDf).select("s")
         sh0.join(rare, Seq("s"), "left_semi")
       }
-    // isEval is evaluated against the full DOCUMENT row (so predicates
-    // over any doc column — a source flag, a dataset name — work), then
-    // joined onto the shingles by doc_id; evaluating it on the shingle
-    // table directly would resolve only (doc_id, s)
-    val flags = docs.select(col("doc_id"), isEval.as("__is_eval"))
-    val flagged = sh.join(flags, "doc_id")
-    val ev = flagged.filter(col("__is_eval") === true)
+    val ev = sh.filter(col("__is_eval") === true)
       .select(col("doc_id").as("eval_id"), col("s"))
-    val tr = flagged.filter(col("__is_eval") === false)
+    val tr = sh.filter(col("__is_eval") === false)
       .select(col("doc_id").as("train_id"), col("s"))
     val overlap = tr.join(ev, "s")
       .groupBy(col("train_id"), col("eval_id"))
