@@ -42,4 +42,27 @@ class PipelinePlanSpec extends AnyFunSuite {
     val p = plan(graft.pipeline.TextAnalysis.repetition(docs))
     assert(!p.contains("SortAggregate"), s"SortAggregate crept in:\n$p")
   }
+
+  test("embedding near-dup: per-(table, bucket) equi-join, scalar distinct, no cartesian") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(graft.pipeline.Similarity.cosineNearDuplicates(emb, 0.3))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs product crept in:\n$p")
+    // the cross-table pair dedup is a hash aggregate over three scalars —
+    // an array-carrying dedup would fall to SortAggregate
+    assert(!p.contains("SortAggregate"), s"scalar distinct degraded:\n$p")
+  }
+
+  test("MinHash candidates: signature arrays stay OFF the band self-join sides") {
+    // the band join must carry only (doc_id, band, key) scalars; the
+    // 32-long sig arrays attach AFTER pair dedup by two equi-joins
+    val p = plan(graft.pipeline.Dedup.candidates(docs))
+    assert(!p.contains("SortAggregate"), s"pair dedup degraded to SortAggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+  }
+
+  test("zipf-head join: explicit broadcast on the hot head survives planning") {
+    val p = plan(graft.pipeline.TextAnalysis.corpusLogProb(docs))
+    assert(p.contains("BroadcastHashJoin"), s"hot-head broadcast missing:\n$p")
+  }
 }
