@@ -232,6 +232,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
       .filter(col("n_docs") >= 2)
 
+  /** SimHash near-duplicates within Hamming distance `maxHamming`
+   *  (Manku/Jain/Sarma block-permutation scheme, re-expressed
+   *  relationally): the 28-bit hash splits into `maxHamming + 1`
+   *  blocks, and by pigeonhole any pair within the distance agrees on
+   *  at least one whole block — so candidates come from per-(block,
+   *  value) equi-joins (shuffle O(docs × blocks), never all-pairs) and
+   *  the exact distance check is one codegen'd xor + bit_count per
+   *  candidate. Emits each qualifying pair once with its distance. */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 28, "maxHamming in [0, 28)")
+    val nBlocks = maxHamming + 1
+    val bits = 28
+    val sh = TextAnalysis.simhash(docs) // (doc_id, simhash)
+    val blockCols = (0 until nBlocks).map { b =>
+      val lo = b * bits / nBlocks
+      val hi = (b + 1) * bits / nBlocks // [lo, hi) bit slice
+      struct(lit(b).as("blk"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("v"))
+    }
+    val blocks = sh.select(col("doc_id"), col("simhash"),
+      explode(array(blockCols: _*)).as("bv"))
+      .select(col("doc_id"), col("simhash"), col("bv.blk").as("blk"), col("bv.v").as("v"))
+    val left = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
+      col("blk"), col("v"))
+    val right = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
+      col("blk"), col("v"))
+    left.join(right, Seq("blk", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      // scalar distinct across blocks (a pair may agree on several)
+      .select("doc_a", "doc_b", "hamming")
+      .distinct()
+  }
+
   /** Duplicate clusters from near-dup PAIRS: connected components by
    *  min-label propagation, yielding (doc_id, cluster_id) where
    *  cluster_id is the smallest doc id in the component — the keep-one

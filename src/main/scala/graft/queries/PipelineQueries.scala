@@ -30,6 +30,9 @@ object PipelineQueries {
     "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
+    // SimHash near-dup within Hamming distance 3: block-collision
+    // candidates (pigeonhole over 4 x 7-bit blocks) + popcount verify
+    "q_dedup_simhash_near" -> ((s, d) => Dedup.simhashNearDuplicates(docs(s, d), 3)),
     // pairwise near-dup is not transitive: collapse pairs to components
     // (min-label propagation) so the pipeline keeps ONE doc per cluster
     "q_dedup_clusters" -> ((s, d) =>
@@ -334,6 +337,18 @@ object PipelineQueries {
          |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th)
          |SELECT simhash, count(*) AS n_docs, min(doc_id) AS canonical_id
          |FROM fp GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_dedup_simhash_near" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, list_transform(t, x -> ${bh("x")}) AS h FROM toks),
+         |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th),
+         |blk AS (SELECT doc_id, simhash, bi, (simhash >> (bi*7)) & 127 AS v
+         |        FROM fp, range(0, 4) AS r(bi))
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
+         |  FROM blk a JOIN blk b2 ON a.bi = b2.bi AND a.v = b2.v AND a.doc_id < b2.doc_id)
+         |WHERE hamming <= 3""".stripMargin,
 
     "q_pipeline_topk_domain" ->
       s"""WITH $toksCte,

@@ -64,6 +64,26 @@ class DedupSpec extends AnyFunSuite {
     assert(buckets(0).getLong(1) === 2L) // the two identical docs
   }
 
+  test("simhashNearDuplicates: identical docs at distance 0; every pair verified <= radius") {
+    val docs = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta", // identical
+      3L -> "alpha beta gamma delta epsilon zeta eta iota", // one word off
+      4L -> "totally different words about completely other things here now")
+    val out = graft.pipeline.Dedup.simhashNearDuplicates(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 2L)) === 0L, "identical docs must pair at distance 0")
+    assert(out.values.forall(_ <= 3L))
+    // ground truth: recompute pairwise simhash distances exactly
+    val hashes = graft.pipeline.TextAnalysis.simhash(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      a <- hashes.keys; b <- hashes.keys if a < b
+      d = java.lang.Long.bitCount(hashes(a) ^ hashes(b)) if d <= 3
+    } yield (a, b) -> d.toLong).toMap
+    assert(out === expect, "block-collision candidates must recall every pair within the radius")
+  }
+
   test("signature arithmetic stays within safe 64-bit bounds") {
     // max h is 2^28-1; max coefficient < P < 2^31 ⇒ product < 2^59
     assert(HashConstants.PermA.forall(a => a > 0 && a < HashConstants.P))
