@@ -288,6 +288,85 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame =
     ivfTopKWith(emb, sampledCentroids(emb, centroidEvery), queryPred, k)
 
+  // ------------------------------------------------------ product quantization
+
+  /** PQ codebooks: the vector space splits into `m` equal subspaces and
+   *  each deterministically sampled vector (vec_id % every == 0)
+   *  contributes its subvector as a codeword (c_id = vec_id — seed-free,
+   *  so the DuckDB oracle replays the whole PQ path bit-for-bit; a
+   *  production deployment would Lloyd-refine each subspace codebook
+   *  exactly like [[kmeansCentroids]] refines IVF centroids). */
+  def pqCodebooks(emb: DataFrame, m: Int, every: Int): DataFrame = {
+    require(Dim % m == 0, s"m must divide the dimension $Dim")
+    val subLen = Dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("c_vec")))
+    emb.filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("v"))
+      .select(col("c_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("sc.sub").as("sub"), col("c_id"), col("sc.c_vec").as("c_vec"))
+  }
+
+  /** PQ encoding: each vector compresses to `m` small codes — per
+   *  subspace, the nearest codeword by (4-decimal-rounded) squared L2,
+   *  c_id tiebreak. The argmin over the n·m·k expansion is the same
+   *  packed-long HashAggregate as [[ivfAssign]] (map-side collapse, no
+   *  Window/Sort); codebooks broadcast. At 100 TB this is THE memory
+   *  story for ANN: 64 floats (256 B) become m byte-ish codes. */
+  def pqEncode(emb: DataFrame, m: Int, every: Int): DataFrame = {
+    val cb = pqCodebooks(emb, m, every)
+    val subLen = Dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
+    val expl = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), explode(array(subs: _*)).as("sx"))
+      .select(col("vec_id"), col("sx.sub").as("sub"), col("sx.x").as("x"))
+    val d2 = round(
+      dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
+        + dot(col("c_vec"), col("c_vec")), 4)
+    val packed = round(col("__d") * lit(10000)).cast("long") * lit(1L << 44) + col("c_id")
+    expl.join(broadcast(cb), Seq("sub"))
+      .withColumn("__d", d2)
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(packed).as("__p"))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"),
+        col("__p").bitwiseAND(lit((1L << 44) - 1)).as("code"))
+  }
+
+  /** PQ ADC top-k (asymmetric distance computation): each query builds
+   *  its per-(subspace, codeword) distance table against the BROADCAST
+   *  codebooks, and the scan touches only the compressed codes — one
+   *  equi-join on (sub, code) plus a hash aggregate summing the m
+   *  partial distances per (query, vector). This is the classic PQ cost
+   *  model: search scans m-byte codes, never raw vectors; accuracy is
+   *  recall-checked vs brute force in SimilaritySpec. */
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int, every: Int): DataFrame = {
+    val cb = pqCodebooks(emb, m, every)
+    val codes = pqEncode(emb, m, every)
+    val subLen = Dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
+    val qsubs = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
+      .select(col("q_id"), explode(array(subs: _*)).as("sx"))
+      .select(col("q_id"), col("sx.sub").as("sub"), col("sx.x").as("x"))
+    val d2 = round(
+      dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
+        + dot(col("c_vec"), col("c_vec")), 4)
+    val table = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("sub").cast("long").as("sub"),
+        col("c_id").as("code"), d2.as("pd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 4).as("adist"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adist")
+  }
+
   /** ANN top-k: candidates restricted to the query's bucket
    *  (`probeRadius` = 0), or to all buckets within that Hamming radius
    *  of it (multi-probe LSH). Radius 1 probes NumPlanes+1 buckets per

@@ -108,6 +108,12 @@ object PipelineQueries {
     // mean-pooled class prototypes: one centroid per label
     "q_ann_label_centroids" -> ((s, d) =>
       Similarity.centroidsBy(emb(s, d), col("label"))),
+    // PQ compression: each vector → 8 subspace codes (nearest sampled
+    // codeword per subspace, packed-long argmin)
+    "q_ann_pq_codes" -> ((s, d) => Similarity.pqEncode(emb(s, d), m = 8, every = 100)),
+    // PQ ADC search: per-query distance tables × compressed codes only
+    "q_ann_pq" -> ((s, d) =>
+      Similarity.pqTopK(emb(s, d), col("vec_id") % 25 === 0, 3, m = 8, every = 100)),
     // int8-style scalar quantization of a vector subset (corpus stats)
     "q_ann_quantize" -> ((s, d) =>
       Similarity.quantize(emb(s, d), col("vec_id") % 50 === 0)),
@@ -615,6 +621,44 @@ object PipelineQueries {
          |SELECT q_id, rank, vec_id, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_pq_codes" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
+         |       FROM e, range(0, 8) AS r(sub)),
+         |d AS (SELECT vec_id, sub, c_id,
+         |             ${rnd("list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)")} AS d2
+         |      FROM sx JOIN cb USING (sub))
+         |SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, c_id AS code,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+         |  FROM d)
+         |WHERE rn = 1""".stripMargin,
+
+    "q_ann_pq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
+         |       FROM e, range(0, 8) AS r(sub)),
+         |d AS (SELECT vec_id, sub, c_id,
+         |             ${rnd("list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)")} AS d2
+         |      FROM sx JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, c_id AS code,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+         |  FROM d) WHERE rn = 1),
+         |qt AS (SELECT vec_id AS q_id, sub, c_id AS code, d2 AS pd
+         |       FROM d WHERE vec_id % 25 = 0),
+         |adist AS (SELECT q_id, c.vec_id, ${rnd("sum(pd)")} AS adist
+         |          FROM codes c JOIN qt USING (sub, code)
+         |          GROUP BY 1, 2 HAVING c.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |  FROM adist)
          |WHERE rank <= 3""".stripMargin,
 
     "q_ann_label_centroids" ->

@@ -172,6 +172,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(capped.join(uncapped, Seq("vec_a", "vec_b"), "left_anti").count() === 0L)
   }
 
+  test("PQ: codes are complete and bounded; ADC recall against exact-L2 brute force") {
+    val m = 8
+    val codes = Similarity.pqEncode(emb, m, every = 100).collect()
+    val nVecs = emb.count()
+    assert(codes.length === nVecs * m, "every vector gets exactly m codes")
+    assert(codes.forall(_.getAs[Long]("code") % 100 === 0), "codes are sampled codeword ids")
+    // exact squared-L2 brute-force top-k as the PQ ground truth (ADC
+    // approximates L2, not cosine)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val d2 = Similarity.dot(col("a.v"), col("a.v")) -
+      lit(2) * Similarity.dot(col("a.v"), col("b.v")) +
+      Similarity.dot(col("b.v"), col("b.v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val brute = vecs.as("a").filter(pred)
+      .join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("vec_id"),
+        round(d2, 4).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+    val pq = Similarity.pqTopK(emb, pred, K, m, every = 100)
+    val hits = pq.select("q_id", "vec_id")
+      .join(brute.select("q_id", "vec_id"), Seq("q_id", "vec_id")).count()
+    val recall = hits.toDouble / brute.count()
+    info(f"PQ ADC recall@$K vs exact L2: $recall%.3f")
+    assert(recall > 0.1, "compressed-domain search must beat noise")
+  }
+
   test("semantic dedup clusters: every near-dup edge's endpoints share the component-min label") {
     val pairs = Similarity.cosineNearDuplicates(emb, 0.3)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
