@@ -367,6 +367,45 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "adist")
   }
 
+  /** IVF-PQ top-k — the production-standard ANN layout (coarse inverted
+   *  file × product-quantized residuals-free codes): a query probes its
+   *  nearest IVF cell and ADC-scans ONLY that cell's compressed codes.
+   *  Search cost = |cell| m-byte code rows per query instead of the
+   *  whole corpus; both stages reuse the oracle-replayable pieces
+   *  ([[ivfAssign]]'s packed-long argmin, [[pqEncode]]'s codes,
+   *  [[pqTopK]]'s broadcast distance tables). */
+  def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int,
+      centroidEvery: Int, codeEvery: Int): DataFrame = {
+    val assigned = ivfAssign(emb, centroidEvery)
+      .select(col("vec_id"), col("cell")).persist()
+    val codes = pqEncode(emb, m, codeEvery)
+      .join(assigned, "vec_id") // (vec_id, sub, code, cell)
+    val cb = pqCodebooks(emb, m, codeEvery)
+    val subLen = Dim / m
+    val subs = (0 until m).map(s =>
+      struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
+    val qsubs = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("v"))
+      .join(assigned.select(col("vec_id").as("q_id"), col("cell")), "q_id")
+      .select(col("q_id"), col("cell"), explode(array(subs: _*)).as("sx"))
+      .select(col("q_id"), col("cell"), col("sx.sub").as("sub"), col("sx.x").as("x"))
+    val d2 = round(
+      dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
+        + dot(col("c_vec"), col("c_vec")), 4)
+    val table = qsubs.join(broadcast(cb), Seq("sub"))
+      .select(col("q_id"), col("cell"), col("sub").cast("long").as("sub"),
+        col("c_id").as("code"), d2.as("pd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
+    codes.join(broadcast(table), Seq("cell", "sub", "code"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pd")), 4).as("adist"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "adist")
+  }
+
   /** ANN top-k: candidates restricted to the query's bucket
    *  (`probeRadius` = 0), or to all buckets within that Hamming radius
    *  of it (multi-probe LSH). Radius 1 probes NumPlanes+1 buckets per

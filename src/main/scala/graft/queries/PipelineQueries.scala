@@ -114,6 +114,10 @@ object PipelineQueries {
     // PQ ADC search: per-query distance tables × compressed codes only
     "q_ann_pq" -> ((s, d) =>
       Similarity.pqTopK(emb(s, d), col("vec_id") % 25 === 0, 3, m = 8, every = 100)),
+    // IVF-PQ: probe the query's coarse cell, ADC-scan only its codes
+    "q_ann_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), col("vec_id") % 25 === 0, 3,
+        m = 8, centroidEvery = 100, codeEvery = 100)),
     // int8-style scalar quantization of a vector subset (corpus stats)
     "q_ann_quantize" -> ((s, d) =>
       Similarity.quantize(emb(s, d), col("vec_id") % 50 === 0)),
@@ -656,6 +660,38 @@ object PipelineQueries {
          |adist AS (SELECT q_id, c.vec_id, ${rnd("sum(pd)")} AS adist
          |          FROM codes c JOIN qt USING (sub, code)
          |          GROUP BY 1, 2 HAVING c.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |  FROM adist)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_ivfpq" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |asg AS (
+         |  SELECT vec_id, cell FROM (
+         |    SELECT e.vec_id, c.c_id AS cell,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM e, c)
+         |  WHERE rn = 1),
+         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
+         |       FROM e, range(0, 8) AS r(sub)),
+         |d AS (SELECT vec_id, sub, c_id,
+         |             ${rnd("list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)")} AS d2
+         |      FROM sx JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, c_id AS code,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+         |  FROM d) WHERE rn = 1),
+         |cc AS (SELECT codes.vec_id, cell, sub, code FROM codes JOIN asg USING (vec_id)),
+         |qt AS (SELECT d.vec_id AS q_id, a.cell, d.sub, d.c_id AS code, d.d2 AS pd
+         |       FROM d JOIN asg a USING (vec_id) WHERE d.vec_id % 25 = 0),
+         |adist AS (SELECT q_id, cc.vec_id, ${rnd("sum(pd)")} AS adist
+         |          FROM cc JOIN qt USING (cell, sub, code)
+         |          GROUP BY 1, 2 HAVING cc.vec_id != q_id)
          |SELECT q_id, rank, vec_id, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
          |  FROM adist)
