@@ -65,4 +65,15 @@ class PipelinePlanSpec extends AnyFunSuite {
     val p = plan(graft.pipeline.TextAnalysis.corpusLogProb(docs))
     assert(p.contains("BroadcastHashJoin"), s"hot-head broadcast missing:\n$p")
   }
+
+  test("PQ encode/search: packed-long argmin stays a HashAggregate; codebooks broadcast") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pEnc = plan(graft.pipeline.Similarity.pqEncode(emb, 8, 100))
+    assert(!pEnc.contains("SortAggregate"), s"argmin buffer degraded:\n$pEnc")
+    assert(!pEnc.contains("Window"), s"argmin must not plan a Window:\n$pEnc")
+    assert(pEnc.contains("BroadcastHashJoin"), s"codebooks must broadcast:\n$pEnc")
+    val pTop = plan(graft.pipeline.Similarity.pqTopK(emb, col("vec_id") % 25 === 0, 3, 8, 100))
+    assert(!pTop.contains("CartesianProduct") && !pTop.contains("BroadcastNestedLoop"),
+      s"ADC must join on (sub, code), never all-pairs:\n$pTop")
+  }
 }
