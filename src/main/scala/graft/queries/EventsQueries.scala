@@ -39,6 +39,16 @@ object EventsQueries {
         .select("event_id", "namespace", "source", "title", "start_ts", "end_ts", "ongoing")
     },
 
+    // the SAME search arriving as a client events-query JSON document
+    // (TsdbJson.parseEventsQuery); shares q_events_search's oracle
+    "q_json_events_search" -> { (s, d) =>
+      val q = graft.query.TsdbJson.parseEventsQuery(
+        s"""{"start": $Start, "end": $End,
+             "query": "by user 1*", "namespace": "error"}""")
+      EventsEngine.search(docs(s, d), q)
+        .select("event_id", "namespace", "source", "title", "start_ts", "end_ts", "ongoing")
+    },
+
     // F12 alone: range + namespace, including end-in-range / ongoing matches
     "q_events_range_ns" -> { (s, d) =>
       EventsEngine.search(docs(s, d), EventsQuery(Start, End, namespace = Some("purchase")))
@@ -155,6 +165,12 @@ object EventsQueries {
 
   val oracles: Map[String, String] = Map(
     "q_events_search" ->
+      s"""WITH $docsCte
+         |SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
+         |FROM docs WHERE ${inRange("error")} ${textClause(Seq("by", "user", "1*"))}""".stripMargin,
+
+    // JSON front-end replay: identical selection, shared restatement
+    "q_json_events_search" ->
       s"""WITH $docsCte
          |SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
          |FROM docs WHERE ${inRange("error")} ${textClause(Seq("by", "user", "1*"))}""".stripMargin,

@@ -145,4 +145,23 @@ object TsdbJson {
       shift = Option(n.get("timeShift")).map(_.asText),
       explicitTags = pf.explicitTags)
   }
+
+  /** Parse an events query document — the events domain's counterpart
+   *  (reference: the TSDB events source config feeding the Lucene query
+   *  builder, events-lucene/.../LuceneEventsQuery.java fields `groupBy` /
+   *  `fetchLast` plus the free-text `query` the runner converts,
+   *  QueryRunner.java convertToRegex): `start`/`end` epoch seconds,
+   *  optional free-text `query`, `namespace`, and exact-match `dims`. */
+  def parseEventsQuery(json: String): graft.events.EventsQuery = {
+    val n = mapper.readTree(json)
+    require(n.has("start") && n.has("end"), s"events query needs start/end: $json")
+    graft.events.EventsQuery(
+      start = n.get("start").asLong,
+      end = n.get("end").asLong,
+      text = Option(n.get("query")).map(_.asText),
+      namespace = Option(n.get("namespace")).map(_.asText),
+      dims = Option(n.get("dims")).map { d =>
+        d.fieldNames.asScala.map(k => k -> d.get(k).asText).toMap
+      }.getOrElse(Map.empty))
+  }
 }

@@ -94,6 +94,18 @@ class TsdbJsonSpec extends AnyFunSuite {
       explicitTags = true))
   }
 
+  test("events query JSON: range + text + namespace + dims") {
+    val q = TsdbJson.parseEventsQuery(
+      """{"start": 10, "end": 20, "query": "disk fail*",
+          "namespace": "ops", "dims": {"host": "web01", "colo": "sjc"}}""")
+    assert(q === graft.events.EventsQuery(10L, 20L,
+      text = Some("disk fail*"), namespace = Some("ops"),
+      dims = Map("host" -> "web01", "colo" -> "sjc")))
+    // minimal form: range only
+    assert(TsdbJson.parseEventsQuery("""{"start": 1, "end": 2}""") ===
+      graft.events.EventsQuery(1L, 2L))
+  }
+
   test("query defaults: no filter means MatchAll; 0all interval implies runAll") {
     val q = TsdbJson.parseQuery(
       """{"start": 1, "end": 2, "downsample": {"interval": "0all", "aggregator": "sum"}}""")
