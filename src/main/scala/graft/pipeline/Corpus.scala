@@ -221,6 +221,47 @@ object Corpus {
    *  its quality gate passes, it is its content group's canonical (min
    *  doc_id), and it is not a non-representative member of a near-dup
    *  cluster. */
+  /** Token-budget selection — "take the BEST documents until the budget
+   *  is spent", the data-mixing primitive behind per-source token
+   *  allocations. A document is selected iff the cumulative token count
+   *  of all strictly-better documents (quality desc, doc_id asc
+   *  tiebreak) is still below `budgetTokens` — i.e. its span BEGINS
+   *  inside the budget, the same landing rule as [[pack]].
+   *
+   *  Scale shape: NO global ORDER BY over documents (that serializes
+   *  the corpus through one task). The quality score is snapped to a
+   *  4-decimal grid, so the global cumulative structure lives on the
+   *  DISTINCT-score histogram — a table of at most ~10⁴ rows whatever
+   *  the corpus size — which sorts and prefix-sums in one tiny task;
+   *  docs join their score bucket (broadcast) and only the single
+   *  BOUNDARY bucket needs a per-doc prefix sum, windowed WITHIN that
+   *  bucket (bounded by the docs sharing one exact score). */
+  def selectByTokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), round(col("quality_score"), 4).as("score"))
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    // distinct-score histogram: tokens per score, prefix-summed best-first
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__before_bucket", coalesce(sum(col("__bucket_tokens")).over(w), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    scored.join(broadcast(hist.select(col("score"), col("__before_bucket"))), "score")
+      // fully-funded buckets skip the per-doc window via the cheap bound:
+      // a doc needs its in-bucket prefix only if its bucket straddles the
+      // budget; the window is per-score-bucket either way (never global)
+      .withColumn("__before",
+        col("__before_bucket") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+      .filter(col("__before") < budgetTokens)
+      .select(col("doc_id"), col("n_tokens"), col("score").as("quality_score"))
+  }
+
   def select(docs: DataFrame, nearThreshold: Double): DataFrame = {
     val quality = TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score"), col("keep"))

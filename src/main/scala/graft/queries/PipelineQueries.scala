@@ -61,6 +61,10 @@ object PipelineQueries {
     "q_pipeline_report" -> ((s, d) => Corpus.report(docs(s, d), 0.5)),
     // budgeted domain mixing: best 25 docs per predicted language
     "q_pipeline_topk_domain" -> ((s, d) => Corpus.topKByDomain(docs(s, d), 25)),
+    // token-budget selection: best docs (quality desc) until 20k tokens;
+    // cumulative structure on the distinct-score histogram, never a
+    // global per-doc ORDER BY
+    "q_pipeline_budget" -> ((s, d) => Corpus.selectByTokenBudget(docs(s, d), 20000)),
     // tf-idf top-3 keywords per document
     "q_text_keywords" -> ((s, d) => TextAnalysis.keywords(docs(s, d), 3)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
@@ -375,6 +379,20 @@ object PipelineQueries {
          |         row_number() OVER (PARTITION BY pred_lang ORDER BY score DESC, doc_id ASC) AS rank
          |  FROM sc)
          |WHERE rank <= 25""".stripMargin,
+
+    "q_pipeline_budget" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, len(t) AS n_tokens,
+         |             ${rnd("((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) / 10.0" +
+                s" + CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t))" +
+                s" + CAST(len(list_distinct(t)) AS DOUBLE) / len(t))")} AS score
+         |      FROM toks),
+         |p AS (SELECT doc_id, n_tokens, score,
+         |             coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |      FROM m)
+         |SELECT doc_id, n_tokens, score AS quality_score FROM p
+         |WHERE before < 20000""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH $toksCte,

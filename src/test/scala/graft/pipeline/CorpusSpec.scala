@@ -44,6 +44,31 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("selectByTokenBudget equals the greedy best-first selection; budget respected") {
+    val budget = 3000L
+    val out = Corpus.selectByTokenBudget(docs, budget).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // greedy ground truth: sort (score desc, doc_id asc), take while the
+    // span START is inside the budget
+    val all = TextAnalysis.quality(docs)
+      .select(col("doc_id"), round(col("quality_score"), 4).as("s"))
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy(t => (-t._2, t._1))
+    var cum = 0L
+    val expect = scala.collection.mutable.Map.empty[Long, (Long, Double)]
+    all.foreach { case (id, s, n) =>
+      if (cum < budget) expect(id) = (n, s)
+      cum += n
+    }
+    assert(out === expect.toMap)
+    assert(out.nonEmpty && out.size < all.length, "budget must be a real filter")
+    // the selection overshoots the budget by at most one document
+    val selected = all.filter(t => out.contains(t._1))
+    assert(selected.map(_._3).sum - selected.map(_._3).max <= budget)
+  }
+
   test("pack: hash sharding balances a sparse, clustered id space") {
     val spark2 = spark
     import spark2.implicits._
