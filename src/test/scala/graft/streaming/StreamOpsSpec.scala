@@ -115,6 +115,27 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_lww") }
   }
 
+  test("LWW streaming downsample: a straggler past a finalized window is dropped, not re-emitted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.windowedDownsampleLww(input.toDF(), "1m", "30 seconds")
+      .writeStream.format("memory").queryName("win_lww_late")
+      .outputMode("append").start()
+    try {
+      input.addData(pt(1, 10, 1.0, 1)); q.processAllAvailable()
+      input.addData(pt(1, 500, 2.0, 2)); q.processAllAvailable() // wm -> 470
+      input.addData(pt(1, 900, 3.0, 3)); q.processAllAvailable() // closes [0,60)
+      // straggler for the long-finalized window 0: must vanish silently
+      input.addData(pt(1, 20, 99.0, 9)); q.processAllAvailable()
+      input.addData(pt(1, 2000, 4.0, 4)); q.processAllAvailable()
+      val w0 = spark.table("win_lww_late").filter(col("bucket_ts") === 0).collect()
+      assert(w0.length === 1, "window 0 must emit exactly once")
+      assert(w0.head.getAs[Double]("sum") === 1.0, "the straggler must not corrupt the composite")
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS win_lww_late") }
+  }
+
   test("streaming composite rows equal Rollup.build on finalized windows (pure-streaming A10 path)") {
     val spark = TestSpark.spark
     import spark.implicits._
