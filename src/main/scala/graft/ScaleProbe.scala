@@ -15,11 +15,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *
  * Usage: `sbt "runMain graft.ScaleProbe [outJson]"`. Writes one JSON
  * object: per-query {small, large, ratio} seconds + row counts.
- * Documented super-linear rows: q_ann_brute (O(q·n) with q ∝ n — the
- * correctness BASELINE, not the scale path) and q_dedup_embed* (bucket
- * self-join is O(n²/2^planes) per table — at a fixed plane count,
- * pair volume grows quadratically; production raises planes/tables
- * with corpus size, see HashConstants.NdPlanesPerTable).
+ * Documented super-linear rows (all with a linear-path sibling):
+ *  - q_ann_brute AND q_ann_pq: exhaustive scoring — per-QUERY cost is
+ *    linear (raw vectors / compressed codes respectively), so with the
+ *    probe's query count ∝ n the total is O(n²). They are the
+ *    correctness/recall baselines; the indexed siblings (q_ann_lsh,
+ *    q_ann_ivf*, q_ann_ivfpq — the latter measured ~flat here) are the
+ *    scale paths.
+ *  - q_dedup_embed*: bucket self-join is O(n²/2^planes) per table — at
+ *    a fixed plane count pair volume grows quadratically; production
+ *    raises planes/tables with corpus size (the explicit knobs on
+ *    cosineNearDuplicates).
+ *  - q_ann_ivf/q_ann_kmeans with `centroidEvery` sampling: centroid
+ *    count ∝ n makes the n×k assignment quadratic; a production IVF
+ *    fixes k (pass a constant-size centroid table to ivfTopKWith).
  */
 object ScaleProbe {
 
@@ -78,16 +87,16 @@ object ScaleProbe {
    *  and are scale-proven by the lake's partition pruning instead). */
   private val Probed: Seq[String] = Seq(
     "q_dedup_exact", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
-    "q_dedup_clusters", "q_dedup_embed", "q_dedup_embed_clusters",
-    "q_dedup_hybrid_clusters",
+    "q_dedup_simhash_near", "q_dedup_clusters", "q_dedup_embed",
+    "q_dedup_embed_clusters", "q_dedup_hybrid_clusters",
     "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack",
     "q_pipeline_chunks", "q_pipeline_topk_domain", "q_pipeline_decontam",
-    "q_pipeline_sample", "q_pipeline_sample_stratified",
+    "q_pipeline_sample", "q_pipeline_sample_stratified", "q_pipeline_budget",
     "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
     "q_text_logprob", "q_text_keywords", "q_text_fingerprint",
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
-    "q_ann_label_centroids")
+    "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq")
 
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()

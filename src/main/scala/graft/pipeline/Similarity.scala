@@ -338,8 +338,11 @@ object Similarity {
    *  codebooks, and the scan touches only the compressed codes — one
    *  equi-join on (sub, code) plus a hash aggregate summing the m
    *  partial distances per (query, vector). This is the classic PQ cost
-   *  model: search scans m-byte codes, never raw vectors; accuracy is
-   *  recall-checked vs brute force in SimilaritySpec. */
+   *  model: search scans m-byte codes, never raw vectors — but it is
+   *  still an EXHAUSTIVE scan (per-query linear, like [[bruteForceTopK]]
+   *  at 1/32nd the bytes); at corpus scale route through [[ivfPqTopK]],
+   *  which ADC-scans one coarse cell. Accuracy is recall-checked vs
+   *  brute force in SimilaritySpec. */
   def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int, every: Int): DataFrame = {
     val cb = pqCodebooks(emb, m, every)
     val codes = pqEncode(emb, m, every)
