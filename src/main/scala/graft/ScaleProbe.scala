@@ -83,6 +83,35 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
 
+  /** Synthetic events table in the driver testdata's shape: 30 days of
+   *  points over `nUsers` users × 5 metrics, ~2-decimal values. Row
+   *  count ∝ nUsers × density so both scale points share distributions. */
+  def genEvents(spark: SparkSession, nRows: Int, nUsers: Int, dir: String): Unit = {
+    import spark.implicits._
+    val r = new Lcg(777)
+    val types = Array("click", "error", "purchase", "view", "scroll")
+    val base = 1704067200L // 2024-01-01
+    val span = 30L * 86400
+    val rows = (0 until nRows).map { i =>
+      val ts = base + (r.next() % span)
+      (i.toLong, new java.sql.Timestamp(ts * 1000L), (r.nextInt(nUsers)).toLong,
+        types(r.nextInt(types.length)), (r.nextInt(10000)).toDouble / 100.0,
+        s"""{"k": ${r.nextInt(100)}}""")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** TSDB queries probed against the generated events tables: the
+   *  downsample / group-by / rate / latest / filter family (rollup and
+   *  streaming rows are covered by their own lake harness, not here). */
+  private val TsdbProbed: Seq[String] = Seq(
+    "q_ds_sum", "q_ds_avg", "q_ds_minmax", "q_ds_last", "q_ds_median",
+    "q_ds_runall", "q_rate", "q_rate_counter", "q_timeshift",
+    "q_groupby", "q_groupby_all", "q_latest",
+    "q_filter_literal", "q_filter_regex", "q_filter_semijoin",
+    "q_meta_metrics", "q_meta_basic", "q_json_full")
+
   /** The doc/embedding-only queries (TSDB queries need the events table
    *  and are scale-proven by the lake's partition pruning instead). */
   private val Probed: Seq[String] = Seq(
@@ -113,12 +142,14 @@ object ScaleProbe {
     val (nSmall, nLarge) = (5000, 50000)
     genDocs(spark, nSmall, small); genEmbeddings(spark, nSmall * 2 / 5, small)
     genDocs(spark, nLarge, large); genEmbeddings(spark, nLarge * 2 / 5, large)
+    genEvents(spark, nSmall * 20, 150, small)
+    genEvents(spark, nLarge * 20, 1500, large)
 
     val queries = SparkEntry.queries
     val sb = new StringBuilder
     sb ++= "{\"docs_small\": " + nSmall + ", \"docs_large\": " + nLarge + ", \"queries\": {"
     var first = true
-    for (q <- Probed if queries.contains(q)) {
+    for (q <- (Probed ++ TsdbProbed) if queries.contains(q)) {
       // warm both (JIT + file listing), then measure
       queries(q)(spark, small).count()
       val (ts, rs) = time(queries(q)(spark, small).count())
