@@ -101,6 +101,24 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       bucketId(asDouble(col("embedding"))).as("bucket"))
 
+  /** Exact-embedding dedup at 1e-4 resolution: vectors identical after
+   *  snapping every component to the 1e-4 grid share a fingerprint —
+   *  one md5 over the snapped-integer string, then a hash-groupBy with
+   *  map-side collapse, exactly [[Dedup.exact]]'s shape on the vector
+   *  domain. This is the fallback [[cosineNearDuplicates]]'s bucket cap
+   *  assumes: a capped clone cluster's members are trivially
+   *  discoverable here at O(n) cost. Components snap to integers
+   *  (`round(x·10⁴)`) BEFORE stringifying, so both engines format the
+   *  canonical string identically (float-to-text rules differ;
+   *  integer-to-text does not). */
+  def exactDuplicates(emb: DataFrame): DataFrame = {
+    val fp = md5(concat_ws(",",
+      transform(asDouble(col("embedding")), x => round(x * 10000).cast("long").cast("string"))))
+    emb.select(col("vec_id"), fp.as("vec_fp"))
+      .groupBy(col("vec_fp"))
+      .agg(min(col("vec_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+  }
+
   /** Sign-bucket id in near-dup table `t` from
    *  [[HashConstants.NdPlanes]]: bit p set iff dot(plane_tp, v) > 0. */
   def ndBucketId(vec: Column, t: Int): Column = bucketIdFromPlanes(vec, NdPlanes(t))

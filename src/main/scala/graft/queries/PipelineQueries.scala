@@ -127,6 +127,9 @@ object PipelineQueries {
       Similarity.quantize(emb(s, d), col("vec_id") % 50 === 0)),
     "q_dedup_embed" -> ((s, d) =>
       Similarity.cosineNearDuplicates(emb(s, d), 0.3)),
+    // exact-embedding dedup (1e-4 grid fingerprint) — the O(n) fallback
+    // the near-dup bucket cap routes clone clusters through
+    "q_dedup_embed_exact" -> ((s, d) => Similarity.exactDuplicates(emb(s, d))),
     // semantic dedup collapse: connected components over the embedding
     // near-dup pair graph (same propagation engine as q_dedup_clusters)
     "q_dedup_embed_clusters" -> ((s, d) =>
@@ -803,6 +806,15 @@ object PipelineQueries {
          |selagg AS (SELECT CAST(count(*) AS BIGINT) AS n_selected,
          |                  CAST(sum(n) AS BIGINT) AS tokens_selected FROM sel)
          |SELECT * FROM tot, qual, can, clu, selagg""".stripMargin,
+
+    "q_dedup_embed_exact" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |f AS (SELECT vec_id,
+         |             md5(array_to_string(list_transform(v,
+         |               x -> CAST(${rnd("x*10000", 0)} AS BIGINT)), ',')) AS vec_fp
+         |      FROM e)
+         |SELECT vec_fp, min(vec_id) AS canonical_id, count(*) AS n_copies
+         |FROM f GROUP BY 1""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

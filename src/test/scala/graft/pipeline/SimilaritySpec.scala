@@ -149,6 +149,20 @@ class SimilaritySpec extends AnyFunSuite {
     base.unpersist(): Unit
   }
 
+  test("exact-embedding dedup collapses planted clones; 1e-4 grid tolerates float jitter") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val jitter = base.clone(); jitter(0) = (base(0) + 1e-6).toFloat // inside the grid cell
+    val other = Array.tabulate(64)(i => math.cos(i + 1).toFloat)
+    val df = Seq((1L, base), (2L, base), (7L, jitter), (9L, other))
+      .toDF("vec_id", "embedding")
+    val groups = Similarity.exactDuplicates(df).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups === Map(1L -> 3L, 9L -> 1L),
+      "clones and sub-grid jitter collapse to the min id; distinct vectors stay apart")
+  }
+
   test("bucket-size cap drops a planted clone cluster instead of joining it quadratically") {
     val spark2 = spark
     import spark2.implicits._
