@@ -189,6 +189,31 @@ object Similarity {
       .distinct()
   }
 
+  /** The warehouse-scale near-dup edge set: CAPPED multi-table LSH pairs
+   *  (degenerate buckets dropped whole — no quadratic join can exist in
+   *  the plan) UNIONED with the exact-duplicate star edges that recover
+   *  precisely what the cap dropped: identical vectors collide in every
+   *  table, and each clone connects to its group's canonical id in O(n)
+   *  via [[exactDuplicates]] (a star is enough — cluster collapse makes
+   *  the group one component, without materializing its |clones|²
+   *  pairs). The composition makes the cap loss-free for exact clones;
+   *  only sub-identical members of an over-full bucket are traded away. */
+  def nearDuplicateEdgesCapped(emb: DataFrame, threshold: Double,
+      maxBucketSize: Int, tables: Int = NdTables,
+      planesPerTable: Int = NdPlanesPerTable): DataFrame = {
+    val lsh = cosineNearDuplicates(emb, threshold, maxBucketSize, tables, planesPerTable)
+      .select("vec_a", "vec_b")
+    val star = exactDuplicates(emb)
+      .filter(col("n_copies") >= 2)
+      .select(col("vec_fp"), col("canonical_id"))
+      .join(emb.select(col("vec_id"),
+        md5(concat_ws(",", transform(asDouble(col("embedding")),
+          x => round(x * 10000).cast("long").cast("string")))).as("vec_fp")), "vec_fp")
+      .filter(col("vec_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("vec_a"), col("vec_id").as("vec_b"))
+    lsh.unionByName(star).distinct()
+  }
+
   /** Sampled centroids: a deterministic corpus sample (vec_id %
    *  centroidEvery == 0). Seed-free, so the DuckDB oracle replays the
    *  whole IVF path bit-for-bit. */

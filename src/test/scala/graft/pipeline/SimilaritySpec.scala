@@ -214,6 +214,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, "compressed-domain search must beat noise")
   }
 
+  test("capped edges + exact-dup stars: a planted clone cluster still collapses, without the quadratic join") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 40 vectors: ids 0-19 IDENTICAL (a clone cluster twice the cap),
+    // 20-39 distinct directions; threshold high so only clones qualify
+    val clone = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val rows = (0L until 40L).map { id =>
+      val v = if (id < 20) clone
+              else Array.tabulate(64)(i => math.cos((id * 67 + i * 13 + 1).toDouble).toFloat)
+      (id, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val edges = Similarity.nearDuplicateEdgesCapped(df, 0.99, maxBucketSize = 5)
+    // the LSH side contributed NO clone pairs (buckets over the cap are
+    // dropped whole), yet the star edges reconnect every clone…
+    val labels = Dedup.duplicateClusters(
+        edges.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 20L).foreach(id => assert(labels(id) === 0L,
+      s"clone $id must land in the canonical component"))
+    // …with only |clones|-1 star edges among the clones, never their
+    // |clones|² pairs (other high-sim pairs among the distinct vectors
+    // may legitimately surface via the uncapped buckets)
+    assert(edges.filter(col("vec_a") < 20 && col("vec_b") < 20).count() === 19L)
+  }
+
   test("semantic dedup clusters: every near-dup edge's endpoints share the component-min label") {
     val pairs = Similarity.cosineNearDuplicates(emb, 0.3)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).cache()
