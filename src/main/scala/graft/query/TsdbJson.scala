@@ -45,7 +45,11 @@ object TsdbJson {
   /** Top-level ExplicitTags only sets the flag; the tree it wraps is the
    *  filter (reference :64-66 unwraps it wherever it appears). */
   private def unwrapTop(n: JsonNode): JsonNode =
-    if (typeOf(n) == "explicittags") n.get("filter") else n
+    if (typeOf(n) == "explicittags") {
+      val inner = n.get("filter")
+      require(inner != null, s"ExplicitTags needs a nested 'filter': $n")
+      inner
+    } else n
 
   private def typeOf(n: JsonNode): String = {
     val t = n.get("type")
@@ -65,7 +69,9 @@ object TsdbJson {
   private def build(n: JsonNode, tagKeys: scala.collection.mutable.Set[String]): SeriesFilter =
     typeOf(n) match {
       case "explicittags" => // nested: just unwrap (reference :64-66)
-        build(n.get("filter"), tagKeys)
+        val inner = n.get("filter")
+        require(inner != null, s"ExplicitTags needs a nested 'filter': $n")
+        build(inner, tagKeys)
       case "chain" =>
         val op = Option(n.get("op")).map(_.asText.toUpperCase).getOrElse("AND") match {
           case "AND" => Chain.And
@@ -75,7 +81,9 @@ object TsdbJson {
         val members = Option(n.get("filters")).map(_.elements.asScala.toSeq).getOrElse(Seq.empty)
         Chain(op, members.map(build(_, tagKeys)))
       case "not" =>
-        Not(build(n.get("filter"), tagKeys))
+        val inner = n.get("filter")
+        require(inner != null, s"Not needs a nested 'filter': $n")
+        Not(build(inner, tagKeys))
       case "tagvalueliteralor" =>
         val k = str(n, "tagKey", "key"); tagKeys += k
         TagLiteral(k, pipeSplit(str(n, "filter")))

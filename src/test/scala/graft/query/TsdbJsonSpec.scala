@@ -73,6 +73,18 @@ class TsdbJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("Unsupported"))
   }
 
+  test("malformed wrappers fail with a clear message, not an NPE") {
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseFilter("""{"type": "Not"}""")
+    }.getMessage.contains("nested 'filter'"))
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseFilter("""{"type": "ExplicitTags"}""")
+    }.getMessage.contains("nested 'filter'"))
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseFilter("""{"filter": "x"}""")
+    }.getMessage.contains("missing 'type'"))
+  }
+
   test("full query JSON: range + filter + downsample + rate + groupBy + shift") {
     val q = TsdbJson.parseQuery(
       """{"start": 100, "end": 200,
