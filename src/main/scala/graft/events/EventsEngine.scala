@@ -14,6 +14,20 @@ final case class EventsQuery(
     namespace: Option[String] = None,
     dims: Map[String, String] = Map.empty)
 
+/** A full events REQUEST: the selection plus the execution shape the
+ *  reference's runner reads off the query config — group-by dimension
+ *  (+fetchLast), per-minute downsample, or sorted from/size paging
+ *  (events-lucene/.../query/QueryRunner.java:99-143,169-268). Parsed
+ *  from client JSON by [[graft.query.TsdbJson.parseEventsRequest]],
+ *  executed by [[EventsEngine.run]]. */
+final case class EventsRequest(
+    query: EventsQuery,
+    groupBy: Option[String] = None,
+    fetchLast: Boolean = false,
+    downsample: Boolean = false,
+    from: Int = 0,
+    size: Option[Int] = None)
+
 /**
  * Events query operators (reference events-lucene QueryRunner):
  * search scan, sort + from/size paging, group-by with hit counts +
@@ -119,6 +133,21 @@ object EventsEngine {
     search(docs, q)
       .groupBy((col("start_ts") - col("start_ts") % 60).as("bucket_ts"))
       .agg(count(lit(1)).as("hits"))
+
+  /** Execute a full [[EventsRequest]] — the dispatch the reference's
+   *  runner performs on its query config (grouped vs paged vs
+   *  downsampled search): `groupBy` wins (with optional fetchLast),
+   *  then `downsample`, then `size`-bounded paging, else the plain
+   *  search scan. One request maps to exactly one of the operators
+   *  above, so every JSON-arriving query replays the same plan as its
+   *  direct-ADT twin. */
+  def run(docs: DataFrame, r: EventsRequest): DataFrame =
+    r.groupBy match {
+      case Some(dim) => group(docs, r.query, dim, r.fetchLast)
+      case None if r.downsample => downsample(docs, r.query)
+      case None if r.size.isDefined => page(docs, r.query, r.from, r.size.get)
+      case None => search(docs, r.query)
+    }
 
   /** Top-1 per group (W6): latest event per group value — the reference
    *  sorts within group by start desc and keeps maxDocsPerGroup = 1

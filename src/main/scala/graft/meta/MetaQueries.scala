@@ -22,10 +22,38 @@ import org.apache.spark.sql.functions._
  * are per-series (bounded by tag count ≤ 255), and the aggregates are
  * partial+final hash aggregates.
  */
+/** A parsed meta query (reference MetaQuery.java: type enum +
+ *  QueryFilter + TAG_VALUES aggregation field + size cap), produced by
+ *  [[graft.query.TsdbJson.parseMetaQuery]] and executed by
+ *  [[MetaQueries.run]]. */
+final case class MetaRequest(
+    metaType: String,
+    filter: SeriesFilter,
+    aggregationField: Option[String] = None,
+    size: Int = MetaQueries.SizeLimit)
+
 object MetaQueries {
 
   /** Reference result cap (MetaQuery.java:30). */
   val SizeLimit = 1024
+
+  /** Execute a [[MetaRequest]] against the series dimension — the
+   *  type-enum dispatch of the reference's meta endpoint
+   *  (MetaQueryBuilder.java:31-39). NAMESPACES lives in the events
+   *  domain (a different store), so it is not served from `dim`. */
+  def run(dim: DataFrame, r: MetaRequest): DataFrame = r.metaType match {
+    case "METRICS" => metrics(dim, r.filter, r.size)
+    case "TAG_KEYS" => tagKeys(dim, r.filter, r.size)
+    case "TAG_VALUES" =>
+      val key = r.aggregationField.getOrElse(
+        throw new IllegalArgumentException("TAG_VALUES needs 'aggregationField'"))
+      tagValues(dim, r.filter, key, r.size)
+    case "TAG_KEYS_AND_VALUES" => tagKeysAndValues(dim, r.filter, r.size)
+    case "BASIC" => basic(dim, r.filter)
+    case "TIMESERIES" => timeseries(dim, r.filter, r.size)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported meta query type '$other'")
+  }
 
   private def pred(f: SeriesFilter): Column =
     SeriesFilter.compile(f, col("metric"), col("tags"))

@@ -252,14 +252,27 @@ object Corpus {
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("score")).orderBy(col("doc_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    scored.join(broadcast(hist.select(col("score"), col("__before_bucket"))), "score")
-      // fully-funded buckets skip the per-doc window via the cheap bound:
-      // a doc needs its in-bucket prefix only if its bucket straddles the
-      // budget; the window is per-score-bucket either way (never global)
+    val joined = scored.join(
+      broadcast(hist.select(col("score"), col("__bucket_tokens"), col("__before_bucket"))),
+      "score")
+    // fully-funded buckets (bucket ends inside the budget) are selected
+    // WHOLE — no per-doc window at all; beyond-budget buckets drop in the
+    // same filter. ONLY the single budget-straddling bucket computes a
+    // per-doc prefix, windowed within that one score partition — so a
+    // degenerate corpus where most docs share one snapped score funnels
+    // at most the straddling bucket (never the whole corpus) through one
+    // task, and only when that shared score IS the boundary.
+    val funded = joined
+      .filter(col("__before_bucket") + col("__bucket_tokens") <= budgetTokens)
+    val straddling = joined
+      .filter(col("__before_bucket") < budgetTokens &&
+        col("__before_bucket") + col("__bucket_tokens") > budgetTokens)
       .withColumn("__before",
         col("__before_bucket") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
       .filter(col("__before") < budgetTokens)
-      .select(col("doc_id"), col("n_tokens"), col("score").as("quality_score"))
+    val out = (df: DataFrame) =>
+      df.select(col("doc_id"), col("n_tokens"), col("score").as("quality_score"))
+    out(funded).unionByName(out(straddling))
   }
 
   def select(docs: DataFrame, nearThreshold: Double): DataFrame = {

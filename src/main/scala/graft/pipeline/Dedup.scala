@@ -183,7 +183,10 @@ object Dedup {
     val expl = shingleRows(docs).persist()
     val sigs = signaturesFromShingles(expl).persist()
     val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val cand = candidatePairsFromSignatures(sigs, Int.MaxValue)
+    // the pair set is read TWICE (intersection probe + the left join
+    // below); unpersisted, the whole band self-join re-executes per
+    // consumer — measured as the slowest bench row before this persist
+    val cand = candidatePairsFromSignatures(sigs, Int.MaxValue).persist()
     val inter = cand
       .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(expl.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
@@ -198,7 +201,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
     val materialized = Iterate.truncate(out) // pairs ≥ threshold only (small)
-    expl.unpersist(); sigs.unpersist()
+    expl.unpersist(); sigs.unpersist(); cand.unpersist()
     materialized
   }
 
@@ -240,7 +243,20 @@ object Dedup {
    *  value) equi-joins (shuffle O(docs × blocks), never all-pairs) and
    *  the exact distance check is one codegen'd xor + bit_count per
    *  candidate. Emits each qualifying pair once with its distance. */
-  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    simhashNearDuplicates(docs, maxHamming, Int.MaxValue)
+
+  /** As [[simhashNearDuplicates]] with the per-(block, value) bucket cap
+   *  the MinHash side has ([[candidates]]): a block bucket holding a huge
+   *  clone cluster is |bucket|² candidate pairs — identical documents
+   *  collide in EVERY block, and "emit every in-radius pair" is quadratic
+   *  in clone-neighborhood size (measured 58.8× wall / 104.6M output
+   *  pairs at 10× data when uncapped). Capped buckets drop whole; pair
+   *  with [[simhashNearDuplicatesCapped]] so exact-collision clusters
+   *  survive as O(n) star edges. Off by default so the oracle-checked
+   *  path stays exhaustive. */
+  def simhashNearDuplicates(docs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 28, "maxHamming in [0, 28)")
     val nBlocks = maxHamming + 1
     val bits = 28
@@ -251,9 +267,18 @@ object Dedup {
       struct(lit(b).as("blk"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << (hi - lo)) - 1)).as("v"))
     }
-    val blocks = sh.select(col("doc_id"), col("simhash"),
+    val b0 = sh.select(col("doc_id"), col("simhash"),
       explode(array(blockCols: _*)).as("bv"))
       .select(col("doc_id"), col("simhash"), col("bv.blk").as("blk"), col("bv.v").as("v"))
+    val blocks =
+      if (maxBucketSize == Int.MaxValue) b0
+      else {
+        val ok = b0.groupBy(col("blk"), col("v"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("blk", "v")
+        b0.join(ok, Seq("blk", "v"), "left_semi")
+      }
     val left = blocks.select(col("doc_id").as("doc_a"), col("simhash").as("ha"),
       col("blk"), col("v"))
     val right = blocks.select(col("doc_id").as("doc_b"), col("simhash").as("hb"),
@@ -265,6 +290,31 @@ object Dedup {
       // scalar distinct across blocks (a pair may agree on several)
       .select("doc_a", "doc_b", "hamming")
       .distinct()
+  }
+
+  /** The warehouse-scale SimHash near-dup edge set — the SimHash mirror
+   *  of [[Similarity.nearDuplicateEdgesCapped]]: CAPPED block-collision
+   *  pairs (degenerate buckets dropped whole, so no quadratic join can
+   *  exist in the plan) UNIONED with the exact-collision star edges from
+   *  [[simhashBuckets]] that recover precisely what the cap dropped —
+   *  identical fingerprints collide in every block, and each colliding
+   *  doc connects to its bucket's canonical id in O(n) (hamming 0 by
+   *  construction; a star is enough because cluster collapse makes the
+   *  group one component without materializing its |bucket|² pairs).
+   *  Loss-free for exact-fingerprint clones; only sub-identical members
+   *  of an over-full block bucket are traded away. */
+  def simhashNearDuplicatesCapped(docs: DataFrame, maxHamming: Int,
+      maxBucketSize: Int): DataFrame = {
+    val capped = simhashNearDuplicates(docs, maxHamming, maxBucketSize)
+    val star = simhashBuckets(docs)
+      .select(col("simhash"), col("canonical_id"))
+      .join(TextAnalysis.simhash(docs), "simhash")
+      .filter(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id").as("doc_a"), col("doc_id").as("doc_b"),
+        lit(0L).as("hamming"))
+    // hamming is a pure function of the pair, so the union dedups as a
+    // plain three-scalar distinct (star edges are hamming 0 on both sides)
+    capped.unionByName(star).distinct()
   }
 
   /** Duplicate clusters from near-dup PAIRS: connected components by

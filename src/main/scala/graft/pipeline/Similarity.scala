@@ -111,13 +111,18 @@ object Similarity {
    *  (`round(x·10⁴)`) BEFORE stringifying, so both engines format the
    *  canonical string identically (float-to-text rules differ;
    *  integer-to-text does not). */
-  def exactDuplicates(emb: DataFrame): DataFrame = {
-    val fp = md5(concat_ws(",",
+  /** The 1e-4-grid vector fingerprint both [[exactDuplicates]] and
+   *  [[nearDuplicateEdgesCapped]]'s star join key — ONE definition, so
+   *  the "loss-free for exact clones" guarantee can't silently break by
+   *  the two snap/format expressions drifting apart. */
+  private def vecFingerprint: Column =
+    md5(concat_ws(",",
       transform(asDouble(col("embedding")), x => round(x * 10000).cast("long").cast("string"))))
-    emb.select(col("vec_id"), fp.as("vec_fp"))
+
+  def exactDuplicates(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), vecFingerprint.as("vec_fp"))
       .groupBy(col("vec_fp"))
       .agg(min(col("vec_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-  }
 
   /** Sign-bucket id in near-dup table `t` from
    *  [[HashConstants.NdPlanes]]: bit p set iff dot(plane_tp, v) > 0. */
@@ -206,9 +211,7 @@ object Similarity {
     val star = exactDuplicates(emb)
       .filter(col("n_copies") >= 2)
       .select(col("vec_fp"), col("canonical_id"))
-      .join(emb.select(col("vec_id"),
-        md5(concat_ws(",", transform(asDouble(col("embedding")),
-          x => round(x * 10000).cast("long").cast("string")))).as("vec_fp")), "vec_fp")
+      .join(emb.select(col("vec_id"), vecFingerprint.as("vec_fp")), "vec_fp")
       .filter(col("vec_id") =!= col("canonical_id"))
       .select(col("canonical_id").as("vec_a"), col("vec_id").as("vec_b"))
     lsh.unionByName(star).distinct()
@@ -216,10 +219,27 @@ object Similarity {
 
   /** Sampled centroids: a deterministic corpus sample (vec_id %
    *  centroidEvery == 0). Seed-free, so the DuckDB oracle replays the
-   *  whole IVF path bit-for-bit. */
+   *  whole IVF path bit-for-bit. NOTE: centroid count ∝ corpus size, so
+   *  the n×k assignment grows quadratically — [[hashSampledCentroids]]
+   *  is the constant-k production shape. */
   def sampledCentroids(emb: DataFrame, centroidEvery: Int): DataFrame =
     emb.filter(col("vec_id") % centroidEvery === 0)
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"))
+
+  /** CONSTANT-k centroid table: the k vectors ranked first by
+   *  (md5-prefix hash of vec_id, vec_id) — a deterministic, seed-free,
+   *  corpus-size-independent sample, so the n×k assignment stays LINEAR
+   *  in the corpus however big it grows (the scale fix for
+   *  [[sampledCentroids]]' k ∝ n). Compiles to TakeOrderedAndProject:
+   *  each scan task keeps its local top-k, only k rows ever leave a
+   *  partition. The hash order is the same md5-prefix integer the
+   *  oracles replay (`ORDER BY … LIMIT k` in DuckDB). */
+  def hashSampledCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("c_vec"),
+        call_function("md5prefix28", col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("c_id").asc)
+      .limit(k)
+      .select(col("c_id"), col("c_vec"))
 
   /** K-means centroids: the sampled init refined by `iters` Lloyd
    *  rounds, each round two narrow DataFrame jobs — assign (broadcast
@@ -229,10 +249,23 @@ object Similarity {
    *  tie-breaks; each round's means are ROUNDED to 4 decimals — same
    *  snap as assignToCells' distances — which absorbs distributed-sum
    *  FP noise and makes the whole refinement replayable bit-for-bit by
-   *  a batch SQL engine (the q_ann_kmeans oracle). */
-  def kmeansCentroids(emb: DataFrame, centroidEvery: Int, iters: Int = 2): DataFrame = {
+   *  a batch SQL engine (the q_ann_kmeans oracle).
+   *
+   *  Caveat on the bit-exact claim: the 4-decimal snap absorbs FP noise
+   *  except when a per-(cell, dim) mean lands within noise of a .00005
+   *  rounding boundary — there the two engines can round a round-1 mean
+   *  differently and the flip cascades through later rounds. No observed
+   *  corpus hits it (the probability per mean is ~|noise|/10⁻⁴), but on
+   *  a new corpus an intermittent mismatch here means a boundary hit,
+   *  not an algorithm bug — coarsen the snap or compare with tolerance. */
+  def kmeansCentroids(emb: DataFrame, centroidEvery: Int, iters: Int = 2): DataFrame =
+    kmeansCentroidsFrom(emb, sampledCentroids(emb, centroidEvery), iters)
+
+  /** As [[kmeansCentroids]] from an explicit initial centroid table —
+   *  the constant-k production path (pass [[hashSampledCentroids]]). */
+  def kmeansCentroidsFrom(emb: DataFrame, init: DataFrame, iters: Int): DataFrame = {
     val vecs = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    var cents = sampledCentroids(emb, centroidEvery)
+    var cents = init
     for (_ <- 0 until iters) {
       cents = assignToCells(vecs, cents)
         .select(col("cell"), posexplode(col("vec")))
@@ -339,12 +372,29 @@ object Similarity {
    *  so the DuckDB oracle replays the whole PQ path bit-for-bit; a
    *  production deployment would Lloyd-refine each subspace codebook
    *  exactly like [[kmeansCentroids]] refines IVF centroids). */
-  def pqCodebooks(emb: DataFrame, m: Int, every: Int): DataFrame = {
+  def pqCodebooks(emb: DataFrame, m: Int, every: Int): DataFrame =
+    subspaceCodebooks(emb.filter(col("vec_id") % every === 0), m)
+
+  /** CONSTANT-k PQ codebooks: k codewords per subspace from the
+   *  hash-ranked sample ([[hashSampledCentroids]]' order), so codebook
+   *  size — and with it the encode cost n·m·k and every ADC distance
+   *  table — is independent of corpus size. This is the production
+   *  declared shape; [[pqCodebooks]]' every-based sample (k ∝ n) made
+   *  the encode join quadratic at scale. */
+  def pqCodebooksK(emb: DataFrame, m: Int, k: Int): DataFrame =
+    subspaceCodebooks(
+      emb.select(col("vec_id"), col("embedding"),
+          call_function("md5prefix28", col("vec_id").cast("string")).as("__h"))
+        .orderBy(col("__h").asc, col("vec_id").asc)
+        .limit(k)
+        .select(col("vec_id"), col("embedding")), m)
+
+  private def subspaceCodebooks(sample: DataFrame, m: Int): DataFrame = {
     require(Dim % m == 0, s"m must divide the dimension $Dim")
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("c_vec")))
-    emb.filter(col("vec_id") % every === 0)
+    sample
       .select(col("vec_id").as("c_id"), asDouble(col("embedding")).as("v"))
       .select(col("c_id"), explode(array(subs: _*)).as("sc"))
       .select(col("sc.sub").as("sub"), col("c_id"), col("sc.c_vec").as("c_vec"))
@@ -355,9 +405,21 @@ object Similarity {
    *  c_id tiebreak. The argmin over the n·m·k expansion is the same
    *  packed-long HashAggregate as [[ivfAssign]] (map-side collapse, no
    *  Window/Sort); codebooks broadcast. At 100 TB this is THE memory
-   *  story for ANN: 64 floats (256 B) become m byte-ish codes. */
-  def pqEncode(emb: DataFrame, m: Int, every: Int): DataFrame = {
-    val cb = pqCodebooks(emb, m, every)
+   *  story for ANN: 64 floats (256 B) become m byte-ish codes.
+   *
+   *  Packing bound: unlike [[assignToCells]]' cosine distance (≤ 2),
+   *  subspace squared-L2 is unbounded, so the codeword id gets 40 bits
+   *  (≤ 1.1e12 ids) and the distance field 23 bits — exact for
+   *  d² ≤ 2²³/10⁴ ≈ 838.8, i.e. per-component magnitudes up to
+   *  √(838/(4·subLen)) ≈ 5.1 at subLen 8 (typical normalized or
+   *  near-unit embeddings stay below 2; larger magnitudes must be
+   *  normalized first or the packed min silently corrupts). */
+  def pqEncode(emb: DataFrame, m: Int, every: Int): DataFrame =
+    pqEncodeWith(emb, m, pqCodebooks(emb, m, every))
+
+  /** As [[pqEncode]] over an explicit (sub, c_id, c_vec) codebook table —
+   *  the constant-k production path ([[pqCodebooksK]]). */
+  def pqEncodeWith(emb: DataFrame, m: Int, cb: DataFrame): DataFrame = {
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
@@ -367,13 +429,13 @@ object Similarity {
     val d2 = round(
       dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
         + dot(col("c_vec"), col("c_vec")), 4)
-    val packed = round(col("__d") * lit(10000)).cast("long") * lit(1L << 44) + col("c_id")
+    val packed = round(col("__d") * lit(10000)).cast("long") * lit(1L << 40) + col("c_id")
     expl.join(broadcast(cb), Seq("sub"))
       .withColumn("__d", d2)
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(packed).as("__p"))
       .select(col("vec_id"), col("sub").cast("long").as("sub"),
-        col("__p").bitwiseAND(lit((1L << 44) - 1)).as("code"))
+        col("__p").bitwiseAND(lit((1L << 40) - 1)).as("code"))
   }
 
   /** PQ ADC top-k (asymmetric distance computation): each query builds
@@ -386,9 +448,13 @@ object Similarity {
    *  at 1/32nd the bytes); at corpus scale route through [[ivfPqTopK]],
    *  which ADC-scans one coarse cell. Accuracy is recall-checked vs
    *  brute force in SimilaritySpec. */
-  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int, every: Int): DataFrame = {
-    val cb = pqCodebooks(emb, m, every)
-    val codes = pqEncode(emb, m, every)
+  def pqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int, every: Int): DataFrame =
+    pqTopKWith(emb, pqCodebooks(emb, m, every), queryPred, k, m)
+
+  /** As [[pqTopK]] over an explicit codebook table — pair with
+   *  [[pqCodebooksK]] for the constant-k production shape. */
+  def pqTopKWith(emb: DataFrame, cb: DataFrame, queryPred: Column, k: Int, m: Int): DataFrame = {
+    val codes = pqEncodeWith(emb, m, cb)
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
@@ -421,12 +487,20 @@ object Similarity {
    *  ([[ivfAssign]]'s packed-long argmin, [[pqEncode]]'s codes,
    *  [[pqTopK]]'s broadcast distance tables). */
   def ivfPqTopK(emb: DataFrame, queryPred: Column, k: Int, m: Int,
-      centroidEvery: Int, codeEvery: Int): DataFrame = {
-    val assigned = ivfAssign(emb, centroidEvery)
+      centroidEvery: Int, codeEvery: Int): DataFrame =
+    ivfPqTopKWith(emb, sampledCentroids(emb, centroidEvery),
+      pqCodebooks(emb, m, codeEvery), queryPred, k, m)
+
+  /** As [[ivfPqTopK]] over explicit centroid + codebook tables — pair
+   *  with [[hashSampledCentroids]] / [[pqCodebooksK]] for the constant-k
+   *  production shape. */
+  def ivfPqTopKWith(emb: DataFrame, cents: DataFrame, cb: DataFrame,
+      queryPred: Column, k: Int, m: Int): DataFrame = {
+    val assigned = assignToCells(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents)
       .select(col("vec_id"), col("cell")).persist()
-    val codes = pqEncode(emb, m, codeEvery)
+    val codes = pqEncodeWith(emb, m, cb)
       .join(assigned, "vec_id") // (vec_id, sub, code, cell)
-    val cb = pqCodebooks(emb, m, codeEvery)
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))

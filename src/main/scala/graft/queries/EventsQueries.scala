@@ -85,6 +85,40 @@ object EventsQueries {
           col("event_id"), col("title"), col("start_ts"))
     },
 
+    // A16 via the JSON front end: groupBy arrives in the request document
+    // (QueryRunner.java:174-268) and dispatches through EventsEngine.run;
+    // shares q_events_group's oracle verbatim
+    "q_json_events_group" -> { (s, d) =>
+      val r = graft.query.TsdbJson.parseEventsRequest(
+        s"""{"start": $Start, "end": $End, "groupBy": "host"}""")
+      EventsEngine.run(docs(s, d), r)
+    },
+
+    // A16 + fetchLast via JSON; shares q_events_group_last's oracle
+    "q_json_events_group_last" -> { (s, d) =>
+      val r = graft.query.TsdbJson.parseEventsRequest(
+        s"""{"start": $Start, "end": $End, "query": "click",
+             "groupBy": "colo", "fetchLast": true}""")
+      EventsEngine.run(docs(s, d), r)
+    },
+
+    // T1 via JSON: from/size paging fields (QueryRunner.java:99-143);
+    // shares q_events_paging's oracle
+    "q_json_events_paging" -> { (s, d) =>
+      val r = graft.query.TsdbJson.parseEventsRequest(
+        s"""{"start": $Start, "end": $End, "namespace": "click",
+             "from": 25, "size": 50}""")
+      EventsEngine.run(docs(s, d), r).select("event_id", "start_ts", "title")
+    },
+
+    // A17 via JSON: the downsample flag (QueryRunner.java:169-172);
+    // shares q_events_downsample's oracle
+    "q_json_events_downsample" -> { (s, d) =>
+      val r = graft.query.TsdbJson.parseEventsRequest(
+        s"""{"start": $Start, "end": $End, "namespace": "view", "downsample": true}""")
+      EventsEngine.run(docs(s, d), r)
+    },
+
     // F12 + dimension conjunct: search constrained by a dimension value
     "q_events_dims" -> { (s, d) =>
       EventsEngine.search(docs(s, d),
@@ -224,6 +258,41 @@ object EventsQueries {
       s"""WITH $docsCte
          |SELECT event_id, start_ts, priority
          |FROM docs WHERE ${inRange("click")} AND dim_host = 'web01'""".stripMargin,
+
+    // JSON front-end replays: identical selections, shared restatements —
+    // a parser/dispatch divergence shows up as a hash mismatch
+    "q_json_events_group" ->
+      s"""WITH $docsCte
+         |SELECT dim_host AS host, count(*) AS hits
+         |FROM docs WHERE ${inRange()}
+         |GROUP BY 1""".stripMargin,
+
+    "q_json_events_group_last" ->
+      s"""WITH $docsCte,
+         |filtered AS (
+         |  SELECT * FROM docs WHERE ${inRange()} ${textClause(Seq("click"))}),
+         |counts AS (SELECT dim_colo AS colo, count(*) AS hits FROM filtered GROUP BY 1),
+         |last AS (
+         |  SELECT dim_colo AS colo, event_id AS last_event_id,
+         |         title AS last_title, start_ts AS last_start_ts
+         |  FROM filtered
+         |  QUALIFY row_number() OVER (PARTITION BY dim_colo
+         |                             ORDER BY start_ts DESC, event_id DESC) = 1)
+         |SELECT c.colo, c.hits, l.last_event_id, l.last_title, l.last_start_ts
+         |FROM counts c JOIN last l USING (colo)""".stripMargin,
+
+    "q_json_events_paging" ->
+      s"""WITH $docsCte
+         |SELECT event_id, start_ts, title
+         |FROM docs WHERE ${inRange("click")}
+         |ORDER BY start_ts DESC, event_id DESC
+         |LIMIT 50 OFFSET 25""".stripMargin,
+
+    "q_json_events_downsample" ->
+      s"""WITH $docsCte
+         |SELECT start_ts - start_ts % 60 AS bucket_ts, count(*) AS hits
+         |FROM docs WHERE ${inRange("view")}
+         |GROUP BY 1""".stripMargin,
 
     "q_events_upsert" ->
       s"""WITH $docsCte,

@@ -65,6 +65,20 @@ object MetaQueriesSuite {
       val parsed = graft.query.TsdbJson.parseFilter(
         """{"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "sjc"}""")
       MetaQueries.metrics(dim(s, d), parsed.filter)
+    },
+
+    // full meta-query documents through the type-enum dispatch
+    // (MetaQueryBuilder.java:31-39 via TsdbJson.parseMetaQuery →
+    // MetaQueries.run); each shares its direct twin's oracle verbatim
+    "q_json_meta_tag_keys" -> { (s, d) =>
+      MetaQueries.run(dim(s, d),
+        graft.query.TsdbJson.parseMetaQuery("""{"type": "TAG_KEYS"}"""))
+    },
+
+    "q_json_meta_tag_values" -> { (s, d) =>
+      MetaQueries.run(dim(s, d),
+        graft.query.TsdbJson.parseMetaQuery(
+          """{"type": "TAG_VALUES", "aggregationField": "host"}"""))
     }
   )
 
@@ -143,6 +157,20 @@ object MetaQueriesSuite {
       s"""WITH $seriesCte
          |SELECT metric, count(*) AS cardinality
          |FROM series WHERE tag_colo = 'sjc'
-         |GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+         |GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_json_meta_tag_keys" ->
+      s"""WITH $seriesCte,
+         |k AS (
+         |  SELECT 'user' AS tag_key, count(*) AS cardinality FROM series
+         |  UNION ALL SELECT 'host', count(*) FROM series
+         |  UNION ALL SELECT 'colo', count(*) FROM series
+         |  UNION ALL SELECT 'env', count(*) FROM series WHERE tag_env IS NOT NULL)
+         |SELECT * FROM k ORDER BY tag_key LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_json_meta_tag_values" ->
+      s"""WITH $seriesCte
+         |SELECT tag_host AS tag_value, count(*) AS cardinality
+         |FROM series GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
   )
 }

@@ -25,6 +25,19 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** The production ANN constants the declared queries use: a
+   *  CONSTANT-size centroid table / per-subspace codebook (corpus-size-
+   *  independent — [[Similarity.hashSampledCentroids]] /
+   *  [[Similarity.pqCodebooksK]]), and a BOUNDED query batch (the
+   *  `vec_id < 1000` conjunct caps the batch at 40 queries whatever the
+   *  corpus size — per-query cost is the contract, so the measured probe
+   *  tracks data growth, not query-count growth). Round 5 measured the
+   *  old k ∝ n shapes super-linear (q_ann_pq 38.7×, q_ann_ivf 3.6× at
+   *  10× data); these are the scale-safe declared shapes. */
+  private val IvfK = 64
+  private val PqK = 32
+  private def annQueryPred = col("vec_id") % 25 === 0 && col("vec_id") < 1000
+
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
@@ -33,6 +46,12 @@ object PipelineQueries {
     // SimHash near-dup within Hamming distance 3: block-collision
     // candidates (pigeonhole over 4 x 7-bit blocks) + popcount verify
     "q_dedup_simhash_near" -> ((s, d) => Dedup.simhashNearDuplicates(docs(s, d), 3)),
+    // the warehouse-scale composition: block buckets capped at 40 docs
+    // (degenerate clone buckets drop whole — no quadratic join exists in
+    // the plan) ∪ exact-collision star edges (loss-free for exact clones
+    // at O(n) cost) — the SimHash mirror of Similarity's capped edges
+    "q_dedup_simhash_capped" -> ((s, d) =>
+      Dedup.simhashNearDuplicatesCapped(docs(s, d), 3, maxBucketSize = 40)),
     // pairwise near-dup is not transitive: collapse pairs to components
     // (min-label propagation) so the pipeline keeps ONE doc per cluster
     "q_dedup_clusters" -> ((s, d) =>
@@ -90,38 +109,47 @@ object PipelineQueries {
       Similarity.buckets(emb(s, d)).groupBy("bucket").agg(count(lit(1)).as("n_vecs"))),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3)),
+    // IVF over a CONSTANT-k hash-sampled centroid table: assignment is
+    // n×64 (linear) however big the corpus grows
     "q_ann_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(emb(s, d), col("vec_id") % 25 === 0, 3, centroidEvery = 100)),
+      Similarity.ivfTopKWith(emb(s, d),
+        Similarity.hashSampledCentroids(emb(s, d), IvfK), annQueryPred, 3)),
     // multi-probe LSH: Hamming-radius-1 bucket union per query
     "q_ann_multiprobe" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3, probeRadius = 1)),
-    // IVF over Lloyd-refined centroids: per-round means round to 4
-    // decimals (like the assign distances), so the refinement replays
-    // bit-for-bit in the oracle; recall is additionally checked vs brute
-    // force in SimilaritySpec
+    // IVF over Lloyd-refined constant-k centroids: per-round means round
+    // to 4 decimals (like the assign distances), so the refinement
+    // replays bit-for-bit in the oracle; recall is additionally checked
+    // vs brute force in SimilaritySpec
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(emb(s, d),
-        Similarity.kmeansCentroids(emb(s, d), centroidEvery = 100, iters = 2),
-        col("vec_id") % 25 === 0, 3)),
+        Similarity.kmeansCentroidsFrom(emb(s, d),
+          Similarity.hashSampledCentroids(emb(s, d), IvfK), iters = 2),
+        annQueryPred, 3)),
     // multi-probe IVF: each query searches its 2 nearest cells (the IVF
     // analog of Hamming-1 multi-probe LSH)
     "q_ann_ivf_probe" -> ((s, d) =>
       Similarity.ivfTopKWith(emb(s, d),
-        Similarity.sampledCentroids(emb(s, d), 100),
-        col("vec_id") % 25 === 0, 3, nprobe = 2)),
+        Similarity.hashSampledCentroids(emb(s, d), IvfK),
+        annQueryPred, 3, nprobe = 2)),
     // mean-pooled class prototypes: one centroid per label
     "q_ann_label_centroids" -> ((s, d) =>
       Similarity.centroidsBy(emb(s, d), col("label"))),
-    // PQ compression: each vector → 8 subspace codes (nearest sampled
-    // codeword per subspace, packed-long argmin)
-    "q_ann_pq_codes" -> ((s, d) => Similarity.pqEncode(emb(s, d), m = 8, every = 100)),
+    // PQ compression: each vector → 8 subspace codes (nearest codeword
+    // per subspace from the CONSTANT-32-codeword codebooks, packed-long
+    // argmin — encode is n·m·32, linear)
+    "q_ann_pq_codes" -> ((s, d) =>
+      Similarity.pqEncodeWith(emb(s, d), m = 8,
+        cb = Similarity.pqCodebooksK(emb(s, d), m = 8, k = PqK))),
     // PQ ADC search: per-query distance tables × compressed codes only
     "q_ann_pq" -> ((s, d) =>
-      Similarity.pqTopK(emb(s, d), col("vec_id") % 25 === 0, 3, m = 8, every = 100)),
+      Similarity.pqTopKWith(emb(s, d),
+        Similarity.pqCodebooksK(emb(s, d), m = 8, k = PqK), annQueryPred, 3, m = 8)),
     // IVF-PQ: probe the query's coarse cell, ADC-scan only its codes
     "q_ann_ivfpq" -> ((s, d) =>
-      Similarity.ivfPqTopK(emb(s, d), col("vec_id") % 25 === 0, 3,
-        m = 8, centroidEvery = 100, codeEvery = 100)),
+      Similarity.ivfPqTopKWith(emb(s, d),
+        Similarity.hashSampledCentroids(emb(s, d), IvfK),
+        Similarity.pqCodebooksK(emb(s, d), m = 8, k = PqK), annQueryPred, 3, m = 8)),
     // int8-style scalar quantization of a vector subset (corpus stats)
     "q_ann_quantize" -> ((s, d) =>
       Similarity.quantize(emb(s, d), col("vec_id") % 50 === 0)),
@@ -264,6 +292,24 @@ object PipelineQueries {
         s"SELECT vec_id, v, $t AS tbl, ${ndBucketExpr(t)} AS bucket FROM e"
       }.mkString("\n  UNION ALL ") + ")"
 
+  /** Hash-ranked constant-k sample order — replays
+   *  [[Similarity.hashSampledCentroids]]' (md5-prefix, vec_id) order. */
+  private val hashOrd: String = bh("CAST(vec_id AS VARCHAR)")
+
+  /** CONSTANT-64 centroid table (the production IVF shape). */
+  private val cents64Cte: String =
+    s"""c AS (SELECT vec_id AS c_id, v AS cv FROM
+       |  (SELECT vec_id, v FROM e ORDER BY $hashOrd ASC, vec_id ASC LIMIT $IvfK))""".stripMargin
+
+  /** CONSTANT-32-codeword-per-subspace PQ codebooks. */
+  private val pqCb32Cte: String =
+    s"""cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
+       |  FROM (SELECT vec_id, v FROM e ORDER BY $hashOrd ASC, vec_id ASC LIMIT $PqK),
+       |       range(0, 8) AS r(sub))""".stripMargin
+
+  /** The bounded ANN query batch (≤ 40 queries at any corpus size). */
+  private val annQPred: String = "vec_id % 25 = 0 AND vec_id < 1000"
+
   private def cosSql(a: String, b: String): String =
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
 
@@ -366,6 +412,30 @@ object PipelineQueries {
          |         bit_count(xor(a.simhash, b2.simhash)) AS hamming
          |  FROM blk a JOIN blk b2 ON a.bi = b2.bi AND a.v = b2.v AND a.doc_id < b2.doc_id)
          |WHERE hamming <= 3""".stripMargin,
+
+    // capped block buckets (HAVING count <= 40) ∪ exact-collision stars
+    "q_dedup_simhash_capped" ->
+      s"""WITH $toksCte,
+         |th AS (SELECT doc_id, list_transform(t, x -> ${bh("x")}) AS h FROM toks),
+         |fp AS (SELECT doc_id, $simhashExpr AS simhash FROM th),
+         |blk AS (SELECT doc_id, simhash, bi, (simhash >> (bi*7)) & 127 AS v
+         |        FROM fp, range(0, 4) AS r(bi)),
+         |ok AS (SELECT bi, v FROM blk GROUP BY bi, v HAVING count(*) <= 40),
+         |blkc AS (SELECT blk.* FROM blk JOIN ok USING (bi, v)),
+         |lsh AS (
+         |  SELECT DISTINCT doc_a, doc_b, hamming FROM (
+         |    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+         |           bit_count(xor(a.simhash, b2.simhash)) AS hamming
+         |    FROM blkc a JOIN blkc b2
+         |      ON a.bi = b2.bi AND a.v = b2.v AND a.doc_id < b2.doc_id)
+         |  WHERE hamming <= 3),
+         |grp AS (SELECT simhash, min(doc_id) AS canon FROM fp
+         |        GROUP BY 1 HAVING count(*) >= 2),
+         |star AS (SELECT g.canon AS doc_a, f.doc_id AS doc_b, 0::BIGINT AS hamming
+         |         FROM grp g JOIN fp f USING (simhash)
+         |         WHERE f.doc_id != g.canon)
+         |SELECT DISTINCT doc_a, doc_b, hamming FROM
+         |  (SELECT * FROM lsh UNION ALL SELECT * FROM star)""".stripMargin,
 
     "q_pipeline_topk_domain" ->
       s"""WITH $toksCte,
@@ -554,13 +624,14 @@ object PipelineQueries {
     // the final assignment, and the in-cell top-k all replay identically
     "q_ann_kmeans" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM
+         |  (SELECT vec_id, v FROM e ORDER BY $hashOrd ASC, vec_id ASC LIMIT $IvfK)),
          |${kmAssign("a1", "c0")},
          |${kmUpdate("a1", "c1")},
          |${kmAssign("a2", "c1")},
          |${kmUpdate("a2", "c2")},
          |${kmAssign("asg", "c2")},
-         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE vec_id % 25 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE $annQPred),
          |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
          |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
          |SELECT q_id, rank, vec_id, sim FROM (
@@ -582,7 +653,7 @@ object PipelineQueries {
 
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |$cents64Cte,
          |asg AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
          |    SELECT e.vec_id, e.v, c.c_id,
@@ -590,7 +661,7 @@ object PipelineQueries {
          |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
          |    FROM e, c)
          |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE vec_id % 25 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE $annQPred),
          |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
          |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
          |SELECT q_id, rank, vec_id, sim FROM (
@@ -625,7 +696,7 @@ object PipelineQueries {
     // same assignment replay, but queries probe their 2 nearest cells
     "q_ann_ivf_probe" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |$cents64Cte,
          |asg AS (
          |  SELECT vec_id, v, c_id AS cell FROM (
          |    SELECT e.vec_id, e.v, c.c_id,
@@ -633,7 +704,7 @@ object PipelineQueries {
          |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
          |    FROM e, c)
          |  WHERE rn = 1),
-         |qsel AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 25 = 0),
+         |qsel AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $annQPred),
          |probe AS (
          |  SELECT q_id, qv, c_id AS cell FROM (
          |    SELECT q.q_id, q.qv, c.c_id,
@@ -650,8 +721,7 @@ object PipelineQueries {
 
     "q_ann_pq_codes" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
-         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |$pqCb32Cte,
          |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
          |       FROM e, range(0, 8) AS r(sub)),
          |d AS (SELECT vec_id, sub, c_id,
@@ -665,8 +735,7 @@ object PipelineQueries {
 
     "q_ann_pq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
-         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |$pqCb32Cte,
          |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
          |       FROM e, range(0, 8) AS r(sub)),
          |d AS (SELECT vec_id, sub, c_id,
@@ -677,7 +746,7 @@ object PipelineQueries {
          |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
          |  FROM d) WHERE rn = 1),
          |qt AS (SELECT vec_id AS q_id, sub, c_id AS code, d2 AS pd
-         |       FROM d WHERE vec_id % 25 = 0),
+         |       FROM d WHERE $annQPred),
          |adist AS (SELECT q_id, c.vec_id, ${rnd("sum(pd)")} AS adist
          |          FROM codes c JOIN qt USING (sub, code)
          |          GROUP BY 1, 2 HAVING c.vec_id != q_id)
@@ -688,7 +757,7 @@ object PipelineQueries {
 
     "q_ann_ivfpq" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 100 = 0),
+         |$cents64Cte,
          |asg AS (
          |  SELECT vec_id, cell FROM (
          |    SELECT e.vec_id, c.c_id AS cell,
@@ -696,8 +765,7 @@ object PipelineQueries {
          |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
          |    FROM e, c)
          |  WHERE rn = 1),
-         |cb AS (SELECT vec_id AS c_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS cv
-         |       FROM e, range(0, 8) AS r(sub) WHERE vec_id % 100 = 0),
+         |$pqCb32Cte,
          |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
          |       FROM e, range(0, 8) AS r(sub)),
          |d AS (SELECT vec_id, sub, c_id,
@@ -709,7 +777,7 @@ object PipelineQueries {
          |  FROM d) WHERE rn = 1),
          |cc AS (SELECT codes.vec_id, cell, sub, code FROM codes JOIN asg USING (vec_id)),
          |qt AS (SELECT d.vec_id AS q_id, a.cell, d.sub, d.c_id AS code, d.d2 AS pd
-         |       FROM d JOIN asg a USING (vec_id) WHERE d.vec_id % 25 = 0),
+         |       FROM d JOIN asg a USING (vec_id) WHERE d.vec_id % 25 = 0 AND d.vec_id < 1000),
          |adist AS (SELECT q_id, cc.vec_id, ${rnd("sum(pd)")} AS adist
          |          FROM cc JOIN qt USING (cell, sub, code)
          |          GROUP BY 1, 2 HAVING cc.vec_id != q_id)

@@ -58,7 +58,11 @@ object TsdbJson {
   }
 
   private def str(n: JsonNode, field: String, alt: String = null): String = {
-    val v = Option(n.get(field)).orElse(Option(alt).flatMap(a => Option(n.get(a))))
+    // an explicit JSON null is "missing", not the string "null" (Jackson
+    // returns NullNode whose asText is "null") — route it to the clear
+    // require message instead of building a filter on a phantom value
+    val v = Option(n.get(field)).filter(!_.isNull)
+      .orElse(Option(alt).flatMap(a => Option(n.get(a)).filter(!_.isNull)))
     require(v.isDefined, s"filter node missing '$field': $n")
     v.get.asText
   }
@@ -159,17 +163,58 @@ object TsdbJson {
    *  builder, events-lucene/.../LuceneEventsQuery.java fields `groupBy` /
    *  `fetchLast` plus the free-text `query` the runner converts,
    *  QueryRunner.java convertToRegex): `start`/`end` epoch seconds,
-   *  optional free-text `query`, `namespace`, and exact-match `dims`. */
-  def parseEventsQuery(json: String): graft.events.EventsQuery = {
+   *  optional free-text `query`, `namespace`, and exact-match `dims`.
+   *  Selection fields only; [[parseEventsRequest]] adds the execution
+   *  shape (group / downsample / paging). */
+  def parseEventsQuery(json: String): graft.events.EventsQuery =
+    parseEventsRequest(json).query
+
+  /** Parse a FULL events request: the selection ([[parseEventsQuery]])
+   *  plus the execution-shape fields the reference's runner reads —
+   *  `groupBy` + `fetchLast` (grouped search with optional latest-event
+   *  merge, QueryRunner.java:174-268), `downsample` (per-minute
+   *  hit-count buckets, QueryRunner.java:169-172), and `from`/`size`
+   *  (sorted paging, QueryRunner.java:99-143). Dispatch through
+   *  [[graft.events.EventsEngine.run]]. */
+  def parseEventsRequest(json: String): graft.events.EventsRequest = {
     val n = mapper.readTree(json)
     require(n.has("start") && n.has("end"), s"events query needs start/end: $json")
-    graft.events.EventsQuery(
+    val opt = (f: String) => Option(n.get(f)).filter(!_.isNull)
+    val q = graft.events.EventsQuery(
       start = n.get("start").asLong,
       end = n.get("end").asLong,
-      text = Option(n.get("query")).map(_.asText),
-      namespace = Option(n.get("namespace")).map(_.asText),
-      dims = Option(n.get("dims")).map { d =>
+      text = opt("query").map(_.asText),
+      namespace = opt("namespace").map(_.asText),
+      dims = opt("dims").map { d =>
         d.fieldNames.asScala.map(k => k -> d.get(k).asText).toMap
       }.getOrElse(Map.empty))
+    graft.events.EventsRequest(
+      query = q,
+      groupBy = opt("groupBy").map(_.asText),
+      fetchLast = opt("fetchLast").exists(_.asBoolean),
+      downsample = opt("downsample").exists(_.asBoolean),
+      from = opt("from").map(_.asInt).getOrElse(0),
+      size = opt("size").map(_.asInt))
+  }
+
+  /** Parse a meta query document (reference MetaQuery.java fields via
+   *  MetaQueryBuilderTSDBExt.java:58-66: the type enum
+   *  NAMESPACES/METRICS/TAG_KEYS/TAG_VALUES/TAG_KEYS_AND_VALUES/BASIC/
+   *  TIMESERIES, an optional QueryFilter tree, the TAG_VALUES
+   *  `aggregationField`, and the `size` cap defaulting to 1024,
+   *  MetaQuery.java:30). Dispatch through
+   *  [[graft.meta.MetaQueries.run]]. */
+  def parseMetaQuery(json: String): graft.meta.MetaRequest = {
+    val n = mapper.readTree(json)
+    val opt = (f: String) => Option(n.get(f)).filter(!_.isNull)
+    val t = opt("type").map(_.asText.toUpperCase)
+    require(t.isDefined, s"meta query needs a 'type': $json")
+    val pf = opt("filter").map(filterFromNode)
+      .getOrElse(ParsedFilter(MatchAll, explicitTags = false, 0))
+    graft.meta.MetaRequest(
+      metaType = t.get,
+      filter = pf.filter,
+      aggregationField = opt("aggregationField").map(_.asText),
+      size = opt("size").map(_.asInt).getOrElse(graft.meta.MetaQueries.SizeLimit))
   }
 }

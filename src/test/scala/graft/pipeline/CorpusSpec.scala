@@ -69,6 +69,36 @@ class CorpusSpec extends AnyFunSuite {
     assert(selected.map(_._3).sum - selected.map(_._3).max <= budget)
   }
 
+  test("selectByTokenBudget: only the budget-straddling score bucket is windowed") {
+    val spark2 = spark
+    import spark2.implicits._
+    // degenerate corpus: every doc shares ONE snapped score (same text
+    // modulo doc_id — identical token stats), 10 tokens per doc
+    val one = (1L to 100L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    // budget above the total: the single bucket is fully funded — all
+    // docs selected and the per-doc window input is empty
+    assert(Corpus.selectByTokenBudget(one, 100000L).count() === 100)
+    // budget inside the bucket: greedy doc_id-order prefix (span starts
+    // at 0,10,…; start < 95 ⇒ docs 1..10)
+    val picked = Corpus.selectByTokenBudget(one, 95L).collect().map(_.getLong(0)).toSet
+    assert(picked === (1L to 10L).toSet)
+    // plan pin: the per-doc prefix window (ordered by doc_id) sits above
+    // a filter referencing the bucket-size column — i.e. ONLY the
+    // straddling bucket's rows reach the window, so a fully-funded
+    // degenerate bucket can never serialize through one window task
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    val lp = Corpus.selectByTokenBudget(one, 95L).queryExecution.optimizedPlan
+    val perDocWins = lp.collect {
+      case w: Window if w.orderSpec.exists(_.child.references.exists(_.name == "doc_id")) => w
+    }
+    assert(perDocWins.nonEmpty, "the in-bucket prefix window must exist")
+    assert(perDocWins.forall(_.child.collectFirst {
+      case f: Filter if f.condition.references.exists(_.name.contains("__bucket_tokens")) => f
+    }.isDefined), "the window input must be pre-filtered to the straddling bucket")
+  }
+
   test("pack: hash sharding balances a sparse, clustered id space") {
     val spark2 = spark
     import spark2.implicits._

@@ -203,14 +203,54 @@ class DedupSpec extends AnyFunSuite {
     // loss-safe at warehouse scale) and labels must be unchanged
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
     spark.sparkContext.setCheckpointDir(dir.toString)
-    val viaLoop = graft.pipeline.Dedup.duplicateClusters(edges, maxDriverEdges = 0)
+    try {
+      val viaLoop = graft.pipeline.Dedup.duplicateClusters(edges, maxDriverEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaLoop === viaDriver)
+      assert(viaLoop === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L,
+        11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
+      val written = java.nio.file.Files.walk(dir).iterator().asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(written > 0, "reliable checkpoint directories must be written under the checkpoint dir")
+    } finally {
+      // the shared TestSpark session outlives this test: without a reset,
+      // every later Iterate.truncate silently switches from
+      // localCheckpoint to reliable checkpoints in this temp dir
+      // (test-order-dependent behavior). SparkContext has no public
+      // unset, so restore the private Option field directly.
+      spark.sparkContext.getClass
+        .getMethod("checkpointDir_$eq", classOf[Option[_]])
+        .invoke(spark.sparkContext, None)
+      assert(spark.sparkContext.getCheckpointDir.isEmpty)
+    }
+  }
+
+  test("capped SimHash near-dup: clone cluster survives as O(n) star edges, not |bucket|^2 pairs") {
+    val clones = (1L to 30L).map(_ -> base)
+    val other = Seq(
+      200L -> "solar panels convert sunlight into usable electric power daily",
+      201L -> "solar panels convert sunlight into usable electric current daily", // near dup of 200
+      300L -> "完全 different unrelated topic with nothing shared at all whatsoever")
+    val df = docsOf(clones ++ other: _*)
+    // uncapped: the 30-clone bucket alone materializes 435 in-radius pairs
+    assert(Dedup.simhashNearDuplicates(df, 3).count() >= 435)
+    val capped = Dedup.simhashNearDuplicatesCapped(df, 3, maxBucketSize = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // clone cluster: exactly the 29 star edges (canonical 1 -> each clone)
+    val starEdges = (2L to 30L).map(b => (1L, b)).toSet
+    val cloneEdges = capped.keySet.filter(_._2 <= 30L)
+    assert(cloneEdges === starEdges, "cap must trade |bucket|^2 pairs for the star")
+    assert(starEdges.forall(e => capped(e) === 0L))
+    // a genuine near-dup pair OUTSIDE any degenerate bucket still pairs
+    // through the capped LSH path (its buckets are size <= 2)
+    assert(capped.contains((200L, 201L)), "small-bucket near-dups must survive the cap")
+    // collapse: the 30 clones become ONE component keeping doc 1
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val labels = Dedup.duplicateClusters(
+        Dedup.simhashNearDuplicatesCapped(df, 3, 10).select("doc_a", "doc_b"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaLoop === viaDriver)
-    assert(viaLoop === Map(1L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 1L,
-      11L -> 11L, 12L -> 11L, 20L -> 20L, 21L -> 20L))
-    val written = java.nio.file.Files.walk(dir).iterator().asScala
-      .count(p => p.getFileName.toString.startsWith("rdd-"))
-    assert(written > 0, "reliable checkpoint directories must be written under the checkpoint dir")
+    assert((1L to 30L).forall(labels(_) === 1L))
   }
 
   test("exactStreaming: first arrival wins across micro-batches") {
