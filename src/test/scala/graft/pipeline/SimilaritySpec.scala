@@ -23,6 +23,22 @@ class SimilaritySpec extends AnyFunSuite {
     hits.toDouble / brute.count()
   }
 
+  test("hashSampledCentroids: exactly k rows, deterministic, corpus-size-independent prefix") {
+    val c64 = Similarity.hashSampledCentroids(emb, 64).collect()
+    assert(c64.length === 64)
+    // deterministic: same 64 ids on a rerun
+    val again = Similarity.hashSampledCentroids(emb, 64).collect()
+    assert(c64.map(_.getLong(0)).toSeq === again.map(_.getLong(0)).toSeq)
+    // nested: k=16 is a prefix of k=64 in the same hash order (so growing
+    // k only ADDs centroids — stable assignments across re-tunings)
+    val c16 = Similarity.hashSampledCentroids(emb, 16).collect().map(_.getLong(0)).toSet
+    assert(c16.subsetOf(c64.map(_.getLong(0)).toSet))
+    // constant-k PQ codebooks: k codewords per subspace, every subspace
+    val cb = Similarity.pqCodebooksK(emb, m = 8, k = 32)
+      .groupBy(col("sub")).agg(count(lit(1)).as("n")).collect()
+    assert(cb.length === 8 && cb.forall(_.getLong(1) === 32L))
+  }
+
   test("multi-probe LSH recall is at least single-bucket recall (and candidates superset)") {
     val brute = Similarity.bruteForceTopK(emb, pred, K).cache()
     val single = recallVsBrute(Similarity.lshTopK(emb, pred, K), brute)

@@ -125,4 +125,41 @@ class TsdbJsonSpec extends AnyFunSuite {
     assert(q.downsample.get.runAll)
     assert(!q.explicitTags)
   }
+
+  test("events request JSON: groupBy/fetchLast, downsample, from/size; defaults are plain search") {
+    val g = TsdbJson.parseEventsRequest(
+      """{"start": 1, "end": 2, "groupBy": "host", "fetchLast": true}""")
+    assert(g.groupBy === Some("host") && g.fetchLast && !g.downsample)
+    val d = TsdbJson.parseEventsRequest(
+      """{"start": 1, "end": 2, "namespace": "view", "downsample": true}""")
+    assert(d.downsample && d.query.namespace === Some("view"))
+    val p = TsdbJson.parseEventsRequest(
+      """{"start": 1, "end": 2, "from": 25, "size": 50}""")
+    assert(p.from === 25 && p.size === Some(50))
+    val plain = TsdbJson.parseEventsRequest("""{"start": 1, "end": 2}""")
+    assert(plain.groupBy.isEmpty && !plain.downsample && plain.size.isEmpty && plain.from === 0)
+    // an explicit JSON null field means absent, not the string "null"
+    val nulled = TsdbJson.parseEventsRequest(
+      """{"start": 1, "end": 2, "query": null, "groupBy": null}""")
+    assert(nulled.query.text.isEmpty && nulled.groupBy.isEmpty)
+  }
+
+  test("meta query JSON: type dispatch fields; TAG_VALUES needs aggregationField; null tagKey rejected") {
+    val m = TsdbJson.parseMetaQuery(
+      """{"type": "TAG_VALUES", "aggregationField": "host", "size": 10,
+          "filter": {"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "sjc"}}""")
+    assert(m.metaType === "TAG_VALUES" && m.aggregationField === Some("host") && m.size === 10)
+    assert(m.filter === TagLiteral("colo", Seq("sjc")))
+    val keys = TsdbJson.parseMetaQuery("""{"type": "tag_keys"}""")
+    assert(keys.metaType === "TAG_KEYS" && keys.filter === MatchAll
+      && keys.size === graft.meta.MetaQueries.SizeLimit)
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseMetaQuery("""{"filter": {"type": "AnyFieldRegex", "filter": "x"}}""")
+    }
+    // str(): a null-valued required field hits the clear require message
+    val e = intercept[IllegalArgumentException] {
+      TsdbJson.parseFilter("""{"type": "TagValueLiteralOr", "tagKey": null, "filter": "a"}""")
+    }
+    assert(e.getMessage.contains("missing 'tagKey'"))
+  }
 }
