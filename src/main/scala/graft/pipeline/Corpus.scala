@@ -127,6 +127,100 @@ object Corpus {
         md5(concat_ws(" ", col("__c"))).as("chunk_fp"))
   }
 
+  /** Overlapping (strided) chunking — [[chunk]] generalized to
+   *  `stride < window`: chunk `i` covers tokens
+   *  `[i·stride + 1, i·stride + window]`, so consecutive training
+   *  windows share `window − stride` tokens of context (the standard
+   *  sliding-window preprocessing when split-point context loss
+   *  matters). `stride = window` degenerates to [[chunk]] exactly.
+   *  Same scale shape as chunk: explode + codegen'd slice/md5, no
+   *  shuffle — a map over the scan, O(tokens / stride) output rows. */
+  def chunkStrided(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride in [1, window]")
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0),
+          ((size(col("__t")) - 1) / lit(stride)).cast("int"))).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * lit(stride)).cast("long").as("start_pos"),
+        size(slice(col("__t"), col("chunk_id") * lit(stride) + 1, lit(window)))
+          .cast("long").as("n_tokens"),
+        md5(concat_ws(" ",
+          slice(col("__t"), col("chunk_id") * lit(stride) + 1, lit(window)))).as("chunk_fp"))
+  }
+
+  /** Temperature-weighted domain mixing (the multilingual-pretraining
+   *  re-balancing rule: sample domain `s` proportionally to `n_s^α`,
+   *  α = 0.5, so small domains are up-weighted relative to their raw
+   *  share). Per-domain keep rate = `⌊base · √(n_min / n_s)⌋` permille —
+   *  the rarest domain samples at `base`, a domain 4× its size at
+   *  `base/2` — applied through the same deterministic md5 keep rule as
+   *  [[hashSample]], so membership is a pure function of (corpus
+   *  domain histogram, doc_id).
+   *
+   *  α is fixed at ½ **because the rate must be engine-replayable**:
+   *  `sqrt`, division, and multiply are IEEE-754 correctly-rounded in
+   *  both Spark and the oracle, so the floored permille is bit-stable;
+   *  an arbitrary-α `pow()` carries last-ulp license across libm
+   *  implementations, which on a rate boundary flips membership.
+   *
+   *  Scale: the domain histogram is one hash aggregate (domains are
+   *  few); rates broadcast back; the keep filter is per-row — one scan,
+   *  no doc-keyed shuffle. */
+  def temperatureSample(docs: DataFrame, byCol: String, basePermille: Int): DataFrame = {
+    require(basePermille >= 0 && basePermille <= 1000, "basePermille in [0, 1000]")
+    val counts = docs.groupBy(col(byCol)).agg(count(lit(1)).as("__n"))
+    val minN = counts.agg(min(col("__n")).as("__n_min"))
+    val rates = counts.crossJoin(broadcast(minN))
+      .select(col(byCol),
+        floor(lit(basePermille) *
+          sqrt(col("__n_min").cast("double") / col("__n").cast("double")))
+          .cast("long").as("rate_permille"))
+    docs.join(broadcast(rates), byCol)
+      .filter(pmod(call_function("md5prefix28", col("doc_id").cast("string")),
+        lit(1000)) < col("rate_permille"))
+      .select(col("doc_id"), col(byCol), col("rate_permille"))
+  }
+
+  /** CCNet-style corpus partition into head / middle / tail by quality
+   *  (Wenzek et al. 2020 split by perplexity tercile; here the rank
+   *  signal is the deterministic quality score, so both engines rank
+   *  identically with no FP-order caveat — the score is per-row exact
+   *  integer ratios). `headPermille` of documents land in `head` (the
+   *  best), `tailPermille` in `tail` (the worst), the rest in `middle`.
+   *
+   *  Scale shape — NO global per-doc ORDER BY (that serializes the
+   *  corpus through one task): the cumulative rank structure lives on
+   *  the DISTINCT-score histogram ([[selectByTokenBudget]]'s device), a
+   *  ≤ ~10⁴-row table whatever the corpus size. A score bucket is
+   *  assigned WHOLE by where it STARTS — `head` if its preceding doc
+   *  count is inside the head budget, `tail` if it starts inside the
+   *  tail zone — with all comparisons in exact integer arithmetic
+   *  (`before · 1000 < total · permille`), so the oracle replays the
+   *  boundary bit-for-bit. Docs then broadcast-join their score's
+   *  bucket: one scan, one tiny histogram, no doc-keyed shuffle. */
+  def qualityBuckets(docs: DataFrame, headPermille: Int, tailPermille: Int): DataFrame = {
+    require(headPermille >= 0 && tailPermille >= 0 &&
+      headPermille + tailPermille <= 1000, "permilles in [0, 1000], sum ≤ 1000")
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), round(col("quality_score"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = scored.groupBy(col("score")).agg(count(lit(1)).as("__n"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+    val total = scored.agg(count(lit(1)).as("__total"))
+    val buckets = hist.crossJoin(broadcast(total))
+      .select(col("score"),
+        when(col("__before") * 1000 < col("__total") * headPermille, lit("head"))
+          .when(col("__before") * 1000 >= col("__total") * (1000 - tailPermille), lit("tail"))
+          .otherwise(lit("middle")).as("bucket"))
+    scored.join(broadcast(buckets), "score")
+      .select(col("doc_id"), col("score").as("quality_score"), col("bucket"))
+  }
+
   /** Benchmark decontamination: which training documents share word-
    *  trigram shingles with an evaluation set? Emits one row per
    *  (train doc, eval doc) pair whose DISTINCT-shingle overlap reaches

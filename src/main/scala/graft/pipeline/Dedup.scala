@@ -317,6 +317,42 @@ object Dedup {
     capped.unionByName(star).distinct()
   }
 
+  /** Substring-level duplicated-span detection (the training-data
+   *  "memorization surface" scan of Lee et al. 2022, *Deduplicating
+   *  Training Data Makes Language Models Better* — their suffix-array
+   *  substring dedup re-expressed relationally): every document emits
+   *  its full `window`-token spans at `stride`-token starts, each span
+   *  fingerprints to one md5, and spans sharing a fingerprint across
+   *  ≥ 2 occurrences are exactly the repeated substrings a
+   *  suffix-array pass would surface (at `window` granularity). Doc- or
+   *  cluster-level dedup misses these: two distinct documents can share
+   *  a long boilerplate span without being near-duplicates.
+   *
+   *  Scale shape: explode is O(tokens / stride) rows per doc, the md5
+   *  is codegen'd per span, and the group-by collapses identical spans
+   *  MAP-SIDE (partial aggregation) before the fingerprint-keyed
+   *  shuffle — the whole scan is linear in corpus tokens at any corpus
+   *  size, with no join anywhere. Docs shorter than `window` emit
+   *  nothing (no partial-span noise between short documents). */
+  def duplicateSpans(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    require(stride > 0 && stride <= window, "stride in [1, window]")
+    docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .filter(size(col("__t")) >= window)
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0),
+          ((size(col("__t")) - lit(window)) / lit(stride)).cast("int"))).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("__t"), col("i") * lit(stride) + 1, lit(window)))).as("span_fp"))
+      .groupBy(col("span_fp"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("canonical_id"))
+      .filter(col("n_occurrences") >= 2)
+  }
+
   /** Duplicate clusters from near-dup PAIRS: connected components by
    *  min-label propagation, yielding (doc_id, cluster_id) where
    *  cluster_id is the smallest doc id in the component — the keep-one

@@ -273,6 +273,41 @@ object TextAnalysis {
         round(col("__tfidf"), 4).as("tfidf"))
   }
 
+  /** PII patterns — the format-level scrub classes a pretraining
+   *  pipeline redacts before training. Deliberately restricted to
+   *  syntax BOTH engines' regex dialects (Java `j.u.regex`, RE2)
+   *  evaluate identically: character classes, bounded repetition, `\b`,
+   *  one capture group — no lookaround, no backreferences. IPv4 is
+   *  format-only (no 0-255 range check) in both engines alike. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  val DigitRunRe = "\\b\\d{6,}\\b"
+
+  /** PII redaction: emails → `<EMAIL>`, then IPv4s → `<IP>`, then
+   *  standalone runs of ≥ 6 digits (account/phone-like ids) → `<NUM>`,
+   *  applied IN THAT ORDER — each count is taken over the text with the
+   *  previous classes already redacted, so a dotted-quad's octets are
+   *  never double-counted as digit runs and the (counts, redacted)
+   *  pair is one well-defined sequential rewrite both engines replay.
+   *  Emits per-doc counts, the redacted length, and the md5 of the
+   *  redacted text (the content fingerprint a downstream exact-dedup
+   *  would key on — redaction canonicalizes documents differing only
+   *  in PII).
+   *
+   *  Pure per-row projection of codegen'd regexp expressions — no
+   *  shuffle, no UDFs; at 100 TB this is a map over the scan. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, DigitRunRe, "<NUM>")
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+      size(regexp_extract_all(t2, lit(DigitRunRe), lit(0))).cast("long").as("n_ids"),
+      length(t3).cast("long").as("n_chars_redacted"),
+      md5(t3).as("redacted_hash"))
+  }
+
   /** Winnowing-style fingerprint: base-31 rolling hash over windows of
    *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
    *  the minimum window hash (plus the distinct-window count).

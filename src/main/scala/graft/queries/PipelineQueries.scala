@@ -103,6 +103,22 @@ object PipelineQueries {
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
+    // format-level PII scrub: emails → IPs → digit runs, sequentially,
+    // so counts and the redacted fingerprint are one well-defined rewrite
+    "q_text_pii" -> ((s, d) => TextAnalysis.redactPii(docs(s, d))),
+    // substring-level dedup (Lee et al. 2022 at 16-token granularity):
+    // duplicated spans across docs that doc-level dedup can't see
+    "q_dedup_spans" -> ((s, d) => Dedup.duplicateSpans(docs(s, d), 16, 8)),
+    // sliding-window chunking: 32-token windows every 16 tokens, so
+    // consecutive training windows share 16 tokens of context
+    "q_pipeline_chunks_strided" -> ((s, d) => Corpus.chunkStrided(docs(s, d), 32, 16)),
+    // temperature mixing over the source domain (α = 0.5): rarest
+    // source samples at 700‰, a 4×-larger one at 350‰
+    "q_pipeline_sample_temperature" -> ((s, d) =>
+      Corpus.temperatureSample(docs(s, d), "source", 700)),
+    // CCNet-style head/middle/tail terciles on the quality histogram
+    "q_pipeline_quality_buckets" -> ((s, d) =>
+      Corpus.qualityBuckets(docs(s, d), 333, 333)),
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), col("vec_id") % 50 === 0, 5)),
     "q_ann_buckets" -> ((s, d) =>
@@ -692,6 +708,75 @@ object PipelineQueries {
          |       CAST(before // 512 AS BIGINT) AS bin,
          |       CAST(before % 512 AS BIGINT) AS bin_offset
          |FROM p""".stripMargin,
+
+    "q_text_pii" ->
+      s"""WITH r1 AS (SELECT doc_id, text,
+         |              regexp_replace(text, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g') AS t1
+         |            FROM documents),
+         |r2 AS (SELECT doc_id, text, t1,
+         |              regexp_replace(t1, '${TextAnalysis.Ipv4Re}', '<IP>', 'g') AS t2 FROM r1),
+         |r3 AS (SELECT doc_id, text, t1, t2,
+         |              regexp_replace(t2, '${TextAnalysis.DigitRunRe}', '<NUM>', 'g') AS t3 FROM r2)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+         |       CAST(len(regexp_extract_all(t1, '${TextAnalysis.Ipv4Re}')) AS BIGINT) AS n_ips,
+         |       CAST(len(regexp_extract_all(t2, '${TextAnalysis.DigitRunRe}')) AS BIGINT) AS n_ids,
+         |       CAST(length(t3) AS BIGINT) AS n_chars_redacted,
+         |       md5(t3) AS redacted_hash
+         |FROM r3""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""WITH $toksCte,
+         |sp AS (SELECT doc_id, t, unnest(range(0, (len(t) - 16) // 8 + 1)) AS i
+         |       FROM toks WHERE len(t) >= 16),
+         |f AS (SELECT doc_id,
+         |             md5(array_to_string(list_slice(t, i*8 + 1, i*8 + 16), ' ')) AS span_fp
+         |      FROM sp)
+         |SELECT span_fp, count(*) AS n_occurrences,
+         |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_id
+         |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_pipeline_chunks_strided" ->
+      s"""WITH $toksCte,
+         |c AS (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 16 + 1)) AS chunk_id
+         |      FROM toks)
+         |SELECT doc_id, chunk_id,
+         |       CAST(chunk_id * 16 AS BIGINT) AS start_pos,
+         |       CAST(len(list_slice(t, chunk_id*16 + 1, chunk_id*16 + 32)) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(list_slice(t, chunk_id*16 + 1, chunk_id*16 + 32), ' ')) AS chunk_fp
+         |FROM c""".stripMargin,
+
+    "q_pipeline_sample_temperature" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |mn AS (SELECT min(n) AS n_min FROM c),
+         |r AS (SELECT source,
+         |             CAST(floor(700 * sqrt(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+         |               AS rate_permille
+         |      FROM c, mn)
+         |SELECT d.doc_id, d.source, r.rate_permille
+         |FROM documents d JOIN r USING (source)
+         |WHERE ${bh("CAST(d.doc_id AS VARCHAR)")} % 1000 < r.rate_permille""".stripMargin,
+
+    "q_pipeline_quality_buckets" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |             ${rnd("((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) / 10.0" +
+                s" + CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t))" +
+                s" + CAST(len(list_distinct(t)) AS DOUBLE) / len(t))")} AS score
+         |      FROM toks),
+         |h AS (SELECT score, count(*) AS n FROM m GROUP BY 1),
+         |hb AS (SELECT score, n,
+         |              coalesce(sum(n) OVER (ORDER BY score DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |       FROM h),
+         |tt AS (SELECT count(*) AS total FROM m),
+         |b AS (SELECT score,
+         |             CASE WHEN before * 1000 < total * 333 THEN 'head'
+         |                  WHEN before * 1000 >= total * 667 THEN 'tail'
+         |                  ELSE 'middle' END AS bucket
+         |      FROM hb, tt)
+         |SELECT m.doc_id, m.score AS quality_score, b.bucket
+         |FROM m JOIN b USING (score)""".stripMargin,
 
     // same assignment replay, but queries probe their 2 nearest cells
     "q_ann_ivf_probe" ->

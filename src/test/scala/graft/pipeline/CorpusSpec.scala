@@ -27,6 +27,74 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === s250)
   }
 
+  test("chunkStrided: degenerates to chunk at stride = window; overlaps correctly") {
+    val s = spark
+    import s.implicits._
+    val tokens40 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, tokens40)).toDF("doc_id", "text")
+
+    // stride = window ⇒ exactly chunk() on the shared columns
+    val plain = Corpus.chunk(docs, 32).orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_fp").collect()
+    val strided = Corpus.chunkStrided(docs, 32, 32).orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "n_tokens", "chunk_fp").collect()
+    assert(plain.toSeq === strided.toSeq)
+
+    // 40 tokens, window 32, stride 16 → 3 chunks at starts 0/16/32 with
+    // 32/24/8 tokens; chunk 1 is exactly tokens 17..40
+    val out = Corpus.chunkStrided(d, 32, 16).orderBy("chunk_id").collect()
+    assert(out.map(r => (r.getAs[Long]("chunk_id"), r.getAs[Long]("start_pos"),
+      r.getAs[Long]("n_tokens"))).toSeq === Seq((0L, 0L, 32L), (1L, 16L, 24L), (2L, 32L, 8L)))
+    val expect1 = (17 to 40).map(i => s"w$i").mkString(" ")
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(expect1.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1).getAs[String]("chunk_fp") === md5hex)
+  }
+
+  test("temperatureSample: α=½ rates from the domain histogram, hash membership") {
+    val s = spark
+    import s.implicits._
+    // domains sized 64/16/4 → rates 175/350/700 (floor(700·√(4/n)))
+    val rows = (1 to 64).map(i => (i.toLong, s"doc $i", "big")) ++
+      (65 to 80).map(i => (i.toLong, s"doc $i", "mid")) ++
+      (81 to 84).map(i => (i.toLong, s"doc $i", "rare"))
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = Corpus.temperatureSample(d, "source", 700).collect()
+    val rates = out.map(r => r.getAs[String]("source") -> r.getAs[Long]("rate_permille"))
+      .toMap
+    assert(rates === Map("big" -> 175L, "mid" -> 350L, "rare" -> 700L))
+    // membership is exactly the md5-prefix rule, independently recomputed
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16) % 1000
+    }
+    val expected = rows.collect {
+      case (id, _, src) if bucket(id) < Map("big" -> 175L, "mid" -> 350L, "rare" -> 700L)(src) => id
+    }.toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === expected)
+  }
+
+  test("qualityBuckets: whole-bucket landing rule, exhaustive disjoint partition") {
+    val out = Corpus.qualityBuckets(docs, 333, 333).collect()
+    assert(out.length === docs.count())
+    assert(out.map(_.getAs[Long]("doc_id")).distinct.length === out.length)
+    val byBucket = out.groupBy(_.getAs[String]("bucket"))
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // every head score strictly above every middle score, middle above tail
+    def scores(b: String) = byBucket(b).map(_.getAs[Double]("quality_score"))
+    assert(scores("head").min > scores("middle").max)
+    assert(scores("middle").min > scores("tail").max)
+    // tied scores land whole: equal scores never split across buckets
+    out.groupBy(_.getAs[Double]("quality_score")).values.foreach { rows =>
+      assert(rows.map(_.getAs[String]("bucket")).distinct.length === 1)
+    }
+    // head holds ≥ 333‰ of docs (bucket lands whole, so never less), and
+    // no more than the head budget plus one straddling score bucket
+    val n = out.length
+    assert(byBucket("head").length * 1000 >= 333 * n)
+  }
+
   test("pack: offsets stay under budget, spans are contiguous per shard") {
     val budget = 512L
     val packed = Corpus.pack(docs, budget, nShards = 8)

@@ -17,6 +17,33 @@ class DedupSpec extends AnyFunSuite {
 
   private val base = "the quick brown fox jumps over the lazy dog again and again today"
 
+  test("duplicateSpans: cross-doc shared runs at window granularity") {
+    val shared = (1 to 16).map(i => s"s$i").mkString(" ")
+    val pad8 = (1 to 8).map(i => s"h$i").mkString(" ")
+    val df = docsOf(
+      1L -> (shared + " t1 t2"),     // shared at stride-aligned start 0
+      2L -> (pad8 + " " + shared),   // shared at stride-aligned start 8
+      3L -> "too short for any span")
+    val out = Dedup.duplicateSpans(df, 16, 8).collect()
+    // exactly one duplicated span group: the shared 16-token run
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("n_occurrences") === 2L)
+    assert(out(0).getAs[Long]("n_docs") === 2L)
+    assert(out(0).getAs[Long]("canonical_id") === 1L)
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(shared.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("span_fp") === md5hex)
+
+    // the stride contract: a run at an UNALIGNED offset is invisible at
+    // stride 8 but found at stride 1 (Lee et al.'s suffix-array pass is
+    // the stride-1 limit)
+    val pad3 = "x1 x2 x3"
+    val df2 = docsOf(1L -> (shared + " t1 t2"), 2L -> (pad3 + " " + shared))
+    assert(Dedup.duplicateSpans(df2, 16, 8).collect().isEmpty)
+    val fine = Dedup.duplicateSpans(df2, 16, 1).collect()
+    assert(fine.exists(_.getAs[String]("span_fp") == md5hex))
+  }
+
   test("exact dedup groups whitespace/case variants") {
     val df = docsOf(
       1L -> base,

@@ -16,6 +16,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("redactPii: sequential scrub, per-class counts, stable fingerprint") {
+    val docs = corpus(
+      1L -> "contact a.b+x@mail-host.co.uk or admin@ex.io now",
+      2L -> "server 10.0.0.1 and 192.168.001.255 up",
+      3L -> "acct 12345678 pin 123 ip 1.2.3.4 ssn 987654321",
+      4L -> "clean text no pii")
+    val out = TextAnalysis.redactPii(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out(1L).getAs[Long]("n_emails") === 2L)
+    assert(out(1L).getAs[Long]("n_ips") === 0L)
+    assert(out(2L).getAs[Long]("n_ips") === 2L)
+    assert(out(2L).getAs[Long]("n_ids") === 0L) // octets never re-count as ids
+    assert(out(3L).getAs[Long]("n_ips") === 1L)
+    assert(out(3L).getAs[Long]("n_ids") === 2L) // 8- and 9-digit runs; "123" too short
+    assert(out(4L).getAs[Long]("n_emails") === 0L)
+    assert(out(4L).getAs[Long]("n_ips") === 0L)
+    assert(out(4L).getAs[Long]("n_ids") === 0L)
+
+    // the fingerprint is md5 of the deterministic sequential rewrite
+    val red3 = "acct <NUM> pin 123 ip <IP> ssn <NUM>"
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(red3.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(3L).getAs[String]("redacted_hash") === md5hex)
+    assert(out(3L).getAs[Long]("n_chars_redacted") === red3.length.toLong)
+    // a clean doc's redacted hash equals its own content hash
+    val md5clean = java.security.MessageDigest.getInstance("MD5")
+      .digest("clean text no pii".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(4L).getAs[String]("redacted_hash") === md5clean)
+  }
+
   test("repetition: bigram cover, duplicated 5-grams, token runs") {
     val docs = corpus(
       1L -> "a b a b a b c",          // "a b" ×3 → cover 9; no dup 5-gram
