@@ -120,7 +120,7 @@ object ScaleProbe {
     "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack",
     "q_pipeline_chunks", "q_pipeline_topk_domain", "q_pipeline_decontam",
     "q_pipeline_sample", "q_pipeline_sample_stratified", "q_pipeline_budget",
-    "q_dedup_spans", "q_pipeline_chunks_strided",
+    "q_dedup_spans", "q_dedup_span_removal", "q_pipeline_chunks_strided",
     "q_pipeline_sample_temperature", "q_pipeline_quality_buckets",
     "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
     "q_text_logprob", "q_text_keywords", "q_text_fingerprint", "q_text_pii",

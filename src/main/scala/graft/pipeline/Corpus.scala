@@ -271,6 +271,52 @@ object Corpus {
         (col("n_overlap").cast("double") / col("__n_eval").cast("double")).as("overlap_frac"))
   }
 
+  /** The REMOVAL half of substring-level dedup ([[Dedup.duplicateSpans]]
+   *  detects; this scrubs — Lee et al. 2022 drop every repeated
+   *  substring occurrence but one and show the model memorizes less):
+   *  each document's token stream is cut on the disjoint `window`-token
+   *  block grid ([[chunk]]'s grid), and of all blocks sharing a
+   *  fingerprint corpus-wide only the canonical occurrence — smallest
+   *  (doc_id, block) — survives. Emits surviving docs with their kept
+   *  token stream's fingerprint and kept/dropped block counts; a fully
+   *  duplicated document (every block seen earlier) drops out entirely,
+   *  which is exactly doc-level exact dedup falling out as the
+   *  degenerate case.
+   *
+   *  Scale shape, all linear in corpus tokens: explode to one row per
+   *  block; canonical-per-fingerprint is a hash aggregate over a
+   *  `min(struct)` (map-side partials — no per-fingerprint sort
+   *  window); survivors join back keyed by the fingerprint (shuffle
+   *  O(blocks)); the rebuild is one doc-keyed aggregate whose ordered
+   *  concat runs over each doc's own ≤ tokens/window structs. */
+  def removeDuplicateSpans(docs: DataFrame, window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val blocks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+      .select(col("doc_id"), col("__t"),
+        explode(sequence(lit(0),
+          ((size(col("__t")) - 1) / lit(window)).cast("int"))).as("bid"))
+      .select(col("doc_id"), col("bid").cast("long").as("bid"),
+        concat_ws(" ", slice(col("__t"), col("bid") * lit(window) + 1, lit(window))).as("__c"))
+      .withColumn("__fp", md5(col("__c")))
+    val canon = blocks.groupBy(col("__fp"))
+      .agg(min(struct(col("doc_id"), col("bid"))).as("__canon"))
+    val kept = blocks.join(canon, "__fp")
+      .filter(col("doc_id") === col("__canon.doc_id") && col("bid") === col("__canon.bid"))
+    val perDoc = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("__n_blocks"))
+    kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks_kept"),
+        sum(when(col("__c") === "", 0L)
+          .otherwise(size(split(col("__c"), " ")).cast("long"))).as("n_tokens_kept"),
+        md5(concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("bid"), col("__c")))),
+            s => s.getField("__c")))).as("kept_hash"))
+      .join(perDoc, "doc_id")
+      .select(col("doc_id"), col("n_blocks_kept"),
+        (col("__n_blocks") - col("n_blocks_kept")).as("n_blocks_dropped"),
+        col("n_tokens_kept"), col("kept_hash"))
+  }
+
   /** One-row corpus funnel report — the "data card" numbers a pipeline
    *  publishes with every corpus build: doc counts at each gate
    *  (quality, exact-dup canonical, near-dup survivor) and token totals

@@ -109,6 +109,9 @@ object PipelineQueries {
     // substring-level dedup (Lee et al. 2022 at 16-token granularity):
     // duplicated spans across docs that doc-level dedup can't see
     "q_dedup_spans" -> ((s, d) => Dedup.duplicateSpans(docs(s, d), 16, 8)),
+    // the removal half: drop every repeated 16-token block but its
+    // canonical occurrence; fully duplicated docs vanish entirely
+    "q_dedup_span_removal" -> ((s, d) => Corpus.removeDuplicateSpans(docs(s, d), 16)),
     // sliding-window chunking: 32-token windows every 16 tokens, so
     // consecutive training windows share 16 tokens of context
     "q_pipeline_chunks_strided" -> ((s, d) => Corpus.chunkStrided(docs(s, d), 32, 16)),
@@ -735,6 +738,29 @@ object PipelineQueries {
          |SELECT span_fp, count(*) AS n_occurrences,
          |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_id
          |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    "q_dedup_span_removal" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, t, unnest(range(0, (len(t) - 1) // 16 + 1)) AS bid
+         |      FROM toks),
+         |g AS (SELECT doc_id, bid,
+         |             array_to_string(list_slice(t, bid*16 + 1, bid*16 + 16), ' ') AS c,
+         |             md5(array_to_string(list_slice(t, bid*16 + 1, bid*16 + 16), ' ')) AS fp
+         |      FROM b),
+         |k AS (SELECT doc_id, bid, c FROM (
+         |        SELECT doc_id, bid, c,
+         |               row_number() OVER (PARTITION BY fp ORDER BY doc_id, bid) AS rn
+         |        FROM g)
+         |      WHERE rn = 1),
+         |pd AS (SELECT doc_id, count(*) AS nb FROM g GROUP BY 1),
+         |ka AS (SELECT doc_id, count(*) AS n_blocks_kept,
+         |              sum(CASE WHEN c = '' THEN 0 ELSE len(string_split(c, ' ')) END) AS tk,
+         |              md5(string_agg(c, ' ' ORDER BY bid)) AS kept_hash
+         |       FROM k GROUP BY 1)
+         |SELECT ka.doc_id, ka.n_blocks_kept,
+         |       pd.nb - ka.n_blocks_kept AS n_blocks_dropped,
+         |       CAST(ka.tk AS BIGINT) AS n_tokens_kept, ka.kept_hash
+         |FROM ka JOIN pd USING (doc_id)""".stripMargin,
 
     "q_pipeline_chunks_strided" ->
       s"""WITH $toksCte,

@@ -95,6 +95,33 @@ class CorpusSpec extends AnyFunSuite {
     assert(byBucket("head").length * 1000 >= 333 * n)
   }
 
+  test("removeDuplicateSpans: canonical block survives, clones vanish, rebuild exact") {
+    val s = spark
+    import s.implicits._
+    val block = (1 to 16).map(i => s"b$i").mkString(" ") // one shared 16-token block
+    val rest = (1 to 20).map(i => s"r$i").mkString(" ")
+    val d = Seq(
+      (1L, block + " " + rest),  // canonical holder of the shared block
+      (2L, block + " " + rest),  // exact clone: EVERY block duplicated → vanishes
+      (3L, block + " " + (1 to 16).map(i => s"z$i").mkString(" ")) // shares only block 0
+    ).toDF("doc_id", "text")
+    val out = Corpus.removeDuplicateSpans(d, 16).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    assert(out.keySet === Set(1L, 3L)) // doc 2 fully deduplicated away
+    assert(out(1L).getAs[Long]("n_blocks_kept") === 3L) // 36 tokens → 3 blocks, all first
+    assert(out(1L).getAs[Long]("n_blocks_dropped") === 0L)
+    assert(out(1L).getAs[Long]("n_tokens_kept") === 36L)
+    assert(out(3L).getAs[Long]("n_blocks_kept") === 1L) // block 0 deduped away
+    assert(out(3L).getAs[Long]("n_blocks_dropped") === 1L)
+    assert(out(3L).getAs[Long]("n_tokens_kept") === 16L)
+    // rebuilt stream of doc 3 is exactly its own tail block
+    val md5hex = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 16).map(i => s"z$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(3L).getAs[String]("kept_hash") === md5hex)
+  }
+
   test("pack: offsets stay under budget, spans are contiguous per shard") {
     val budget = 512L
     val packed = Corpus.pack(docs, budget, nShards = 8)
