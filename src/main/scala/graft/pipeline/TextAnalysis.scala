@@ -283,6 +283,32 @@ object TextAnalysis {
   val Ipv4Re = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
   val DigitRunRe = "\\b\\d{6,}\\b"
 
+  /** The full sequential rewrite as ONE reusable Column — the single
+   *  definition both [[redactPii]] and the streaming ingest scrub
+   *  ([[graft.streaming.DocIngest]]) apply, so "dedup on redacted
+   *  content" can never drift from the declared redaction. */
+  def redactedText(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      DigitRunRe, "<NUM>")
+
+  /** [[quality]]'s keep gate as a PER-ROW Column over higher-order array
+   *  functions — bit-identical booleans to the relational batch path
+   *  (the ratios are the same exact-integer divisions), but STATELESS:
+   *  usable inside a streaming micro-batch where the batch path's
+   *  explode + hash aggregate would need an aggregation state. The
+   *  interpreted-HOF cost is paid per row only on the ingest stream,
+   *  not on the batch analytics path (spec pins the equivalence). */
+  def keepExpr(text: Column): Column = {
+    val t = tokens(text)
+    val n = size(t).cast("double")
+    val stop = size(filter(t, x => x.isin(Stopwords: _*))).cast("double")
+    val ttr = size(array_distinct(t)).cast("double") / n
+    size(t) >= 8 && size(t) <= 100000 && stop / n > 0.0 && ttr > 0.1
+  }
+
   /** PII redaction: emails → `<EMAIL>`, then IPv4s → `<IP>`, then
    *  standalone runs of ≥ 6 digits (account/phone-like ids) → `<NUM>`,
    *  applied IN THAT ORDER — each count is taken over the text with the
@@ -299,7 +325,7 @@ object TextAnalysis {
   def redactPii(docs: DataFrame): DataFrame = {
     val t1 = regexp_replace(col("text"), EmailRe, "<EMAIL>")
     val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
-    val t3 = regexp_replace(t2, DigitRunRe, "<NUM>")
+    val t3 = redactedText(col("text"))
     docs.select(col("doc_id"),
       size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),

@@ -25,6 +25,24 @@ object PipelineQueries {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** One streamed document-pipeline lake per sf dir (scrub → quality
+   *  gate → dedup-on-redacted-content through a real file-source
+   *  streaming query — [[graft.streaming.DocIngest.runPipeline]]),
+   *  shared by the declared stream query. */
+  private val docLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docPipelineLake(s: SparkSession, d: String): String =
+    docLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_docstream")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
+        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      graft.streaming.DocIngest.runPipeline(s, srcDir.toString,
+        s"$base/lake", s"$base/ckpt", schema).awaitTermination()
+      s"$base/lake"
+    })
+
   /** The production ANN constants the declared queries use: a
    *  CONSTANT-size centroid table / per-subspace codebook (corpus-size-
    *  independent — [[Similarity.hashSampledCentroids]] /
@@ -109,6 +127,13 @@ object PipelineQueries {
     // substring-level dedup (Lee et al. 2022 at 16-token granularity):
     // duplicated spans across docs that doc-level dedup can't see
     "q_dedup_spans" -> ((s, d) => Dedup.duplicateSpans(docs(s, d), 16, 8)),
+    // streamed scrub→gate→dedup ingest; within-batch dedup winners are
+    // arbitrary, so the query exposes only content-determined columns
+    "q_stream_doc_pipeline" -> { (s, d) =>
+      s.read.parquet(docPipelineLake(s, d))
+        .select(col("content_hash"),
+          length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
+    },
     // the removal half: drop every repeated 16-token block but its
     // canonical occurrence; fully duplicated docs vanish entirely
     "q_dedup_span_removal" -> ((s, d) => Corpus.removeDuplicateSpans(docs(s, d), 16)),
@@ -738,6 +763,26 @@ object PipelineQueries {
          |SELECT span_fp, count(*) AS n_occurrences,
          |       count(DISTINCT doc_id) AS n_docs, min(doc_id) AS canonical_id
          |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin,
+
+    // batch restatement of the streamed scrub→gate→dedup ingest: one row
+    // per distinct redacted-normalized content among gate-passing docs
+    "q_stream_doc_pipeline" ->
+      s"""WITH r AS (SELECT doc_id,
+         |             regexp_replace(regexp_replace(regexp_replace(text,
+         |               '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |               '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |               '${TextAnalysis.DigitRunRe}', '<NUM>', 'g') AS t3
+         |           FROM documents),
+         |tk AS (SELECT doc_id, t3,
+         |              string_split_regex(trim(lower(t3)), '\\s+') AS t FROM r)
+         |SELECT DISTINCT
+         |       md5(regexp_replace(trim(lower(t3)), '\\s+', ' ', 'g')) AS content_hash,
+         |       CAST(length(regexp_replace(trim(lower(t3)), '\\s+', ' ', 'g')) AS BIGINT)
+         |         AS n_chars_norm
+         |FROM tk
+         |WHERE len(t) >= 8 AND len(t) <= 100000
+         |  AND len(list_filter(t, x -> list_contains($stopList, x))) > 0
+         |  AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.1""".stripMargin,
 
     "q_dedup_span_removal" ->
       s"""WITH $toksCte,

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.pipeline.Dedup
+import graft.pipeline.{Dedup, TextAnalysis}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -34,4 +35,34 @@ object DocIngest {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** The FULL document-pipeline ingest: PII scrub → quality gate →
+   *  dedup-on-REDACTED-content, all at arrival time. Ordering is the
+   *  point: scrubbing BEFORE hashing makes two crawls of the same page
+   *  differing only in injected PII (session ids, tracking emails)
+   *  collapse to one admitted document — dedup keyed on raw content
+   *  would admit both. Scrub and gate are stateless per-row columns
+   *  ([[TextAnalysis.redactedText]]/[[TextAnalysis.keepExpr]] — the
+   *  latter is the batch quality gate's bit-identical per-row
+   *  restatement), so the only streaming state remains the dedup hash
+   *  set in the checkpoint, exactly as [[run]].
+   *
+   *  Within one micro-batch `dropDuplicates` keeps an arbitrary member
+   *  of each content group, so downstream contracts must key on
+   *  content-determined columns (the declared `q_stream_doc_pipeline`
+   *  exposes only those); across batches/restarts first-arrival-wins
+   *  deterministically via the state store. */
+  def runPipeline(spark: SparkSession, srcDir: String, outDir: String,
+      ckptDir: String, schema: StructType): StreamingQuery = {
+    val scrubbed = spark.readStream.schema(schema).parquet(srcDir)
+      .withColumn("text", TextAnalysis.redactedText(col("text")))
+      .filter(TextAnalysis.keepExpr(col("text")))
+    Dedup.exactStreaming(scrubbed)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .format("parquet").option("path", outDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

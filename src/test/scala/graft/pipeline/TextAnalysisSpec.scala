@@ -47,6 +47,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(4L).getAs[String]("redacted_hash") === md5clean)
   }
 
+  test("keepExpr: per-row HOF gate is bit-identical to the batch quality gate") {
+    val sf = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val batch = TextAnalysis.quality(sf).select(col("doc_id"), col("keep"))
+    val perRow = sf.select(col("doc_id"), TextAnalysis.keepExpr(col("text")).as("keep"))
+    assert(batch.exceptAll(perRow).count() === 0)
+    assert(perRow.exceptAll(batch).count() === 0)
+    // and both sides actually discriminate on this corpus
+    val kept = perRow.filter(col("keep")).count()
+    assert(kept > 0 && kept < sf.count())
+  }
+
   test("repetition: bigram cover, duplicated 5-grams, token runs") {
     val docs = corpus(
       1L -> "a b a b a b c",          // "a b" ×3 → cover 9; no dup 5-gram

@@ -29,4 +29,34 @@ class DocIngestSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted === Set(1L, 2L, 4L))
   }
+
+  test("runPipeline: scrub-then-dedup collapses PII-only variants; gate drops junk") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_docpipe")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+    // two crawls of "the same page" differing ONLY in injected PII — raw
+    // content hashes differ, redacted hashes agree; plus a doc that fails
+    // the quality gate (< 8 tokens) and a clean survivor
+    val keepable = "the same page content with a stopword and enough distinct tokens from"
+    Seq(
+      1L -> (keepable + " mail bob@a.io id 1234567"),
+      2L -> (keepable + " mail eve@b.org id 7654321"),
+      3L -> "too short to keep",
+      4L -> (keepable + " nothing injected here")
+    ).toDF("doc_id", "text").write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    DocIngest.runPipeline(spark, src, out, ckpt, schema).awaitTermination()
+
+    val lake = spark.read.parquet(out).collect()
+    // 1 and 2 collapse to ONE admitted row (either may win the batch);
+    // 3 is gated out; 4 survives → exactly two lake rows
+    assert(lake.length === 2)
+    val ids = lake.map(_.getAs[Long]("doc_id")).toSet
+    assert(ids.intersect(Set(1L, 2L)).size === 1)
+    assert(ids.contains(4L))
+    // the admitted variant's text is the redacted form
+    val winner = lake.find(r => Set(1L, 2L)(r.getAs[Long]("doc_id"))).get
+    assert(winner.getAs[String]("text") === (keepable + " mail <EMAIL> id <NUM>"))
+  }
 }
