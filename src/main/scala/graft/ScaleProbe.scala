@@ -119,6 +119,7 @@ object ScaleProbe {
     "q_dedup_embed_clusters", "q_dedup_hybrid_clusters",
     "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack",
     "q_pipeline_chunks", "q_pipeline_topk_domain", "q_pipeline_decontam",
+    "q_pipeline_decontam_clean", "q_stream_doc_pipeline",
     "q_pipeline_sample", "q_pipeline_sample_stratified", "q_pipeline_budget",
     "q_dedup_spans", "q_dedup_span_removal", "q_pipeline_chunks_strided",
     "q_pipeline_sample_temperature", "q_pipeline_quality_buckets",

@@ -108,6 +108,16 @@ object PipelineQueries {
     // shingles with the (doc_id % 97 == 0) holdout slice
     "q_pipeline_decontam" -> ((s, d) =>
       Corpus.decontaminate(docs(s, d), col("doc_id") % 97 === 0, minOverlap = 2)),
+    // the removal half of decontamination: train docs with NO ≥2-shingle
+    // overlap against the eval slice (anti-join on the detector output)
+    "q_pipeline_decontam_clean" -> { (s, d) =>
+      val dd = docs(s, d)
+      val contaminated = Corpus.decontaminate(dd, col("doc_id") % 97 === 0, minOverlap = 2)
+        .select(col("train_id").as("doc_id")).distinct()
+      dd.filter(col("doc_id") % 97 =!= 0)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"))
+    },
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
     // Gopher-style repetition quality signals (all exact-integer ratios)
     "q_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
@@ -547,6 +557,19 @@ object PipelineQueries {
          |       CAST(n_overlap AS DOUBLE) / n_eval AS overlap_frac
          |FROM ov JOIN ec USING (eval_id)
          |WHERE n_overlap >= 2""".stripMargin,
+
+    "q_pipeline_decontam_clean" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |ev AS (SELECT doc_id AS eval_id, unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         |tr AS (SELECT doc_id AS train_id, unnest(s) AS g FROM sh WHERE doc_id % 97 != 0),
+         |bad AS (SELECT DISTINCT train_id FROM (
+         |          SELECT train_id, eval_id, count(*) AS n
+         |          FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+         |        WHERE n >= 2)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 97 != 0
+         |  AND doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH $toksCte,
