@@ -66,6 +66,41 @@ class PipelinePlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), s"hot-head broadcast missing:\n$p")
   }
 
+  test("duplicateSpans: one hash aggregate, no join, no sort aggregate") {
+    val p = plan(graft.pipeline.Dedup.duplicateSpans(docs, 16, 8))
+    assert(!p.contains("Join"), s"span dedup must be join-free:\n$p")
+    assert(!p.contains("SortAggregate"), s"span group-by degraded:\n$p")
+  }
+
+  test("quality terciles: docs broadcast-join the histogram; the only Sort is the tiny histogram's") {
+    val p = plan(graft.pipeline.Corpus.qualityBuckets(docs, 333, 333))
+    assert(p.contains("BroadcastHashJoin"), s"bucket table must broadcast:\n$p")
+    // the per-doc side must NOT sort: every Sort in the plan belongs to
+    // the distinct-score histogram's prefix window (bounded input), which
+    // sits under the broadcast side
+    val afterBroadcast = p.substring(0, p.indexOf("BroadcastExchange"))
+    assert(!afterBroadcast.contains("Sort "),
+      s"a per-doc sort crept into the probe side:\n$p")
+  }
+
+  test("temperature sampling: rates broadcast; no doc-keyed exchange on the probe side") {
+    val p = plan(graft.pipeline.Corpus.temperatureSample(docs, "source", 700))
+    assert(p.contains("BroadcastHashJoin"), s"rates must broadcast:\n$p")
+  }
+
+  test("PII scrub: single codegen'd projection, no exchange") {
+    val p = plan(graft.pipeline.TextAnalysis.redactPii(docs))
+    assert(!p.contains("Exchange"), s"redaction must not shuffle:\n$p")
+    // executedPlan.toString marks whole-stage-codegen spans with "*(n)"
+    assert(p.contains("*(1) Project"), s"redaction fell out of codegen:\n$p")
+  }
+
+  test("span removal: canonical-per-fingerprint is a hash aggregate, no cartesian") {
+    val p = plan(graft.pipeline.Corpus.removeDuplicateSpans(docs, 16))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"all-pairs product crept in:\n$p")
+  }
+
   test("PQ encode/search: packed-long argmin stays a HashAggregate; codebooks broadcast") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val pEnc = plan(graft.pipeline.Similarity.pqEncode(emb, 8, 100))
