@@ -35,8 +35,20 @@ object PipelineQueries {
       val base = java.nio.file.Files.createTempDirectory("graft_docstream")
       val srcDir = base.resolve("src")
       java.nio.file.Files.createDirectory(srcDir)
-      java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"),
-        java.nio.file.Paths.get(s"$d/documents.parquet"))
+      // the file-stream source lists only top-level files: a single-file
+      // table symlinks whole; a directory table (Spark-written corpora,
+      // e.g. the scale probe's) symlinks its part files individually
+      val tgt = java.nio.file.Paths.get(s"$d/documents.parquet")
+      if (java.nio.file.Files.isDirectory(tgt)) {
+        val it = java.nio.file.Files.list(tgt).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
+        }
+      } else {
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"), tgt)
+      }
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       graft.streaming.DocIngest.runPipeline(s, srcDir.toString,
         s"$base/lake", s"$base/ckpt", schema).awaitTermination()
