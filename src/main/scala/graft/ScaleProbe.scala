@@ -138,6 +138,7 @@ object ScaleProbe {
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
     "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq",
+    "q_ann_cluster_cap",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are

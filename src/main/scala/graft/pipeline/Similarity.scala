@@ -241,6 +241,35 @@ object Similarity {
       .limit(k)
       .select(col("c_id"), col("c_vec"))
 
+  /** Semantic-diversity cap (the SemDeDup-style curation rule, Abbas et
+   *  al. 2023: clusters of semantically near-identical content should
+   *  contribute a bounded number of examples, not their raw share):
+   *  every vector assigns to its nearest of `k` hash-sampled centroids
+   *  ([[hashSampledCentroids]] — constant k, so the n×k assignment is
+   *  linear at any corpus size), then each cell keeps at most `cap`
+   *  members in (md5-prefix hash, vec_id) order — the same reproducible
+   *  which-survivors rule as [[Corpus.hashSample]], a pure function of
+   *  the ids, never of partitioning.
+   *
+   *  The rank filter compiles to WindowGroupLimit: map tasks keep their
+   *  local top-`cap` per cell BEFORE the shuffle, so a degenerate
+   *  all-one-cluster corpus funnels at most cap·tasks rows through the
+   *  cell's partition, never the whole corpus. */
+  def clusterCapSample(emb: DataFrame, k: Int, cap: Int): DataFrame = {
+    require(k > 0 && cap > 0, "k and cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val assigned = assignToCells(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")),
+      hashSampledCentroids(emb, k))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(call_function("md5prefix28", col("vec_id").cast("string")).asc,
+        col("vec_id").asc)
+    assigned
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= cap)
+      .select(col("vec_id"), col("cell"), col("rank").cast("long").as("rank"))
+  }
+
   /** K-means centroids: the sampled init refined by `iters` Lloyd
    *  rounds, each round two narrow DataFrame jobs — assign (broadcast
    *  centroids × corpus, codegen'd distance, no shuffle of the corpus)

@@ -180,6 +180,12 @@ object PipelineQueries {
     "q_ann_ivf" -> ((s, d) =>
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.hashSampledCentroids(emb(s, d), IvfK), annQueryPred, 3)),
+    // SemDeDup-style diversity cap: at most 5 members per semantic
+    // cluster (nearest of 64 constant-k centroids — ~8/cell at sf0.01,
+    // so the cap binds at every verify scale), survivors in
+    // reproducible md5-hash order
+    "q_ann_cluster_cap" -> ((s, d) =>
+      Similarity.clusterCapSample(emb(s, d), IvfK, 5)),
     // multi-probe LSH: Hamming-radius-1 bucket union per query
     "q_ann_multiprobe" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3, probeRadius = 1)),
@@ -729,6 +735,17 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_cluster_cap" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$cents64Cte,
+         |${kmAssign("asg", "c")}
+         |SELECT vec_id, cell, rank FROM (
+         |  SELECT vec_id, cell,
+         |         row_number() OVER (PARTITION BY cell
+         |           ORDER BY ${bh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rank
+         |  FROM asg)
+         |WHERE rank <= 5""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -165,6 +165,33 @@ class SimilaritySpec extends AnyFunSuite {
     base.unpersist(): Unit
   }
 
+  test("clusterCapSample: per-cell cap enforced; survivors are exactly the hash-min members") {
+    // k=8 cells over the 500-vector sf0.01 corpus averages ~62 members
+    // per cell, so cap=10 must bind (k=64 would leave ~8/cell — unbound)
+    val out = Similarity.clusterCapSample(emb, 8, 10).collect()
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.values.forall(_.length <= 10))
+    assert(byCell.values.exists(_.length == 10), "cap must bind on this corpus")
+    // ranks are dense 1..n per cell
+    byCell.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    // membership is reproducible: the kept ids per cell are the first
+    // `cap` in (md5-prefix, vec_id) order of that cell's FULL population
+    def h(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(7), 16)
+    }
+    val full = Similarity.clusterCapSample(emb, 8, Int.MaxValue).collect()
+      .groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (cell, rows) =>
+      val expect = full(cell).map(_.getAs[Long]("vec_id"))
+        .sortBy(id => (h(id), id)).take(10).toSet
+      assert(rows.map(_.getAs[Long]("vec_id")).toSet === expect)
+    }
+  }
+
   test("exact-embedding dedup collapses planted clones; 1e-4 grid tolerates float jitter") {
     val spark2 = spark
     import spark2.implicits._
