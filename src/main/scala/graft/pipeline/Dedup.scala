@@ -228,6 +228,45 @@ object Dedup {
     }
   }
 
+  /** Incremental exact dedup: documents of a NEW snapshot whose content
+   *  does not already appear in a REFERENCE corpus (the snapshot-over-
+   *  snapshot re-crawl shape — keep only pages the last crawl didn't
+   *  have). Output is exactly the anti-join of new content hashes
+   *  against the reference's; the bloom filter below is a transparent
+   *  prefilter, never a source of approximation.
+   *
+   *  Scale design — the asymmetry is the whole point. The reference is
+   *  the ~100 TB side and must be neither shuffled nor collected; the
+   *  new snapshot is the small side (one crawl increment):
+   *   1. build a bloom over the NEW snapshot's content hashes (size ∝
+   *      the small side, `expectedItems` sets the bits) — one driver
+   *      value, the same one-row-aggregate collect the stat bloom does;
+   *   2. scan the reference ONCE, map-side, keeping only hashes the
+   *      bloom might contain — true overlaps plus the fpp tail, so the
+   *      surviving "present" set is ~|overlap| + fpp·|reference|;
+   *   3. broadcast that small set and LEFT ANTI join the new snapshot
+   *      against it — no shuffle of either side.
+   *  A bloom false positive admits a reference hash into step 2's
+   *  output that equals no new-snapshot hash; the anti join then simply
+   *  never matches it — correctness is independent of fpp, which only
+   *  tunes step 3's broadcast size. */
+  def dedupAgainstReference(newDocs: DataFrame, reference: DataFrame,
+      expectedItems: Long = 1 << 20): DataFrame = {
+    val hashedNew = newDocs
+      .select(col("doc_id"), md5(normalized(col("text"))).as("content_hash"))
+    val bloom = hashedNew
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("content_hash")), lit(expectedItems)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    if (bloom == null) return hashedNew // empty new snapshot: nothing to keep
+    val present = reference
+      .select(md5(normalized(col("text"))).as("content_hash"))
+      .filter(call_function("graft_might_contain",
+        lit(bloom), xxhash64(col("content_hash"))))
+    hashedNew.join(broadcast(present), Seq("content_hash"), "left_anti")
+      .select(col("doc_id"), col("content_hash"))
+  }
+
   /** SimHash duplicate buckets: docs whose 28-bit SimHash collides. */
   def simhashBuckets(docs: DataFrame): DataFrame =
     TextAnalysis.simhash(docs)

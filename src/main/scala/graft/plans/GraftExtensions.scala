@@ -79,5 +79,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "dotp"),
       (children: Seq[Expression]) =>
         graft.functions.DotProduct(children(0), children(1))))
+    // Spark's own bloom-filter pair (the machinery behind runtime join
+    // filtering), surfaced as callable functions: graft_bloom_agg(longCol,
+    // expectedItems) builds a serialized bloom; graft_might_contain(bloom,
+    // longCol) probes it. Used by Dedup.dedupAgainstReference to avoid
+    // shuffling a reference corpus.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_might_contain"),
+      (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
   }
 }

@@ -70,6 +70,15 @@ object PipelineQueries {
 
   val defs: Map[String, Q] = Map(
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+    // incremental (snapshot-over-snapshot) dedup: the doc_id%3 "new
+    // crawl" anti-joined against the doc_id%2 "reference corpus" —
+    // their overlap (ids ≡ 0 mod 6, plus any cross-id content clones)
+    // models the pages the last crawl already had. Bloom-prefiltered:
+    // the reference is scanned once map-side, never shuffled.
+    "q_dedup_incremental" -> ((s, d) =>
+      Dedup.dedupAgainstReference(
+        docs(s, d).filter(col("doc_id") % 3 === 0),
+        docs(s, d).filter(col("doc_id") % 2 === 0), 1 << 16)),
     "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
@@ -415,6 +424,17 @@ object PipelineQueries {
       raw"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
            |       min(doc_id) AS canonical_id, count(*) AS n_copies
            |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_incremental" ->
+      raw"""WITH hashed AS (
+           |  SELECT doc_id,
+           |         md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash
+           |  FROM documents)
+           |SELECT doc_id, content_hash FROM hashed new
+           |WHERE new.doc_id % 3 = 0
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM hashed ref
+           |    WHERE ref.doc_id % 2 = 0 AND ref.content_hash = new.content_hash)""".stripMargin,
 
     "q_dedup_near" ->
       s"""WITH $candCtes

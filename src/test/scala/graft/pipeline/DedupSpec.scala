@@ -299,4 +299,43 @@ class DedupSpec extends AnyFunSuite {
       assert(ids === Set(1L, 2L, 4L))
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS stream_dedup") }
   }
+
+  test("dedupAgainstReference: exact anti-join result, independent of bloom fpp; reference never shuffles") {
+    val ref = docsOf(
+      1L -> "alpha beta gamma",
+      2L -> "delta epsilon zeta",
+      3L -> "eta theta iota")
+    val nw = docsOf(
+      10L -> "alpha beta gamma",      // exact clone of ref 1 → removed
+      11L -> "brand new page one",
+      12L -> "  DELTA epsilon   ZETA ", // normalizes to ref 2 → removed
+      13L -> "another brand new page")
+    def ids(df: DataFrame): Seq[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val out = Dedup.dedupAgainstReference(nw, ref)
+    assert(ids(out) === Seq(11L, 13L))
+    // a degenerate 1-item bloom saturates (near-100% fpp): every
+    // reference hash survives the prefilter, and the anti join still
+    // yields the identical result — fpp tunes cost, never correctness
+    assert(ids(Dedup.dedupAgainstReference(nw, ref, expectedItems = 1L)) === Seq(11L, 13L))
+    // empty new snapshot short-circuits
+    assert(Dedup.dedupAgainstReference(nw.limit(0), ref).count() === 0L)
+    // plan shape: the reference side is reduced by a map-side
+    // might_contain filter and meets the new side in a broadcast anti
+    // join — no exchange anywhere on the reference branch. Asserted over
+    // parquet inputs (ConvertToLocalRelation folds filters over local
+    // fixtures away at optimization time, hiding the shape).
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_incdedup")
+    nw.write.parquet(s"$dir/new"); ref.write.parquet(s"$dir/ref")
+    val outP = Dedup.dedupAgainstReference(
+      spark.read.parquet(s"$dir/new"), spark.read.parquet(s"$dir/ref"))
+    assert(ids(outP) === Seq(11L, 13L))
+    val plan = outP.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter must reach the physical plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "anti join must be broadcast, never a shuffle of either side")
+    assert(!plan.contains("ShuffleExchange"),
+      "neither branch may shuffle: reference is map-side filtered, new is broadcast-anti-joined")
+  }
 }
