@@ -34,6 +34,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    oracle path is output-bound here by construction; the maxDf cap
  *    (the same boilerplate-shingle defense the operator documents) is
  *    the production path on high-collision corpora.
+ *
+ * Three-point mode (`--xl`, BENCH_SCALE3.json) adds a 500k-doc decade
+ * for the production-path family. Measured note: p_dedup_minhash_capped
+ * reads r100 = 23× there, but its OUTPUT rows grow 61× in decade 2
+ * (1.2k → 71k pairs — the same 30-word-vocab chance band collisions as
+ * the decontam rows); wall per output row falls decade over decade, and
+ * the production answer on such corpora is raising NumBands/row length
+ * or tightening the cap, both explicit knobs.
  */
 object ScaleProbe {
 
@@ -138,7 +146,7 @@ object ScaleProbe {
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
     "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq",
-    "q_ann_cluster_cap",
+    "q_ann_ivfpq_residual", "q_ann_cluster_cap",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are
@@ -161,7 +169,69 @@ object ScaleProbe {
     ((System.nanoTime() - t0) / 1e9, rows)
   }
 
+  /** The production-path family probed at THREE scale points (5k / 50k /
+   *  500k docs — two decades): the queries whose 100 TB story is "near-
+   *  linear", now with the second decade measured instead of
+   *  extrapolated. A linear operator's decade-2 ratio (500k/50k wall)
+   *  should sit near its decade-1 ratio (50k/5k); super-linear cost
+   *  compounds decade over decade and cannot hide. Exhaustive-by-
+   *  contract oracle paths (brute ANN, cap-off near-dup) are excluded —
+   *  their scaling regime is documented, not claimed linear. */
+  private val XlProbed: Seq[String] = Seq(
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_simhash",
+    "q_dedup_simhash_capped", "p_dedup_minhash_capped", "p_dedup_embed_capped",
+    "q_dedup_spans", "q_dedup_span_removal",
+    "q_pipeline_pack", "q_pipeline_chunks", "q_pipeline_budget",
+    "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
+    "q_pipeline_topk_domain",
+    "q_text_langid", "q_text_pii",
+    "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq")
+
+  /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
+   *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly
+   *  holds the corpus on the driver). Writes BENCH_SCALE3.json. */
+  private def mainXl(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--xl")
+    val out = rest.headOption.getOrElse("BENCH_SCALE3.json")
+    val only = rest.drop(1).toSet
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-xl").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft_scale3").toString
+    val ns = Seq(5000, 50000, 500000)
+    val dirs = ns.map(n => s"$base/n$n")
+    ns.zip(dirs).foreach { case (n, d) =>
+      genDocs(spark, n, d); genEmbeddings(spark, n * 2 / 5, d)
+    }
+    val queries = SparkEntry.queries ++ ProbeOnly
+    val sb = new StringBuilder
+    sb ++= "{\"docs\": [" + ns.mkString(", ") + "], \"queries\": {"
+    var first = true
+    for (q <- XlProbed if queries.contains(q) && (only.isEmpty || only.contains(q))) {
+      queries(q)(spark, dirs.head).count() // warm (JIT + listing)
+      spark.catalog.clearCache()
+      val measured = dirs.map { d =>
+        val m = time(queries(q)(spark, d).count())
+        spark.catalog.clearCache()
+        m
+      }
+      val secs = measured.map(_._1)
+      val rows = measured.map(_._2)
+      val r10 = secs(1) / math.max(secs(0), 1e-9)
+      val r100 = secs(2) / math.max(secs(0), 1e-9)
+      val dec2 = secs(2) / math.max(secs(1), 1e-9)
+      if (!first) sb ++= ", "
+      first = false
+      sb ++= f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "r10": $r10%.2f, "r100": $r100%.2f, "decade2": $dec2%.2f}"""
+      println(f"$q%-28s ${secs.map(s => f"$s%7.2f").mkString(" ")}s r10=$r10%6.2f r100=$r100%7.2f decade2=$dec2%6.2f rows=${rows.mkString("/")}")
+    }
+    sb ++= "\n}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--xl")) { mainXl(args); return }
     val out = args.headOption.getOrElse("BENCH_SCALE.json")
     // optional name filter (args 2..n) for targeted local iteration; a
     // filtered run writes to the given out path (pass something other

@@ -195,6 +195,12 @@ object PipelineQueries {
     // reproducible md5-hash order
     "q_ann_cluster_cap" -> ((s, d) =>
       Similarity.clusterCapSample(emb(s, d), IvfK, 5)),
+    // residual IVF-PQ (the FAISS composition): codes quantize
+    // v − centroid(cell) against a constant-k residual codebook
+    "q_ann_ivfpq_residual" -> ((s, d) =>
+      Similarity.ivfPqResidualTopK(emb(s, d),
+        Similarity.hashSampledCentroids(emb(s, d), IvfK),
+        annQueryPred, 3, m = 8, codebookK = PqK)),
     // multi-probe LSH: Hamming-radius-1 bucket union per query
     "q_ann_multiprobe" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), col("vec_id") % 25 === 0, 3, probeRadius = 1)),
@@ -1009,6 +1015,36 @@ object PipelineQueries {
          |adist AS (SELECT q_id, cc.vec_id, ${rnd("sum(pd)")} AS adist
          |          FROM cc JOIN qt USING (cell, sub, code)
          |          GROUP BY 1, 2 HAVING cc.vec_id != q_id)
+         |SELECT q_id, rank, vec_id, adist FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |  FROM adist)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_ivfpq_residual" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$cents64Cte,
+         |${kmAssign("asg", "c")},
+         |res AS (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS rv
+         |  FROM asg a JOIN c ON a.cell = c.c_id),
+         |rcb AS (SELECT vec_id AS c_id, sub, list_slice(rv, sub*8 + 1, sub*8 + 8) AS cv
+         |  FROM (SELECT vec_id, rv FROM res ORDER BY $hashOrd ASC, vec_id ASC LIMIT $PqK),
+         |       range(0, 8) AS r(sub)),
+         |sx AS (SELECT vec_id, cell, sub, list_slice(rv, sub*8 + 1, sub*8 + 8) AS x
+         |       FROM res, range(0, 8) AS r(sub)),
+         |d AS (SELECT vec_id, cell, sub, c_id,
+         |             ${rnd("list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)")} AS d2
+         |      FROM sx JOIN rcb USING (sub)),
+         |codes AS (SELECT vec_id, cell, sub, code FROM (
+         |  SELECT vec_id, cell, sub, c_id AS code,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+         |  FROM d) WHERE rn = 1),
+         |qt AS (SELECT vec_id AS q_id, cell, sub, c_id AS code, d2 AS pd
+         |       FROM d WHERE $annQPred),
+         |adist AS (SELECT q_id, codes.vec_id, ${rnd("sum(pd)")} AS adist
+         |          FROM codes JOIN qt USING (cell, sub, code)
+         |          GROUP BY 1, 2 HAVING codes.vec_id != q_id)
          |SELECT q_id, rank, vec_id, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
          |  FROM adist)

@@ -165,6 +165,38 @@ class SimilaritySpec extends AnyFunSuite {
     base.unpersist(): Unit
   }
 
+  test("ivfPqResidualTopK: results stay in the query's cell; recall comparable to raw-code IVF-PQ") {
+    val cents = Similarity.hashSampledCentroids(emb, 64)
+    val resDf = Similarity.ivfPqResidualTopK(emb, cents, pred, K, m = 8, codebookK = 32)
+    val res = resDf.collect()
+    // structural guarantees: dense ranks, no self-match, and every hit
+    // shares its query's coarse cell (the scan touched ONE cell)
+    val cellOf = Similarity.ivfAssignWith(emb, cents)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byQ = res.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.nonEmpty)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to rows.length).toSeq)
+      rows.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(v !== q)
+        assert(cellOf(v) === cellOf(q), s"hit $v outside query $q's cell")
+      }
+    }
+    // the residual claim is about code accuracy at equal storage: both
+    // layouts scan the same single cell, so recall differences come
+    // only from what the codes preserve
+    val brute = Similarity.bruteForceTopK(emb, pred, K).cache()
+    val raw = Similarity.ivfPqTopKWith(emb, cents,
+      Similarity.pqCodebooksK(emb, m = 8, k = 32), pred, K, m = 8)
+    val rRes = recallVsBrute(resDf, brute)
+    val rRaw = recallVsBrute(raw, brute)
+    info(f"recall@$K residual=$rRes%.3f raw-codes=$rRaw%.3f")
+    assert(rRes > 0.0)
+    brute.unpersist(): Unit
+  }
+
   test("clusterCapSample: per-cell cap enforced; survivors are exactly the hash-min members") {
     // k=8 cells over the 500-vector sf0.01 corpus averages ~62 members
     // per cell, so cap=10 must bind (k=64 would leave ~8/cell — unbound)
