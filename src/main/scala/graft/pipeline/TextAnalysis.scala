@@ -87,6 +87,39 @@ object TextAnalysis {
       (nTok >= 8 && nTok <= 100000 && stopRatio > 0.0 && ttr > 0.1).as("keep"))
   }
 
+  /** Fused language-ID + quality score: langid's per-language marker
+   *  sums and quality's token statistics are independent aggregate
+   *  expressions over the same token table, so one explode + one hash
+   *  aggregate yields both — callers that need (pred_lang,
+   *  quality_score) per doc ([[graft.pipeline.Corpus.topKByDomain]])
+   *  save a full tokenize pass AND the doc_id join of the two outputs.
+   *  Every aggregate is an exact integer sum/count, so the derived
+   *  values are bit-identical to the separate [[langid]]/[[quality]]
+   *  paths. */
+  def langQuality(docs: DataFrame): DataFrame = {
+    val markerCols = LangMarkers.map { case (lang, markers) =>
+      sum(when(col("tk").isin(markers: _*), 1).otherwise(0)).as(s"__s_$lang")
+    }
+    val qualityCols = Seq(
+      count(lit(1)).as("__n_tok"),
+      countDistinct(col("tk")).as("__n_typ"),
+      sum(length(col("tk"))).as("__tok_chars"),
+      sum(when(col("tk").isin(Stopwords: _*), 1L).otherwise(0L)).as("__n_stop"))
+    val aggCols = markerCols ++ qualityCols
+    val scored = tokenTable(docs)
+      .groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val scores = LangMarkers.map { case (lang, _) => lang -> col(s"__s_$lang") }
+    val (pred, _) = scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
+      case ((p, b), (lang, s)) => (when(s > b, lang).otherwise(p), greatest(b, s))
+    }
+    val nTok = col("__n_tok").cast("double")
+    val score = (col("__tok_chars").cast("double") / nTok) / lit(10.0) +
+      col("__n_stop").cast("double") / nTok +
+      col("__n_typ").cast("double") / nTok
+    scored.select(col("doc_id"), pred.as("pred_lang"), score.as("quality_score"))
+  }
+
   /** Stopword-marker language ID: per-language marker hit counts over
    *  tokens; prediction = argmax with fixed priority-order tie-break. */
   def langid(docs: DataFrame): DataFrame = {
