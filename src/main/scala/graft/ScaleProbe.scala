@@ -139,6 +139,7 @@ object ScaleProbe {
     // the trivial parquet scan the other corpus rows already measure)
     "q_pipeline_decontam_clean",
     "q_pipeline_sample", "q_pipeline_sample_stratified", "q_pipeline_budget",
+    "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_dedup_spans", "q_dedup_span_removal", "q_pipeline_chunks_strided",
     "q_pipeline_sample_temperature", "q_pipeline_quality_buckets",
     "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
@@ -182,6 +183,7 @@ object ScaleProbe {
     "q_dedup_simhash_capped", "p_dedup_minhash_capped", "p_dedup_embed_capped",
     "q_dedup_spans", "q_dedup_span_removal",
     "q_pipeline_pack", "q_pipeline_chunks", "q_pipeline_budget",
+    "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii",

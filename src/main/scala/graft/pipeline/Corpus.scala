@@ -36,6 +36,45 @@ object Corpus {
     df.filter(pmod(call_function("md5prefix28", key.cast("string")), lit(1000)) < lit(permille))
   }
 
+  /** Seeded deterministic train/val/test split: each doc lands in
+   *  exactly one slice by hash bucket (permille of md5-prefix over
+   *  salt + id) — disjoint, exhaustive, reproducible, and re-salting
+   *  re-deals the whole split without touching data. A pure per-row
+   *  projection: no shuffle, no state, trivially linear at any scale. */
+  def trainValTestSplit(docs: DataFrame, trainPermille: Int, valPermille: Int,
+      salt: String = ""): DataFrame = {
+    require(trainPermille >= 0 && valPermille >= 0 &&
+      trainPermille + valPermille <= 1000, "permilles in [0, 1000], sum <= 1000")
+    val b = pmod(call_function("md5prefix28",
+      concat(lit(salt), col("doc_id").cast("string"))), lit(1000))
+    docs.select(col("doc_id"),
+      when(b < trainPermille, "train")
+        .when(b < trainPermille + valPermille, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Seeded epoch shuffle, materialized the scalable way: a global
+   *  random permutation is never one sort — each doc hashes (salt + id)
+   *  to a shard, and position-within-shard orders by the same hash.
+   *  Reading shards in (shard, pos) order replays the permutation; a
+   *  new salt is a new epoch. The per-shard window is exactly
+   *  repartition + sortWithinPartitions — the shuffled-shard write every
+   *  training pipeline does — and nShards grows with the corpus, so the
+   *  per-shard sort stays bounded (no global ORDER BY exists in the
+   *  plan). */
+  def shuffleShards(docs: DataFrame, nShards: Int, salt: String = ""): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("__h").asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"),
+        call_function("md5prefix28",
+          concat(lit(salt), col("doc_id").cast("string"))).as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
   /** Stratified corpus mixing: per-language sampling rates (domain
    *  re-weighting). Language comes from the n-gram langid; unlisted
    *  languages fall back to `defaultPermille`. One scan, no shuffle
@@ -421,6 +460,50 @@ object Corpus {
       .filter(col("__before") < budgetTokens)
     val out = (df: DataFrame) =>
       df.select(col("doc_id"), col("n_tokens"), col("score").as("quality_score"))
+    out(funded).unionByName(out(straddling))
+  }
+
+  /** Per-domain token-budget selection — the data-mixing primitive: each
+   *  predicted language fills its OWN `budgetTokens` with its best-
+   *  quality docs, so no domain can starve another regardless of size
+   *  skew. Same histogram design as [[selectByTokenBudget]] with every
+   *  aggregate and window additionally keyed by domain: the cumulative
+   *  structure lives on the (domain, distinct-score) histogram (≤
+   *  |domains|·10⁴ rows, broadcast back), fully-funded buckets select
+   *  whole, and only each domain's single budget-straddling bucket pays
+   *  a per-doc prefix window. Language and score come from ONE fused
+   *  token aggregate ([[TextAnalysis.langQuality]]). */
+  def selectByTokenBudgetByDomain(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val scored = TextAnalysis.langQuality(docs)
+      .select(col("doc_id"), col("pred_lang"),
+        round(col("quality_score"), 4).as("score"))
+      .join(docs.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = scored.groupBy(col("pred_lang"), col("score"))
+      .agg(sum(col("n_tokens")).as("__bucket_tokens"))
+      .withColumn("__before_bucket", coalesce(sum(col("__bucket_tokens")).over(w), lit(0L)))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang"), col("score")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val joined = scored.join(
+      broadcast(hist.select(col("pred_lang"), col("score"),
+        col("__bucket_tokens"), col("__before_bucket"))),
+      Seq("pred_lang", "score"))
+    val funded = joined
+      .filter(col("__before_bucket") + col("__bucket_tokens") <= budgetTokens)
+    val straddling = joined
+      .filter(col("__before_bucket") < budgetTokens &&
+        col("__before_bucket") + col("__bucket_tokens") > budgetTokens)
+      .withColumn("__before",
+        col("__before_bucket") + coalesce(sum(col("n_tokens")).over(wb), lit(0L)))
+      .filter(col("__before") < budgetTokens)
+    val out = (df: DataFrame) =>
+      df.select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        col("score").as("quality_score"))
     out(funded).unionByName(out(straddling))
   }
 

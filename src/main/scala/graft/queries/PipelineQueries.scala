@@ -123,6 +123,16 @@ object PipelineQueries {
     // cumulative structure on the distinct-score histogram, never a
     // global per-doc ORDER BY
     "q_pipeline_budget" -> ((s, d) => Corpus.selectByTokenBudget(docs(s, d), 20000)),
+    // per-domain mixing: each predicted language fills its own 5k-token
+    // budget with its best docs (no domain starves another)
+    "q_pipeline_budget_domain" -> ((s, d) =>
+      Corpus.selectByTokenBudgetByDomain(docs(s, d), 5000)),
+    // seeded disjoint train/val/test split (80/10/10 by salted hash)
+    "q_pipeline_split" -> ((s, d) =>
+      Corpus.trainValTestSplit(docs(s, d), 800, 100, salt = "s1")),
+    // seeded epoch shuffle as (shard, pos): no global sort anywhere
+    "q_pipeline_shuffle" -> ((s, d) =>
+      Corpus.shuffleShards(docs(s, d), 8, salt = "e0")),
     // tf-idf top-3 keywords per document
     "q_text_keywords" -> ((s, d) => TextAnalysis.keywords(docs(s, d), 3)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
@@ -564,6 +574,37 @@ object PipelineQueries {
          |      FROM m)
          |SELECT doc_id, n_tokens, score AS quality_score FROM p
          |WHERE before < 20000""".stripMargin,
+
+    "q_pipeline_budget_domain" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id, len(t) AS n_tokens,
+         |             ${rnd("((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) / 10.0" +
+                s" + CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t))" +
+                s" + CAST(len(list_distinct(t)) AS DOUBLE) / len(t))")} AS score
+         |      FROM toks),
+         |l AS (SELECT doc_id, $langPred AS pred_lang FROM toks),
+         |p AS (SELECT m.doc_id, l.pred_lang, m.n_tokens, m.score,
+         |             coalesce(sum(m.n_tokens) OVER (PARTITION BY l.pred_lang
+         |               ORDER BY m.score DESC, m.doc_id ASC
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |      FROM m JOIN l USING (doc_id))
+         |SELECT doc_id, pred_lang, n_tokens, score AS quality_score FROM p
+         |WHERE before < 5000""".stripMargin,
+
+    "q_pipeline_split" ->
+      s"""SELECT doc_id,
+         |       CASE WHEN ${bh("'s1' || CAST(doc_id AS VARCHAR)")} % 1000 < 800 THEN 'train'
+         |            WHEN ${bh("'s1' || CAST(doc_id AS VARCHAR)")} % 1000 < 900 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents""".stripMargin,
+
+    "q_pipeline_shuffle" ->
+      s"""WITH h AS (SELECT doc_id, ${bh("'e0' || CAST(doc_id AS VARCHAR)")} AS hh
+         |           FROM documents)
+         |SELECT doc_id, hh % 8 AS shard,
+         |       row_number() OVER (PARTITION BY hh % 8
+         |         ORDER BY hh ASC, doc_id ASC) AS pos
+         |FROM h""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH $toksCte,

@@ -27,6 +27,78 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === s250)
   }
 
+  test("trainValTestSplit: disjoint, exhaustive, proportional, re-salt re-deals") {
+    val out = Corpus.trainValTestSplit(docs, 800, 100, salt = "s1").collect()
+    assert(out.length === docs.count())
+    assert(out.map(_.getLong(0)).distinct.length === out.length, "each doc in exactly one slice")
+    val bySlice = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(bySlice.keySet === Set("train", "val", "test"))
+    // hash proportions at n=500: train ~80% (binomial noise ±~5%)
+    assert(bySlice("train") > out.length * 7 / 10 && bySlice("train") < out.length * 9 / 10)
+    // re-salting re-deals some docs; same salt replays exactly
+    val again = Corpus.trainValTestSplit(docs, 800, 100, salt = "s1").collect()
+    assert(again.map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      out.map(r => r.getLong(0) -> r.getString(1)).toMap)
+    val other = Corpus.trainValTestSplit(docs, 800, 100, salt = "s2").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.exists(r => other(r.getLong(0)) != r.getString(1)))
+  }
+
+  test("shuffleShards: dense per-shard positions, full cover, no global sort in the plan") {
+    val df = Corpus.shuffleShards(docs, 8, salt = "e0")
+    val out = df.collect()
+    assert(out.map(_.getLong(0)).distinct.length === docs.count())
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to rows.length).toSeq,
+        "positions must be dense 1..n within each shard")
+    }
+    // a new salt is a new epoch: some doc changes (shard, pos)
+    val e1 = Corpus.shuffleShards(docs, 8, salt = "e1").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.exists(r => e1(r.getLong(0)) != ((r.getLong(1), r.getLong(2)))))
+    // scale shape: the only sort is the per-shard window sort — a global
+    // permutation via ORDER BY would show range partitioning
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      "no global sort: the permutation lives in (shard, pos), each shard sorted locally")
+  }
+
+  test("selectByTokenBudgetByDomain: each domain independently budget-capped, greedy-prefix") {
+    // the driver corpus predicts one language for every doc (its vocab
+    // carries only English markers), so plant a bilingual corpus: half
+    // the docs carry German markers and must fill their OWN budget
+    val spark2 = spark
+    import spark2.implicits._
+    val en = (1 to 40).map(i => (i.toLong,
+      s"the quick value of stream $i and the merge of table $i is large plus ${"pad " * (i % 7)}"))
+    val de = (41 to 80).map(i => (i.toLong,
+      s"der schnelle wert und die tabelle $i ist und das fenster $i ist gross ${"pad " * (i % 5)}"))
+    val bi = (en ++ de).toDF("doc_id", "text")
+    val budget = 120L
+    val out = Corpus.selectByTokenBudgetByDomain(bi, budget).collect()
+    assert(out.nonEmpty)
+    val byLang = out.groupBy(_.getString(1))
+    assert(byLang.size >= 2, "multiple domains must be represented")
+    // greedy restatement per domain: cumulative tokens in (score desc,
+    // doc_id asc) order, keep while the prefix-before stays under budget
+    val full = TextAnalysis.langQuality(bi)
+      .select(col("doc_id"), col("pred_lang"), round(col("quality_score"), 4).as("s"))
+      .join(bi.select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).cast("long").as("n")), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val expect = full.groupBy(_._2).toSeq.flatMap { case (lang, rows) =>
+      var before = 0L
+      rows.sortBy(r => (-r._3, r._1)).takeWhile { r =>
+        val ok = before < budget; before += r._4; ok
+      }.map(r => (r._1, lang)).toSeq
+    }.toSet
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSet === expect)
+    // and each domain's selection stays within budget + one straddling doc
+    byLang.foreach { case (_, rows) =>
+      val toks = rows.map(_.getLong(2))
+      assert(toks.sum - toks.max < budget)
+    }
+  }
+
   test("chunkStrided: degenerates to chunk at stride = window; overlaps correctly") {
     val s = spark
     import s.implicits._
