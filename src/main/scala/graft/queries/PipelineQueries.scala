@@ -55,6 +55,24 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** One streamed DECONTAM lake per sf dir: the odd-doc_id half streams
+   *  through scrub → gate → reference-bloom decontam → dedup
+   *  ([[graft.streaming.DocIngest.runPipelineDecontam]]) against the
+   *  even half's pipeline output as the prior snapshot. */
+  private val decontamLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docDecontamLake(s: SparkSession, d: String): String =
+    decontamLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_docdecon")
+      val all = s.read.parquet(s"$d/documents.parquet")
+      all.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$base/src")
+      val reference = all.filter(col("doc_id") % 2 === 0)
+        .withColumn("text", TextAnalysis.redactedText(col("text")))
+        .filter(TextAnalysis.keepExpr(col("text")))
+      graft.streaming.DocIngest.runPipelineDecontam(s, s"$base/src",
+        s"$base/lake", s"$base/ckpt", all.schema, reference).awaitTermination()
+      s"$base/lake"
+    })
+
   /** The production ANN constants the declared queries use: a
    *  CONSTANT-size centroid table / per-subspace codebook (corpus-size-
    *  independent — [[Similarity.hashSampledCentroids]] /
@@ -172,6 +190,14 @@ object PipelineQueries {
     // arbitrary, so the query exposes only content-determined columns
     "q_stream_doc_pipeline" -> { (s, d) =>
       s.read.parquet(docPipelineLake(s, d))
+        .select(col("content_hash"),
+          length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
+    },
+    // streamed incremental-crawl ingest: the odd half arrives as a
+    // stream and is decontaminated against the even half's pipeline
+    // output (reference bloom + exact confirm) before dedup-on-ingest
+    "q_stream_doc_decontam" -> { (s, d) =>
+      s.read.parquet(docDecontamLake(s, d))
         .select(col("content_hash"),
           length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
     },
@@ -902,6 +928,31 @@ object PipelineQueries {
          |WHERE len(t) >= 8 AND len(t) <= 100000
          |  AND len(list_filter(t, x -> list_contains($stopList, x))) > 0
          |  AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.1""".stripMargin,
+
+    // batch restatement of the streamed incremental-crawl decontam: one
+    // row per distinct scrubbed content among odd-half gate-passers whose
+    // content the even half's (scrubbed, gate-passing) output lacks
+    "q_stream_doc_decontam" ->
+      s"""WITH r AS (SELECT doc_id,
+         |             regexp_replace(regexp_replace(regexp_replace(text,
+         |               '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+         |               '${TextAnalysis.Ipv4Re}', '<IP>', 'g'),
+         |               '${TextAnalysis.DigitRunRe}', '<NUM>', 'g') AS t3
+         |           FROM documents),
+         |tk AS (SELECT doc_id, t3,
+         |              string_split_regex(trim(lower(t3)), '\\s+') AS t FROM r),
+         |adm AS (SELECT doc_id,
+         |               md5(regexp_replace(trim(lower(t3)), '\\s+', ' ', 'g')) AS h,
+         |               CAST(length(regexp_replace(trim(lower(t3)), '\\s+', ' ', 'g')) AS BIGINT) AS nc
+         |        FROM tk
+         |        WHERE len(t) >= 8 AND len(t) <= 100000
+         |          AND len(list_filter(t, x -> list_contains($stopList, x))) > 0
+         |          AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) > 0.1)
+         |SELECT DISTINCT h AS content_hash, nc AS n_chars_norm
+         |FROM adm
+         |WHERE doc_id % 2 != 0
+         |  AND NOT EXISTS (SELECT 1 FROM adm ref
+         |                  WHERE ref.doc_id % 2 = 0 AND ref.h = adm.h)""".stripMargin,
 
     "q_dedup_span_removal" ->
       s"""WITH $toksCte,

@@ -59,4 +59,45 @@ class DocIngestSpec extends AnyFunSuite {
     val winner = lake.find(r => Set(1L, 2L)(r.getAs[Long]("doc_id"))).get
     assert(winner.getAs[String]("text") === (keepable + " mail <EMAIL> id <NUM>"))
   }
+
+  test("runPipelineDecontam: reference content rejected (even as a PII variant); bloom fpp changes nothing") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val keepable = "the same page content with a stopword and enough distinct tokens from"
+    val pageA = keepable + " about alpha systems and the design of them"
+    val pageB = keepable + " about beta pipelines and the shape of them"
+    val pageC = keepable + " about gamma clusters and the size of them"
+    // the prior snapshot holds pages A and B (already-scrubbed output)
+    val reference = Seq(10L -> pageA, 11L -> pageB).toDF("doc_id", "text")
+
+    def runWith(expectedItems: Long): Set[Long] = {
+      val base = java.nio.file.Files.createTempDirectory("graft_docdecon_spec")
+      val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+      Seq(
+        1L -> pageA,                                    // exact re-crawl of A → rejected
+        2L -> (pageB + " mail eve@b.org id 7654321"),   // B plus injected PII → scrubs...
+        3L -> pageC,                                    // genuinely new → admitted
+        4L -> pageC,                                    // in-stream copy of C → deduped
+        5L -> "too short to keep"                       // gate drop
+      ).toDF("doc_id", "text").write.mode("append").parquet(src)
+      val schema = spark.read.parquet(src).schema
+      DocIngest.runPipelineDecontam(spark, src, out, ckpt, schema, reference,
+        expectedItems = expectedItems).awaitTermination()
+      spark.read.parquet(out).collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+
+    val admitted = runWith(1 << 16)
+    // doc 2 scrubs to pageB + " mail <EMAIL> id <NUM>" — DIFFERENT content
+    // from reference B, so it's admitted (decontam keys on scrubbed
+    // content equality, not similarity); A's re-crawl is rejected; one of
+    // the C copies survives
+    assert(admitted.intersect(Set(3L, 4L)).size === 1)
+    assert(admitted.contains(2L))
+    assert(!admitted.contains(1L) && !admitted.contains(5L))
+    // a saturated 1-item bloom (near-100% fpp) forces every arrival
+    // through the exact confirm join — the admitted set is identical
+    val saturated = runWith(1L)
+    assert(saturated.intersect(Set(3L, 4L)).size === 1)
+    assert(saturated.contains(2L) && !saturated.contains(1L) && !saturated.contains(5L))
+  }
 }
