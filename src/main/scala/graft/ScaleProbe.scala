@@ -131,7 +131,7 @@ object ScaleProbe {
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_simhash_near", "q_dedup_simhash_capped", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_clusters", "q_dedup_hybrid_clusters",
-    "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack",
+    "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack", "q_pipeline_pack_index",
     "q_pipeline_chunks", "q_pipeline_topk_domain", "q_pipeline_decontam",
     // q_stream_doc_pipeline is NOT probed: its first read builds the
     // streamed lake (same reason the TSDB q_stream_* rows are excluded —

@@ -117,6 +117,26 @@ object Corpus {
         pmod(col("__before"), lit(budgetTokens)).as("bin_offset"))
   }
 
+  /** The loader-facing inverse of [[pack]]: one row per (shard, bin)
+   *  training sequence with its document-boundary index — the ordered
+   *  `doc_id:offset` list a data loader needs to mask attention across
+   *  document boundaries inside a packed sequence. Boundaries list the
+   *  docs STARTING in the bin (a doc overrunning the budget spills into
+   *  the next bin's token stream, [[pack]]'s contiguous-span contract).
+   *  One hash aggregate over pack's output; the in-sequence order is a
+   *  deterministic sort of the collected (offset, doc_id) pairs, never
+   *  partition order. */
+  def packIndex(docs: DataFrame, budgetTokens: Long, nShards: Int = 1024): DataFrame =
+    pack(docs, budgetTokens, nShards)
+      .groupBy(col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("bin_offset"), col("doc_id")))),
+            s => concat_ws(":", s.getField("doc_id"), s.getField("bin_offset"))))
+          .as("boundaries"))
+
   /** Domain-balanced selection: the top `k` documents per predicted
    *  language by quality score — "keep the best N per domain", the
    *  budgeted flavor of stratified mixing. Ordering is (score desc,

@@ -131,6 +131,10 @@ object PipelineQueries {
     // prefix-sum window parallelizes and shard sizes ignore the id space
     "q_pipeline_pack" -> ((s, d) =>
       Corpus.pack(docs(s, d), budgetTokens = 512, nShards = 8)),
+    // the loader-facing boundary index: per packed sequence, the ordered
+    // doc_id:offset list for cross-document attention masking
+    "q_pipeline_pack_index" -> ((s, d) =>
+      Corpus.packIndex(docs(s, d), budgetTokens = 512, nShards = 8)),
     // fixed-window chunking: docs split into 32-token training windows
     "q_pipeline_chunks" -> ((s, d) => Corpus.chunk(docs(s, d), 32)),
     // corpus "data card": doc/token counts at each selection gate
@@ -881,6 +885,23 @@ object PipelineQueries {
          |       CAST(before // 512 AS BIGINT) AS bin,
          |       CAST(before % 512 AS BIGINT) AS bin_offset
          |FROM p""".stripMargin,
+
+    "q_pipeline_pack_index" ->
+      s"""WITH $toksCte,
+         |n AS (SELECT doc_id, len(t) AS n_tokens,
+         |             ${bh("CAST(doc_id AS VARCHAR)")} % 8 AS shard FROM toks),
+         |p AS (SELECT doc_id, n_tokens, shard,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |      FROM n),
+         |b AS (SELECT doc_id, n_tokens, shard,
+         |             CAST(before // 512 AS BIGINT) AS bin,
+         |             CAST(before % 512 AS BIGINT) AS bin_offset
+         |      FROM p)
+         |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+         |       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR),
+         |                  ',' ORDER BY bin_offset ASC, doc_id ASC) AS boundaries
+         |FROM b GROUP BY 1, 2""".stripMargin,
 
     "q_text_pii" ->
       s"""WITH r1 AS (SELECT doc_id, text,

@@ -266,6 +266,27 @@ class CorpusSpec extends AnyFunSuite {
     }.isDefined), "the window input must be pre-filtered to the straddling bucket")
   }
 
+  test("packIndex: boundary strings reconstruct pack exactly; counts consistent") {
+    val packed = Corpus.pack(docs, 512, 8).collect()
+      .groupBy(r => (r.getLong(2), r.getLong(3)))
+    val idx = Corpus.packIndex(docs, 512, 8).collect()
+    assert(idx.map(r => (r.getLong(0), r.getLong(1))).toSet === packed.keySet)
+    idx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      val members = packed(key)
+      assert(r.getLong(2) === members.length.toLong, "n_docs")
+      assert(r.getLong(3) === members.map(_.getLong(1)).sum, "n_tokens")
+      // parse "doc:offset,..." → must equal the bin's (doc, offset) pairs
+      // in (offset, doc) order
+      val parsed = r.getString(4).split(",").map { s =>
+        val Array(d, o) = s.split(":"); (d.toLong, o.toLong)
+      }.toSeq
+      val expect = members.map(m => (m.getLong(0), m.getLong(4)))
+        .sortBy { case (d, o) => (o, d) }.toSeq
+      assert(parsed === expect)
+    }
+  }
+
   test("pack: hash sharding balances a sparse, clustered id space") {
     val spark2 = spark
     import spark2.implicits._
