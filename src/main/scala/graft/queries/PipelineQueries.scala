@@ -898,7 +898,8 @@ object PipelineQueries {
          |             CAST(before // 512 AS BIGINT) AS bin,
          |             CAST(before % 512 AS BIGINT) AS bin_offset
          |      FROM p)
-         |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+         |SELECT shard, bin, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
          |       string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(bin_offset AS VARCHAR),
          |                  ',' ORDER BY bin_offset ASC, doc_id ASC) AS boundaries
          |FROM b GROUP BY 1, 2""".stripMargin,
