@@ -495,11 +495,11 @@ object Corpus {
    *  token aggregate ([[TextAnalysis.langQuality]]). */
   def selectByTokenBudgetByDomain(docs: DataFrame, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    // pred_lang, score AND the token count all come from the one fused
+    // aggregate — no second tokenize pass, no doc_id join
     val scored = TextAnalysis.langQuality(docs)
       .select(col("doc_id"), col("pred_lang"),
-        round(col("quality_score"), 4).as("score"))
-      .join(docs.select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")), "doc_id")
+        round(col("quality_score"), 4).as("score"), col("n_tokens"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang")).orderBy(col("score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

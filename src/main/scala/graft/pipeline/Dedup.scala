@@ -220,7 +220,12 @@ object Dedup {
    *  deployment shape, where unbounded hash state would grow forever. */
   def exactStreaming(docs: DataFrame, eventTimeCol: Option[String] = None,
       delay: String = "1 hour"): DataFrame = {
-    val hashed = docs.withColumn("content_hash", md5(normalized(col("text"))))
+    // reuse an upstream content_hash if present (runPipelineDecontam
+    // already paid the normalize+md5 for its bloom gate) — recomputing
+    // would double the per-row regex+digest work in the streaming path
+    val hashed =
+      if (docs.columns.contains("content_hash")) docs
+      else docs.withColumn("content_hash", md5(normalized(col("text"))))
     eventTimeCol match {
       case Some(c) =>
         hashed.withWatermark(c, delay).dropDuplicatesWithinWatermark("content_hash")

@@ -596,20 +596,23 @@ object Similarity {
    *  vector (not per subspace row) — negligible beside the encode join. */
   def ivfPqResidualTopK(emb: DataFrame, cents: DataFrame, queryPred: Column,
       k: Int, m: Int, codebookK: Int): DataFrame = {
-    val assigned = assignToCells(
+    // persist ONLY the residual frame (reused by the codebook sample, the
+    // encode and the query side) and release it after materializing the
+    // tiny top-k output — unreleased vec-heavy caches are the session
+    // pressure the scale probe documents
+    val res = assignToCells(
       emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents)
-      .select(col("vec_id"), col("vec"), col("cell")).persist()
-    val res = assigned
       .join(broadcast(cents.select(col("c_id").as("cell"), col("c_vec"))), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("vec"), col("c_vec"), (a, b) => a - b).as("v"))
+      .persist()
     val cb = subspaceCodebooksV(
       res.withColumn("__h", call_function("md5prefix28", col("vec_id").cast("string")))
         .orderBy(col("__h").asc, col("vec_id").asc)
         .limit(codebookK)
         .select(col("vec_id"), col("v")), m)
     val codes = pqEncodeVecs(res.select(col("vec_id"), col("v")), m, cb)
-      .join(assigned.select("vec_id", "cell"), "vec_id")
+      .join(res.select("vec_id", "cell"), "vec_id")
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
@@ -624,13 +627,16 @@ object Similarity {
         col("c_id").as("code"), d2.as("pd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
-    codes.join(broadcast(table), Seq("cell", "sub", "code"))
+    val out = codes.join(broadcast(table), Seq("cell", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("pd")), 4).as("adist"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "adist")
+    val materialized = Iterate.truncate(out) // |queries|·k rows — tiny
+    res.unpersist()
+    materialized
   }
 
   /** ANN top-k: candidates restricted to the query's bucket

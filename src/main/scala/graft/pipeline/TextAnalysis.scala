@@ -117,7 +117,8 @@ object TextAnalysis {
     val score = (col("__tok_chars").cast("double") / nTok) / lit(10.0) +
       col("__n_stop").cast("double") / nTok +
       col("__n_typ").cast("double") / nTok
-    scored.select(col("doc_id"), pred.as("pred_lang"), score.as("quality_score"))
+    scored.select(col("doc_id"), pred.as("pred_lang"), score.as("quality_score"),
+      col("__n_tok").as("n_tokens"))
   }
 
   /** Stopword-marker language ID: per-language marker hit counts over

@@ -68,8 +68,11 @@ object PipelineQueries {
       val reference = all.filter(col("doc_id") % 2 === 0)
         .withColumn("text", TextAnalysis.redactedText(col("text")))
         .filter(TextAnalysis.keepExpr(col("text")))
+      // expectedItems sized to the reference slice (a 1<<20 default bloom
+      // is ~1 MB serialized and bloats every task binary for nothing)
       graft.streaming.DocIngest.runPipelineDecontam(s, s"$base/src",
-        s"$base/lake", s"$base/ckpt", all.schema, reference).awaitTermination()
+        s"$base/lake", s"$base/ckpt", all.schema, reference,
+        expectedItems = 1 << 14).awaitTermination()
       s"$base/lake"
     })
 

@@ -85,7 +85,11 @@ object DocIngest {
    *  can't afford per-batch reference scans sets `confirmExact = false`
    *  and accepts an fpp-bounded false-drop rate (the Lee et al. 2022
    *  dedup posture), or reconciles drops offline; correctness-vs-oracle
-   *  here keeps the exact tier on. */
+   *  here keeps the exact tier on.
+   *
+   *  `expectedItems` sizes the bloom (Spark's default 3% fpp ≈ 0.9
+   *  bytes/item serialized) — it rides every task binary as a literal,
+   *  so size it to the reference, don't over-provision. */
   def runPipelineDecontam(spark: SparkSession, srcDir: String, outDir: String,
       ckptDir: String, schema: StructType, reference: DataFrame,
       expectedItems: Long = 1 << 20, confirmExact: Boolean = true): StreamingQuery = {

@@ -335,7 +335,9 @@ class DedupSpec extends AnyFunSuite {
     assert(plan.contains("might_contain"), "bloom prefilter must reach the physical plan")
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
       "anti join must be broadcast, never a shuffle of either side")
-    assert(!plan.contains("ShuffleExchange"),
+    // shuffle nodes print as "Exchange hashpartitioning(...)"; the only
+    // Exchange here must be the broadcast (HashedRelationBroadcastMode)
+    assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
       "neither branch may shuffle: reference is map-side filtered, new is broadcast-anti-joined")
   }
 }
