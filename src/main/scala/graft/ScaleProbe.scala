@@ -182,12 +182,12 @@ object ScaleProbe {
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_simhash",
     "q_dedup_simhash_capped", "p_dedup_minhash_capped", "p_dedup_embed_capped",
     "q_dedup_spans", "q_dedup_span_removal",
-    "q_pipeline_pack", "q_pipeline_chunks", "q_pipeline_budget",
+    "q_pipeline_pack", "q_pipeline_pack_index", "q_pipeline_chunks", "q_pipeline_budget",
     "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii",
-    "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq")
+    "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly

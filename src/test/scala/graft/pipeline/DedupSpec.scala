@@ -300,6 +300,40 @@ class DedupSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS stream_dedup") }
   }
 
+  test("dedupAgainstReference property: equals the plain anti-join on random corpora at random bloom sizes") {
+    import org.scalacheck.Gen
+    // tiny alphabet forces frequent cross-set collisions; whitespace/case
+    // variants exercise the normalization layer
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val text = for {
+      n <- Gen.choose(1, 4)
+      ws <- Gen.listOfN(n, word)
+      pad <- Gen.oneOf("", "  ")
+      up <- Gen.oneOf(true, false)
+    } yield { val t = ws.mkString(" "); pad + (if (up) t.toUpperCase else t) }
+    val corpus = for {
+      nRef <- Gen.choose(0, 8)
+      nNew <- Gen.choose(1, 8)
+      ref <- Gen.listOfN(nRef, text)
+      nw <- Gen.listOfN(nNew, text)
+      est <- Gen.oneOf(1L, 16L, 1L << 12)
+    } yield (ref, nw, est)
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed0)(_.next).take(12).foreach { seed =>
+      corpus.apply(Gen.Parameters.default, seed).foreach { case (ref, nw, est) =>
+        val refDf = docsOf(ref.zipWithIndex.map { case (t, i) => (100L + i) -> t }: _*)
+        val nwDf = docsOf(nw.zipWithIndex.map { case (t, i) => i.toLong -> t }: _*)
+        val got = Dedup.dedupAgainstReference(nwDf, refDf, est)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val refNorms = ref.map(_.trim.toLowerCase.replaceAll("\\s+", " ")).toSet
+        val expect = nw.zipWithIndex.collect {
+          case (t, i) if !refNorms(t.trim.toLowerCase.replaceAll("\\s+", " ")) => i.toLong
+        }.toSet
+        assert(got === expect, s"ref=$ref new=$nw est=$est")
+      }
+    }
+  }
+
   test("dedupAgainstReference: exact anti-join result, independent of bloom fpp; reference never shuffles") {
     val ref = docsOf(
       1L -> "alpha beta gamma",
