@@ -247,6 +247,47 @@ object TextAnalysis {
    *  an aggregate reusing its own shuffle, not a splittable shuffle
    *  stage). Log-prob sums are FP order-dependent, so query surfaces
    *  round(…, 4) — see OracleCommon.rnd. */
+  /** Bigram-LM fluency score: per doc, the mean conditional
+   *  log-likelihood ln P(w₂|w₁) under the corpus bigram MLE
+   *  (cb(w₁,w₂)/c₁(w₁), where c₁ sums the bigram table — exactly the
+   *  occurrences that HAVE a successor). Word-salad that sails through
+   *  unigram scoring (all-common words, nonsense order) scores low
+   *  here; docs with < 2 tokens have no bigrams and drop out.
+   *
+   *  Scale shape: bigrams come from the same posexplode + lead window
+   *  as shingles; BOTH stat joins (doc-bigrams × corpus-bigrams keyed
+   *  "w₁ w₂", then × first-word totals keyed w₁) go through
+   *  [[zipfHeadJoin]] — bigram frequencies are as Zipfian as unigrams,
+   *  and the dim sides reuse their own aggregation shuffles, so AQE's
+   *  skew rule cannot fire; the hot head broadcasts instead. */
+  def bigramLogProb(docs: DataFrame, hotN: Int = 1024): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))))
+      .withColumn("__w2", lead(col("col"), 1).over(w))
+      .filter(col("__w2").isNotNull)
+      .select(col("doc_id"), col("col").as("w1"), col("__w2").as("w2"))
+    val dc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+    val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cnt1"))
+    val withCb = zipfHeadJoin(
+      dc.withColumn("tk", concat_ws(" ", col("w1"), col("w2"))),
+      bg.select(concat_ws(" ", col("w1"), col("w2")).as("tk"), col("cb")),
+      col("cb"), hotN)
+    val withC1 = zipfHeadJoin(
+      withCb.drop("tk").withColumn("tk", col("w1")),
+      c1.select(col("w1").as("tk"), col("cnt1")),
+      col("cnt1"), hotN)
+    val n = sum(col("c")).cast("double")
+    withC1.groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_bigrams"),
+        (sum(col("c") * log(col("cb").cast("double") / col("cnt1").cast("double"))) / n)
+          .as("avg_logprob2"))
+  }
+
   def corpusLogProb(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
     val tk = tokenTable(docs)
     val dc = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))

@@ -184,6 +184,13 @@ object PipelineQueries {
           round(col("avg_logprob"), 4).as("avg_logprob"),
           round(col("entropy"), 4).as("entropy"))
     },
+    // bigram-LM fluency: mean ln P(w2|w1) under the corpus bigram MLE —
+    // catches well-worded nonsense the unigram score can't
+    "q_text_bigram_lm" -> { (s, d) =>
+      TextAnalysis.bigramLogProb(docs(s, d))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logprob2"), 4).as("avg_logprob2"))
+    },
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -736,6 +743,18 @@ object PipelineQueries {
          |       ${rnd("sum(c * ln(CAST(cnt AS DOUBLE) / total)) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob,
          |       ${rnd("ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(CAST(c AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS entropy
          |FROM dc JOIN v USING (tk), tt
+         |GROUP BY doc_id""".stripMargin,
+
+    "q_text_bigram_lm" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM b),
+         |dc AS (SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+         |bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cnt1 FROM bg GROUP BY 1)
+         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |       ${rnd("sum(c * ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob2
+         |FROM dc JOIN bg USING (w1, w2) JOIN c1 USING (w1)
          |GROUP BY doc_id""".stripMargin,
 
     "q_text_stats" ->

@@ -101,6 +101,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(d2.getAs[Double]("entropy") - math.log(2.0)) < 1e-12)
   }
 
+  test("bigramLogProb: word order discriminates; closed form; head/tail split is value-invariant") {
+    // five fluent docs alternate x y; doc 6 uses the SAME unigrams in a
+    // rare order — unigram scoring can't tell them apart, bigrams can
+    val fluent = (1L to 5L).map(_ -> "x y x y x y x y")
+    val salad = 6L -> "x x y y x x y y"
+    val docs = corpus((fluent :+ salad): _*)
+    val out = TextAnalysis.bigramLogProb(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === (1L to 6L).toSet)
+    (1L to 6L).foreach(id => assert(out(id).getAs[Long]("n_bigrams") === 7L))
+    assert(out(6L).getAs[Double]("avg_logprob2") <
+      out(1L).getAs[Double]("avg_logprob2") - 0.1,
+      "same-unigram word salad must score below the fluent pattern")
+    // closed form for the fluent docs: corpus bigrams xy=20+2, xx=2,
+    // yx=15+1, yy=2; c1 (successor-having occurrences): x-first=24, y-first=18
+    val pXY = 22.0 / 24.0; val pYX = 16.0 / 18.0
+    val expect1 = (4 * math.log(pXY) + 3 * math.log(pYX)) / 7.0
+    assert(math.abs(out(1L).getAs[Double]("avg_logprob2") - expect1) < 1e-12)
+    // the zipf head/tail split is an execution detail: hotN=1 (one head
+    // bigram, rest tail) and hotN=1024 (all head) must agree exactly
+    val viaTiny = TextAnalysis.bigramLogProb(docs, hotN = 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob2")).toMap
+    (1L to 6L).foreach(id =>
+      assert(viaTiny(id) === out(id).getAs[Double]("avg_logprob2")))
+  }
+
   test("keywords: rare tokens outrank common ones; ranks dense and ordered") {
     val docs = corpus(
       1L -> "common common zebra",   // zebra: df=1 → max idf
