@@ -128,7 +128,8 @@ object ScaleProbe {
   /** The doc/embedding-only queries (TSDB queries need the events table
    *  and are scale-proven by the lake's partition pruning instead). */
   private val Probed: Seq[String] = Seq(
-    "q_dedup_exact", "q_dedup_incremental", "q_dedup_near", "q_dedup_ngram", "q_dedup_simhash",
+    "q_dedup_exact", "q_dedup_incremental", "q_dedup_near", "q_dedup_near_incremental",
+    "q_dedup_ngram", "q_dedup_simhash",
     "q_dedup_simhash_near", "q_dedup_simhash_capped", "q_dedup_clusters", "q_dedup_embed",
     "q_dedup_embed_clusters", "q_dedup_hybrid_clusters",
     "q_pipeline_corpus", "q_pipeline_report", "q_pipeline_pack", "q_pipeline_pack_index",

@@ -158,6 +158,50 @@ object Dedup {
 
   /** MinHash near-dup pairs: candidate pairs with estimated Jaccard
    *  (fraction of agreeing signature components) ≥ threshold. */
+  /** Incremental NEAR-dup: candidate pairs between a NEW snapshot and a
+   *  REFERENCE corpus only — no new×new, no ref×ref — through the same
+   *  MinHash/banding pipeline as [[nearDuplicates]] (so a pair's
+   *  estimate here is bit-identical to what the union corpus would
+   *  give). This is the daily-crawl shape of near-dedup: the
+   *  reference's band table is the precomputable index, and each
+   *  increment bands ONLY its own documents and equi-joins them against
+   *  it — shuffle volume O(|new| × bands + matching reference band
+   *  rows), never a re-banding of the full corpus. `maxBucketSize`
+   *  drops over-full (band, key) buckets whole, sized over BOTH sides
+   *  (a clone flood in either snapshot degenerates the bucket). */
+  def nearDuplicatesAgainstReference(newDocs: DataFrame, reference: DataFrame,
+      threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val sigsNew = signatures(newDocs).persist()
+    val sigsRef = signatures(reference).persist()
+    val bNew0 = bands(sigsNew).select(col("doc_id").as("new_id"), col("band"), col("key"))
+    val bRef0 = bands(sigsRef).select(col("doc_id").as("ref_id"), col("band"), col("key"))
+    val (bNew, bRef) =
+      if (maxBucketSize == Int.MaxValue) (bNew0, bRef0)
+      else {
+        val sizes = bNew0.select(col("band"), col("key"))
+          .unionByName(bRef0.select(col("band"), col("key")))
+          .groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "key")
+        (bNew0.join(sizes, Seq("band", "key"), "left_semi"),
+          bRef0.join(sizes, Seq("band", "key"), "left_semi"))
+      }
+    val pairs = bNew.join(bRef, Seq("band", "key"))
+      .select("new_id", "ref_id").distinct()
+    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+    val out = pairs
+      .join(sigsNew.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
+      .join(sigsRef.select(col("doc_id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
+      .withColumn("est_jaccard",
+        aggregate(eq, lit(0), _ + _).cast("double") / lit(NumPerms.toDouble))
+      .filter(col("est_jaccard") >= threshold)
+      .select("new_id", "ref_id", "est_jaccard")
+    val materialized = Iterate.truncate(out) // pairs ≥ threshold — small
+    sigsNew.unpersist(); sigsRef.unpersist()
+    materialized
+  }
+
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {
     val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
     candidates(docs)

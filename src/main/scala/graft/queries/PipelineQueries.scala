@@ -101,6 +101,14 @@ object PipelineQueries {
         docs(s, d).filter(col("doc_id") % 3 === 0),
         docs(s, d).filter(col("doc_id") % 2 === 0), 1 << 16)),
     "q_dedup_near" -> ((s, d) => Dedup.nearDuplicates(docs(s, d), 0.5)),
+    // incremental near-dup: the doc_id%3 "new crawl" banded against the
+    // doc_id%2 "reference index" — cross-set pairs only (the same-id
+    // filter strips the split's artificial self-overlap)
+    "q_dedup_near_incremental" -> ((s, d) =>
+      Dedup.nearDuplicatesAgainstReference(
+        docs(s, d).filter(col("doc_id") % 3 === 0),
+        docs(s, d).filter(col("doc_id") % 2 === 0), 0.5)
+        .filter(col("new_id") =!= col("ref_id"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
     // SimHash near-dup within Hamming distance 3: block-collision
@@ -500,6 +508,20 @@ object PipelineQueries {
          |  FROM cand
          |  JOIN sigs sa ON sa.doc_id = doc_a
          |  JOIN sigs sb ON sb.doc_id = doc_b)
+         |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    "q_dedup_near_incremental" ->
+      s"""WITH $candCtes,
+         |xc AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |       FROM bands a JOIN bands b ON a.bi = b.bi AND a.key = b.key
+         |       WHERE a.doc_id % 3 = 0 AND b.doc_id % 2 = 0
+         |         AND a.doc_id != b.doc_id)
+         |SELECT * FROM (
+         |  SELECT new_id, ref_id,
+         |         len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS est_jaccard
+         |  FROM xc
+         |  JOIN sigs sa ON sa.doc_id = new_id
+         |  JOIN sigs sb ON sb.doc_id = ref_id)
          |WHERE est_jaccard >= 0.5""".stripMargin,
 
     "q_dedup_ngram" ->

@@ -300,6 +300,32 @@ class DedupSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS stream_dedup") }
   }
 
+  test("nearDuplicatesAgainstReference: cross-set pairs only, estimates match the union pipeline") {
+    val a = base + " one"
+    val aVar = base + " two"            // near-dup of a (one token differs)
+    val bNew1 = base + " alpha beta gamma delta"
+    val bNew2 = base + " alpha beta gamma epsilon" // near-dup WITHIN new
+    val refDf = docsOf(100L -> a, 101L -> "completely different words entirely unrelated text here today")
+    val nwDf = docsOf(1L -> aVar, 2L -> bNew1, 3L -> bNew2)
+    val out = Dedup.nearDuplicatesAgainstReference(nwDf, refDf, 0.5).collect()
+    // exactly the cross pair (1 ↔ 100); the new×new near-dup (2, 3) must NOT appear
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 100L)))
+    // the estimate is bit-identical to the union-corpus pipeline's
+    val union = Dedup.nearDuplicates(
+      nwDf.unionByName(refDf), 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.head.getDouble(2) === union((1L, 100L)))
+    // a clone flood on the new side degenerates every shared bucket; the
+    // joint cap drops those buckets whole, leaving no pairs
+    val flood = docsOf((10L to 40L).map(i => i -> a): _*)
+    val capped = Dedup.nearDuplicatesAgainstReference(flood, refDf, 0.5, maxBucketSize = 10)
+    assert(capped.count() === 0L)
+    // cap off, the flood pairs with its reference original
+    val uncapped = Dedup.nearDuplicatesAgainstReference(flood, refDf, 0.5)
+    assert(uncapped.select("ref_id").distinct().collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(uncapped.count() === 31L)
+  }
+
   test("dedupAgainstReference property: equals the plain anti-join on random corpora at random bloom sizes") {
     import org.scalacheck.Gen
     // tiny alphabet forces frequent cross-set collisions; whitespace/case
