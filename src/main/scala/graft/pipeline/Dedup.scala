@@ -171,6 +171,19 @@ object Dedup {
    *  (a clone flood in either snapshot degenerates the bucket). */
   def nearDuplicatesAgainstReference(newDocs: DataFrame, reference: DataFrame,
       threshold: Double, maxBucketSize: Int = Int.MaxValue): DataFrame = {
+    val (sigsNew, sigsRef, out) =
+      nearDuplicatesAgainstReferenceLazy(newDocs, reference, threshold, maxBucketSize)
+    val materialized = Iterate.truncate(out) // pairs ≥ threshold — small
+    sigsNew.unpersist(); sigsRef.unpersist()
+    materialized
+  }
+
+  /** The un-materialized plan behind [[nearDuplicatesAgainstReference]]
+   *  (returned with the two persisted signature frames the caller must
+   *  release) — plan evidence ([[graft.Plans]]) needs the lazy frame. */
+  private[graft] def nearDuplicatesAgainstReferenceLazy(
+      newDocs: DataFrame, reference: DataFrame,
+      threshold: Double, maxBucketSize: Int): (DataFrame, DataFrame, DataFrame) = {
     val sigsNew = signatures(newDocs).persist()
     val sigsRef = signatures(reference).persist()
     val bNew0 = bands(sigsNew).select(col("doc_id").as("new_id"), col("band"), col("key"))
@@ -197,9 +210,7 @@ object Dedup {
         aggregate(eq, lit(0), _ + _).cast("double") / lit(NumPerms.toDouble))
       .filter(col("est_jaccard") >= threshold)
       .select("new_id", "ref_id", "est_jaccard")
-    val materialized = Iterate.truncate(out) // pairs ≥ threshold — small
-    sigsNew.unpersist(); sigsRef.unpersist()
-    materialized
+    (sigsNew, sigsRef, out)
   }
 
   def nearDuplicates(docs: DataFrame, threshold: Double): DataFrame = {

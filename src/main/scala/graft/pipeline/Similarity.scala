@@ -596,6 +596,18 @@ object Similarity {
    *  vector (not per subspace row) — negligible beside the encode join. */
   def ivfPqResidualTopK(emb: DataFrame, cents: DataFrame, queryPred: Column,
       k: Int, m: Int, codebookK: Int): DataFrame = {
+    val (res, out) = ivfPqResidualLazy(emb, cents, queryPred, k, m, codebookK)
+    val materialized = Iterate.truncate(out) // |queries|·k rows — tiny
+    res.unpersist()
+    materialized
+  }
+
+  /** The un-materialized plan behind [[ivfPqResidualTopK]] (returned
+   *  with the persisted residual frame the caller must release) — the
+   *  public API truncates lineage and unpersists; plan evidence
+   *  ([[graft.Plans]]) needs the lazy frame. */
+  private[graft] def ivfPqResidualLazy(emb: DataFrame, cents: DataFrame,
+      queryPred: Column, k: Int, m: Int, codebookK: Int): (DataFrame, DataFrame) = {
     // persist ONLY the residual frame (reused by the codebook sample, the
     // encode and the query side) and release it after materializing the
     // tiny top-k output — unreleased vec-heavy caches are the session
@@ -634,9 +646,7 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "adist")
-    val materialized = Iterate.truncate(out) // |queries|·k rows — tiny
-    res.unpersist()
-    materialized
+    (res, out)
   }
 
   /** ANN top-k: candidates restricted to the query's bucket
