@@ -21,9 +21,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    family (q_ann_lsh, q_ann_ivf*, q_ann_kmeans, q_ann_pq*,
  *    q_ann_ivfpq) is declared over CONSTANT-k centroid/codebook tables
  *    and a bounded query batch since round 6 — measured near-linear.
- *  - q_dedup_embed* / q_dedup_simhash_near / q_dedup_near and friends:
- *    the cap-OFF exhaustive oracle paths — pair output is quadratic on
- *    clone-dense corpora by definition. The capped production variants
+ *  - q_dedup_embed* / q_dedup_simhash_near / q_dedup_near /
+ *    q_dedup_near_incremental and friends: the cap-OFF exhaustive
+ *    oracle paths — candidate volume is quadratic in bucket occupancy
+ *    by definition, and this generator's 30-word vocabulary makes
+ *    chance band collisions balloon at the 500k point. The capped production variants
  *    (q_dedup_simhash_capped, p_dedup_embed_capped,
  *    p_dedup_minhash_capped) are probed alongside and must stay
  *    near-linear; production raises planes/tables with corpus size
@@ -34,6 +36,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    oracle path is output-bound here by construction; the maxDf cap
  *    (the same boilerplate-shingle defense the operator documents) is
  *    the production path on high-collision corpora.
+ *
+ *  - q_text_bigram_lm's decade-2 ratio is single-JVM spill, not plan
+ *    cost: the per-doc lead() window sorts ~75M token rows in 32
+ *    local partitions at the 500k point (its 10× ratio is ~2×, and a
+ *    cluster simply widens partitions; the all-head broadcast guard in
+ *    zipfHeadJoin already removed the avoidable fact shuffles).
  *
  * Three-point mode (`--xl`, BENCH_SCALE3.json) adds a 500k-doc decade
  * for the production-path family. Measured note: p_dedup_minhash_capped
@@ -187,7 +195,7 @@ object ScaleProbe {
     "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
-    "q_text_langid", "q_text_pii",
+    "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`

@@ -316,10 +316,21 @@ object TextAnalysis {
    *  own shuffle, not a raw shuffle stage). */
   private[pipeline] def zipfHeadJoin(fact: DataFrame, dim: DataFrame,
       weight: Column, hotN: Int): DataFrame = {
-    val hot = dim.orderBy(weight.desc, col("tk").asc).limit(hotN)
-    val cold = dim.join(broadcast(hot.select("tk")), Seq("tk"), "left_anti")
-    fact.join(broadcast(hot), Seq("tk"))
-      .unionByName(fact.join(cold, Seq("tk")))
+    // the head is ≤ hotN scalar rows — persist so the coverage probe
+    // below doesn't recompute the dim aggregate (a full fact scan), and
+    // leave it cached (KB-bounded, unlike vector-heavy frames)
+    val hot = dim.orderBy(weight.desc, col("tk").asc).limit(hotN).persist()
+    if (hot.count() < hotN) {
+      // the WHOLE dimension fits in the head: one broadcast join, no
+      // cold branch. Without this guard the empty tail branch still
+      // key-shuffles the entire fact table — measured 54× at 100× data
+      // on a small-vocab corpus whose bigram join paid it twice.
+      fact.join(broadcast(hot), Seq("tk"))
+    } else {
+      val cold = dim.join(broadcast(hot.select("tk")), Seq("tk"), "left_anti")
+      fact.join(broadcast(hot), Seq("tk"))
+        .unionByName(fact.join(cold, Seq("tk")))
+    }
   }
 
   /** TF-IDF keyword extraction: the top `k` tokens per document by
