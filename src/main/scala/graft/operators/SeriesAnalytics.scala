@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Post-aggregation series analytics: the upstream OpenTSDB 3.x
+ * query-graph nodes an aura-backed deployment runs ABOVE the storage
+ * source — sliding-window smoothing, top-n series selection, and
+ * cross-query binary expressions. The reference repo contains only the
+ * storage/source half of the stack (its iterators feed these nodes in the
+ * upstream TSDB executor), so these operators are specified against the
+ * public TSDB 3.x node semantics, re-expressed over the engine's
+ * aggregated output shape (`keys…, bucket_ts, value`).
+ *
+ * Scale posture (100 TB): everything here consumes AGGREGATED output —
+ * |series| × |buckets| rows, orders of magnitude below the fact scan — so
+ * the only wide operations are one window (partitioned by series/group
+ * key, never a global sort), one hash aggregate, and one broadcast of an
+ * n-row ranking. No operator in this file touches raw points.
+ */
+object SeriesAnalytics {
+
+  /** Trailing sliding-window aggregate per series/group: value_i :=
+   *  agg(value over the last `buckets` buckets up to i). A window frame
+   *  `ROWS BETWEEN buckets-1 PRECEDING AND CURRENT ROW` partitioned by
+   *  the series key — Spark evaluates frames in bucket order per
+   *  partition, so the shuffle is one exchange keyed by the series/group
+   *  key (high-cardinality at scale; each partition holds |buckets| rows
+   *  per series, a few hundred — no memory pressure at any corpus size).
+   *
+   *  Missing buckets are NOT filled: the frame is over the buckets that
+   *  exist, matching the upstream node's treatment of absent values
+   *  (skip, not zero-fill) for sum/avg/min/max. */
+  def sliding(ds: DataFrame, partitionKeys: Seq[Column], buckets: Int, agg: String): DataFrame = {
+    require(buckets >= 1, s"sliding window needs >= 1 buckets, got $buckets")
+    val w = Window.partitionBy(partitionKeys: _*)
+      .orderBy(col("bucket_ts").asc)
+      .rowsBetween(-(buckets - 1), Window.currentRow)
+    val f: Column = agg match {
+      case "avg" => avg(col("value")).over(w)
+      case "sum" | "zimsum" => sum(col("value")).over(w)
+      case "min" | "mimmin" => min(col("value")).over(w)
+      case "max" | "mimmax" => max(col("value")).over(w)
+      case other => throw new IllegalArgumentException(s"unknown sliding agg: $other")
+    }
+    ds.withColumn("value", f)
+  }
+
+  /** Top-n series selection: rank each series/group (identified by
+   *  `keys`) by the 4-decimal-rounded sum of its values across buckets,
+   *  keep the `n` best, and return those series' full bucket rows plus
+   *  their `series_total`. Rounding the ranking total (+ the key columns
+   *  as tiebreak) makes the cut deterministic and engine-replayable —
+   *  the same FP discipline as the group-by queries.
+   *
+   *  Plan: totals are one hash aggregate (|series| rows out); the
+   *  ranked cut compiles to TakeOrderedAndProject (each task keeps a
+   *  local top-n, only n rows ever leave a partition — no global sort);
+   *  the n-row winner table then BROADCASTS back onto the bucket rows,
+   *  so the fact-side frame is never shuffled by this operator. */
+  def topN(ds: DataFrame, keys: Seq[String], n: Int, top: Boolean = true,
+      valueCol: String = "value"): DataFrame = {
+    require(n >= 1, s"topN needs n >= 1, got $n")
+    require(keys.nonEmpty, "topN needs at least one series key column")
+    val totals = ds.groupBy(keys.map(col): _*)
+      .agg(round(sum(col(valueCol)), 4).as("series_total"))
+    val rankOrd = (if (top) col("series_total").desc else col("series_total").asc) +:
+      keys.map(col(_).asc)
+    val winners = totals.orderBy(rankOrd: _*).limit(n)
+    ds.join(broadcast(winners), keys)
+  }
+
+  /** Cross-query binary expression (the upstream TSDB 3.x expression
+   *  node): join two aggregated result sets on their common series keys
+   *  + bucket and combine the values arithmetically. The join is the
+   *  node's "intersection" semantics — buckets present on only one side
+   *  drop out; `divide` additionally drops zero denominators (no
+   *  infinities in the output). Both operands are aggregated frames, so
+   *  the equi-join shuffles |series|×|buckets| rows at most — and when
+   *  one side is known-small the caller can pass it pre-`broadcast`. */
+  def binary(left: DataFrame, right: DataFrame, keys: Seq[String], op: String): DataFrame = {
+    val joinKeys = keys :+ "bucket_ts"
+    val l = left.select(joinKeys.map(col) :+ col("value").as("__l"): _*)
+    val r = right.select(joinKeys.map(col) :+ col("value").as("__r"): _*)
+    val joined = l.join(r, joinKeys)
+    val v: Column = op match {
+      case "add" => col("__l") + col("__r")
+      case "subtract" => col("__l") - col("__r")
+      case "multiply" => col("__l") * col("__r")
+      case "divide" => col("__l") / col("__r")
+      case other => throw new IllegalArgumentException(s"unknown expression op: $other")
+    }
+    val guarded = if (op == "divide") joined.filter(col("__r") =!= 0) else joined
+    guarded.withColumn("value", v).drop("__l", "__r")
+  }
+}

@@ -217,6 +217,50 @@ object Similarity {
     lsh.unionByName(star).distinct()
   }
 
+  /** The eval-suite side of [[semanticDecontaminate]]: (eval_id, e_vec)
+   *  rows for the vectors matching `pred`. Small by contract — a
+   *  benchmark suite, not a corpus slice. */
+  def evalVectors(emb: DataFrame, pred: Column): DataFrame =
+    emb.filter(pred)
+      .select(col("vec_id").as("eval_id"), asDouble(col("embedding")).as("e_vec"))
+
+  /** Benchmark decontamination in EMBEDDING space — the semantic
+   *  counterpart of [[graft.pipeline.Corpus.decontaminate]]'s n-gram
+   *  overlap: flag every corpus vector whose cosine to ANY eval-suite
+   *  vector reaches `tau`, reporting the strongest leak (max 4-decimal
+   *  cosine; ties resolve to the larger eval_id). Catches paraphrased
+   *  eval contamination that shares no 3-gram with the eval text.
+   *
+   *  Scale shape: the eval table is constant-size (a benchmark suite),
+   *  so it BROADCASTS — the corpus streams through one broadcast
+   *  nested-loop join (O(n·|eval|·dim) codegen'd dot products, NO
+   *  shuffle of the corpus) and the per-vector argmax folds map-side as
+   *  a packed-long max ([[clusterCapSample]]'s assign idiom: cosine is
+   *  bounded, so (round(c·10⁴)+10⁴)·2⁴⁰ + eval_id never overflows while
+   *  eval ids fit 40 bits — enforced), leaving one row per vector to
+   *  cross the wire. Linear at any corpus size for a fixed eval suite. */
+  def semanticDecontaminate(emb: DataFrame, evalVecs: DataFrame, tau: Double): DataFrame = {
+    val train = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val c = round(cosine(col("vec"), col("e_vec")), 4)
+    val packed = (round(c * 10000).cast("long") + lit(10000L)) * lit(1L << 40) +
+      col("eval_id")
+    // an id outside the packable range must fail loudly — silently
+    // dropping it from the eval set would silently weaken the scrub
+    val checkedEval = evalVecs.select(
+      when(col("eval_id") < 0 || col("eval_id") >= lit(1L << 40),
+        raise_error(concat(lit("semanticDecontaminate: eval_id outside 40-bit packing range: "),
+          col("eval_id").cast("string"))))
+        .otherwise(col("eval_id")).as("eval_id"),
+      col("e_vec"))
+    train.join(broadcast(checkedEval), col("vec_id") =!= col("eval_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(packed).as("__m"))
+      .select(col("vec_id"),
+        col("__m").bitwiseAND(lit((1L << 40) - 1)).as("eval_id"),
+        ((shiftright(col("__m"), 40) - lit(10000L)).cast("double") / lit(10000.0)).as("cos_sim"))
+      .filter(col("cos_sim") >= lit(tau))
+  }
+
   /** Sampled centroids: a deterministic corpus sample (vec_id %
    *  centroidEvery == 0). Seed-free, so the DuckDB oracle replays the
    *  whole IVF path bit-for-bit. NOTE: centroid count ∝ corpus size, so

@@ -182,6 +182,18 @@ object PipelineQueries {
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"))
     },
+    // embedding-space decontamination: train vectors whose cosine to any
+    // eval-suite vector reaches 0.3, strongest leak reported — catches
+    // paraphrase contamination the n-gram detector can't see. The eval
+    // suite is the FIXED first-100 slice (a benchmark is constant-size
+    // however big the corpus grows — the declared shape must keep the
+    // broadcast side constant, the same discipline as constant-k ANN)
+    "q_pipeline_decontam_semantic" -> { (s, d) =>
+      val e = emb(s, d)
+      Similarity.semanticDecontaminate(
+        e.filter(col("vec_id") >= 100),
+        Similarity.evalVectors(e, col("vec_id") < 100), 0.3)
+    },
     "q_text_stats" -> ((s, d) => TextAnalysis.stats(docs(s, d))),
     // Gopher-style repetition quality signals (all exact-integer ratios)
     "q_text_repetition" -> ((s, d) => TextAnalysis.repetition(docs(s, d))),
@@ -717,6 +729,16 @@ object PipelineQueries {
          |SELECT doc_id FROM documents
          |WHERE doc_id % 97 != 0
          |  AND doc_id NOT IN (SELECT train_id FROM bad)""".stripMargin,
+
+    "q_pipeline_decontam_semantic" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id < 100),
+         |tr AS (SELECT vec_id, v FROM e WHERE vec_id >= 100),
+         |p AS (SELECT tr.vec_id, ev.eval_id, ${rnd(cosSql("tr.v", "ev.v"))} AS c
+         |      FROM tr, ev WHERE tr.vec_id <> ev.eval_id)
+         |SELECT vec_id, eval_id, c AS cos_sim FROM p
+         |WHERE c >= 0.3
+         |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, eval_id DESC) = 1""".stripMargin,
 
     "q_text_repetition" ->
       s"""WITH $toksCte,

@@ -340,6 +340,75 @@ object TsdbQueries {
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "cnt")
     },
 
+    // ------------------------------------------- upstream analytic nodes
+    // (TSDB 3.x query-graph nodes above the storage source: sliding
+    // window, topn, expression — the reference repo holds the source
+    // half; these replay the public node semantics over its output)
+
+    // Sliding-window moving average over per-series daily counts:
+    // 3-bucket trailing mean. Counts are exact integers, so the window
+    // mean is bit-identical FP in both engines (exact sum at any order,
+    // one IEEE division).
+    "q_ds_sliding_avg" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        slidingWindow = Some(SlidingWindowSpec(3, "avg")))), "mov_avg")),
+
+    // Sliding max over daily sums (trailing 3 buckets): max is
+    // order-free, so the only FP license is the per-bucket sum itself —
+    // the same rounded class as q_ds_sum.
+    "q_ds_sliding_max" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum")),
+        slidingWindow = Some(SlidingWindowSpec(3, "max")))), "mov_max")),
+
+    // Top-n series: the 5 series with the largest range total keep all
+    // their daily rows. Ranking is on the ROUNDED total with the series
+    // name as tiebreak, so the cut is deterministic and replayable; the
+    // n-row winner table broadcasts back onto the bucket rows.
+    "q_topn_series" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+      graft.operators.SeriesAnalytics.topN(ds, Seq("metric", "tag_user"), 5,
+        valueCol = "sum_value")
+    },
+
+    // Cross-metric expression: error-rate = error sums / click sums per
+    // user per day. Each operand snaps to 4 decimals before the join
+    // (the q_groupby discipline), so the division runs over identical
+    // doubles in both engines; zero denominators drop.
+    "q_expr_ratio" -> { (s, d) =>
+      def side(m: String): DataFrame = {
+        val ds = run(s, d, TsdbQuery(MetricLiteral(Seq(m)), Start, End,
+          downsample = Some(DownsampleSpec("1d", "sum"))))
+          .withColumn("value", round(col("value"), 4))
+        QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("user"), "sum"))
+          .select(col("user").as("tag_user"), col("bucket_ts"),
+            round(col("value"), 4).as("value"))
+      }
+      graft.operators.SeriesAnalytics.binary(
+        side("error"), side("click"), Seq("tag_user"), "divide")
+        .select(col("tag_user"), col("bucket_ts"), round(col("value"), 4).as("ratio"))
+    },
+
+    // The full analytic stack from one client JSON document: filter →
+    // daily count → host group-by → sliding mean → top-2 hosts, through
+    // the one parser.
+    "q_json_sliding_topn" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "filter": {"type": "TagValueLiteralOr", "tagKey": "colo", "filter": "sjc"},
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["host"], "aggregator": "sum"},
+        "slidingWindow": {"buckets": 3, "aggregator": "avg"},
+        "topN": {"n": 2}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("mov_avg"), col("series_total"))
+    },
+
     // Full pushed-down query graph from JSON: filter + rate + downsample +
     // groupBy + timeShift (the reference's absorbed source-node configs,
     // AuraMetricsSourceFactory.java:120-128); same oracle as q_full_pipeline
@@ -597,7 +666,79 @@ object TsdbQueries {
     // (those carrying the env tag) must be excluded
     "q_filter_explicit" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
       where = "AND tag_user IN ('0','1','2','3','4','5','6','7') AND tag_env IS NULL",
-      bucket = s"CAST($Start AS BIGINT)")
+      bucket = s"CAST($Start AS BIGINT)"),
+
+    "q_ds_sliding_avg" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT metric, tag_user, bucket_ts,
+         |       ${rnd("avg(v) OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts " +
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS mov_avg
+         |FROM ds""".stripMargin,
+
+    "q_ds_sliding_max" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, sum(value) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT metric, tag_user, bucket_ts,
+         |       ${rnd("max(v) OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts " +
+             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS mov_max
+         |FROM ds""".stripMargin,
+
+    "q_topn_series" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         ${rnd("sum(value)")} AS sum_value
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3),
+         |tot AS (
+         |  SELECT metric, tag_user, ${rnd("sum(sum_value)")} AS series_total
+         |  FROM ds GROUP BY 1, 2),
+         |top AS (
+         |  SELECT * FROM tot
+         |  QUALIFY row_number() OVER (ORDER BY series_total DESC, metric ASC, tag_user ASC) <= 5)
+         |SELECT d.metric, d.tag_user, d.bucket_ts, d.sum_value, t.series_total
+         |FROM ds d JOIN top t USING (metric, tag_user)""".stripMargin,
+
+    "q_expr_ratio" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} AND metric IN ('error', 'click')
+         |  GROUP BY 1, 2, 3),
+         |g AS (
+         |  SELECT metric, tag_user, bucket_ts, ${rnd("sum(v)")} AS v
+         |  FROM ds GROUP BY 1, 2, 3)
+         |SELECT e.tag_user, e.bucket_ts, ${rnd("e.v / c.v")} AS ratio
+         |FROM (SELECT * FROM g WHERE metric = 'error') e
+         |JOIN (SELECT * FROM g WHERE metric = 'click') c USING (tag_user, bucket_ts)
+         |WHERE c.v <> 0""".stripMargin,
+
+    "q_json_sliding_topn" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()} AND tag_colo = 'sjc'
+         |  GROUP BY 1, 2, 3, 4),
+         |g AS (SELECT tag_host, bucket_ts, sum(v) AS v FROM ds GROUP BY 1, 2),
+         |sl AS (
+         |  SELECT tag_host, bucket_ts,
+         |         avg(v) OVER (PARTITION BY tag_host ORDER BY bucket_ts
+         |                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mv
+         |  FROM g),
+         |tot AS (SELECT tag_host, ${rnd("sum(mv)")} AS series_total FROM sl GROUP BY 1),
+         |top AS (SELECT * FROM tot
+         |        QUALIFY row_number() OVER (ORDER BY series_total DESC, tag_host ASC) <= 2)
+         |SELECT s.tag_host, s.bucket_ts, ${rnd("s.mv")} AS mov_avg, t.series_total
+         |FROM sl s JOIN top t USING (tag_host)""".stripMargin
   )
 
   // JSON front-end replays: selections are identical to the direct-ADT

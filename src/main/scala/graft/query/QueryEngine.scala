@@ -269,6 +269,17 @@ object QueryEngine {
     df = q.rate.map(r => rate(df, r)).getOrElse(df)
     df = q.downsample.map(d => downsample(df, d, q.start, q.end)).getOrElse(df)
     df = q.groupBy.map(g => groupBySpatial(df, g)).getOrElse(df)
+    // the upstream TSDB 3.x analytic nodes sit above the source output:
+    // sliding-window smoothing, then top-n selection. The series identity
+    // at this point is the group-by keys when grouping happened, else
+    // series_id (a map-typed `tags` can't key a window/aggregate).
+    val seriesKeys: Seq[String] = q.groupBy.map(_.keys).getOrElse(Seq("series_id"))
+    df = q.slidingWindow.map(sw =>
+      graft.operators.SeriesAnalytics.sliding(df, seriesKeys.map(col), sw.buckets, sw.agg))
+      .getOrElse(df)
+    df = q.topN.map(t =>
+      graft.operators.SeriesAnalytics.topN(df, seriesKeys, t.n, t.top))
+      .getOrElse(df)
     df
   }
 }

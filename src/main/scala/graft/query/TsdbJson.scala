@@ -147,6 +147,17 @@ object TsdbJson {
           .getOrElse(Seq.empty),
         agg = str(g, "aggregator", "agg"))
     }
+    // upstream TSDB 3.x analytic nodes above the source output
+    val sw = Option(n.get("slidingWindow")).filter(!_.isNull).map { s0 =>
+      val b = Option(s0.get("buckets")).filter(!_.isNull)
+      require(b.isDefined, s"slidingWindow needs 'buckets': $s0")
+      SlidingWindowSpec(buckets = b.get.asInt, agg = str(s0, "aggregator", "agg"))
+    }
+    val tn = Option(n.get("topN")).filter(!_.isNull).map { t =>
+      val cnt = Option(t.get("n")).filter(!_.isNull).orElse(Option(t.get("count")).filter(!_.isNull))
+      require(cnt.isDefined, s"topN needs 'n': $t")
+      TopNSpec(n = cnt.get.asInt, top = Option(t.get("top")).filter(!_.isNull).forall(_.asBoolean))
+    }
     TsdbQuery(
       filter = pf.filter,
       start = n.get("start").asLong,
@@ -155,7 +166,9 @@ object TsdbJson {
       rate = rate,
       groupBy = gb,
       shift = Option(n.get("timeShift")).map(_.asText),
-      explicitTags = pf.explicitTags)
+      explicitTags = pf.explicitTags,
+      slidingWindow = sw,
+      topN = tn)
   }
 
   /** Parse an events query document — the events domain's counterpart

@@ -41,6 +41,17 @@ final case class RateSpec(
  *  interval; empty keys = group-all (reference MystQueryBuilder.java:69-75). */
 final case class GroupBySpec(keys: Seq[String], agg: String)
 
+/** Sliding-window smoother over the bucketed output (the upstream TSDB
+ *  3.x sliding-window query node — the reference repo holds only the
+ *  storage source whose results feed it): each bucket's value becomes
+ *  `agg` over the trailing `buckets` buckets of its own series/group. */
+final case class SlidingWindowSpec(buckets: Int, agg: String)
+
+/** Top-n series selection (the upstream TSDB 3.x topn query node): rank
+ *  series/groups by the 4-decimal-rounded sum of their output values and
+ *  keep the `n` largest (`top = false`: smallest). */
+final case class TopNSpec(n: Int, top: Boolean = true)
+
 final case class TsdbQuery(
     filter: SeriesFilter,
     start: Long, // [start, end) in epoch seconds
@@ -49,4 +60,6 @@ final case class TsdbQuery(
     rate: Option[RateSpec] = None,
     groupBy: Option[GroupBySpec] = None,
     shift: Option[String] = None, // evaluate shifted back in time, map ts forward (reference AuraMetricsQueryNode.java:137-148)
-    explicitTags: Boolean = false)
+    explicitTags: Boolean = false,
+    slidingWindow: Option[SlidingWindowSpec] = None, // applied above downsample/groupBy
+    topN: Option[TopNSpec] = None) // applied last

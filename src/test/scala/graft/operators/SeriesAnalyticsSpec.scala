@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The upstream TSDB 3.x analytic nodes (sliding window, top-n,
+ *  expression) over the engine's aggregated output shape — semantics
+ *  (trailing frames over existing buckets, deterministic ranked cut,
+ *  intersection joins) plus the plan shapes PLANS.md claims. */
+class SeriesAnalyticsSpec extends AnyFunSuite {
+
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // an aggregated frame: two series, bucket 30 missing for series b
+  private def agg = Seq(
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0), ("a", 40L, 4.0),
+    ("b", 10L, 10.0), ("b", 20L, 20.0), ("b", 40L, 40.0)
+  ).toDF("series", "bucket_ts", "value")
+
+  test("sliding avg: trailing frame over the buckets that EXIST (gaps skip, not zero-fill)") {
+    val out = SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "avg")
+      .select("series", "bucket_ts", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", 10L, 1.0), ("a", 20L, 1.5), ("a", 30L, 2.0), ("a", 40L, 3.0),
+      // b@40's frame is the three EXISTING buckets 10,20,40 — the
+      // missing bucket 30 does not contribute a zero
+      ("b", 10L, 10.0), ("b", 20L, 15.0), ("b", 40L, (10.0 + 20.0 + 40.0) / 3)))
+  }
+
+  test("sliding max/sum honor the frame width; buckets=1 is identity") {
+    val mx = SeriesAnalytics.sliding(agg, Seq(col("series")), 2, "max")
+      .filter(col("series") === "a").select("bucket_ts", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(mx.toSeq === Seq((10L, 1.0), (20L, 2.0), (30L, 3.0), (40L, 4.0)))
+    val id = SeriesAnalytics.sliding(agg, Seq(col("series")), 1, "sum")
+      .select("series", "bucket_ts", "value").as[(String, Long, Double)].collect().toSet
+    assert(id === agg.as[(String, Long, Double)].collect().toSet)
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.sliding(agg, Seq(col("series")), 0, "avg")
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "median")
+    }
+  }
+
+  test("topN keeps the n best series' FULL bucket rows + their total; bottom-n via top=false") {
+    val top1 = SeriesAnalytics.topN(agg, Seq("series"), 1)
+    assert(top1.select("series").distinct().as[String].collect().toSeq === Seq("b"))
+    assert(top1.count() === 3) // all of b's bucket rows survive the cut
+    assert(top1.select("series_total").distinct().as[Double].collect().toSeq === Seq(70.0))
+    val bottom = SeriesAnalytics.topN(agg, Seq("series"), 1, top = false)
+    assert(bottom.select("series").distinct().as[String].collect().toSeq === Seq("a"))
+  }
+
+  test("topN tie on total resolves by key ascending — the cut is deterministic") {
+    val tied = Seq(("z", 1L, 5.0), ("a", 1L, 5.0), ("m", 1L, 5.0))
+      .toDF("series", "bucket_ts", "value")
+    val keep = SeriesAnalytics.topN(tied, Seq("series"), 2)
+      .select("series").as[String].collect().sorted
+    assert(keep.toSeq === Seq("a", "m"))
+  }
+
+  test("binary: intersection join semantics; divide drops zero denominators") {
+    val l = Seq(("u1", 10L, 6.0), ("u1", 20L, 8.0), ("u2", 10L, 9.0))
+      .toDF("k", "bucket_ts", "value")
+    val r = Seq(("u1", 10L, 2.0), ("u1", 20L, 0.0), ("u3", 10L, 7.0))
+      .toDF("k", "bucket_ts", "value")
+    val div = SeriesAnalytics.binary(l, r, Seq("k"), "divide")
+      .select("k", "bucket_ts", "value").as[(String, Long, Double)].collect()
+    // u1@20 drops (zero denominator); u2/u3 drop (no intersection)
+    assert(div.toSeq === Seq(("u1", 10L, 3.0)))
+    val sub = SeriesAnalytics.binary(l, r, Seq("k"), "subtract")
+      .select("value").as[Double].collect().sorted
+    assert(sub.toSeq === Seq(4.0, 8.0))
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.binary(l, r, Seq("k"), "modulo")
+    }
+  }
+
+  test("plan shapes: partitioned window (never a global sort); ranked cut is " +
+      "TakeOrderedAndProject; winners broadcast onto the bucket rows") {
+    // parquet-backed input so optimizer rewrites can't hide the shapes
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("source").as("series"), (col("doc_id") % 7).as("bucket_ts"),
+        col("n_chars").cast("double").as("value"))
+    val pSlide = SeriesAnalytics.sliding(docs, Seq(col("series")), 3, "avg")
+      .queryExecution.executedPlan.toString
+    assert(pSlide.contains("Window") && !pSlide.contains("SinglePartition"),
+      s"sliding window must partition by the series key:\n$pSlide")
+    val pTop = SeriesAnalytics.topN(docs, Seq("series"), 5)
+      .queryExecution.executedPlan.toString
+    assert(pTop.contains("TakeOrderedAndProject"),
+      s"ranked cut must be a local-top-n, not a global sort:\n$pTop")
+    assert(pTop.contains("BroadcastHashJoin"),
+      s"the n-row winner table must broadcast:\n$pTop")
+  }
+}

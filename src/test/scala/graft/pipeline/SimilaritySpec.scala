@@ -332,4 +332,35 @@ class SimilaritySpec extends AnyFunSuite {
     labels.values.foreach(c => assert(labels(c) === c))
     pairs.unpersist(): Unit
   }
+
+  test("semanticDecontaminate: strongest leak per train vector, exact self-copies flagged at cos 1") {
+    val evalPred = col("vec_id") % 50 === 0
+    val flagged = Similarity.semanticDecontaminate(
+      emb.filter(!evalPred), Similarity.evalVectors(emb, evalPred), 0.3)
+    val rows = flagged.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // one row per flagged train vector (the argmax collapsed)
+    assert(rows.map(_._1).distinct.length === rows.length)
+    rows.foreach { case (vid, eid, c) =>
+      assert(vid % 50 != 0 && eid % 50 == 0 && c >= 0.3 && c <= 1.0)
+    }
+    // a planted verbatim copy of an eval vector is the contamination the
+    // operator exists to catch: flagged with cosine exactly 1.0
+    val planted = emb.filter(col("vec_id") === 0)
+      .withColumn("vec_id", lit(999983L))
+    val withLeak = Similarity.semanticDecontaminate(
+      emb.filter(!evalPred).unionByName(planted),
+      Similarity.evalVectors(emb, evalPred), 0.3)
+      .filter(col("vec_id") === 999983L).collect()
+    assert(withLeak.length === 1)
+    assert(withLeak.head.getLong(1) === 0L && withLeak.head.getDouble(2) === 1.0)
+    // an eval id outside the 40-bit packing range fails loudly — a
+    // silently dropped eval vector would silently weaken the scrub
+    val badEval = Similarity.evalVectors(emb, evalPred)
+      .withColumn("eval_id", col("eval_id") + lit(1L << 41))
+    val e = intercept[Exception] {
+      Similarity.semanticDecontaminate(emb.filter(!evalPred), badEval, 0.3).collect()
+    }
+    assert(e.getMessage.contains("40-bit"))
+  }
 }

@@ -106,6 +106,27 @@ class TsdbJsonSpec extends AnyFunSuite {
       explicitTags = true))
   }
 
+  test("analytic nodes: slidingWindow + topN parse; absent/null means none; bad configs raise") {
+    val q = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2,
+          "slidingWindow": {"buckets": 3, "aggregator": "avg"},
+          "topN": {"n": 5, "top": false}}""")
+    assert(q.slidingWindow === Some(SlidingWindowSpec(3, "avg")))
+    assert(q.topN === Some(TopNSpec(5, top = false)))
+    // "count" alias for n; top defaults to true (largest first)
+    val q2 = TsdbJson.parseQuery("""{"start": 1, "end": 2, "topN": {"count": 2}}""")
+    assert(q2.topN === Some(TopNSpec(2, top = true)))
+    val none = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2, "slidingWindow": null, "topN": null}""")
+    assert(none.slidingWindow.isEmpty && none.topN.isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": 1, "end": 2, "slidingWindow": {"aggregator": "avg"}}""")
+    }.getMessage.contains("buckets"))
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": 1, "end": 2, "topN": {"top": true}}""")
+    }.getMessage.contains("'n'"))
+  }
+
   test("events query JSON: range + text + namespace + dims") {
     val q = TsdbJson.parseEventsQuery(
       """{"start": 10, "end": 20, "query": "disk fail*",
