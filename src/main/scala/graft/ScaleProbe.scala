@@ -131,7 +131,11 @@ object ScaleProbe {
     "q_ds_runall", "q_rate", "q_rate_counter", "q_timeshift",
     "q_groupby", "q_groupby_all", "q_latest",
     "q_filter_literal", "q_filter_regex", "q_filter_semijoin",
-    "q_meta_metrics", "q_meta_basic", "q_json_full")
+    "q_meta_metrics", "q_meta_basic", "q_json_full",
+    // the post-aggregation analytic nodes: their input is the
+    // |series|×|buckets| aggregated frame, so their cost must track the
+    // downsample/group-by rows, never the fact rows
+    "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn")
 
   /** The doc/embedding-only queries (TSDB queries need the events table
    *  and are scale-proven by the lake's partition pruning instead). */
@@ -157,6 +161,9 @@ object ScaleProbe {
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
     "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq",
     "q_ann_ivfpq_residual", "q_ann_cluster_cap",
+    // constant-size eval suite broadcasts; cost must be linear in the
+    // corpus side (the whole point of the declared fixed-slice shape)
+    "q_pipeline_decontam_semantic",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are

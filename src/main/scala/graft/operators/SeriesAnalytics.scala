@@ -64,12 +64,18 @@ object SeriesAnalytics {
       valueCol: String = "value"): DataFrame = {
     require(n >= 1, s"topN needs n >= 1, got $n")
     require(keys.nonEmpty, "topN needs at least one series key column")
-    val totals = ds.groupBy(keys.map(col): _*)
+    // drop null-keyed rows UPFRONT (they cannot survive the inner join
+    // below). This also makes the two references to `ds` canonicalize
+    // identically — the join would otherwise push isnotnull onto only
+    // the streamed side — so AQE's exchange reuse dedupes the shared
+    // scan→aggregate prefix instead of computing the input twice.
+    val clean = ds.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+    val totals = clean.groupBy(keys.map(col): _*)
       .agg(round(sum(col(valueCol)), 4).as("series_total"))
     val rankOrd = (if (top) col("series_total").desc else col("series_total").asc) +:
       keys.map(col(_).asc)
     val winners = totals.orderBy(rankOrd: _*).limit(n)
-    ds.join(broadcast(winners), keys)
+    clean.join(broadcast(winners), keys)
   }
 
   /** Cross-query binary expression (the upstream TSDB 3.x expression

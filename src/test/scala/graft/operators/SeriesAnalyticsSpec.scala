@@ -82,19 +82,28 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
 
   test("plan shapes: partitioned window (never a global sort); ranked cut is " +
       "TakeOrderedAndProject; winners broadcast onto the bucket rows") {
-    // parquet-backed input so optimizer rewrites can't hide the shapes
+    // parquet-backed AGGREGATED input (the operators' contract shape) so
+    // optimizer rewrites can't hide the plan shapes
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("source").as("series"), (col("doc_id") % 7).as("bucket_ts"),
-        col("n_chars").cast("double").as("value"))
+      .groupBy(col("source").as("series"), (col("doc_id") % 7).as("bucket_ts"))
+      .agg(sum(col("n_chars")).cast("double").as("value"))
     val pSlide = SeriesAnalytics.sliding(docs, Seq(col("series")), 3, "avg")
       .queryExecution.executedPlan.toString
     assert(pSlide.contains("Window") && !pSlide.contains("SinglePartition"),
       s"sliding window must partition by the series key:\n$pSlide")
-    val pTop = SeriesAnalytics.topN(docs, Seq("series"), 5)
-      .queryExecution.executedPlan.toString
+    val top = SeriesAnalytics.topN(docs, Seq("series"), 5)
+    val pTop = top.queryExecution.executedPlan.toString
     assert(pTop.contains("TakeOrderedAndProject"),
       s"ranked cut must be a local-top-n, not a global sort:\n$pTop")
     assert(pTop.contains("BroadcastHashJoin"),
       s"the n-row winner table must broadcast:\n$pTop")
+    // topN references its input twice (totals + output join). The two
+    // branches share an identical scan→partial-agg→Exchange prefix, so
+    // AQE MUST reuse the exchange at runtime — the input is scanned
+    // once, not twice (at 100 TB the double scan would double the query)
+    top.collect()
+    val executed = top.queryExecution.executedPlan.toString
+    assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
+      s"AQE exchange reuse must dedupe the double input reference:\n$executed")
   }
 }
