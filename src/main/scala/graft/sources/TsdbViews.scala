@@ -21,11 +21,15 @@ object TsdbViews {
 
   /** Epoch seconds from a timestamp-ish column: TIMESTAMP → floor-seconds
    *  cast; LongType (parquet TIMESTAMP(NANOS) read via nanosAsLong) →
-   *  exact integer division. */
+   *  exact integer division; TIMESTAMP_NTZ (naive `timestamp[us]` read by
+   *  a session without GraftSession's inferTimestampNTZ=false) → cast
+   *  through LTZ first (session tz is UTC, so the naive datetime IS the
+   *  UTC instant — the direct NTZ→numeric cast is disallowed). */
   def toEpochSeconds(df: DataFrame, colName: String): Column = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     df.schema(colName).dataType match {
       case LongType => expr(s"$colName DIV 1000000000")
+      case TimestampNTZType => col(colName).cast("timestamp").cast("long")
       case _ => col(colName).cast("long")
     }
   }
