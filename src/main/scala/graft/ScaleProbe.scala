@@ -37,11 +37,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    (the same boilerplate-shingle defense the operator documents) is
  *    the production path on high-collision corpora.
  *
- *  - q_text_bigram_lm's decade-2 ratio is single-JVM spill, not plan
- *    cost: the per-doc lead() window sorts ~75M token rows in 32
- *    local partitions at the 500k point (its 10× ratio is ~2×, and a
- *    cluster simply widens partitions; the all-head broadcast guard in
- *    zipfHeadJoin already removed the avoidable fact shuffles).
+ *  - q_text_bigram_lm's decade-2 pressure was the per-doc lead()
+ *    window sorting ~75M token rows at the 500k point; the
+ *    slice/arrays_zip n-gram projection (TextAnalysis.ngramStructs)
+ *    removed that sort entirely — measured 76.9 s → 46.3 s at 500k
+ *    (r100 39× → 13×, r10 1.75× → 1.15×), p_dedup_minhash_capped
+ *    24.6 s → 18.5 s, identical output rows. The projection pays
+ *    ~1.3× more per-row byte copying at sf0.1 (slices copy
+ *    UnsafeArrayData string bytes) — the right trade: CPU scales out,
+ *    a per-key sort's spill does not.
  *
  * Three-point mode (`--xl`, BENCH_SCALE3.json) adds a 500k-doc decade
  * for the production-path family. Measured note: p_dedup_minhash_capped

@@ -45,27 +45,27 @@ object Dedup {
   }
 
   /** One row per distinct (doc_id, trigram shingle), built relationally:
-   *  codegen'd split → posexplode → lead() window → distinct. The
-   *  HOF-array alternative (transform + explode) drops the generator out
-   *  of whole-stage codegen and evaluates interpreted per row — measured
-   *  ~10× slower at bench scale. */
+   *  codegen'd split → slice/arrays_zip trigram projection
+   *  ([[TextAnalysis.ngramStructs]]) → explode → distinct. Slice and
+   *  ArraysZip are codegen'd, so the whole construction is one map over
+   *  the scan with NO exchange and NO sort — the old lead()-window shape
+   *  shuffled and sorted the entire token table by (doc, pos) before
+   *  the distinct. (The HOF-array alternative — transform + explode —
+   *  drops the generator out of whole-stage codegen and evaluates
+   *  interpreted per row: measured ~10× slower at bench scale.) */
   def shingleRows(docs: DataFrame): DataFrame = shingleRowsKeeping(docs, Nil)
 
   /** As [[shingleRows]], carrying extra per-DOC columns through (free:
-   *  the window already partitions by doc_id, and per-doc columns don't
-   *  change the distinct) — callers that need a doc attribute alongside
-   *  each shingle avoid a join back to the doc table. */
+   *  per-doc columns don't change the distinct) — callers that need a
+   *  doc attribute alongside each shingle avoid a join back to the doc
+   *  table. */
   def shingleRowsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val kept = keep.map(col)
     docs
-      .select(col("doc_id") +: kept :+ posexplode(TextAnalysis.tokens(col("text"))): _*)
-      .withColumn("__t1", lead(col("col"), 1).over(w))
-      .withColumn("__t2", lead(col("col"), 2).over(w))
-      .filter(col("__t2").isNotNull) // doc has ≥ 3 tokens and window is full
       .select(col("doc_id") +: kept :+
-        concat_ws(" ", col("col"), col("__t1"), col("__t2")).as("s"): _*)
+        explode(TextAnalysis.ngramStructs(col("text"), 3)).as("g"): _*)
+      .select(col("doc_id") +: kept :+
+        concat_ws(" ", col("g.w0"), col("g.w1"), col("g.w2")).as("s"): _*)
       .distinct()
   }
 

@@ -39,6 +39,26 @@ object TextAnalysis {
   def tokenTable(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
 
+  /** Array of consecutive word n-grams of the text, each as a struct
+   *  with fields `w0 … w(n-1)`, built from `n` aligned slices of the
+   *  token array zipped elementwise. Both `Slice` and `ArraysZip` are
+   *  codegen'd expressions (verified against the Spark 4.1.2 jars —
+   *  unlike higher-order `transform`, which drops the whole projection
+   *  to interpreted eval and measured ~10× slower at bench scale), so
+   *  a caller's `explode` of this column emits n-gram rows inside ONE
+   *  WholeStageCodegen span with NO exchange and NO sort. The
+   *  `posexplode → lead().over(window)` shape this replaces shuffled
+   *  and sorted the entire token table by (doc, pos) — the dominant
+   *  cost of every shingle consumer at the 500k-doc probe point
+   *  (BENCH_SCALE3's q_text_bigram_lm spill note). Docs with fewer
+   *  than n tokens yield an empty array (the explode drops them),
+   *  matching the old full-window isNotNull filter. */
+  def ngramStructs(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val len = greatest(size(t) - (n - 1), lit(0))
+    arrays_zip((0 until n).map(i => slice(t, lit(i + 1), len).as(s"w$i")): _*)
+  }
+
   /** Token-level aggregates per document (single hash aggregate). */
   private def tokenAggs(docs: DataFrame): DataFrame =
     tokenTable(docs)
@@ -254,20 +274,18 @@ object TextAnalysis {
    *  unigram scoring (all-common words, nonsense order) scores low
    *  here; docs with < 2 tokens have no bigrams and drop out.
    *
-   *  Scale shape: bigrams come from the same posexplode + lead window
-   *  as shingles; BOTH stat joins (doc-bigrams × corpus-bigrams keyed
-   *  "w₁ w₂", then × first-word totals keyed w₁) go through
-   *  [[zipfHeadJoin]] — bigram frequencies are as Zipfian as unigrams,
-   *  and the dim sides reuse their own aggregation shuffles, so AQE's
-   *  skew rule cannot fire; the hot head broadcasts instead. */
+   *  Scale shape: bigram rows come from the shuffle-free
+   *  [[ngramStructs]] projection (no token-table window sort — that
+   *  sort was the measured 500k-doc spill in BENCH_SCALE3); BOTH stat
+   *  joins (doc-bigrams × corpus-bigrams keyed "w₁ w₂", then ×
+   *  first-word totals keyed w₁) go through [[zipfHeadJoin]] — bigram
+   *  frequencies are as Zipfian as unigrams, and the dim sides reuse
+   *  their own aggregation shuffles, so AQE's skew rule cannot fire;
+   *  the hot head broadcasts instead. */
   def bigramLogProb(docs: DataFrame, hotN: Int = 1024): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
     val pairs = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .withColumn("__w2", lead(col("col"), 1).over(w))
-      .filter(col("__w2").isNotNull)
-      .select(col("doc_id"), col("col").as("w1"), col("__w2").as("w2"))
+      .select(col("doc_id"), explode(ngramStructs(col("text"), 2)).as("g"))
+      .select(col("doc_id"), col("g.w0").as("w1"), col("g.w1").as("w2"))
     val dc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
@@ -423,22 +441,18 @@ object TextAnalysis {
   /** Winnowing-style fingerprint: base-31 rolling hash over windows of
    *  [[HashConstants.FpWindow]] token hashes; the document fingerprint is
    *  the minimum window hash (plus the distinct-window count).
-   *  posexplode → codegen'd md5 per token → lead() window over token
-   *  position → min/countDistinct aggregate; docs with fewer than
-   *  FpWindow tokens produce no windows and drop out, matching the
-   *  n ≥ FpWindow filter. */
+   *  [[ngramStructs]] emits each FpWindow-gram shuffle-free; the hash of
+   *  every gram member is a codegen'd md5 on the exploded row (each token
+   *  is hashed up to FpWindow times — trading ≤ 5 cheap md5s for the
+   *  token-table exchange + sort the lead() window paid); docs with
+   *  fewer than FpWindow tokens produce no windows and drop out. */
   def fingerprint(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hashed = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), baseHash(col("col")).as("h"))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val wh = FpWeights.zipWithIndex.map { case (wt, j) =>
-      (if (j == 0) col("h") else lead(col("h"), j).over(w)) * lit(wt)
+      baseHash(col(s"g.w$j")) * lit(wt)
     }.reduce(_ + _) % lit(P)
-    hashed
-      .withColumn("__wh", wh)
-      .filter(col("__wh").isNotNull) // tail positions lack a full window
+    docs
+      .select(col("doc_id"), explode(ngramStructs(col("text"), FpWindow)).as("g"))
+      .select(col("doc_id"), wh.as("__wh"))
       .groupBy(col("doc_id"))
       .agg(min(col("__wh")).as("min_fp"),
         countDistinct(col("__wh")).as("n_distinct_fp"))
