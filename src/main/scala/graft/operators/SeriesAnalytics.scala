@@ -78,6 +78,52 @@ object SeriesAnalytics {
     clean.join(broadcast(winners), keys)
   }
 
+  /** Summarizer node (upstream TSDB 3.x `SummarizerConfig`): collapse
+   *  each series/group's bucket rows to ONE summary row carrying the
+   *  requested summary columns. Runs last in the node chain — its
+   *  output has no time axis. One hash aggregate over already-aggregated
+   *  rows (|series| rows out); FP summaries snap to 4 decimals (the
+   *  engine's replayable-sum discipline), count stays exact, first/last
+   *  pick by bucket_ts via min_by/max_by (bucket_ts is unique per
+   *  series, so the pick is deterministic). */
+  def summarize(ds: DataFrame, keys: Seq[String], aggs: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "summarize needs at least one series key column")
+    require(aggs.nonEmpty, "summarize needs at least one summary aggregator")
+    val exprs = aggs.map {
+      // avg is defined as round4(sum)/n so both engines divide identical
+      // doubles (the q_ds_avg discipline — a raw distributed avg can land
+      // on opposite sides of the 4-decimal boundary per engine)
+      case "avg" => round(round(sum(col("value")), 4) / count(col("value")), 4).as("avg_value")
+      case "sum" | "zimsum" => round(sum(col("value")), 4).as("sum_value")
+      case "min" | "mimmin" => round(min(col("value")), 4).as("min_value")
+      case "max" | "mimmax" => round(max(col("value")), 4).as("max_value")
+      case "count" => count(col("value")).as("n_buckets")
+      case "first" => round(min_by(col("value"), col("bucket_ts")), 4).as("first_value")
+      case "last" => round(max_by(col("value"), col("bucket_ts")), 4).as("last_value")
+      case other => throw new IllegalArgumentException(s"unknown summarizer agg: $other")
+    }
+    ds.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)
+  }
+
+  /** Ratio node (upstream TSDB 3.x `RatioConfig`): each series' value
+   *  becomes its share of the per-bucket total across ALL series in the
+   *  result set (×100 when `asPercent`). Totals are one hash aggregate
+   *  (|buckets| rows — tiny at any scale) that BROADCASTS back onto the
+   *  bucket rows, so the series frame is never shuffled by this node;
+   *  the two references to `ds` share one exchange via AQE reuse (the
+   *  [[topN]] pattern). The total snaps to 4 decimals before the
+   *  division so both engines divide identical doubles; zero-total
+   *  buckets drop (no infinities), mirroring [[binary]]'s divide. */
+  def ratio(ds: DataFrame, asPercent: Boolean = true): DataFrame = {
+    val totals = ds.groupBy(col("bucket_ts"))
+      .agg(round(sum(col("value")), 4).as("__tot"))
+      .filter(col("__tot") =!= 0)
+    val scale = if (asPercent) lit(100.0) else lit(1.0)
+    ds.join(broadcast(totals), "bucket_ts")
+      .withColumn("value", col("value") * scale / col("__tot"))
+      .drop("__tot")
+  }
+
   /** Cross-query binary expression (the upstream TSDB 3.x expression
    *  node): join two aggregated result sets on their common series keys
    *  + bucket and combine the values arithmetically. The join is the

@@ -426,6 +426,43 @@ object TsdbQueries {
       run(s, d, TsdbJson.parseQuery(json))
         .select(col("host").as("tag_host"), col("bucket_ts"),
           round(col("value"), 4).as("value"))
+    },
+
+    // Summarizer node (terminal): per-user daily totals collapse to one
+    // summary row per user — avg/max over the bucket values, the bucket
+    // count, and the last bucket's value (max_by over the unique
+    // bucket_ts). FP summaries snap to 4 decimals inside the node.
+    "q_summarizer" -> ((s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+        summarizer = Some(SummarizerSpec(Seq("avg", "max", "count", "last")))))
+        .select(col("user").as("tag_user"), col("avg_value"), col("max_value"),
+          col("n_buckets"), col("last_value"))),
+
+    // Ratio node: each user's share (%) of the all-user total per day.
+    // The per-bucket total snaps to 4 decimals before the division
+    // (broadcast back onto the series rows); surface rounds the quotient.
+    "q_expr_percent" -> ((s, d) =>
+      run(s, d, TsdbQuery(MetricLiteral(Seq("click")), Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+        ratio = Some(RatioSpec())))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("pct"))),
+
+    // Summarizer through the JSON front end — same plan as q_summarizer,
+    // same oracle verbatim.
+    "q_json_summarizer" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "summarizer": {"summaries": ["avg", "max", "count", "last"]}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("avg_value"), col("max_value"),
+          col("n_buckets"), col("last_value"))
     }
   )
 
@@ -738,7 +775,28 @@ object TsdbQueries {
          |top AS (SELECT * FROM tot
          |        QUALIFY row_number() OVER (ORDER BY series_total DESC, tag_host ASC) <= 2)
          |SELECT s.tag_host, s.bucket_ts, ${rnd("s.mv")} AS mov_avg, t.series_total
-         |FROM sl s JOIN top t USING (tag_host)""".stripMargin
+         |FROM sl s JOIN top t USING (tag_host)""".stripMargin,
+
+    "q_summarizer" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts, sum(value) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2)
+         |SELECT tag_user, ${rnd(rnd("sum(v)") + " / count(v)")} AS avg_value, ${rnd("max(v)")} AS max_value,
+         |       count(v) AS n_buckets, ${rnd("max_by(v, bucket_ts)")} AS last_value
+         |FROM ds GROUP BY 1""".stripMargin,
+
+    "q_expr_percent" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts, sum(value) AS v
+         |  FROM dedup WHERE ${inRange()} AND metric = 'click'
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT bucket_ts, ${rnd("sum(v)")} AS t FROM ds GROUP BY 1)
+         |SELECT d.tag_user, d.bucket_ts, ${rnd("d.v * 100 / t.t")} AS pct
+         |FROM ds d JOIN tot t USING (bucket_ts)
+         |WHERE t.t <> 0""".stripMargin
   )
 
   // JSON front-end replays: selections are identical to the direct-ADT
@@ -746,5 +804,6 @@ object TsdbQueries {
   // between the JSON parser and the ADT shows up as a hash mismatch
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
-    "q_json_full" -> oraclesBase("q_full_pipeline"))
+    "q_json_full" -> oraclesBase("q_full_pipeline"),
+    "q_json_summarizer" -> oraclesBase("q_summarizer"))
 }

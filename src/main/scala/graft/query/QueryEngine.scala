@@ -277,8 +277,14 @@ object QueryEngine {
     df = q.slidingWindow.map(sw =>
       graft.operators.SeriesAnalytics.sliding(df, seriesKeys.map(col), sw.buckets, sw.agg))
       .getOrElse(df)
+    df = q.ratio.map(r =>
+      graft.operators.SeriesAnalytics.ratio(df, r.asPercent))
+      .getOrElse(df)
     df = q.topN.map(t =>
       graft.operators.SeriesAnalytics.topN(df, seriesKeys, t.n, t.top))
+      .getOrElse(df)
+    df = q.summarizer.map(sm =>
+      graft.operators.SeriesAnalytics.summarize(df, seriesKeys, sm.aggs))
       .getOrElse(df)
     df
   }

@@ -158,6 +158,17 @@ object TsdbJson {
       require(cnt.isDefined, s"topN needs 'n': $t")
       TopNSpec(n = cnt.get.asInt, top = Option(t.get("top")).filter(!_.isNull).forall(_.asBoolean))
     }
+    val rt = Option(n.get("ratio")).filter(!_.isNull).map { r =>
+      RatioSpec(asPercent =
+        Option(r.get("asPercent")).filter(!_.isNull).forall(_.asBoolean))
+    }
+    val sm = Option(n.get("summarizer")).filter(!_.isNull).map { s0 =>
+      val aggs = Option(s0.get("summaries")).filter(!_.isNull)
+        .map(_.elements.asScala.map(_.asText).toSeq)
+        .orElse(Option(s0.get("aggregator")).filter(!_.isNull).map(a => Seq(a.asText)))
+      require(aggs.exists(_.nonEmpty), s"summarizer needs 'summaries' or 'aggregator': $s0")
+      SummarizerSpec(aggs.get)
+    }
     TsdbQuery(
       filter = pf.filter,
       start = n.get("start").asLong,
@@ -168,7 +179,9 @@ object TsdbJson {
       shift = Option(n.get("timeShift")).map(_.asText),
       explicitTags = pf.explicitTags,
       slidingWindow = sw,
-      topN = tn)
+      ratio = rt,
+      topN = tn,
+      summarizer = sm)
   }
 
   /** Parse an events query document — the events domain's counterpart

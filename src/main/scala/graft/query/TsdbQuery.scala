@@ -52,6 +52,16 @@ final case class SlidingWindowSpec(buckets: Int, agg: String)
  *  keep the `n` largest (`top = false`: smallest). */
 final case class TopNSpec(n: Int, top: Boolean = true)
 
+/** Per-bucket share-of-total (the upstream TSDB 3.x ratio query node):
+ *  each series' value over the bucket's all-series total, ×100 when
+ *  `asPercent`. */
+final case class RatioSpec(asPercent: Boolean = true)
+
+/** Terminal per-series summary (the upstream TSDB 3.x summarizer node):
+ *  collapse each series' buckets to one row of summary columns
+ *  (avg/sum/min/max/count/first/last). */
+final case class SummarizerSpec(aggs: Seq[String])
+
 final case class TsdbQuery(
     filter: SeriesFilter,
     start: Long, // [start, end) in epoch seconds
@@ -62,4 +72,6 @@ final case class TsdbQuery(
     shift: Option[String] = None, // evaluate shifted back in time, map ts forward (reference AuraMetricsQueryNode.java:137-148)
     explicitTags: Boolean = false,
     slidingWindow: Option[SlidingWindowSpec] = None, // applied above downsample/groupBy
-    topN: Option[TopNSpec] = None) // applied last
+    ratio: Option[RatioSpec] = None, // applied above slidingWindow output
+    topN: Option[TopNSpec] = None, // applied above ratio
+    summarizer: Option[SummarizerSpec] = None) // terminal: collapses the time axis

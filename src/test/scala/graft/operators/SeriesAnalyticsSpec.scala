@@ -80,6 +80,52 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("summarize: one row per series with the requested summary columns; first/last by bucket order") {
+    val out = SeriesAnalytics.summarize(agg, Seq("series"),
+      Seq("avg", "sum", "min", "max", "count", "first", "last"))
+    assert(out.columns.toSeq === Seq("series", "avg_value", "sum_value", "min_value",
+      "max_value", "n_buckets", "first_value", "last_value"))
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getDouble(1) === 2.5 && a.getDouble(2) === 10.0 && a.getDouble(3) === 1.0)
+    assert(a.getDouble(4) === 4.0 && a.getLong(5) === 4L)
+    assert(a.getDouble(6) === 1.0 && a.getDouble(7) === 4.0) // first@10, last@40
+    val b = rows("b")
+    assert(b.getLong(5) === 3L && b.getDouble(7) === 40.0) // gap doesn't break last
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.summarize(agg, Seq("series"), Seq("median"))
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.summarize(agg, Seq("series"), Nil)
+    }
+  }
+
+  test("ratio: per-bucket share of the all-series total; zero-total buckets drop") {
+    val withZero = agg.union(Seq(("c", 50L, 5.0), ("d", 50L, -5.0)).toDF("series", "bucket_ts", "value"))
+    val out = SeriesAnalytics.ratio(withZero, asPercent = true)
+      .select("series", "bucket_ts", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._2, r._1))
+    // bucket 10 total = 11 → a: 100/11, b: 1000/11; bucket 50 total = 0 → dropped
+    assert(!out.exists(_._2 == 50L), "zero-total bucket must drop, not emit infinities")
+    val b10 = out.filter(_._2 == 10L).map(r => r._1 -> r._3).toMap
+    assert(math.abs(b10("a") - 100.0 / 11) < 1e-12 && math.abs(b10("b") - 1000.0 / 11) < 1e-12)
+    // asPercent = false: shares sum to 1 per surviving bucket
+    val shares = SeriesAnalytics.ratio(agg, asPercent = false)
+      .groupBy("bucket_ts").agg(sum("value").as("s"))
+      .select("s").as[Double].collect()
+    shares.foreach(s => assert(math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("ratio plan: the per-bucket total broadcasts back (no series-frame shuffle)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .groupBy(col("source").as("series"), (col("doc_id") % 7).as("bucket_ts"))
+      .agg(sum(col("n_chars")).cast("double").as("value"))
+    val r = SeriesAnalytics.ratio(docs)
+    val plan = r.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bucket totals must broadcast onto the series rows:\n$plan")
+  }
+
   test("plan shapes: partitioned window (never a global sort); ranked cut is " +
       "TakeOrderedAndProject; winners broadcast onto the bucket rows") {
     // parquet-backed AGGREGATED input (the operators' contract shape) so

@@ -127,6 +127,26 @@ class TsdbJsonSpec extends AnyFunSuite {
     }.getMessage.contains("'n'"))
   }
 
+  test("analytic nodes: ratio + summarizer parse; summaries list or single aggregator; bad configs raise") {
+    val q = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2,
+          "ratio": {"asPercent": false},
+          "summarizer": {"summaries": ["avg", "max", "count"]}}""")
+    assert(q.ratio === Some(RatioSpec(asPercent = false)))
+    assert(q.summarizer === Some(SummarizerSpec(Seq("avg", "max", "count"))))
+    // asPercent defaults true; single-aggregator form
+    val q2 = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2, "ratio": {}, "summarizer": {"aggregator": "last"}}""")
+    assert(q2.ratio === Some(RatioSpec(asPercent = true)))
+    assert(q2.summarizer === Some(SummarizerSpec(Seq("last"))))
+    val none = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2, "ratio": null, "summarizer": null}""")
+    assert(none.ratio.isEmpty && none.summarizer.isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": 1, "end": 2, "summarizer": {}}""")
+    }.getMessage.contains("summarizer"))
+  }
+
   test("events query JSON: range + text + namespace + dims") {
     val q = TsdbJson.parseEventsQuery(
       """{"start": 10, "end": 20, "query": "disk fail*",
