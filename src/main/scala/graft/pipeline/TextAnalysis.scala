@@ -377,6 +377,60 @@ object TextAnalysis {
         round(col("__tfidf"), 4).as("tfidf"))
   }
 
+  /** Okapi BM25 top-k retrieval: for each query document, the `k`
+   *  best-matching corpus documents under BM25(k1, b) — the
+   *  quality-targeted retrieval / candidate-mining primitive of a
+   *  training-data pipeline (and the classic lexical baseline next to
+   *  the embedding ANN family).
+   *
+   *  Relational shape, built for a bounded query batch over an
+   *  unbounded corpus: tf is one hash aggregate over the token table;
+   *  doc lengths derive from tf (sharing its exchange); the query
+   *  term set BROADCASTS onto tf (the fact side is never shuffled by
+   *  a token key for the restriction), so the surviving rows are just
+   *  the query terms' postings; document frequencies then attach via
+   *  [[zipfHeadJoin]] (a hot query term like "the" matches every doc —
+   *  exactly the Zipf skew the head broadcast absorbs). One aggregate
+   *  per (query, doc) sums the per-term scores, and the top-k rank
+   *  filter compiles to WindowGroupLimit (local top-k before the
+   *  shuffle).
+   *
+   *  FP discipline: every input (tf, df, dl, N, Σdl) is an exact
+   *  integer, so each per-term score is an identical double in both
+   *  engines (ln carries the accepted 1-ulp libm caveat); the
+   *  per-(query, doc) SUM is order-dependent, so ranking runs on the
+   *  4-decimal-rounded sum with doc_id tiebreak — deterministic and
+   *  replayable. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75, hotVocab: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+    val tf = tokenTable(docs).groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
+    val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))
+    val qterms = queries
+      .select(col("query_id"), explode(tokens(col("text"))).as("tk")).distinct()
+    val avgdl = col("__toks").cast("double") / col("__n").cast("double")
+    val idf = log(
+      (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val wTf = col("tf").cast("double") * lit(k1 + 1) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = zipfHeadJoin(tf.join(broadcast(qterms), "tk"), dfreq, col("df"), hotVocab)
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(idf * wTf), 4).as("score"))
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
   /** PII patterns — the format-level scrub classes a pretraining
    *  pipeline redacts before training. Deliberately restricted to
    *  syntax BOTH engines' regex dialects (Java `j.u.regex`, RE2)

@@ -211,6 +211,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logprob2"), 4).as("avg_logprob2"))
     },
+    // Okapi BM25 retrieval: every 211th document queries the corpus for
+    // its 5 best lexical matches (self-retrieval lands on top — the
+    // classic sanity property, asserted in the spec). Ranking is on the
+    // rounded score with doc_id tiebreak, so the cut replays exactly.
+    "q_text_bm25" -> { (s, d) =>
+      val dd = docs(s, d)
+      TextAnalysis.bm25TopK(dd,
+        dd.filter(col("doc_id") % 211 === 0)
+          .select(col("doc_id").as("query_id"), col("text")), 5)
+    },
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
     "q_text_fingerprint" -> ((s, d) => TextAnalysis.fingerprint(docs(s, d))),
@@ -679,6 +689,32 @@ object PipelineQueries {
          |       row_number() OVER (PARTITION BY hh % 8
          |         ORDER BY hh ASC, doc_id ASC) AS pos
          |FROM h""".stripMargin,
+
+    "q_text_bm25" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |dc AS (SELECT doc_id, tk, count(*) AS tf FROM u GROUP BY 1, 2),
+         |dln AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dc GROUP BY 1),
+         |dfq AS (SELECT tk, count(*) AS df FROM dc GROUP BY 1),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS toks FROM dln),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS tk FROM toks WHERE doc_id % 211 = 0),
+         |sc AS (
+         |  SELECT q.query_id, dc.doc_id,
+         |         sum(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |             * ((CAST(tf AS DOUBLE) * ${1.2 + 1}) /
+         |                (CAST(tf AS DOUBLE) + 1.2 * (${1 - 0.75} + 0.75 * CAST(dl AS DOUBLE) /
+         |                   (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+         |  FROM dc
+         |  JOIN q USING (tk)
+         |  JOIN dfq USING (tk)
+         |  JOIN dln USING (doc_id), c
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, doc_id, score FROM (
+         |  SELECT query_id, doc_id, ${rnd("score")} AS score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY ${rnd("score")} DESC, doc_id ASC) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5""".stripMargin,
 
     "q_text_keywords" ->
       s"""WITH $toksCte,

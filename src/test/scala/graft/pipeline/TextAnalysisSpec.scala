@@ -146,6 +146,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25TopK: closed form for a one-term query; self-retrieval tops; k caps; absent terms drop") {
+    val s = spark
+    import s.implicits._
+    val docs = corpus(
+      1L -> "zebra zebra stripes",     // tf(zebra)=2, dl=3
+      2L -> "zebra plains",            // tf(zebra)=1, dl=2
+      3L -> "common words only here",  // no zebra, dl=4
+      4L -> "common words too")        // dl=3
+    val queries = Seq((100L, "zebra unseen")).toDF("query_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, queries, 5).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    // only docs containing 'zebra' match ('unseen' has no postings)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L))
+    // closed form, doc 1: N=4, df=2, dl=3, avgdl=3 →
+    // idf = ln((4-2+0.5)/(2+0.5)+1), w = 2*2.2/(2+1.2*(0.25+0.75*3/3))
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    val w1 = 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0))
+    assert(math.abs(out.head.getAs[Double]("score") -
+      BigDecimal(idf * w1).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // self-retrieval: a query that IS a corpus doc ranks itself first
+    val self = TextAnalysis.bm25TopK(docs,
+      docs.filter(col("doc_id") === 3L).select(col("doc_id").as("query_id"), col("text")), 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(self.head.getAs[Long]("doc_id") === 3L)
+    // k caps the per-query output
+    assert(TextAnalysis.bm25TopK(docs, queries, 1).count() === 1)
+  }
+
   test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {
     val docs = corpus(
       0L -> "alpha beta gamma delta",          // eval: 2 distinct shingles
