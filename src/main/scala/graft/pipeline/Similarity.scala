@@ -55,6 +55,31 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "sim")
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+   *  vector, the `k` nearest corpus vectors carrying a DIFFERENT label —
+   *  the near-miss examples an embedding model trains against. Same
+   *  exhaustive-baseline contract as [[bruteForceTopK]] (bounded query
+   *  batch broadcast over the corpus scan, ranked on 4-decimal-rounded
+   *  cosine with vec_id tiebreak); the label inequality rides the join
+   *  condition, so same-label rows never reach the ranking window. For
+   *  the constant-k ANN scale path, assign cells with
+   *  [[ivfAssignWith]] and apply the same label-mismatch rank inside
+   *  each probed cell. */
+  def hardNegatives(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val queries = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        asDouble(col("embedding")).as("q_vec"))
+    val corpus = emb.select(col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
+    val sim = round(cosine(col("q_vec"), col("vec")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    corpus.join(broadcast(queries), col("label") =!= col("q_label"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "label", "sim")
+  }
+
   /** Per-group embedding centroids (mean pooling): one (group, dim,
    *  value) row per centroid component, plus the member count — class
    *  prototypes / per-domain anchor vectors. posexplode → one hash

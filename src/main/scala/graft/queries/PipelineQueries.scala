@@ -260,6 +260,10 @@ object PipelineQueries {
       Corpus.qualityBuckets(docs(s, d), 333, 333)),
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), col("vec_id") % 50 === 0, 5)),
+    // contrastive hard negatives: nearest neighbors whose label differs
+    // from the query's — the near-miss training examples
+    "q_ann_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(emb(s, d), col("vec_id") % 50 === 0, 5)),
     "q_ann_buckets" -> ((s, d) =>
       Similarity.buckets(emb(s, d)).groupBy("bucket").agg(count(lit(1)).as("n_vecs"))),
     "q_ann_lsh" -> ((s, d) =>
@@ -883,6 +887,16 @@ object PipelineQueries {
          |pairs AS (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
          |          FROM q, e WHERE vec_id != q_id)
          |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM pairs)
+         |WHERE rank <= 5""".stripMargin,
+
+    "q_ann_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id % 50 = 0),
+         |pairs AS (SELECT q_id, vec_id, label, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM q, e WHERE label != q_label)
+         |SELECT q_id, rank, vec_id, label, sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 5""".stripMargin,

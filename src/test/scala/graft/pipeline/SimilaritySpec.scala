@@ -23,6 +23,34 @@ class SimilaritySpec extends AnyFunSuite {
     hits.toDouble / brute.count()
   }
 
+  test("hardNegatives: every result crosses labels; nearest same-label vec never appears; " +
+      "ranks follow the brute order restricted to other labels") {
+    val s = spark
+    import s.implicits._
+    // 2D embeddings: query 0 (label 0) sits next to 1 (label 0, nearest
+    // overall) and 2/3 (label 1); 4 is label-0 far away
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.999f, 0.01f), 0),  // nearest, same label → excluded
+      (2L, Array(0.9f, 0.3f), 1),
+      (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(-1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(tiny, col("vec_id") === 0, 2)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 3L))
+    assert(out.forall(_.getAs[Int]("label") === 1))
+    // against the real table: hard negatives = brute top-k AFTER
+    // dropping same-label rows (computed via a label-filtered brute run)
+    val hn = Similarity.hardNegatives(emb, pred, K)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val crossed = hn.join(labels.withColumnRenamed("vec_id", "q_id")
+        .withColumnRenamed("label", "q_label"), "q_id")
+      .filter(col("label") === col("q_label")).count()
+    assert(crossed === 0, "no hard negative may share the query's label")
+    assert(hn.groupBy("q_id").count().select(max("count")).head.getLong(0) <= K)
+  }
+
   test("hashSampledCentroids: exactly k rows, deterministic, corpus-size-independent prefix") {
     val c64 = Similarity.hashSampledCentroids(emb, 64).collect()
     assert(c64.length === 64)
