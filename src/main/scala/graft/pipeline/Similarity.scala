@@ -522,8 +522,11 @@ object Similarity {
    *  (≤ 1.1e12 ids) and the distance field 23 bits — exact for
    *  d² ≤ 2²³/10⁴ ≈ 838.8, i.e. per-component magnitudes up to
    *  √(838/(4·subLen)) ≈ 5.1 at subLen 8 (typical normalized or
-   *  near-unit embeddings stay below 2; larger magnitudes must be
-   *  normalized first or the packed min silently corrupts). */
+   *  near-unit embeddings stay below 2). Distances are CLAMPED at 838
+   *  before packing: candidates past the bound compare equal and the
+   *  c_id tiebreak decides — out-of-range corpora degrade
+   *  deterministically (and visibly, vs the oracle's true argmin)
+   *  rather than silently corrupting the packed min. */
   def pqEncode(emb: DataFrame, m: Int, every: Int): DataFrame =
     pqEncodeWith(emb, m, pqCodebooks(emb, m, every))
 
@@ -545,7 +548,12 @@ object Similarity {
     val d2 = round(
       dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
         + dot(col("c_vec"), col("c_vec")), 4)
-    val packed = round(col("__d") * lit(10000)).cast("long") * lit(1L << 40) + col("c_id")
+    // clamp to the 23-bit distance field's exact range (the doc bound
+    // above): beyond it every candidate packs equal and the c_id
+    // tiebreak decides — a defined, deterministic degradation instead
+    // of a silent Long-overflow corruption of the min
+    val packed = round(least(col("__d"), lit(838.0)) * lit(10000)).cast("long") *
+      lit(1L << 40) + col("c_id")
     expl.join(broadcast(cb), Seq("sub"))
       .withColumn("__d", d2)
       .groupBy(col("vec_id"), col("sub"))

@@ -291,7 +291,12 @@ object PipelineQueries {
     // IVF over Lloyd-refined constant-k centroids: per-round means round
     // to 4 decimals (like the assign distances), so the refinement
     // replays bit-for-bit in the oracle; recall is additionally checked
-    // vs brute force in SimilaritySpec
+    // vs brute force in SimilaritySpec. Boundary caveat: the replay
+    // rests on round(mean, 4) agreeing across engines — a per-(cell,dim)
+    // mean landing within last-ulp FP noise of a .00005 boundary could
+    // round apart and cascade through later Lloyd rounds. Not observed
+    // at any tested scale; if it ever fires on a new corpus, coarsen the
+    // snap (3 decimals) rather than chasing the sum order.
     "q_ann_kmeans" -> ((s, d) =>
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.kmeansCentroidsFrom(emb(s, d),
