@@ -30,6 +30,25 @@ object PipelineQueries {
    *  streaming query — [[graft.streaming.DocIngest.runPipeline]]),
    *  shared by the declared stream query. */
   private val docLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val annStreamLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Streamed IVF index per source dir per JVM: embeddings arrive as a
+   *  file stream and are centroid-assigned on ingest
+   *  ([[graft.streaming.EmbedIngest]]) into a cell-partitioned index. */
+  private def annAssignLake(s: SparkSession, d: String): String =
+    annStreamLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_embstream")
+      val srcDir = base.resolve("src")
+      java.nio.file.Files.createDirectory(srcDir)
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("embeddings.parquet"),
+        java.nio.file.Paths.get(s"$d/embeddings.parquet"))
+      val out = s"$base/index"
+      graft.streaming.EmbedIngest.run(s, srcDir.toString,
+        Similarity.hashSampledCentroids(emb(s, d), IvfK), out, s"$base/ckpt")
+      out
+    })
+
   private def docPipelineLake(s: SparkSession, d: String): String =
     docLakes.getOrElseUpdate(d, {
       val base = java.nio.file.Files.createTempDirectory("graft_docstream")
@@ -237,6 +256,13 @@ object PipelineQueries {
         .select(col("content_hash"),
           length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
     },
+    // streamed IVF index: vectors centroid-assigned on ingest into a
+    // cell-partitioned store; assignment is row-local against the fixed
+    // constant-k table, so the streamed index hash-matches a batch
+    // re-assignment exactly
+    "q_stream_ann_assign" -> ((s, d) =>
+      s.read.parquet(annAssignLake(s, d))
+        .select(col("vec_id"), col("cell").cast("long").as("cell"), col("d"))),
     // streamed incremental-crawl ingest: the odd half arrives as a
     // stream and is decontaminated against the even half's pipeline
     // output (reference bloom + exact confirm) before dedup-on-ingest
@@ -964,6 +990,17 @@ object PipelineQueries {
          |           ORDER BY ${bh("CAST(vec_id AS VARCHAR)")} ASC, vec_id ASC) AS rank
          |  FROM asg)
          |WHERE rank <= 5""".stripMargin,
+
+    "q_stream_ann_assign" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$cents64Cte
+         |SELECT vec_id, cell, d FROM (
+         |  SELECT e.vec_id, c.c_id AS cell,
+         |         ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} AS d,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |                            ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |  FROM e, c)
+         |WHERE rn = 1""".stripMargin,
 
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

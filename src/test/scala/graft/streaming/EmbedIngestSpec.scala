@@ -1,0 +1,55 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streamed IVF index: assignment-on-ingest must be bit-identical to a
+ *  batch re-assignment, incremental batches must append into the same
+ *  index, and the cell partitioning must actually prune. */
+class EmbedIngestSpec extends AnyFunSuite {
+
+  test("streamed index == batch assignment; second crawl appends; cell partitions prune") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_embingest")
+    val (src, out, ckpt) = (s"$base/src", s"$base/out", s"$base/ckpt")
+
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+    def land(ids: Long*): Unit =
+      ids.map(i => (i, vec(i), (i % 3).toInt))
+        .toDF("vec_id", "embedding", "label")
+        .write.mode("append").parquet(src)
+
+    land(0L to 49L: _*)
+    val all = spark.read.parquet(src)
+    val cents = Similarity.hashSampledCentroids(all, 8)
+    EmbedIngest.run(spark, src, cents, out, ckpt)
+
+    val streamed = spark.read.parquet(out)
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("d"))
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = Similarity.ivfAssignWith(all, cents)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed === batch, "streamed index must equal the batch assignment bit-for-bit")
+
+    // a second crawl drains through the SAME checkpoint and appends; the
+    // first crawl's rows are not re-emitted (source-file dedup)
+    land(50L to 59L: _*)
+    EmbedIngest.run(spark, src, cents, out, ckpt)
+    val after = spark.read.parquet(out)
+    assert(after.count() === 60)
+    assert(after.groupBy("vec_id").count().filter(col("count") > 1).count() === 0,
+      "replayed source files must not duplicate index rows")
+
+    // partition pruning: a one-cell probe must read only that partition
+    val cell = after.select("cell").head.getAs[Number]("cell").longValue()
+    val probe = spark.read.parquet(out).filter(col("cell") === cell)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(cell"),
+      s"cell filter must prune index partitions:\n$scan")
+  }
+}
