@@ -127,6 +127,19 @@ object TsdbQueries {
             .otherwise(round(col("value"), 4)).as("sum_value"))
     },
 
+    // FillPolicy ZERO/SCALAR: the same dense grid with absent buckets
+    // materialized as 0 and as a sentinel scalar (both exactly
+    // representable, so the fill constant is engine-identical)
+    "q_ds_dense_zero" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+      QueryEngine.denseFill(ds, "1d", Start, End, fill = "zero")
+        .join(QueryEngine.denseFill(ds, "1d", Start, End, fill = "scalar", fillScalar = -1.5)
+            .select(col("series_id"), col("bucket_ts"), col("value").as("__sc")),
+          Seq("series_id", "bucket_ts"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_zero"), round(col("__sc"), 4).as("sum_scalar"))
+    },
+
     // S8+U3: the query-range scan as a union of "hot" (recent segments)
     // and "cold" (older partitions = the LTS analog) sources, merged and
     // deduped — totals must equal the single-source scan
@@ -537,6 +550,19 @@ object TsdbQueries {
          |series AS (SELECT DISTINCT metric, tag_user FROM agg),
          |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts)
          |SELECT s.metric, s.tag_user, b.bucket_ts, a.v AS sum_value
+         |FROM series s CROSS JOIN b
+         |LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |               AND a.bucket_ts = b.bucket_ts""".stripMargin,
+
+    "q_ds_dense_zero" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts)
+         |SELECT s.metric, s.tag_user, b.bucket_ts,
+         |       COALESCE(a.v, 0) AS sum_zero, COALESCE(a.v, -1.5) AS sum_scalar
          |FROM series s CROSS JOIN b
          |LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
          |               AND a.bucket_ts = b.bucket_ts""".stripMargin,

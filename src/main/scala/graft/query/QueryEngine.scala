@@ -212,10 +212,23 @@ object QueryEngine {
    *  generated bucket sequence of the query range; missing buckets
    *  surface as NaN, reproducing the reference's dense-array shape.
    *  The generated side is O(|series| × buckets) — never a scan. */
-  def denseFill(ds: DataFrame, interval: String, start: Long, end: Long): DataFrame = {
+  /** Dense interval grid per series with the reference's FillPolicy
+   *  vocabulary for absent buckets (NumericFillPolicy: NAN the default,
+   *  NULL, ZERO, SCALAR). The grid explode is per-SERIES (|series| ×
+   *  |buckets| rows — aggregated scale, never the fact table), and the
+   *  fill is a per-row projection on the left join's null side. */
+  def denseFill(ds: DataFrame, interval: String, start: Long, end: Long,
+      fill: String = "nan", fillScalar: Double = 0.0): DataFrame = {
     require(interval != "0all", "dense fill needs a finite interval")
     val iv = Intervals.toSeconds(interval)
     val alignedStart = start - start % iv
+    val filler: Column = fill match {
+      case "nan" => lit(Double.NaN)
+      case "null" => lit(null).cast("double")
+      case "zero" => lit(0.0)
+      case "scalar" => lit(fillScalar)
+      case other => throw new IllegalArgumentException(s"unknown fill policy: $other")
+    }
     // distinct over the series identity (maps can't be set-operated on;
     // the JSON string as a grouping key keeps this a HashAggregate)
     val series = ds.groupBy(col("series_id"), col("metric"),
@@ -228,7 +241,7 @@ object QueryEngine {
     buckets
       .join(ds.select("series_id", "bucket_ts", "value"), Seq("series_id", "bucket_ts"), "left")
       .withColumn("value",
-        when(col("value").isNull, lit(Double.NaN)).otherwise(col("value")))
+        when(col("value").isNull, filler).otherwise(col("value")))
       .select("series_id", "metric", "tags", "bucket_ts", "value")
   }
 

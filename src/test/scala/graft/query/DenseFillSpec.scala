@@ -33,6 +33,24 @@ class DenseFillSpec extends AnyFunSuite {
     assert(dense.filter(org.apache.spark.sql.functions.isnan(col("value"))).count() === 2)
   }
 
+  test("fill policies: zero/scalar/null fill absent buckets; present values untouched; bad policy raises") {
+    val df = Fixtures.series("m", tagset, (10L, 1.0), (190L, 4.0))
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 300)
+    def fills(policy: String, scalar: Double = 0.0): Map[Long, Option[Double]] =
+      QueryEngine.denseFill(ds, "1m", 0, 300, fill = policy, fillScalar = scalar)
+        .select("bucket_ts", "value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val zero = fills("zero")
+    assert(zero(0L) === Some(1.0) && zero(60L) === Some(0.0) && zero(240L) === Some(0.0))
+    val sc = fills("scalar", -7.5)
+    assert(sc(180L) === Some(4.0) && sc(120L) === Some(-7.5))
+    val nul = fills("null")
+    assert(nul(0L) === Some(1.0) && nul(60L) === None)
+    intercept[IllegalArgumentException] {
+      QueryEngine.denseFill(ds, "1m", 0, 300, fill = "lerp")
+    }
+  }
+
   test("time shift maps shifted data onto the query window (W5)") {
     import graft.filters.MatchAll
     // data lives one hour before the queried window
