@@ -78,6 +78,22 @@ object EventsQueries {
       EventsEngine.downsample(docs(s, d), EventsQuery(Start, End, namespace = Some("view")))
     },
 
+    // Event-time sessionization over raw user activity: sessions split
+    // on more than 1 day of silence (1214 sessions / 150 users at
+    // sf0.01 — both multi-event sessions and splits are exercised).
+    // Spark's session_window merge (inclusive at exactly last+gap —
+    // spec-pinned) is restated in the oracle as gaps-and-islands:
+    // break when ts - prev > gap, cumulative-sum session ids.
+    "q_events_sessions" -> { (s, d) =>
+      val ev = graft.sources.TsdbViews.table(s, d, "events")
+      val e2 = ev.select(col("user_id"),
+        graft.sources.TsdbViews.toEpochSeconds(ev, "ts").as("ts"),
+        when(isnan(col("value")), lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      graft.operators.Sessions.sessionize(e2, col("user_id"), col("ts"), col("value"), 86400L)
+        .withColumnRenamed("key", "user_id")
+    },
+
     // W6: top-1 (latest) event per group value
     "q_events_top1" -> { (s, d) =>
       EventsEngine.topOnePerGroup(docs(s, d), EventsQuery(Start, End, namespace = Some("error")), "user")
@@ -213,6 +229,26 @@ object EventsQueries {
       s"""WITH $docsCte
          |SELECT event_id, start_ts, end_ts, ongoing, priority
          |FROM docs WHERE ${inRange("purchase")}""".stripMargin,
+
+    "q_events_sessions" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         |         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+         |  FROM events),
+         |o AS (
+         |  SELECT user_id, s, v,
+         |         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+         |              OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 86400
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM ev),
+         |sess AS (
+         |  SELECT user_id, s, v,
+         |         sum(brk) OVER (PARTITION BY user_id ORDER BY s
+         |                        ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM o)
+         |SELECT user_id, min(s) AS session_start, max(s) AS session_end,
+         |       count(*) AS n_events, ${OracleCommon.rnd("sum(v)")} AS sum_value
+         |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "q_events_paging" ->
       s"""WITH $docsCte
