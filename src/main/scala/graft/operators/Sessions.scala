@@ -24,16 +24,37 @@ import org.apache.spark.sql.functions._
  */
 object Sessions {
 
-  def sessionize(ev: DataFrame, key: Column, tsCol: Column, valueCol: Column,
-      gapSec: Long): DataFrame = {
-    require(gapSec >= 1, s"session gap must be >= 1s, got $gapSec")
-    ev.groupBy(key.as("key"),
-        session_window(to_timestamp(tsCol), s"$gapSec seconds"))
-      .agg(
+  private def aggregate(grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      tsCol: Column, valueCol: Column): DataFrame =
+    grouped.agg(
         min(tsCol).as("session_start"),
         max(tsCol).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(valueCol), 4).as("sum_value"))
       .drop("session_window")
+
+  def sessionize(ev: DataFrame, key: Column, tsCol: Column, valueCol: Column,
+      gapSec: Long): DataFrame = {
+    require(gapSec >= 1, s"session gap must be >= 1s, got $gapSec")
+    aggregate(
+      ev.groupBy(key.as("key"), session_window(to_timestamp(tsCol), s"$gapSec seconds")),
+      tsCol, valueCol)
+  }
+
+  /** Streaming face of [[sessionize]]: the same (key, session_window)
+   *  merge aggregate over a watermarked stream — sessions finalize and
+   *  emit (append mode) once the watermark passes their window end
+   *  (last event + gap), i.e. once no in-delay event can extend them.
+   *  State per key is the open sessions only; the watermark bounds it.
+   *  Finalized rows are bit-identical to the batch restatement over the
+   *  same events — the oracle the streamed query shares. */
+  def sessionizeStream(ev: DataFrame, key: Column, tsCol: Column, valueCol: Column,
+      gapSec: Long, delay: String): DataFrame = {
+    require(gapSec >= 1, s"session gap must be >= 1s, got $gapSec")
+    val withEvt = ev.withColumn("__evt", to_timestamp(tsCol))
+      .withWatermark("__evt", delay)
+    aggregate(
+      withEvt.groupBy(key.as("key"), session_window(col("__evt"), s"$gapSec seconds")),
+      tsCol, valueCol).drop("__evt")
   }
 }

@@ -22,6 +22,42 @@ object EventsQueries {
    *  in-memory column. */
   private val stores = scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val sessionRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** True streamed sessionization per source dir per JVM: events flow
+   *  through a MemoryStream into the watermarked session_window
+   *  aggregate; two far-future sentinel batches push the (one-batch-
+   *  lagged) watermark past every real session's window end so all
+   *  sessions finalize — the StreamQueries lwwWindows protocol. */
+  private def streamedSessions(s: SparkSession, d: String): DataFrame =
+    sessionRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ev0 = graft.sources.TsdbViews.table(s, d, "events")
+      val rows = ev0.select(col("user_id"),
+          graft.sources.TsdbViews.toEpochSeconds(ev0, "ts").as("ts"), col("value"))
+        .as[(Long, Long, Double)].collect().toSeq
+      val maxTs = rows.iterator.map(_._2).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, Double)]
+      val name = "sessions_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val src = input.toDF().toDF("user_id", "ts", "value")
+        .select(col("user_id"), col("ts"),
+          when(isnan(col("value")), lit(null).cast("double"))
+            .otherwise(col("value")).as("value"))
+      val q = graft.operators.Sessions.sessionizeStream(src, col("user_id"),
+          col("ts"), col("value"), 86400L, "30 minutes")
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        input.addData(rows: _*); q.processAllAvailable()
+        input.addData((-1L, maxTs + 3 * 86400, 0.0)); q.processAllAvailable()
+        input.addData((-1L, maxTs + 6 * 86400, 0.0)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("key") =!= -1L)
+    })
+
   private def docs(s: SparkSession, d: String): DataFrame = {
     val dir = stores.getOrElseUpdate(d, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_evstore").toString
@@ -93,6 +129,13 @@ object EventsQueries {
       graft.operators.Sessions.sessionize(e2, col("user_id"), col("ts"), col("value"), 86400L)
         .withColumnRenamed("key", "user_id")
     },
+
+    // The SAME sessionization as a true watermarked stream: sessions
+    // finalize when the watermark passes their window end; finalized
+    // rows are bit-identical to the batch run, so the oracle is shared
+    // verbatim with q_events_sessions.
+    "q_stream_sessions" -> ((s, d) =>
+      streamedSessions(s, d).withColumnRenamed("key", "user_id")),
 
     // Ordered conversion funnel view → click → purchase: earliest view,
     // earliest click at-or-after it, earliest purchase at-or-after that;
@@ -227,6 +270,30 @@ object EventsQueries {
         .mkString("(", " OR ", ")")
     }.mkString(" AND (", " AND ", ")")
 
+  /** Gaps-and-islands restatement of session_window (break strictly
+   *  beyond the gap — the inclusive boundary SessionsSpec pins), shared
+   *  by the batch query and the watermarked-stream query: finalized
+   *  streamed sessions must be row-identical to the batch run. */
+  private val sessionsOracle: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+       |         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
+       |  FROM events),
+       |o AS (
+       |  SELECT user_id, s, v,
+       |         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
+       |              OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 86400
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM ev),
+       |sess AS (
+       |  SELECT user_id, s, v,
+       |         sum(brk) OVER (PARTITION BY user_id ORDER BY s
+       |                        ROWS UNBOUNDED PRECEDING) AS sid
+       |  FROM o)
+       |SELECT user_id, min(s) AS session_start, max(s) AS session_end,
+       |       count(*) AS n_events, ${OracleCommon.rnd("sum(v)")} AS sum_value
+       |FROM sess GROUP BY user_id, sid""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_events_search" ->
       s"""WITH $docsCte
@@ -259,25 +326,7 @@ object EventsQueries {
          |       CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS depth
          |FROM p""".stripMargin,
 
-    "q_events_sessions" ->
-      s"""WITH ev AS (
-         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
-         |         CASE WHEN isnan(value) THEN NULL ELSE value END AS v
-         |  FROM events),
-         |o AS (
-         |  SELECT user_id, s, v,
-         |         CASE WHEN lag(s) OVER (PARTITION BY user_id ORDER BY s) IS NULL
-         |              OR s - lag(s) OVER (PARTITION BY user_id ORDER BY s) > 86400
-         |              THEN 1 ELSE 0 END AS brk
-         |  FROM ev),
-         |sess AS (
-         |  SELECT user_id, s, v,
-         |         sum(brk) OVER (PARTITION BY user_id ORDER BY s
-         |                        ROWS UNBOUNDED PRECEDING) AS sid
-         |  FROM o)
-         |SELECT user_id, min(s) AS session_start, max(s) AS session_end,
-         |       count(*) AS n_events, ${OracleCommon.rnd("sum(v)")} AS sum_value
-         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "q_events_sessions" -> sessionsOracle,
 
     "q_events_paging" ->
       s"""WITH $docsCte
@@ -369,6 +418,10 @@ object EventsQueries {
          |SELECT event_id, version, start_ts, end_ts, ongoing,
          |       ${OracleCommon.rnd("value")} AS value
          |FROM log
-         |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY version DESC) = 1""".stripMargin
+         |QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY version DESC) = 1""".stripMargin,
+
+    // streamed sessionization replays the batch restatement verbatim:
+    // any watermark-finalization divergence shows up as a hash mismatch
+    "q_stream_sessions" -> sessionsOracle
   )
 }
