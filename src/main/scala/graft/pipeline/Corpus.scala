@@ -332,6 +332,29 @@ object Corpus {
         (col("n_overlap").cast("double") / col("__n_eval").cast("double")).as("overlap_frac"))
   }
 
+  /** N-gram novelty vs a reference corpus: per new document, the
+   *  fraction of its distinct trigram shingles the reference has never
+   *  seen — the incremental-crawl quality signal ("how much of this
+   *  snapshot is actually new text?") that complements
+   *  [[Dedup.dedupAgainstReference]]'s binary keep/drop.
+   *
+   *  Shape: the reference collapses to a DISTINCT shingle set (each key
+   *  once on the build side, so the left join fans out by the NEW side's
+   *  own shingle count only — no quadratic blowup on boilerplate), and
+   *  one hash aggregate per doc counts misses. Counts are exact
+   *  integers; the novelty ratio is one IEEE division of exact ints —
+   *  bit-identical across engines, no rounding needed. */
+  def novelty(newDocs: DataFrame, refDocs: DataFrame): DataFrame = {
+    val newSh = Dedup.shingleRows(newDocs)
+    val refSh = Dedup.shingleRows(refDocs).select(col("s")).distinct()
+    newSh.join(refSh.withColumn("__seen", lit(1)), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNull, 1).otherwise(0)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** The REMOVAL half of substring-level dedup ([[Dedup.duplicateSpans]]
    *  detects; this scrubs — Lee et al. 2022 drop every repeated
    *  substring occurrence but one and show the model memorizes less):

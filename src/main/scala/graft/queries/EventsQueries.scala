@@ -130,6 +130,16 @@ object EventsQueries {
         .withColumnRenamed("key", "user_id")
     },
 
+    // Cohort retention: users cohorted by first-event epoch-day; each
+    // (cohort_day, day_k) cell counts distinct users active exactly k
+    // days later (k=0 is the cohort size).
+    "q_events_retention" -> { (s, d) =>
+      val ev = graft.sources.TsdbViews.table(s, d, "events")
+      graft.operators.Retention.cohorts(
+        ev.select(col("user_id"), graft.sources.TsdbViews.toEpochSeconds(ev, "ts").as("ts")),
+        col("user_id"), col("ts"))
+    },
+
     // The SAME sessionization as a true watermarked stream: sessions
     // finalize when the watermark passes their window end; finalized
     // rows are bit-identical to the batch run, so the oracle is shared
@@ -327,6 +337,16 @@ object EventsQueries {
          |FROM p""".stripMargin,
 
     "q_events_sessions" -> sessionsOracle,
+
+    "q_events_retention" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+         |  FROM events),
+         |c AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+         |a AS (SELECT DISTINCT e.user_id, c.cohort_day, e.day - c.cohort_day AS day_k
+         |      FROM ev e JOIN c USING (user_id))
+         |SELECT cohort_day, day_k, count(*) AS n_active
+         |FROM a GROUP BY 1, 2""".stripMargin,
 
     "q_events_paging" ->
       s"""WITH $docsCte

@@ -189,6 +189,13 @@ object PipelineQueries {
     "q_text_keywords" -> ((s, d) => TextAnalysis.keywords(docs(s, d), 3)),
     // eval-leak detection: train docs sharing ≥2 distinct trigram
     // shingles with the (doc_id % 97 == 0) holdout slice
+    // incremental-crawl novelty: the odd half scored against the even
+    // half's shingle set (the q_dedup_incremental split)
+    "q_pipeline_novelty" -> { (s, d) =>
+      val dd = docs(s, d)
+      Corpus.novelty(dd.filter(col("doc_id") % 2 === 1),
+        dd.filter(col("doc_id") % 2 === 0))
+    },
     "q_pipeline_decontam" -> ((s, d) =>
       Corpus.decontaminate(docs(s, d), col("doc_id") % 97 === 0, minOverlap = 2)),
     // the removal half of decontamination: train docs with NO ≥2-shingle
@@ -774,6 +781,19 @@ object PipelineQueries {
          |       CAST(len(list_slice(t, chunk_id*32 + 1, chunk_id*32 + 32)) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(list_slice(t, chunk_id*32 + 1, chunk_id*32 + 32), ' ')) AS chunk_fp
          |FROM c""".stripMargin,
+
+    "q_pipeline_novelty" ->
+      s"""WITH $toksCte,
+         |$shCte,
+         |u AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |nw AS (SELECT doc_id, g FROM u WHERE doc_id % 2 = 1),
+         |ref AS (SELECT DISTINCT g FROM u WHERE doc_id % 2 = 0)
+         |SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(sum(CASE WHEN r.g IS NULL THEN 1 ELSE 0 END) AS DOUBLE) /
+         |         CAST(count(*) AS DOUBLE) AS novelty
+         |FROM nw n LEFT JOIN ref r ON n.g = r.g
+         |GROUP BY 1""".stripMargin,
 
     "q_pipeline_decontam" ->
       s"""WITH $toksCte,

@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cohort arithmetic: cohort day = first-event epoch-day, day_k exact,
+ *  multiple same-day events collapse (distinct), k=0 is cohort size. */
+class RetentionSpec extends AnyFunSuite {
+
+  test("cohort day, day_k cells, same-day dedup") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val day = 86400L
+    val ev = Seq(
+      ("u1", 0L), ("u1", 100L),            // day 0 twice → one k=0 credit
+      ("u1", day + 5),                     // day 1 → k=1
+      ("u2", 0L), ("u2", 2 * day),         // cohort 0, k=0 and k=2
+      ("u3", day)                          // cohort day 1, k=0
+    ).toDF("user", "ts")
+    val out = Retention.cohorts(ev, col("user"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (0L, 0L) -> 2L,  // u1 + u2 cohorted day 0
+      (0L, 1L) -> 1L,  // u1 back on day 1
+      (0L, 2L) -> 1L,  // u2 back on day 2
+      (1L, 0L) -> 1L)) // u3 cohorted day 1
+  }
+
+  test("novelty: planted novel vs seen shingles score exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ref = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: both shingles seen in ref; doc 3: one of two shingles novel
+    val nw = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, "beta gamma delta zebra")).toDF("doc_id", "text")
+    val out = graft.pipeline.Corpus.novelty(nw, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 1L, 0.5)))
+  }
+}
