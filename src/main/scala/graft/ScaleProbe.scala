@@ -139,7 +139,12 @@ object ScaleProbe {
     // the post-aggregation analytic nodes: their input is the
     // |series|×|buckets| aggregated frame, so their cost must track the
     // downsample/group-by rows, never the fact rows
-    "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn")
+    "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn",
+    "q_summarizer", "q_expr_percent",
+    // the events-analytics trio reads the raw events table: sessions /
+    // funnel / retention are all one-or-two aggregate shapes whose cost
+    // must track the event rows linearly
+    "q_events_sessions", "q_events_funnel", "q_events_retention")
 
   /** The doc/embedding-only queries (TSDB queries need the events table
    *  and are scale-proven by the lake's partition pruning instead). */
@@ -168,6 +173,10 @@ object ScaleProbe {
     // constant-size eval suite broadcasts; cost must be linear in the
     // corpus side (the whole point of the declared fixed-slice shape)
     "q_pipeline_decontam_semantic",
+    // bounded-query-batch BM25 (the annQPred convention); novelty's
+    // distinct-build-side left join; cross-label brute (exhaustive by
+    // contract, probed for the same documentation the brute row gets)
+    "q_text_bm25", "q_pipeline_novelty", "q_ann_hard_negatives",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are
@@ -207,6 +216,7 @@ object ScaleProbe {
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
+    "q_text_bm25", "q_pipeline_novelty",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`

@@ -237,14 +237,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logprob2"), 4).as("avg_logprob2"))
     },
-    // Okapi BM25 retrieval: every 211th document queries the corpus for
-    // its 5 best lexical matches (self-retrieval lands on top — the
-    // classic sanity property, asserted in the spec). Ranking is on the
-    // rounded score with doc_id tiebreak, so the cut replays exactly.
+    // Okapi BM25 retrieval: a BOUNDED query batch (every 211th document
+    // under id 10550 — ≤ 50 queries at any corpus size, the annQPred
+    // convention) retrieves its 5 best lexical matches (self-retrieval
+    // lands on top — the classic sanity property, asserted in the
+    // spec). Ranking is on the rounded score with doc_id tiebreak, so
+    // the cut replays exactly.
     "q_text_bm25" -> { (s, d) =>
       val dd = docs(s, d)
       TextAnalysis.bm25TopK(dd,
-        dd.filter(col("doc_id") % 211 === 0)
+        dd.filter(col("doc_id") % 211 === 0 && col("doc_id") < 10550)
           .select(col("doc_id").as("query_id"), col("text")), 5)
     },
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
@@ -739,7 +741,8 @@ object PipelineQueries {
          |dln AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM dc GROUP BY 1),
          |dfq AS (SELECT tk, count(*) AS df FROM dc GROUP BY 1),
          |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS toks FROM dln),
-         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS tk FROM toks WHERE doc_id % 211 = 0),
+         |q AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS tk FROM toks
+         |      WHERE doc_id % 211 = 0 AND doc_id < 10550),
          |sc AS (
          |  SELECT q.query_id, dc.doc_id,
          |         sum(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
