@@ -464,6 +464,20 @@ object TsdbQueries {
         .select(col("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("pct"))),
 
+    // Dense fill through the JSON front end (downsample config's
+    // FillPolicy): same grid as q_ds_dense, same oracle verbatim.
+    "q_json_dense_fill" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "fill": {"policy": "nan"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          when(isnan(col("value")), lit(null).cast("double"))
+            .otherwise(round(col("value"), 4)).as("sum_value"))
+    },
+
     // Summarizer through the JSON front end — same plan as q_summarizer,
     // same oracle verbatim.
     "q_json_summarizer" -> { (s, d) =>
@@ -831,5 +845,6 @@ object TsdbQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_full" -> oraclesBase("q_full_pipeline"),
-    "q_json_summarizer" -> oraclesBase("q_summarizer"))
+    "q_json_summarizer" -> oraclesBase("q_summarizer"),
+    "q_json_dense_fill" -> oraclesBase("q_ds_dense"))
 }

@@ -281,6 +281,11 @@ object QueryEngine {
     if (shiftSec != 0) df = df.withColumn("ts", col("ts") + lit(shiftSec))
     df = q.rate.map(r => rate(df, r)).getOrElse(df)
     df = q.downsample.map(d => downsample(df, d, q.start, q.end)).getOrElse(df)
+    q.fill.foreach { f =>
+      val iv = q.downsample.map(_.interval).getOrElse(
+        throw new IllegalArgumentException("fill requires a downsample interval"))
+      df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar)
+    }
     df = q.groupBy.map(g => groupBySpatial(df, g)).getOrElse(df)
     // the upstream TSDB 3.x analytic nodes sit above the source output:
     // sliding-window smoothing, then top-n selection. The series identity

@@ -158,6 +158,11 @@ object TsdbJson {
       require(cnt.isDefined, s"topN needs 'n': $t")
       TopNSpec(n = cnt.get.asInt, top = Option(t.get("top")).filter(!_.isNull).forall(_.asBoolean))
     }
+    val fl = Option(n.get("fill")).filter(!_.isNull).map { f =>
+      FillSpec(
+        policy = Option(f.get("policy")).filter(!_.isNull).map(_.asText).getOrElse("nan"),
+        scalar = Option(f.get("scalar")).filter(!_.isNull).map(_.asDouble).getOrElse(0.0))
+    }
     val rt = Option(n.get("ratio")).filter(!_.isNull).map { r =>
       RatioSpec(asPercent =
         Option(r.get("asPercent")).filter(!_.isNull).forall(_.asBoolean))
@@ -178,6 +183,7 @@ object TsdbJson {
       groupBy = gb,
       shift = Option(n.get("timeShift")).map(_.asText),
       explicitTags = pf.explicitTags,
+      fill = fl,
       slidingWindow = sw,
       ratio = rt,
       topN = tn,

@@ -52,6 +52,11 @@ final case class SlidingWindowSpec(buckets: Int, agg: String)
  *  keep the `n` largest (`top = false`: smallest). */
 final case class TopNSpec(n: Int, top: Boolean = true)
 
+/** Dense-grid fill (the downsample config's FillPolicy): materialize
+ *  every interval bucket per series, absent buckets filled per policy
+ *  (nan/null/zero/scalar). Requires a finite downsample interval. */
+final case class FillSpec(policy: String = "nan", scalar: Double = 0.0)
+
 /** Per-bucket share-of-total (the upstream TSDB 3.x ratio query node):
  *  each series' value over the bucket's all-series total, ×100 when
  *  `asPercent`. */
@@ -71,6 +76,7 @@ final case class TsdbQuery(
     groupBy: Option[GroupBySpec] = None,
     shift: Option[String] = None, // evaluate shifted back in time, map ts forward (reference AuraMetricsQueryNode.java:137-148)
     explicitTags: Boolean = false,
+    fill: Option[FillSpec] = None, // dense grid per series, directly above downsample
     slidingWindow: Option[SlidingWindowSpec] = None, // applied above downsample/groupBy
     ratio: Option[RatioSpec] = None, // applied above slidingWindow output
     topN: Option[TopNSpec] = None, // applied above ratio

@@ -142,6 +142,12 @@ class TsdbJsonSpec extends AnyFunSuite {
     val none = TsdbJson.parseQuery(
       """{"start": 1, "end": 2, "ratio": null, "summarizer": null}""")
     assert(none.ratio.isEmpty && none.summarizer.isEmpty)
+    // fill config: policy + scalar; defaults nan/0.0
+    val f = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2, "fill": {"policy": "scalar", "scalar": -1.5}}""")
+    assert(f.fill === Some(FillSpec("scalar", -1.5)))
+    assert(TsdbJson.parseQuery("""{"start": 1, "end": 2, "fill": {}}""").fill
+      === Some(FillSpec("nan", 0.0)))
     assert(intercept[IllegalArgumentException] {
       TsdbJson.parseQuery("""{"start": 1, "end": 2, "summarizer": {}}""")
     }.getMessage.contains("summarizer"))
