@@ -37,6 +37,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    (the same boilerplate-shingle defense the operator documents) is
  *    the production path on high-collision corpora.
  *
+ *  - q_text_bm25 reads super-linear HERE because the probe corpus has
+ *    a 30-word vocabulary: every query term occurs in essentially
+ *    every document, so the postings restriction degenerates to
+ *    all-pairs (pair count grows ~20× across the decade; wall grew
+ *    7.5× — sub-linear in pairs). Real text is Zipfian with a long
+ *    tail of selective terms; for stopword-heavy workloads
+ *    `bm25TopK(maxDfFrac = …)` drops ~zero-idf terms before the join
+ *    (the decontaminate maxDf convention).
+ *
  *  - q_text_bigram_lm's decade-2 pressure was the per-doc lead()
  *    window sorting ~75M token rows at the 500k point; the
  *    slice/arrays_zip n-gram projection (TextAnalysis.ngramStructs)

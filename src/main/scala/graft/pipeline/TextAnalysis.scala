@@ -385,15 +385,23 @@ object TextAnalysis {
    *
    *  Relational shape, built for a bounded query batch over an
    *  unbounded corpus: tf is one hash aggregate over the token table;
-   *  doc lengths derive from tf (sharing its exchange); the query
-   *  term set BROADCASTS onto tf (the fact side is never shuffled by
-   *  a token key for the restriction), so the surviving rows are just
-   *  the query terms' postings; document frequencies then attach via
-   *  [[zipfHeadJoin]] (a hot query term like "the" matches every doc —
-   *  exactly the Zipf skew the head broadcast absorbs). One aggregate
-   *  per (query, doc) sums the per-term scores, and the top-k rank
-   *  filter compiles to WindowGroupLimit (local top-k before the
-   *  shuffle).
+   *  doc lengths derive from tf (sharing its exchange); document
+   *  frequencies attach to the QUERY terms first (a bounded-size
+   *  lookup), and that (term, df, query) table BROADCASTS onto tf —
+   *  ONE broadcast join restricts the fact side to the query terms'
+   *  postings and carries df along, so the fact table is never
+   *  shuffled by a token key at all. One aggregate per (query, doc)
+   *  sums the per-term scores, and the top-k rank filter compiles to
+   *  WindowGroupLimit (local top-k before the shuffle).
+   *
+   *  `maxDfFrac` drops query terms present in more than that fraction
+   *  of documents BEFORE the postings join — a term in every document
+   *  contributes ~ln(1) ≈ 0 score but fans the join out to the whole
+   *  corpus (on a stopword-heavy query the scan degenerates to
+   *  all-pairs; the ScaleProbe's 30-word-vocabulary corpus measures
+   *  exactly that regime). Off by default so the oracle-checked path
+   *  is exhaustive — the [[graft.pipeline.Corpus.decontaminate]] maxDf
+   *  convention.
    *
    *  FP discipline: every input (tf, df, dl, N, Σdl) is an exact
    *  integer, so each per-term score is an identical double in both
@@ -402,9 +410,10 @@ object TextAnalysis {
    *  4-decimal-rounded sum with doc_id tiebreak — deterministic and
    *  replayable. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75, hotVocab: Int = 1024): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 1.0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
+    require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac in (0, 1], got $maxDfFrac")
     val tf = tokenTable(docs).groupBy(col("doc_id"), col("tk"))
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -412,6 +421,14 @@ object TextAnalysis {
     val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))
     val qterms = queries
       .select(col("query_id"), explode(tokens(col("text"))).as("tk")).distinct()
+    // df rides the bounded query-term table: one broadcast join restricts
+    // AND annotates the postings (the fact side never shuffles on tk)
+    val qd0 = dfreq.join(broadcast(qterms), "tk")
+    val qd =
+      if (maxDfFrac >= 1.0) qd0
+      else qd0.crossJoin(broadcast(corpus.select(col("__n").as("__nq"))))
+        .filter(col("df").cast("double") <= lit(maxDfFrac) * col("__nq").cast("double"))
+        .drop("__nq")
     val avgdl = col("__toks").cast("double") / col("__n").cast("double")
     val idf = log(
       (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
@@ -419,7 +436,7 @@ object TextAnalysis {
     val wTf = col("tf").cast("double") * lit(k1 + 1) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val scored = zipfHeadJoin(tf.join(broadcast(qterms), "tk"), dfreq, col("df"), hotVocab)
+    val scored = tf.join(broadcast(qd), "tk")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpus))
       .groupBy(col("query_id"), col("doc_id"))

@@ -195,6 +195,42 @@ object StreamQueries {
    *  composites are cached for the query below. */
   private val lwwRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val rateRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** True streamed rate per source dir per JVM: the range-filtered point
+   *  stream flows through [[graft.streaming.StreamOps.rateStream]]
+   *  (stateful per-series delta chains, LWW on resends); two sentinel
+   *  batches push the one-batch-lagged watermark past every real point
+   *  so all deltas finalize — the lwwWindows protocol. The batch q_rate
+   *  oracle is shared verbatim: the streamed derivative must replay the
+   *  batch column math bit-for-bit. */
+  private def streamedRate(s: SparkSession, d: String): DataFrame =
+    rateRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = graft.sources.TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+        .select(col("series_id"), col("metric"), col("tags"),
+          col("ts"), col("value"), col("seq"))
+        .as[graft.streaming.PointRow].collect().toSeq
+      val maxTs = pts.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.PointRow]
+      val name = "rate_stream_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps.rateStream(input.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) = graft.streaming.PointRow(
+          -1L, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+        input.addData(pts: _*); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("metric") =!= "__sentinel")
+    })
+
   private def lwwWindows(s: SparkSession, d: String): DataFrame =
     lwwRuns.getOrElseUpdate(d, {
       import s.implicits._
@@ -236,6 +272,13 @@ object StreamQueries {
     // computes from the deduped points — the streaming rollup path with
     // no exactly-once-producer assumption
     "q_stream_lww_windows" -> ((s, d) => lwwWindows(s, d)),
+
+    // W1 as a pure stream: stateful per-series derivative, finalized by
+    // watermark — surfaces exactly like q_rate and shares its oracle
+    "q_stream_rate" -> ((s, d) =>
+      streamedRate(s, d)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("rate"))),
 
     // A18 served from the streaming-maintained latest log (no fact scan)
     "q_stream_latest" -> { (s, d) =>
@@ -356,6 +399,9 @@ object StreamQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // streamed derivative replays the batch rate restatement verbatim
+    "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
+
     "q_stream_latest" ->
       s"""WITH $pointsCtes
          |SELECT metric, tag_user, tag_host, tag_colo,

@@ -23,6 +23,18 @@ final case class CompositeRow(
     sum: Option[Double], cnt: Long, min: Option[Double], max: Option[Double],
     last: Option[Double], sumsq: Option[Double])
 
+/** Per-series rate state: the LWW buffer of not-yet-finalized points
+ *  plus the last FINALIZED point the next delta chains from. */
+final case class RateStreamState(
+    metric: String, tags: Map[String, String],
+    pending: Map[Long, (Long, Double)],
+    lastTs: Long, lastVal: Double, hasLast: Boolean)
+
+/** One finalized rate sample. */
+final case class RatePoint(
+    series_id: Long, metric: String, tags: Map[String, String],
+    ts: Long, value: Double)
+
 /** Per-series last-write state carried across micro-batches. */
 final case class LatestState(last_ts: Long, last_seq: Long, last_value: Double)
 
@@ -115,6 +127,64 @@ object StreamOps {
    *  NaN-as-null convention, same (ts, seq) last-write-wins `last`, and
    *  deterministic ts-ordered summation. Late points beyond the
    *  watermark are dropped, as on the windowedDownsample path. */
+  /** Streaming W1: the per-point derivative as a stateful stream. One
+   *  `flatMapGroupsWithState` keyed by series buffers an LWW (max-seq
+   *  per ts) set of not-yet-finalized points; when the watermark passes
+   *  a timestamp, the point finalizes in ts order and emits
+   *  `(v − prev_v) / ((ts − prev_ts) / interval)` chained from the last
+   *  finalized point — the EXACT scalar restatement of the batch
+   *  [[graft.query.QueryEngine.rate]] column math, so finalized output
+   *  is bit-identical to the batch rate over the same (deduped) points.
+   *
+   *  State per series = open points inside the watermark delay + ONE
+   *  (ts, value) pair — the same bounded-state contract as
+   *  [[latestByState]]. Stragglers at or before the finalized frontier
+   *  drop (they would reorder emitted history), exactly the
+   *  late-beyond-watermark posture of [[windowedDownsampleLww]]. */
+  def rateStream(points: DataFrame, intervalSec: Double = 1.0,
+      watermarkDelay: String = "1 hour"): Dataset[RatePoint] = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("ts"), col("value"), col("seq"))
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[PointRow]
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[RateStreamState, RatePoint](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (sid, rows, state) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          var st = state.getOption.getOrElse(
+            RateStreamState("", Map.empty, Map.empty, 0L, 0.0, hasLast = false))
+          rows.foreach { p =>
+            // stragglers at/below the finalized frontier would reorder
+            // already-emitted deltas: drop, like any late-beyond-watermark
+            if (!st.hasLast || p.ts > st.lastTs) {
+              val winner = st.pending.get(p.ts).forall(_._1 < p.seq)
+              if (winner)
+                st = st.copy(metric = p.metric, tags = p.tags,
+                  pending = st.pending.updated(p.ts, (p.seq, p.value)))
+            }
+          }
+          val (ready, rest) = st.pending.partition(_._1 <= wmSec)
+          val out = Vector.newBuilder[RatePoint]
+          ready.toSeq.sortBy(_._1).foreach { case (ts, (_, v)) =>
+            if (st.hasLast) {
+              val dt = (ts - st.lastTs).toDouble / intervalSec
+              out += RatePoint(sid, st.metric, st.tags, ts, (v - st.lastVal) / dt)
+            }
+            st = st.copy(lastTs = ts, lastVal = v, hasLast = true)
+          }
+          state.update(st.copy(pending = rest))
+          // re-arm: fire once the watermark can finalize the earliest
+          // pending point (rest keys are > wmSec by the partition above)
+          if (rest.nonEmpty) state.setTimeoutTimestamp(rest.keys.min * 1000)
+          out.result().iterator
+      }
+  }
+
   def windowedDownsampleLww(points: DataFrame, interval: String,
       watermarkDelay: String = "1 hour"): Dataset[CompositeRow] = {
     val sec = Intervals.toSeconds(interval)

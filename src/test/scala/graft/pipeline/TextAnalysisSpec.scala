@@ -172,6 +172,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(self.head.getAs[Long]("doc_id") === 3L)
     // k caps the per-query output
     assert(TextAnalysis.bm25TopK(docs, queries, 1).count() === 1)
+    // maxDfFrac drops stopword-like query terms BEFORE the postings
+    // join: 'common' (df 2/4 = 0.5) survives at 0.5 but drops at 0.4 —
+    // and with it docs 3/4, which only matched through 'common'
+    // ('stripes' is df 1/4 and survives both)
+    val q2 = Seq((200L, "common stripes")).toDF("query_id", "text")
+    val withCommon = TextAnalysis.bm25TopK(docs, q2, 5, maxDfFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(withCommon === Set(1L, 3L, 4L))
+    val capped = TextAnalysis.bm25TopK(docs, q2, 5, maxDfFrac = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(capped === Set(1L))
   }
 
   test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {

@@ -33,6 +33,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS latest_state") }
   }
 
+  test("rateStream: finalized deltas equal the batch rate; resends replace; cross-batch chaining") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    val q = StreamOps.rateStream(input.toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("rate_stream").outputMode("append").start()
+    try {
+      // out-of-order arrival within one batch + a resend that replaces
+      input.addData(pt(1, 30, 9.0, 3), pt(1, 10, 1.0, 1), pt(1, 20, 5.0, 2),
+        pt(1, 20, 3.0, 5)) // resend of ts=20 with higher seq: value 3 wins
+      q.processAllAvailable()
+      // watermark is still at 30-10=20: push it past everything
+      input.addData(pt(1, 300, 9.0, 6)); q.processAllAvailable()
+      input.addData(pt(1, 600, 9.0, 7)); q.processAllAvailable()
+      val got = spark.table("rate_stream")
+        .select("ts", "value").as[(Long, Double)].collect().toMap
+      // deltas chain 1.0@10 → 3.0@20 → 9.0@30: (3-1)/10, (9-3)/10
+      assert(got(20L) === 0.2 && got(30L) === 0.6)
+      // the cross-batch delta (30 → 300) emerges once wm passes 300
+      assert(got(300L) === (9.0 - 9.0) / 270.0)
+      // batch restatement agrees on the finalized prefix
+      val batch = graft.query.QueryEngine.rate(
+        graft.query.QueryEngine.dedupe(
+          Seq(pt(1, 10, 1.0, 1), pt(1, 20, 5.0, 2), pt(1, 20, 3.0, 5),
+            pt(1, 30, 9.0, 3), pt(1, 300, 9.0, 6)).toDF()),
+        graft.query.RateSpec())
+        .select("ts", "value").as[(Long, Double)].collect().toMap
+      assert(batch.forall { case (ts, v) => got(ts) === v })
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rate_stream") }
+  }
+
   test("watermarked windowed downsample: full composite finalizes once per window") {
     val spark = TestSpark.spark
     import spark.implicits._
