@@ -124,6 +124,33 @@ object SeriesAnalytics {
       .drop("__tot")
   }
 
+  /** Anomaly scoring (the upstream TSDB 3.x anomaly node family,
+   *  restated deterministically): each bucket's value is z-scored
+   *  against its OWN series' expanding history — mean and sample
+   *  stddev over all STRICTLY EARLIER buckets — and flagged when
+   *  |z| ≥ `threshold`. The first `minHistory` buckets of a series
+   *  emit null z (not enough history to call anything anomalous),
+   *  exactly like a trained baseline warming up.
+   *
+   *  Replayability: both engines evaluate the expanding frame in
+   *  bucket order, and mean/std snap to 4 decimals BEFORE the z
+   *  division, so the flag threshold compares identical doubles. One
+   *  window partitioned by series (never a global sort), aggregated
+   *  scale. */
+  def zscore(ds: DataFrame, keys: Seq[Column], threshold: Double = 3.0,
+      minHistory: Int = 3): DataFrame = {
+    require(minHistory >= 2, s"zscore needs >= 2 history buckets, got $minHistory")
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("bucket_ts").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val m = round(avg(col("value")).over(w), 4)
+    val s = round(stddev_samp(col("value")).over(w), 4)
+    val n = count(col("value")).over(w)
+    val z = when(n >= minHistory && s > 0, round((col("value") - m) / s, 4))
+    ds.withColumn("zscore", z)
+      .withColumn("anomaly", coalesce(abs(col("zscore")) >= lit(threshold), lit(false)))
+  }
+
   /** Cross-query binary expression (the upstream TSDB 3.x expression
    *  node): join two aggregated result sets on their common series keys
    *  + bucket and combine the values arithmetically. The join is the

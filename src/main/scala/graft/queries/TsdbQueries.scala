@@ -464,6 +464,20 @@ object TsdbQueries {
         .select(col("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("pct"))),
 
+    // Anomaly node (deterministic restatement): each user's daily event
+    // count z-scored against its own expanding history (mean/std over
+    // strictly earlier buckets, snapped to 4 decimals before the
+    // division); |z| >= 3 flags. First 3 buckets warm up (null z).
+    "q_anomaly_zscore" -> { (s, d) =>
+      val ds = run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum"))))
+        .withColumn("value", round(col("value"), 4))
+      graft.operators.SeriesAnalytics.zscore(ds, Seq(col("user")))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("zscore"), col("anomaly"))
+    },
+
     // Dense fill through the JSON front end (downsample config's
     // FillPolicy): same grid as q_ds_dense, same oracle verbatim.
     "q_json_dense_fill" -> { (s, d) =>
@@ -816,6 +830,27 @@ object TsdbQueries {
          |        QUALIFY row_number() OVER (ORDER BY series_total DESC, tag_host ASC) <= 2)
          |SELECT s.tag_host, s.bucket_ts, ${rnd("s.mv")} AS mov_avg, t.series_total
          |FROM sl s JOIN top t USING (tag_host)""".stripMargin,
+
+    "q_anomaly_zscore" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2),
+         |z AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         ${rnd("avg(v) OVER win")} AS m,
+         |         ${rnd("stddev_samp(v) OVER win")} AS sd,
+         |         count(v) OVER win AS n
+         |  FROM ds
+         |  WINDOW win AS (PARTITION BY tag_user ORDER BY bucket_ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT tag_user, bucket_ts, v AS cnt,
+         |       CASE WHEN n >= 3 AND sd > 0 THEN ${rnd("(v - m) / sd")} END AS zscore,
+         |       COALESCE(abs(CASE WHEN n >= 3 AND sd > 0 THEN ${rnd("(v - m) / sd")} END) >= 3.0,
+         |                false) AS anomaly
+         |FROM z""".stripMargin,
 
     "q_summarizer" ->
       s"""WITH $pointsCtes,

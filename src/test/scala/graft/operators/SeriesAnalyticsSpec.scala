@@ -80,6 +80,24 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("zscore: expanding history, warm-up nulls, zero-variance guard, threshold flag") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(
+      ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 30L, 3.0), ("a", 40L, 100.0),
+      ("b", 10L, 5.0), ("b", 20L, 5.0), ("b", 30L, 5.0), ("b", 40L, 9.0)
+    ).toDF("series", "bucket_ts", "value")
+    val out = SeriesAnalytics.zscore(ds, Seq(col("series")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((if (r.isNullAt(3)) None else Some(r.getDouble(3))), r.getBoolean(4))).toMap
+    // warm-up: fewer than 3 history buckets → null z, not flagged
+    assert(out(("a", 10L)) === ((None, false)) && out(("a", 30L)) === ((None, false)))
+    // history 1,2,3: mean 2, sd 1 → z = 98, flagged
+    assert(out(("a", 40L)) === ((Some(98.0), true)))
+    // zero-variance history (5,5,5): sd = 0 → null z even with history
+    assert(out(("b", 40L)) === ((None, false)))
+  }
+
   test("summarize: one row per series with the requested summary columns; first/last by bucket order") {
     val out = SeriesAnalytics.summarize(agg, Seq("series"),
       Seq("avg", "sum", "min", "max", "count", "first", "last"))
