@@ -153,7 +153,8 @@ object ScaleProbe {
     // the events-analytics trio reads the raw events table: sessions /
     // funnel / retention are all one-or-two aggregate shapes whose cost
     // must track the event rows linearly
-    "q_events_sessions", "q_events_funnel", "q_events_retention")
+    "q_events_sessions", "q_events_funnel", "q_events_retention",
+    "q_anomaly_zscore")
 
   /** The doc/embedding-only queries (TSDB queries need the events table
    *  and are scale-proven by the lake's partition pruning instead). */
