@@ -403,14 +403,34 @@ object TextAnalysis {
    *  is exhaustive — the [[graft.pipeline.Corpus.decontaminate]] maxDf
    *  convention.
    *
+   *  `maxPostings` is the second, shape-independent pruning lever:
+   *  impact-ordered posting truncation. Each surviving query term
+   *  keeps only its `maxPostings` highest-impact postings — ranked by
+   *  the EXACT per-posting BM25 term weight wTf (pure IEEE arithmetic
+   *  on exact-integer tf/dl, so the cut is bit-replayable in any
+   *  engine; doc_id breaks ties). This bounds the scoring join at
+   *  |query terms| × maxPostings rows on ANY corpus — including
+   *  small-vocabulary / stopword-saturated ones where every term's df
+   *  exceeds any useful df fraction and `maxDfFrac` would either keep
+   *  full postings or drop the whole query. A document outside every
+   *  query term's impact top-N becomes unreachable — the standard
+   *  impact-pruned-index trade (cf. Lucene's top-docs pruning in the
+   *  reference's events search, events-lucene QueryRunner). The
+   *  truncation window shuffles only the query terms' postings
+   *  (already broadcast-restricted), and the rank filter compiles to
+   *  WindowGroupLimit: a local per-partition top-N runs before the
+   *  exchange, so ≤ partitions × terms × N rows ever shuffle.
+   *
    *  FP discipline: every input (tf, df, dl, N, Σdl) is an exact
    *  integer, so each per-term score is an identical double in both
    *  engines (ln carries the accepted 1-ulp libm caveat); the
    *  per-(query, doc) SUM is order-dependent, so ranking runs on the
    *  4-decimal-rounded sum with doc_id tiebreak — deterministic and
-   *  replayable. */
+   *  replayable. The truncation rank deliberately orders on raw wTf
+   *  (no libm involved), so it too is deterministic and replayable. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
-      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 1.0): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, maxDfFrac: Double = 1.0,
+      maxPostings: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac in (0, 1], got $maxDfFrac")
@@ -436,11 +456,30 @@ object TextAnalysis {
     val wTf = col("tf").cast("double") * lit(k1 + 1) /
       (col("tf").cast("double") +
         lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / avgdl))
-    val scored = tf.join(broadcast(qd), "tk")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(idf * wTf), 4).as("score"))
+    val scored =
+      if (maxPostings <= 0)
+        tf.join(broadcast(qd), "tk")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(corpus))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(idf * wTf), 4).as("score"))
+      else {
+        // impact-ordered truncation: rank each TERM's postings once
+        // (per tk, not per (query, tk) — wTf is query-independent), cut
+        // at maxPostings, then fan the survivors out to the queries
+        val qt = qd.select(col("tk"), col("df")).distinct()
+        val posted = tf.join(broadcast(qt), "tk")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(corpus))
+          .withColumn("__wtf", wTf)
+        val pw = Window.partitionBy(col("tk"))
+          .orderBy(col("__wtf").desc, col("doc_id").asc)
+        posted.withColumn("__prank", row_number().over(pw))
+          .filter(col("__prank") <= maxPostings)
+          .join(broadcast(qd.select(col("tk"), col("query_id")).distinct()), "tk")
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(round(sum(idf * col("__wtf")), 4).as("score"))
+      }
     val rw = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(rw))

@@ -239,15 +239,21 @@ object PipelineQueries {
     },
     // Okapi BM25 retrieval: a BOUNDED query batch (every 211th document
     // under id 10550 — ≤ 50 queries at any corpus size, the annQPred
-    // convention) retrieves its 5 best lexical matches (self-retrieval
-    // lands on top — the classic sanity property, asserted in the
-    // spec). Ranking is on the rounded score with doc_id tiebreak, so
-    // the cut replays exactly.
+    // convention) retrieves its 5 best lexical matches. Declared
+    // through impact-ordered posting truncation (maxPostings = 200):
+    // each query term scores only its 200 highest-wTf postings, so the
+    // scoring join is bounded at |terms| × 200 rows on ANY corpus —
+    // without it, stopword-saturated corpora (this testdata's ~31-word
+    // vocabulary included) degenerate to scoring every (query, doc)
+    // pair. The oracle replays the same exact-arithmetic cut. Ranking
+    // is on the rounded score with doc_id tiebreak, so the top-k
+    // replays exactly.
     "q_text_bm25" -> { (s, d) =>
       val dd = docs(s, d)
       TextAnalysis.bm25TopK(dd,
         dd.filter(col("doc_id") % 211 === 0 && col("doc_id") < 10550)
-          .select(col("doc_id").as("query_id"), col("text")), 5)
+          .select(col("doc_id").as("query_id"), col("text")), 5,
+        maxPostings = 200)
     },
     "q_text_quality" -> ((s, d) => TextAnalysis.quality(docs(s, d))),
     "q_text_langid" -> ((s, d) => TextAnalysis.langid(docs(s, d))),
@@ -743,16 +749,27 @@ object PipelineQueries {
          |c AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS toks FROM dln),
          |q AS (SELECT DISTINCT doc_id AS query_id, unnest(t) AS tk FROM toks
          |      WHERE doc_id % 211 = 0 AND doc_id < 10550),
-         |sc AS (
-         |  SELECT q.query_id, dc.doc_id,
-         |         sum(ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-         |             * ((CAST(tf AS DOUBLE) * ${1.2 + 1}) /
-         |                (CAST(tf AS DOUBLE) + 1.2 * (${1 - 0.75} + 0.75 * CAST(dl AS DOUBLE) /
-         |                   (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))))) AS score
+         |qt AS (SELECT DISTINCT tk FROM q),
+         |p AS (
+         |  SELECT dc.tk, dc.doc_id, df,
+         |         (CAST(tf AS DOUBLE) * ${1.2 + 1}) /
+         |         (CAST(tf AS DOUBLE) + 1.2 * (${1 - 0.75} + 0.75 * CAST(dl AS DOUBLE) /
+         |            (CAST(toks AS DOUBLE) / CAST(n AS DOUBLE)))) AS wtf,
+         |         CAST(n AS DOUBLE) AS nd
          |  FROM dc
-         |  JOIN q USING (tk)
+         |  JOIN qt USING (tk)
          |  JOIN dfq USING (tk)
-         |  JOIN dln USING (doc_id), c
+         |  JOIN dln USING (doc_id), c),
+         |pt AS (SELECT * FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY tk
+         |                               ORDER BY wtf DESC, doc_id ASC) AS prank
+         |  FROM p) WHERE prank <= 200),
+         |sc AS (
+         |  SELECT q.query_id, pt.doc_id,
+         |         sum(ln((nd - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |             * wtf) AS score
+         |  FROM pt
+         |  JOIN q USING (tk)
          |  GROUP BY 1, 2)
          |SELECT query_id, rank, doc_id, score FROM (
          |  SELECT query_id, doc_id, ${rnd("score")} AS score,

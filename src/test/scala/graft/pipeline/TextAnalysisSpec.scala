@@ -185,6 +185,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(capped === Set(1L))
   }
 
+  test("bm25TopK maxPostings: impact-ordered truncation keeps top-wTf postings only") {
+    val s = spark
+    import s.implicits._
+    // 'zebra' postings ranked by wTf: doc 1 (tf=2, dl=3) > doc 2
+    // (tf=1, dl=2) > doc 5 (tf=1, dl=5) — higher tf wins, then shorter dl
+    val docs = corpus(
+      1L -> "zebra zebra stripes",
+      2L -> "zebra plains",
+      5L -> "zebra word word word word",
+      3L -> "common words only here")
+    val queries = Seq((100L, "zebra")).toDF("query_id", "text")
+    // untruncated: all three zebra docs score
+    assert(TextAnalysis.bm25TopK(docs, queries, 5)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+    // maxPostings=2 keeps only the two highest-impact postings (docs 1, 2)
+    val t2 = TextAnalysis.bm25TopK(docs, queries, 5, maxPostings = 2)
+    assert(t2.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    // scores of surviving postings are IDENTICAL to the untruncated run
+    // (truncation drops rows, never rescales survivors)
+    val full = TextAnalysis.bm25TopK(docs, queries, 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    t2.select("doc_id", "score").as[(Long, Double)].collect().foreach {
+      case (id, sc) => assert(sc === full(id))
+    }
+    // a cap at least as large as every df is a no-op
+    assert(TextAnalysis.bm25TopK(docs, queries, 5, maxPostings = 100)
+      .select("doc_id").as[Long].collect().toSet === Set(1L, 2L, 5L))
+    // composes with maxDfFrac ('zebra' df 3/4 drops at 0.5)
+    assert(TextAnalysis.bm25TopK(docs, queries, 5, maxDfFrac = 0.5,
+      maxPostings = 2).count() === 0)
+  }
+
   test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {
     val docs = corpus(
       0L -> "alpha beta gamma delta",          // eval: 2 distinct shingles
