@@ -367,38 +367,48 @@ object Corpus {
    *  which is exactly doc-level exact dedup falling out as the
    *  degenerate case.
    *
-   *  Scale shape, all linear in corpus tokens: explode to one row per
-   *  block; canonical-per-fingerprint is a hash aggregate over a
-   *  `min(struct)` (map-side partials — no per-fingerprint sort
-   *  window); survivors join back keyed by the fingerprint (shuffle
-   *  O(blocks)); the rebuild is one doc-keyed aggregate whose ordered
-   *  concat runs over each doc's own ≤ tokens/window structs. */
+   *  Scale shape, all linear in corpus tokens — and NO window text ever
+   *  shuffles: the exploded per-block rows carry only (fingerprint,
+   *  doc_id, bid) — ~24 bytes — through the canonical-per-fingerprint
+   *  hash aggregate (`min(struct)`, map-side partials) and the
+   *  survivor join back on the fingerprint. Survivor block ids then
+   *  collect into one sorted array per doc (still thin rows), and the
+   *  kept text is RE-DERIVED by re-slicing each surviving doc's own
+   *  token array after a single doc_id-keyed join against the source —
+   *  so the only exchange that carries text at all moves each doc's
+   *  text once, not once per block. (The first cut of this operator
+   *  shipped every block's window text through both the fingerprint
+   *  and the rebuild shuffles — a measured ~44 s constant at the
+   *  500k-doc probe point that this shape removes.) */
   def removeDuplicateSpans(docs: DataFrame, window: Int): DataFrame = {
     require(window > 0, "window must be positive")
-    val blocks = docs
-      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+    val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+    val nBlocks = ((size(col("__t")) - 1) / lit(window)).cast("int") + 1
+    val blocks = toks
       .select(col("doc_id"), col("__t"),
         explode(sequence(lit(0),
           ((size(col("__t")) - 1) / lit(window)).cast("int"))).as("bid"))
       .select(col("doc_id"), col("bid").cast("long").as("bid"),
-        concat_ws(" ", slice(col("__t"), col("bid") * lit(window) + 1, lit(window))).as("__c"))
-      .withColumn("__fp", md5(col("__c")))
+        md5(concat_ws(" ",
+          slice(col("__t"), col("bid") * lit(window) + 1, lit(window)))).as("__fp"))
     val canon = blocks.groupBy(col("__fp"))
       .agg(min(struct(col("doc_id"), col("bid"))).as("__canon"))
-    val kept = blocks.join(canon, "__fp")
+    val keptBids = blocks.join(canon, "__fp")
       .filter(col("doc_id") === col("__canon.doc_id") && col("bid") === col("__canon.bid"))
-    val perDoc = blocks.groupBy(col("doc_id")).agg(count(lit(1)).as("__n_blocks"))
-    kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_blocks_kept"),
-        sum(when(col("__c") === "", 0L)
-          .otherwise(size(split(col("__c"), " ")).cast("long"))).as("n_tokens_kept"),
-        md5(concat_ws(" ",
-          transform(array_sort(collect_list(struct(col("bid"), col("__c")))),
-            s => s.getField("__c")))).as("kept_hash"))
-      .join(perDoc, "doc_id")
-      .select(col("doc_id"), col("n_blocks_kept"),
-        (col("__n_blocks") - col("n_blocks_kept")).as("n_blocks_dropped"),
-        col("n_tokens_kept"), col("kept_hash"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("bid"))).as("__bids"))
+    // docs with zero kept blocks drop out here (inner join) — the
+    // fully-duplicated-doc case
+    val keptTexts = transform(col("__bids"),
+      b => concat_ws(" ", slice(col("__t"), b.cast("int") * lit(window) + 1, lit(window))))
+    toks.join(keptBids, "doc_id")
+      .select(col("doc_id"),
+        size(col("__bids")).cast("long").as("n_blocks_kept"),
+        (nBlocks.cast("long") - size(col("__bids")).cast("long")).as("n_blocks_dropped"),
+        aggregate(col("__bids"), lit(0L),
+          (acc, b) => acc + least(lit(window),
+            size(col("__t")) - b.cast("int") * lit(window)).cast("long")).as("n_tokens_kept"),
+        md5(concat_ws(" ", keptTexts)).as("kept_hash"))
   }
 
   /** One-row corpus funnel report — the "data card" numbers a pipeline

@@ -537,14 +537,20 @@ object Similarity {
       emb.select(col("vec_id"), asDouble(col("embedding")).as("v")), m, cb)
 
   /** As [[pqEncodeWith]] over an already-projected (vec_id,
-   *  v: array&lt;double&gt;) frame — the seam the residual path shares. */
-  private def pqEncodeVecs(vecs: DataFrame, m: Int, cb: DataFrame): DataFrame = {
+   *  v: array&lt;double&gt;) frame — the seam the residual path shares.
+   *  `carry` names passthrough columns that ride the argmin's group key
+   *  (each must be functionally dependent on vec_id, e.g. the IVF cell
+   *  id) — attaching them HERE costs nothing, where a post-hoc join
+   *  keyed by vec_id would re-shuffle the codes. */
+  private def pqEncodeVecs(vecs: DataFrame, m: Int, cb: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     val subLen = Dim / m
+    val carryCols = carry.map(col)
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
     val expl = vecs
-      .select(col("vec_id"), explode(array(subs: _*)).as("sx"))
-      .select(col("vec_id"), col("sx.sub").as("sub"), col("sx.x").as("x"))
+      .select(col("vec_id") +: carryCols :+ explode(array(subs: _*)).as("sx"): _*)
+      .select(col("vec_id") +: carryCols :+ col("sx.sub").as("sub") :+ col("sx.x").as("x"): _*)
     val d2 = round(
       dot(col("x"), col("x")) - lit(2) * dot(col("x"), col("c_vec"))
         + dot(col("c_vec"), col("c_vec")), 4)
@@ -556,10 +562,10 @@ object Similarity {
       lit(1L << 40) + col("c_id")
     expl.join(broadcast(cb), Seq("sub"))
       .withColumn("__d", d2)
-      .groupBy(col("vec_id"), col("sub"))
+      .groupBy(col("vec_id") +: carryCols :+ col("sub"): _*)
       .agg(min(packed).as("__p"))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"),
-        col("__p").bitwiseAND(lit((1L << 40) - 1)).as("code"))
+      .select(col("vec_id") +: carryCols :+ col("sub").cast("long").as("sub") :+
+        col("__p").bitwiseAND(lit((1L << 40) - 1)).as("code"): _*)
   }
 
   /** PQ ADC top-k (asymmetric distance computation): each query builds
@@ -670,42 +676,45 @@ object Similarity {
    *  unchanged: broadcast centroid assign (n·k, k constant), broadcast
    *  codebook encode (n·m·k), per-query ADC over ONE cell's codes.
    *  The zip_with subtraction is an interpreted HOF but runs once per
-   *  vector (not per subspace row) — negligible beside the encode join. */
+   *  vector (not per subspace row) — negligible beside the encode join.
+   *
+   *  Nothing vector-wide persists: the codebook sample and the query
+   *  side each RESTRICT (broadcast semi-join on the hash-ranked ids /
+   *  queryPred filter) before the residual projection runs, so the
+   *  assign + subtract is recomputed map-side only over codebookK and
+   *  |queries| rows respectively; the one corpus-wide residual pass is
+   *  the encode itself, and the IVF cell rides the encode argmin's
+   *  group key (functionally dependent on vec_id) instead of a
+   *  re-assign + join. (The first cut persisted every vector's 64-double
+   *  residual array between build and encode — a measured ~21 s
+   *  materialization constant at the 500k-vector probe point that this
+   *  shape removes.) */
   def ivfPqResidualTopK(emb: DataFrame, cents: DataFrame, queryPred: Column,
       k: Int, m: Int, codebookK: Int): DataFrame = {
-    val (res, out) = ivfPqResidualLazy(emb, cents, queryPred, k, m, codebookK)
-    val materialized = Iterate.truncate(out) // |queries|·k rows — tiny
-    res.unpersist()
-    materialized
-  }
-
-  /** The un-materialized plan behind [[ivfPqResidualTopK]] (returned
-   *  with the persisted residual frame the caller must release) — the
-   *  public API truncates lineage and unpersists; plan evidence
-   *  ([[graft.Plans]]) needs the lazy frame. */
-  private[graft] def ivfPqResidualLazy(emb: DataFrame, cents: DataFrame,
-      queryPred: Column, k: Int, m: Int, codebookK: Int): (DataFrame, DataFrame) = {
-    // persist ONLY the residual frame (reused by the codebook sample, the
-    // encode and the query side) and release it after materializing the
-    // tiny top-k output — unreleased vec-heavy caches are the session
-    // pressure the scale probe documents
-    val res = assignToCells(
-      emb.select(col("vec_id"), asDouble(col("embedding")).as("vec")), cents)
-      .join(broadcast(cents.select(col("c_id").as("cell"), col("c_vec"))), "cell")
-      .select(col("vec_id"), col("cell"),
-        zip_with(col("vec"), col("c_vec"), (a, b) => a - b).as("v"))
-      .persist()
+    // residual projection of a (possibly restricted) (vec_id, vec)
+    // frame: broadcast centroid assign + zip_with subtract, map-side only
+    def residuals(vecs: DataFrame): DataFrame =
+      assignToCells(vecs, cents)
+        .join(broadcast(cents.select(col("c_id").as("cell"), col("c_vec"))), "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(col("vec"), col("c_vec"), (a, b) => a - b).as("v"))
+    val embV = emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    // codebook membership is decided by the vec_id hash alone — rank a
+    // THIN id frame, then residual-project just the codebookK sampled rows
+    val sampleIds = emb
+      .select(col("vec_id"),
+        call_function("md5prefix28", col("vec_id").cast("string")).as("__h"))
+      .orderBy(col("__h").asc, col("vec_id").asc)
+      .limit(codebookK)
+      .select(col("vec_id"))
     val cb = subspaceCodebooksV(
-      res.withColumn("__h", call_function("md5prefix28", col("vec_id").cast("string")))
-        .orderBy(col("__h").asc, col("vec_id").asc)
-        .limit(codebookK)
+      residuals(embV.join(broadcast(sampleIds), "vec_id"))
         .select(col("vec_id"), col("v")), m)
-    val codes = pqEncodeVecs(res.select(col("vec_id"), col("v")), m, cb)
-      .join(res.select("vec_id", "cell"), "vec_id")
+    val codes = pqEncodeVecs(residuals(embV), m, cb, carry = Seq("cell"))
     val subLen = Dim / m
     val subs = (0 until m).map(s =>
       struct(lit(s).as("sub"), slice(col("v"), s * subLen + 1, subLen).as("x")))
-    val qsubs = res.filter(queryPred)
+    val qsubs = residuals(embV.filter(queryPred))
       .select(col("vec_id").as("q_id"), col("cell"), explode(array(subs: _*)).as("sx"))
       .select(col("q_id"), col("cell"), col("sx.sub").as("sub"), col("sx.x").as("x"))
     val d2 = round(
@@ -716,14 +725,13 @@ object Similarity {
         col("c_id").as("code"), d2.as("pd"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("adist").asc, col("vec_id").asc)
-    val out = codes.join(broadcast(table), Seq("cell", "sub", "code"))
+    codes.join(broadcast(table), Seq("cell", "sub", "code"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("pd")), 4).as("adist"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("q_id", "rank", "vec_id", "adist")
-    (res, out)
   }
 
   /** ANN top-k: candidates restricted to the query's bucket
