@@ -384,8 +384,10 @@ object TextAnalysis {
    *  the embedding ANN family).
    *
    *  Relational shape, built for a bounded query batch over an
-   *  unbounded corpus: tf is one hash aggregate over the token table;
-   *  doc lengths derive from tf (sharing its exchange); document
+   *  unbounded corpus: tf is one hash aggregate over the token table,
+   *  with the doc length riding its group key (dl = size(tokens) is a
+   *  source-side projection, functionally dependent on doc_id — never
+   *  a separate aggregate joined back by doc_id); document
    *  frequencies attach to the QUERY terms first (a bounded-size
    *  lookup), and that (term, df, query) table BROADCASTS onto tf —
    *  ONE broadcast join restricts the fact side to the query terms'
@@ -434,9 +436,18 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"bm25TopK needs k >= 1, got $k")
     require(maxDfFrac > 0 && maxDfFrac <= 1.0, s"maxDfFrac in (0, 1], got $maxDfFrac")
-    val tf = tokenTable(docs).groupBy(col("doc_id"), col("tk"))
+    // dl = size(tokens) is a SOURCE-side projection riding the tf group
+    // key (functionally dependent on doc_id), not a separate aggregate
+    // joined back by doc_id — that join re-shuffled every posting row
+    // by doc_id, the single widest exchange of the original plan.
+    // Equivalence with sum-of-tf is exact: tokens() yields [""] for
+    // empty text, so every doc has >= 1 token row in both engines.
+    val docTok = docs.select(col("doc_id"), tokens(col("text")).as("__t"))
+    val tf = docTok
+      .select(col("doc_id"), size(col("__t")).as("dl"), explode(col("__t")).as("tk"))
+      .groupBy(col("doc_id"), col("dl"), col("tk"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dl = docTok.select(col("doc_id"), size(col("__t")).as("dl"))
     val dfreq = tf.groupBy(col("tk")).agg(count(lit(1)).as("df"))
     val corpus = dl.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__toks"))
     val qterms = queries
@@ -459,7 +470,6 @@ object TextAnalysis {
     val scored =
       if (maxPostings <= 0)
         tf.join(broadcast(qd), "tk")
-          .join(dl, "doc_id")
           .crossJoin(broadcast(corpus))
           .groupBy(col("query_id"), col("doc_id"))
           .agg(round(sum(idf * wTf), 4).as("score"))
@@ -469,7 +479,6 @@ object TextAnalysis {
         // at maxPostings, then fan the survivors out to the queries
         val qt = qd.select(col("tk"), col("df")).distinct()
         val posted = tf.join(broadcast(qt), "tk")
-          .join(dl, "doc_id")
           .crossJoin(broadcast(corpus))
           .withColumn("__wtf", wTf)
         val pw = Window.partitionBy(col("tk"))

@@ -51,11 +51,14 @@ object EventsQueries {
           col("ts"), col("value"), 86400L, "30 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
+        // watermark ticks keyed by Long.MinValue — unambiguous against
+        // real user ids (testdata user ids are non-negative by the
+        // generator contract, and MinValue can't collide regardless)
         input.addData(rows: _*); q.processAllAvailable()
-        input.addData((-1L, maxTs + 3 * 86400, 0.0)); q.processAllAvailable()
-        input.addData((-1L, maxTs + 6 * 86400, 0.0)); q.processAllAvailable()
+        input.addData((Long.MinValue, maxTs + 3 * 86400, 0.0)); q.processAllAvailable()
+        input.addData((Long.MinValue, maxTs + 6 * 86400, 0.0)); q.processAllAvailable()
       } finally q.stop()
-      s.table(name).filter(col("key") =!= -1L)
+      s.table(name).filter(col("key") =!= Long.MinValue)
     })
 
   private def docs(s: SparkSession, d: String): DataFrame = {

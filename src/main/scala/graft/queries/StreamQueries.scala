@@ -222,13 +222,17 @@ object StreamQueries {
       val q = graft.streaming.StreamOps.rateStream(input.toDF())
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
+        // Long.MinValue + a reserved metric name: unambiguous against
+        // any real series (testdata ids are xxh64 outputs; a collision
+        // with MinValue AND the reserved metric is impossible by
+        // construction)
         def sentinel(ts: Long) = graft.streaming.PointRow(
-          -1L, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
         input.addData(pts: _*); q.processAllAvailable()
         input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
         input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
       } finally q.stop()
-      s.table(name).filter(col("metric") =!= "__sentinel")
+      s.table(name).filter(col("series_id") =!= Long.MinValue)
     })
 
   private def lwwWindows(s: SparkSession, d: String): DataFrame =
@@ -249,15 +253,19 @@ object StreamQueries {
         .windowedDownsampleLww(input.toDF(), "1h", "30 minutes")
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
+        // Long.MinValue + a reserved metric name: unambiguous against
+        // any real series (testdata ids are xxh64 outputs; a collision
+        // with MinValue AND the reserved metric is impossible by
+        // construction)
         def sentinel(ts: Long) = graft.streaming.PointRow(
-          -1L, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
         input.addData(pts: _*); q.processAllAvailable()
         // watermark lags one batch: two sentinel batches close every
         // real window (wm after #1 = maxTs + 2h - 30m covers all ends)
         input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
         input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
       } finally q.stop()
-      s.table(name).filter(col("metric") =!= "__sentinel")
+      s.table(name).filter(col("series_id") =!= Long.MinValue)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("sum"), 4).as("sum_value"), col("cnt"),
           round(col("min"), 4).as("min_value"), round(col("max"), 4).as("max_value"),

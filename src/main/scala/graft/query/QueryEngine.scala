@@ -206,17 +206,13 @@ object QueryEngine {
       .withColumnRenamed("__bucket", "bucket_ts")
   }
 
-  /** Dense interval output (reference emits one cell per interval index
-   *  with NaN fills — AuraMetricsNumericArrayIterator.java:583-657): each
-   *  series present in the downsample output is left-joined to the full
-   *  generated bucket sequence of the query range; missing buckets
-   *  surface as NaN, reproducing the reference's dense-array shape.
-   *  The generated side is O(|series| × buckets) — never a scan. */
   /** Dense interval grid per series with the reference's FillPolicy
    *  vocabulary for absent buckets (NumericFillPolicy: NAN the default,
-   *  NULL, ZERO, SCALAR). The grid explode is per-SERIES (|series| ×
-   *  |buckets| rows — aggregated scale, never the fact table), and the
-   *  fill is a per-row projection on the left join's null side. */
+   *  NULL, ZERO, SCALAR — AuraMetricsNumericArrayIterator.java:583-657):
+   *  each series present in the downsample output is left-joined to the
+   *  full generated bucket sequence of the query range, and the fill is
+   *  a per-row projection on the join's null side. The generated grid
+   *  is O(|series| × buckets) — aggregated scale, never the fact table. */
   def denseFill(ds: DataFrame, interval: String, start: Long, end: Long,
       fill: String = "nan", fillScalar: Double = 0.0): DataFrame = {
     require(interval != "0all", "dense fill needs a finite interval")
@@ -292,6 +288,17 @@ object QueryEngine {
     // at this point is the group-by keys when grouping happened, else
     // series_id (a map-typed `tags` can't key a window/aggregate).
     val seriesKeys: Seq[String] = q.groupBy.map(_.keys).getOrElse(Seq("series_id"))
+    // every analytic node consumes the aggregated (bucket_ts, value)
+    // frame — without a downsample the column doesn't exist and the
+    // failure would surface as an obscure unresolved-column error deep
+    // in the node; fail the config here instead (mirrors the fill guard)
+    val analyticNodes = Seq(
+      q.slidingWindow.map(_ => "slidingWindow"), q.ratio.map(_ => "ratio"),
+      q.topN.map(_ => "topN"), q.summarizer.map(_ => "summarizer")).flatten
+    if (analyticNodes.nonEmpty && !df.columns.contains("bucket_ts"))
+      throw new IllegalArgumentException(
+        s"${analyticNodes.mkString("/")} require downsampled input: " +
+          "add a downsample to the query (no bucket_ts column present)")
     df = q.slidingWindow.map(sw =>
       graft.operators.SeriesAnalytics.sliding(df, seriesKeys.map(col), sw.buckets, sw.agg))
       .getOrElse(df)

@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
  * micro-batch runs the exact batch argmin inside `foreachBatch`: no
  * state store, no watermark, and the streamed index is bit-identical to
  * a batch re-assignment of the same vectors — which is exactly what the
- * oracle restates. Late or replayed vectors append idempotently at the
- * file level (the checkpoint dedupes source files, the assignment is a
- * pure function of the vector).
+ * oracle restates. Whole-run replays dedupe at the source (the
+ * checkpoint tracks drained files), and WITHIN a run each micro-batch
+ * writes to a `batch_id=N` partition directory with overwrite — a batch
+ * retried after a crash between the parquet write and the checkpoint
+ * commit replaces its own directory instead of appending a duplicate,
+ * so the sink is exactly-once, not merely at-least-once.
  *
  * At 100 TB: the centroid table is small by contract (it broadcasts
  * inside the per-batch argmin), each micro-batch shuffles only itself,
@@ -45,10 +48,14 @@ object EmbedIngest {
       .option("checkpointLocation", ckptDir)
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // batch-keyed subdirectory + overwrite = idempotent on retry
+        // (readers see batch_id as one more partition column; cell
+        // pruning is unaffected by the extra level)
         Similarity.ivfAssignWith(batch, cents)
           .select(col("vec_id"), col("cell"), col("d"))
-          .write.mode("append").partitionBy("cell").parquet(outDir)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$outDir/batch_id=$batchId")
       }
       .start().awaitTermination()
 }

@@ -27,17 +27,16 @@ class RetentionSpec extends AnyFunSuite {
       (1L, 0L) -> 1L)) // u3 cohorted day 1
   }
 
-  test("novelty: planted novel vs seen shingles score exactly") {
+  test("pre-1970 timestamps floor to the previous epoch-day (no toward-zero truncation)") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val ref = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
-    // doc 1: both shingles seen in ref; doc 3: one of two shingles novel
-    val nw = Seq(
-      (1L, "alpha beta gamma delta"),
-      (3L, "beta gamma delta zebra")).toDF("doc_id", "text")
-    val out = graft.pipeline.Corpus.novelty(nw, ref)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
-    assert(out(1L) === ((2L, 0L, 0.0)))
-    assert(out(3L) === ((2L, 1L, 0.5)))
+    // ts = -1 s is day -1 under floor division; a double-divide-then-
+    // cast truncates it to day 0 and silently merges it with epoch day 0
+    val ev = Seq(("u1", -1L), ("u1", 0L), ("u2", -86400L)).toDF("user", "ts")
+    val out = Retention.cohorts(ev, col("user"), col("ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map(
+      (-1L, 0L) -> 2L,  // u1 cohorted day -1 (floor), u2 exactly day -1
+      (-1L, 1L) -> 1L)) // u1 back on day 0 = k 1
   }
 }

@@ -362,4 +362,18 @@ class CorpusSpec extends AnyFunSuite {
       .select(md5(Dedup.normalized(col("text")))).collect().map(_.getString(0))
     assert(hashes.length === hashes.distinct.length)
   }
+
+  test("novelty: planted novel vs seen shingles score exactly") {
+    val spark2 = spark
+    import spark2.implicits._
+    val ref = Seq((10L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: both shingles seen in ref; doc 3: one of two shingles novel
+    val nw = Seq(
+      (1L, "alpha beta gamma delta"),
+      (3L, "beta gamma delta zebra")).toDF("doc_id", "text")
+    val out = Corpus.novelty(nw, ref)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((2L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 1L, 0.5)))
+  }
 }

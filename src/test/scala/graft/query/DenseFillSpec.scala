@@ -71,4 +71,20 @@ class DenseFillSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out === Map(3610L -> 2.0))
   }
+
+  test("analytic nodes without a downsample fail as a config error, not an unresolved column") {
+    import graft.filters.MatchAll
+    val df = Fixtures.series("m", tagset, (10L, 1.0), (190L, 4.0))
+    // every analytic node consumes (bucket_ts, value); each must raise
+    // the descriptive guard when no downsample produced that frame
+    val cases = Seq(
+      TsdbQuery(MatchAll, 0, 300, ratio = Some(RatioSpec(asPercent = false))),
+      TsdbQuery(MatchAll, 0, 300, summarizer = Some(SummarizerSpec(Seq("avg")))),
+      TsdbQuery(MatchAll, 0, 300, slidingWindow = Some(SlidingWindowSpec(2, "avg"))),
+      TsdbQuery(MatchAll, 0, 300, topN = Some(TopNSpec(1, top = true))))
+    cases.foreach { q =>
+      val e = intercept[IllegalArgumentException] { QueryEngine.run(df, q) }
+      assert(e.getMessage.contains("downsample"), s"got: ${e.getMessage}")
+    }
+  }
 }

@@ -45,6 +45,19 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(after.groupBy("vec_id").count().filter(col("count") > 1).count() === 0,
       "replayed source files must not duplicate index rows")
 
+    // retry idempotency: a micro-batch replayed after a crash between
+    // the parquet write and the checkpoint commit re-writes its OWN
+    // batch_id directory (overwrite), never appending duplicates —
+    // simulate the retry by re-emitting batch 1's rows at its sink path
+    val batch1Count = spark.read.parquet(s"$out/batch_id=1").count()
+    Similarity.ivfAssignWith(
+        spark.read.parquet(src).filter(col("vec_id") >= 50), cents)
+      .select(col("vec_id"), col("cell"), col("d"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$out/batch_id=1")
+    assert(spark.read.parquet(out).count() === 60,
+      "a retried micro-batch must replace its directory, not append")
+    assert(spark.read.parquet(s"$out/batch_id=1").count() === batch1Count)
+
     // partition pruning: a one-cell probe must read only that partition
     val cell = after.select("cell").head.getAs[Number]("cell").longValue()
     val probe = spark.read.parquet(out).filter(col("cell") === cell)
