@@ -174,4 +174,124 @@ object SeriesAnalytics {
     val guarded = if (op == "divide") joined.filter(col("__r") =!= 0) else joined
     guarded.withColumn("value", v).drop("__l", "__r")
   }
+
+  /** Moving-average node with exponential weighting (the upstream TSDB
+   *  3.x `MovingAverageConfig` with `exponential = true`): each bucket's
+   *  value becomes the weighted mean of the trailing `samples` buckets of
+   *  its own series, weight `(1-alpha)^k` at lag k (most recent weighs
+   *  1). The upstream node bounds the window at `samples` points, so the
+   *  truncation IS the node's semantics — not an approximation.
+   *
+   *  Determinism: the window is an explicit lag-chain (no windowed SUM,
+   *  whose accumulation order differs between engines), summed
+   *  left-to-right lag 0 → samples-1 in BOTH engines; with a dyadic
+   *  alpha (0.5, 0.25, …) the weights are exact binary fractions, so
+   *  weighted sums of integer-valued inputs are exact FP and the single
+   *  terminal division runs over identical doubles cross-engine. Partial
+   *  head windows renormalize over the lags that exist (upstream
+   *  averageInitial behavior).
+   *
+   *  Plan: one exchange keyed by the series/group key, `samples` lag
+   *  reads per row — no per-series state beyond the frame, no global
+   *  sort; identical scale posture to [[sliding]]. */
+  def movingAverage(ds: DataFrame, partitionKeys: Seq[Column], samples: Int,
+      alpha: Double = 0.5): DataFrame = {
+    require(samples >= 1, s"movingAverage needs >= 1 samples, got $samples")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val w = Window.partitionBy(partitionKeys: _*).orderBy(col("bucket_ts").asc)
+    val terms = (0 until samples).map { k =>
+      val weight = math.pow(1 - alpha, k)
+      val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
+      (when(v.isNotNull, v * lit(weight)).otherwise(lit(0.0)),
+        when(v.isNotNull, lit(weight)).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduceLeft(_ + _)
+    val den = terms.map(_._2).reduceLeft(_ + _)
+    ds.withColumn("value", num / den)
+  }
+
+  /** Bucket-quantile node (the upstream TSDB 3.x `BucketQuantileConfig`):
+   *  the input series are HISTOGRAM BUCKET COUNTERS — one metric per
+   *  bucket, bounds encoded in the metric name (`<base>_<lo>_<hi>`,
+   *  overflow `<base>_<lo>_inf`) exactly as the upstream node parses its
+   *  bucket ids. For each (series key, bucket_ts) and each requested
+   *  quantile q, the output value is the UPPER bound of the first bucket
+   *  (in ascending lower-bound order) whose cumulative count reaches
+   *  q × total; the overflow bucket reports its lower bound (it has no
+   *  finite upper edge). Output carries one row per quantile with a
+   *  `quantile` column.
+   *
+   *  Determinism: counts are integers, the cumulative sum is exact in
+   *  any evaluation order, and q × total is one IEEE multiply of the
+   *  same two doubles in both engines — so the bucket pick replays
+   *  bit-identically with no rounding discipline needed.
+   *
+   *  Plan: bound parsing is a projection; the cumulative count is one
+   *  window over ≤ |buckets| rows per (series, ts) partition (a dozen
+   *  rows — no skew possible); quantile fan-out is a broadcast cross
+   *  join against a |quantiles|-row local relation; the pick is one
+   *  hash aggregate. Nothing here touches raw points — input is already
+   *  aggregated counters, |series| × |buckets| × |intervals| rows. */
+  def bucketQuantile(ds: DataFrame, keys: Seq[String], quantiles: Seq[Double],
+      bucketCol: String = "metric"): DataFrame = {
+    require(quantiles.nonEmpty, "bucketQuantile needs at least one quantile")
+    require(quantiles.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $quantiles")
+    val lo = regexp_extract(col(bucketCol), "_([0-9.]+)_([0-9.]+|inf)$", 1).cast("double")
+    val hiStr = regexp_extract(col(bucketCol), "_([0-9.]+)_([0-9.]+|inf)$", 2)
+    // overflow bucket: no finite upper edge — report its lower bound
+    val rep = when(hiStr === "inf", lo).otherwise(hiStr.cast("double"))
+    val keyCols = keys.map(col)
+    val part = keyCols :+ col("bucket_ts")
+    val wCum = Window.partitionBy(part: _*).orderBy(col("__lo").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(part: _*)
+    val bounded = ds
+      .withColumn("__lo", lo).withColumn("__rep", rep)
+      .withColumn("__cum", sum(col("value")).over(wCum))
+      .withColumn("__tot", sum(col("value")).over(wTot))
+    val spark = ds.sparkSession
+    import spark.implicits._
+    val qdf = broadcast(quantiles.toDF("quantile"))
+    bounded.crossJoin(qdf)
+      .filter(col("__cum") >= col("quantile") * col("__tot"))
+      .groupBy(part :+ col("quantile"): _*)
+      .agg(min(col("__rep")).as("value"))
+  }
+
+  /** Olympic-scoring anomaly baseline (the egads `OlympicModel` the
+   *  upstream TSDB anomaly node family hosts, restated
+   *  deterministically): each bucket's expected value is the OLYMPIC
+   *  MEAN — drop the single highest and single lowest, average the
+   *  rest — of its own series' STRICTLY EARLIER buckets at the same
+   *  seasonal position (`positionCol`, e.g. day-of-week for daily
+   *  buckets). Fewer than 4 history points fall back to the plain mean
+   *  (nothing to trim); fewer than `minHistory` emit a null baseline
+   *  (model warm-up, as [[zscore]]). The anomaly flag fires when
+   *  |value − baseline| / baseline ≥ `threshold` (baseline > 0).
+   *
+   *  Determinism: sum/min/max/count over integer-valued inputs are
+   *  exact in any order; the one division and the ratio snap to 4
+   *  decimals before the threshold compare, so the flag replays
+   *  bit-identically cross-engine.
+   *
+   *  Plan: ONE window partitioned by (series key, position) in bucket
+   *  order — aggregated-scale rows, a handful per partition; no global
+   *  sort, no second pass. */
+  def olympic(ds: DataFrame, keys: Seq[Column], positionCol: Column,
+      threshold: Double = 0.5, minHistory: Int = 2): DataFrame = {
+    require(minHistory >= 1, s"olympic needs >= 1 history buckets, got $minHistory")
+    val w = Window.partitionBy(keys :+ positionCol: _*)
+      .orderBy(col("bucket_ts").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = count(col("value")).over(w)
+    val s = sum(col("value")).over(w)
+    val mn = min(col("value")).over(w)
+    val mx = max(col("value")).over(w)
+    val baseline = when(n >= 4, round((s - mn - mx) / (n - 2), 4))
+      .when(n >= minHistory, round(s / n, 4))
+    val dev = when(baseline > 0, round(abs(col("value") - baseline) / baseline, 4))
+    ds.withColumn("baseline", baseline)
+      .withColumn("deviation", dev)
+      .withColumn("anomaly", coalesce(col("deviation") >= lit(threshold), lit(false)))
+  }
 }

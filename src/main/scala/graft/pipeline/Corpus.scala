@@ -560,6 +560,58 @@ object Corpus {
     out(funded).unionByName(out(straddling))
   }
 
+  /** DSIR-style data selection with importance resampling (Xie et al.
+   *  2023, "Data Selection for Language Models via Importance
+   *  Resampling"): score each RAW-pool document by how much more likely
+   *  its hashed unigram features are under the TARGET distribution
+   *  (docs matching `targetPred`) than under the raw pool, and keep the
+   *  `k` highest-scoring raw docs. Features are md5-prefix token hashes
+   *  folded into `buckets` buckets; per-bucket importance weight is the
+   *  add-one-smoothed log-likelihood ratio
+   *  `ln( ((ct+1)/(Nt+B)) / ((cr+1)/(Nr+B)) )`, and a doc's score is
+   *  the sum of its token occurrences' weights (the paper's log
+   *  importance weight; its Gumbel noise is dropped for a deterministic
+   *  top-k — rank ties break by doc_id).
+   *
+   *  Determinism: weights quantize to integer 1e-4 units (one ln + one
+   *  round per BUCKET, not per token), so every per-doc score is an
+   *  exact integer sum — no FP accumulation order anywhere; the oracle
+   *  replays the identical integer arithmetic.
+   *
+   *  Scale shape: the side label rides the doc row INTO the token
+   *  explode (no token-table join); bucket stats are one hash aggregate
+   *  down to `buckets` rows; the ≤`buckets`-row weight table BROADCASTS
+   *  onto the token stream (map-side, no skew — every token of a 100 TB
+   *  corpus joins against 4096 rows); the ranked cut is
+   *  TakeOrderedAndProject (per-task local top-k, only k rows leave any
+   *  partition). */
+  def dsirSelect(docs: DataFrame, targetPred: org.apache.spark.sql.Column, k: Int,
+      buckets: Int = 4096): DataFrame = {
+    require(k >= 1, s"dsirSelect needs k >= 1, got $k")
+    require(buckets >= 2, s"dsirSelect needs >= 2 hash buckets, got $buckets")
+    val tkb = docs
+      .select(col("doc_id"), targetPred.as("__t"),
+        explode(TextAnalysis.tokens(col("text"))).as("tk"))
+      .withColumn("__b", pmod(call_function("md5prefix28", col("tk")), lit(buckets)))
+    val stats = tkb.groupBy(col("__b")).agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("__cr"))
+    val totals = stats.agg(
+      sum(col("__ct")).as("__nt"), sum(col("__cr")).as("__nr"))
+    val pT = (col("__ct") + 1).cast("double") / (col("__nt") + buckets).cast("double")
+    val pR = (col("__cr") + 1).cast("double") / (col("__nr") + buckets).cast("double")
+    val weights = stats.crossJoin(broadcast(totals))
+      .select(col("__b"), round(log(pT / pR) * 10000).cast("long").as("__w"))
+    tkb.filter(!col("__t"))
+      .join(broadcast(weights), "__b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__w")).as("__s"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("__s").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"),
+        (col("__s").cast("double") / 10000.0).as("dsir_score"))
+  }
+
   def select(docs: DataFrame, nearThreshold: Double): DataFrame = {
     val quality = TextAnalysis.quality(docs)
       .select(col("doc_id"), col("quality_score"), col("keep"))

@@ -179,6 +179,13 @@ object PipelineQueries {
     // budget with its best docs (no domain starves another)
     "q_pipeline_budget_domain" -> ((s, d) =>
       Corpus.selectByTokenBudgetByDomain(docs(s, d), 5000)),
+    // DSIR importance-resampling selection (Xie et al. 2023): raw-pool
+    // docs (source outside src0/src1) ranked by the summed hashed-unigram
+    // log-likelihood ratio target-vs-raw; top 200 kept. Weights quantize
+    // to integer 1e-4 units per BUCKET, so every doc score is an exact
+    // integer sum — no FP accumulation order anywhere in the ranking.
+    "q_pipeline_dsir" -> ((s, d) =>
+      Corpus.dsirSelect(docs(s, d), col("source").isin("src0", "src1"), 200)),
     // seeded disjoint train/val/test split (80/10/10 by salted hash)
     "q_pipeline_split" -> ((s, d) =>
       Corpus.trainValTestSplit(docs(s, d), 800, 100, salt = "s1")),
@@ -708,6 +715,28 @@ object PipelineQueries {
          |      FROM m)
          |SELECT doc_id, n_tokens, score AS quality_score FROM p
          |WHERE before < 20000""".stripMargin,
+
+    "q_pipeline_dsir" ->
+      s"""WITH tkb AS (
+         |  SELECT doc_id, source IN ('src0', 'src1') AS tt,
+         |         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tk
+         |  FROM documents),
+         |tb AS (SELECT doc_id, tt, ${bh("tk")} % 4096 AS b FROM tkb),
+         |st AS (SELECT b,
+         |              sum(CASE WHEN tt THEN 1 ELSE 0 END) AS ct,
+         |              sum(CASE WHEN tt THEN 0 ELSE 1 END) AS cr
+         |       FROM tb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM st),
+         |wt AS (SELECT b,
+         |              CAST(round(ln((CAST(ct + 1 AS DOUBLE) / CAST(nt + 4096 AS DOUBLE)) /
+         |                            (CAST(cr + 1 AS DOUBLE) / CAST(nr + 4096 AS DOUBLE))) * 10000)
+         |                   AS BIGINT) AS w
+         |       FROM st CROSS JOIN tot),
+         |sc AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS s, count(*) AS n_tokens
+         |       FROM tb JOIN wt USING (b) WHERE NOT tt GROUP BY 1)
+         |SELECT doc_id, n_tokens, CAST(s AS DOUBLE) / CAST(10000 AS DOUBLE) AS dsir_score
+         |FROM sc
+         |QUALIFY row_number() OVER (ORDER BY s DESC, doc_id ASC) <= 200""".stripMargin,
 
     "q_pipeline_budget_domain" ->
       s"""WITH $toksCte,

@@ -478,6 +478,74 @@ object TsdbQueries {
           col("value").as("cnt"), col("zscore"), col("anomaly"))
     },
 
+    // Moving-average node with exponential weighting (upstream TSDB 3.x
+    // MovingAverageConfig, exponential=true): trailing-4-sample EWMA of
+    // per-series daily counts, alpha=0.5 — dyadic weights (1, .5, .25,
+    // .125) make every weighted sum of integer counts exact FP, so the
+    // one terminal division replays bit-identically (the lag-chain, not
+    // a windowed SUM, fixes the accumulation order cross-engine).
+    "q_ds_ewma" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        movingAverage = Some(MovingAverageSpec(4, 0.5)))), "ewma")),
+
+    // The same EWMA node from a client JSON document — shares
+    // q_ds_ewma's oracle verbatim (parser divergence = hash mismatch).
+    "q_json_ewma" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "movingAverage": {"samples": 4, "alpha": 0.5}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "ewma")
+    },
+
+    // Bucket-quantile node (upstream TSDB 3.x BucketQuantileConfig):
+    // the input series are histogram BUCKET COUNTERS — per (user, day),
+    // event values bin into fixed-bound buckets whose counts are stored
+    // as one metric per bucket, bounds in the metric name (exactly the
+    // shape the upstream node parses). p50/p95/p99 then come from the
+    // cumulative counts: the first bucket reaching q×total reports its
+    // upper bound. Integer counts end-to-end — no rounding discipline.
+    "q_bucket_quantile" -> { (s, d) =>
+      val p = prepared(s, d)
+      val bucketMetric = when(col("value") < 1, "lat_0_1")
+        .when(col("value") < 5, "lat_1_5")
+        .when(col("value") < 20, "lat_5_20")
+        .when(col("value") < 50, "lat_20_50")
+        .when(col("value") < 100, "lat_50_100")
+        .when(col("value") < 250, "lat_100_250")
+        .otherwise("lat_250_inf")
+      val counters = p
+        .withColumn("metric", bucketMetric)
+        .groupBy(col("metric"), col("tags")("user").as("tag_user"),
+          (col("ts") - col("ts") % 86400).as("bucket_ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.SeriesAnalytics
+        .bucketQuantile(counters, Seq("tag_user"), Seq(0.5, 0.95, 0.99))
+        .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
+    },
+
+    // Olympic-scoring anomaly baseline (the egads OlympicModel hosted by
+    // the upstream anomaly node family): each user-day count is compared
+    // to the olympic mean (drop one high + one low, average the rest) of
+    // its STRICTLY EARLIER same-day-of-week buckets over the full 30-day
+    // range — weekly seasonality gives each position 4-5 samples, so the
+    // trim branch is exercised. Counts are exact ints; baseline and
+    // deviation snap to 4 decimals before the 0.5-threshold compare.
+    "q_anomaly_olympic" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val ds = run(s, d, TsdbQuery(MatchAll, DataStart, fullEnd,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum"))))
+        .withColumn("value", round(col("value"), 4))
+      graft.operators.SeriesAnalytics.olympic(ds, Seq(col("user")),
+        expr("(bucket_ts DIV 86400) % 7"))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
+    },
+
     // Dense fill through the JSON front end (downsample config's
     // FillPolicy): same grid as q_ds_dense, same oracle verbatim.
     "q_json_dense_fill" -> { (s, d) =>
@@ -871,7 +939,91 @@ object TsdbQueries {
          |tot AS (SELECT bucket_ts, ${rnd("sum(v)")} AS t FROM ds GROUP BY 1)
          |SELECT d.tag_user, d.bucket_ts, ${rnd("d.v * 100 / t.t")} AS pct
          |FROM ds d JOIN tot t USING (bucket_ts)
-         |WHERE t.t <> 0""".stripMargin
+         |WHERE t.t <> 0""".stripMargin,
+
+    // EWMA: the lag-chain is written in the same left-to-right order as
+    // the engine's expression; dyadic weights keep every sum exact FP.
+    "q_ds_ewma" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT metric, tag_user, bucket_ts,
+         |       ${rnd("(v * 1.0 + COALESCE(lag(v, 1) OVER win * 0.5, 0) " +
+             "+ COALESCE(lag(v, 2) OVER win * 0.25, 0) " +
+             "+ COALESCE(lag(v, 3) OVER win * 0.125, 0)) / " +
+             "(1.0 + (CASE WHEN lag(v, 1) OVER win IS NULL THEN 0 ELSE 0.5 END) " +
+             "+ (CASE WHEN lag(v, 2) OVER win IS NULL THEN 0 ELSE 0.25 END) " +
+             "+ (CASE WHEN lag(v, 3) OVER win IS NULL THEN 0 ELSE 0.125 END))")} AS ewma
+         |FROM ds
+         |WINDOW win AS (PARTITION BY metric, tag_user ORDER BY bucket_ts)""".stripMargin,
+
+    // Bucket-quantile: integer counts end-to-end, so the cumulative pick
+    // needs no rounding discipline at all.
+    "q_bucket_quantile" ->
+      s"""WITH $pointsCtes,
+         |b AS (
+         |  SELECT CASE WHEN value < 1 THEN 'lat_0_1'
+         |              WHEN value < 5 THEN 'lat_1_5'
+         |              WHEN value < 20 THEN 'lat_5_20'
+         |              WHEN value < 50 THEN 'lat_20_50'
+         |              WHEN value < 100 THEN 'lat_50_100'
+         |              WHEN value < 250 THEN 'lat_100_250'
+         |              ELSE 'lat_250_inf' END AS metric,
+         |         tag_user, ts - ts % 86400 AS bucket_ts
+         |  FROM dedup WHERE ${inRange()}),
+         |c AS (SELECT metric, tag_user, bucket_ts, CAST(count(*) AS DOUBLE) AS v
+         |      FROM b GROUP BY 1, 2, 3),
+         |parsed AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         CAST(regexp_extract(metric, '_([0-9.]+)_([0-9.]+|inf)$$', 1) AS DOUBLE) AS lo,
+         |         CASE WHEN regexp_extract(metric, '_([0-9.]+)_([0-9.]+|inf)$$', 2) = 'inf'
+         |              THEN CAST(regexp_extract(metric, '_([0-9.]+)_([0-9.]+|inf)$$', 1) AS DOUBLE)
+         |              ELSE CAST(regexp_extract(metric, '_([0-9.]+)_([0-9.]+|inf)$$', 2) AS DOUBLE)
+         |         END AS rep
+         |  FROM c),
+         |cum AS (
+         |  SELECT *,
+         |         sum(v) OVER (PARTITION BY tag_user, bucket_ts ORDER BY lo
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+         |         sum(v) OVER (PARTITION BY tag_user, bucket_ts) AS tot
+         |  FROM parsed)
+         |SELECT tag_user, bucket_ts, quantile, min(rep) AS latency_bound
+         |FROM cum CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS quantile) AS qq
+         |WHERE cm >= quantile * tot
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Olympic scoring: window frame and arithmetic order mirror the
+    // engine expression exactly; counts are exact ints until the one
+    // division, which snaps to 4 decimals before the threshold compare.
+    "q_anomaly_olympic" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < ${DataStart + 31L * 86400}
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         count(v) OVER win AS n, sum(v) OVER win AS s,
+         |         min(v) OVER win AS mn, max(v) OVER win AS mx
+         |  FROM (SELECT *, (bucket_ts // 86400) % 7 AS pos FROM ds)
+         |  WINDOW win AS (PARTITION BY tag_user, pos ORDER BY bucket_ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |base AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         CASE WHEN n >= 4 THEN ${rnd("(s - mn - mx) / (n - 2)")}
+         |              WHEN n >= 2 THEN ${rnd("s / n")} END AS baseline
+         |  FROM h),
+         |dev AS (
+         |  SELECT tag_user, bucket_ts, v, baseline,
+         |         CASE WHEN baseline > 0 THEN ${rnd("abs(v - baseline) / baseline")} END AS deviation
+         |  FROM base)
+         |SELECT tag_user, bucket_ts, v AS cnt, baseline, deviation,
+         |       COALESCE(deviation >= 0.5, false) AS anomaly
+         |FROM dev""".stripMargin
   )
 
   // JSON front-end replays: selections are identical to the direct-ADT
@@ -881,5 +1033,6 @@ object TsdbQueries {
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_full" -> oraclesBase("q_full_pipeline"),
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
-    "q_json_dense_fill" -> oraclesBase("q_ds_dense"))
+    "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
+    "q_json_ewma" -> oraclesBase("q_ds_ewma"))
 }

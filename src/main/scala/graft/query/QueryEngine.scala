@@ -293,7 +293,8 @@ object QueryEngine {
     // failure would surface as an obscure unresolved-column error deep
     // in the node; fail the config here instead (mirrors the fill guard)
     val analyticNodes = Seq(
-      q.slidingWindow.map(_ => "slidingWindow"), q.ratio.map(_ => "ratio"),
+      q.slidingWindow.map(_ => "slidingWindow"), q.movingAverage.map(_ => "movingAverage"),
+      q.ratio.map(_ => "ratio"),
       q.topN.map(_ => "topN"), q.summarizer.map(_ => "summarizer")).flatten
     if (analyticNodes.nonEmpty && !df.columns.contains("bucket_ts"))
       throw new IllegalArgumentException(
@@ -301,6 +302,9 @@ object QueryEngine {
           "add a downsample to the query (no bucket_ts column present)")
     df = q.slidingWindow.map(sw =>
       graft.operators.SeriesAnalytics.sliding(df, seriesKeys.map(col), sw.buckets, sw.agg))
+      .getOrElse(df)
+    df = q.movingAverage.map(ma =>
+      graft.operators.SeriesAnalytics.movingAverage(df, seriesKeys.map(col), ma.samples, ma.alpha))
       .getOrElse(df)
     df = q.ratio.map(r =>
       graft.operators.SeriesAnalytics.ratio(df, r.asPercent))

@@ -153,6 +153,12 @@ object TsdbJson {
       require(b.isDefined, s"slidingWindow needs 'buckets': $s0")
       SlidingWindowSpec(buckets = b.get.asInt, agg = str(s0, "aggregator", "agg"))
     }
+    val ma = Option(n.get("movingAverage")).filter(!_.isNull).map { m =>
+      val smp = Option(m.get("samples")).filter(!_.isNull)
+      require(smp.isDefined, s"movingAverage needs 'samples': $m")
+      MovingAverageSpec(samples = smp.get.asInt,
+        alpha = Option(m.get("alpha")).filter(!_.isNull).map(_.asDouble).getOrElse(0.5))
+    }
     val tn = Option(n.get("topN")).filter(!_.isNull).map { t =>
       val cnt = Option(t.get("n")).filter(!_.isNull).orElse(Option(t.get("count")).filter(!_.isNull))
       require(cnt.isDefined, s"topN needs 'n': $t")
@@ -185,6 +191,7 @@ object TsdbJson {
       explicitTags = pf.explicitTags,
       fill = fl,
       slidingWindow = sw,
+      movingAverage = ma,
       ratio = rt,
       topN = tn,
       summarizer = sm)

@@ -52,6 +52,12 @@ final case class SlidingWindowSpec(buckets: Int, agg: String)
  *  keep the `n` largest (`top = false`: smallest). */
 final case class TopNSpec(n: Int, top: Boolean = true)
 
+/** Exponentially-weighted moving average (the upstream TSDB 3.x
+ *  moving-average query node with `exponential = true`): each bucket's
+ *  value becomes the weight-`(1-alpha)^k` mean of the trailing `samples`
+ *  buckets of its own series. */
+final case class MovingAverageSpec(samples: Int, alpha: Double = 0.5)
+
 /** Dense-grid fill (the downsample config's FillPolicy): materialize
  *  every interval bucket per series, absent buckets filled per policy
  *  (nan/null/zero/scalar). Requires a finite downsample interval. */
@@ -78,6 +84,7 @@ final case class TsdbQuery(
     explicitTags: Boolean = false,
     fill: Option[FillSpec] = None, // dense grid per series, directly above downsample
     slidingWindow: Option[SlidingWindowSpec] = None, // applied above downsample/groupBy
+    movingAverage: Option[MovingAverageSpec] = None, // EWMA smoother, same slot as slidingWindow
     ratio: Option[RatioSpec] = None, // applied above slidingWindow output
     topN: Option[TopNSpec] = None, // applied above ratio
     summarizer: Option[SummarizerSpec] = None) // terminal: collapses the time axis

@@ -170,4 +170,66 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     assert(executed.contains("ReusedExchange") || executed.contains("ReusedQueryStage"),
       s"AQE exchange reuse must dedupe the double input reference:\n$executed")
   }
+
+  test("movingAverage: truncated EWMA with exact dyadic weights; head renormalizes") {
+    val out = SeriesAnalytics.movingAverage(agg, Seq(col("series")), samples = 2, alpha = 0.5)
+      .select("series", "bucket_ts", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // weight chain (1, 0.5): head bucket has no lag-1 → denominator 1.0
+    assert(out.toSeq === Seq(
+      ("a", 10L, 1.0), ("a", 20L, (2.0 + 0.5 * 1.0) / 1.5),
+      ("a", 30L, (3.0 + 0.5 * 2.0) / 1.5), ("a", 40L, (4.0 + 0.5 * 3.0) / 1.5),
+      // b's missing bucket 30 does not zero-contribute: lag is over the
+      // buckets that EXIST, so b@40 smooths against b@20
+      ("b", 10L, 10.0), ("b", 20L, (20.0 + 0.5 * 10.0) / 1.5),
+      ("b", 40L, (40.0 + 0.5 * 20.0) / 1.5)))
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.movingAverage(agg, Seq(col("series")), 0)
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.movingAverage(agg, Seq(col("series")), 3, alpha = 1.5)
+    }
+  }
+
+  test("bucketQuantile: cumulative pick reports the bucket upper bound; overflow its lower") {
+    // one series, one ts: counts 5/3/2 in buckets [0,10) [10,100) [100,inf)
+    val counters = Seq(
+      ("lat_0_10", "u1", 100L, 5.0), ("lat_10_100", "u1", 100L, 3.0),
+      ("lat_100_inf", "u1", 100L, 2.0)
+    ).toDF("metric", "tag_user", "bucket_ts", "value")
+    val out = SeriesAnalytics.bucketQuantile(counters, Seq("tag_user"), Seq(0.5, 0.9, 0.99))
+      .select("quantile", "value").as[(Double, Double)].collect().toMap
+    // total 10: q=0.5 → cum 5 ≥ 5 in first bucket (upper 10); q=0.9 →
+    // cum 8 ≥ 9? no → overflow? cum(2nd)=8 < 9, third reaches 10 ≥ 9 →
+    // overflow bucket reports its LOWER bound 100
+    assert(out(0.5) === 10.0)
+    assert(out(0.9) === 100.0)
+    assert(out(0.99) === 100.0)
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.bucketQuantile(counters, Seq("tag_user"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.bucketQuantile(counters, Seq("tag_user"), Seq(1.5))
+    }
+  }
+
+  test("olympic: trimmed-mean baseline over strictly-earlier same-position buckets") {
+    // one series, one position (pos constant): history accumulates in
+    // bucket order; 5th bucket sees 4 history points → olympic trim
+    val ds = Seq(
+      ("a", 10L, 10.0), ("a", 20L, 2.0), ("a", 30L, 4.0),
+      ("a", 40L, 100.0), ("a", 50L, 5.0)
+    ).toDF("series", "bucket_ts", "value")
+    val out = SeriesAnalytics.olympic(ds, Seq(col("series")), lit(0), threshold = 0.5)
+      .select("bucket_ts", "baseline", "anomaly")
+      .as[(Long, Option[Double], Boolean)].collect().sortBy(_._1).toSeq
+    assert(out(0) === ((10L, None, false)))  // no history → warm-up
+    assert(out(1) === ((20L, None, false)))  // n=1 < minHistory(2) → still warm-up
+    // 30: history {10,2} → mean 6.0; |4-6|/6 = 0.3333 < 0.5 → not anomalous
+    assert(out(2)._2 === Some(6.0) && !out(2)._3)
+    // 40: history {10,2,4} → mean 5.3333; |100-5.3333|/5.3333 ≥ 0.5 → anomaly
+    assert(out(3)._2 === Some(5.3333) && out(3)._3)
+    // 50: history {10,2,4,100} n=4 → olympic: drop 2 and 100 → (10+4)/2 = 7
+    assert(out(4)._2 === Some(7.0))
+  }
 }

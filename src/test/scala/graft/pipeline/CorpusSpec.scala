@@ -363,6 +363,37 @@ class CorpusSpec extends AnyFunSuite {
     assert(hashes.length === hashes.distinct.length)
   }
 
+  test("dsirSelect: target-like raw docs outrank target-unlike; scores exact-integer ranked") {
+    val sp = spark
+    import sp.implicits._
+    // target vocabulary {alpha beta}; raw pool: one doc written in the
+    // target's vocabulary, one in a disjoint one — the target-like doc
+    // must rank first with a strictly higher score
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),
+      (2L, "alpha beta beta alpha", "tgt"),
+      (10L, "alpha beta alpha", "raw"),
+      (11L, "gamma delta gamma", "raw")
+    ).toDF("doc_id", "text", "source")
+    val out = Corpus.dsirSelect(corpus, col("source") === "tgt", k = 2, buckets = 64)
+      .select("doc_id", "n_tokens", "dsir_score").as[(Long, Long, Double)]
+      .collect().sortBy(-_._3)
+    assert(out.map(_._1).toSeq === Seq(10L, 11L))
+    assert(out(0)._3 > out(1)._3, "target-vocabulary doc must score higher")
+    assert(out(0)._2 === 3L && out(1)._2 === 3L)
+    // k cuts the ranked list deterministically
+    val top1 = Corpus.dsirSelect(corpus, col("source") === "tgt", k = 1, buckets = 64)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(top1 === Seq(10L))
+    // scale shape: the bucket-weight table must BROADCAST onto the
+    // token stream (4096 rows vs 100 TB of tokens), and the ranked cut
+    // must be a local top-k, never a global sort
+    val plan = Corpus.dsirSelect(corpus, col("source") === "tgt", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weight table must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"ranked cut must be local top-k:\n$plan")
+  }
+
   test("novelty: planted novel vs seen shingles score exactly") {
     val spark2 = spark
     import spark2.implicits._
