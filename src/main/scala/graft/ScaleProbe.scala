@@ -149,7 +149,8 @@ object ScaleProbe {
     // |series|×|buckets| aggregated frame, so their cost must track the
     // downsample/group-by rows, never the fact rows
     "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn",
-    "q_summarizer", "q_expr_percent",
+    "q_summarizer", "q_expr_percent", "q_ds_ewma", "q_bucket_quantile",
+    "q_anomaly_olympic",
     // the events-analytics trio reads the raw events table: sessions /
     // funnel / retention are all one-or-two aggregate shapes whose cost
     // must track the event rows linearly
@@ -187,6 +188,7 @@ object ScaleProbe {
     // distinct-build-side left join; cross-label brute (exhaustive by
     // contract, probed for the same documentation the brute row gets)
     "q_text_bm25", "q_pipeline_novelty", "q_ann_hard_negatives",
+    "q_pipeline_dsir",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are
@@ -226,7 +228,7 @@ object ScaleProbe {
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
-    "q_text_bm25", "q_pipeline_novelty",
+    "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`

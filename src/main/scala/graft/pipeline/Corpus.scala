@@ -560,6 +560,46 @@ object Corpus {
     out(funded).unionByName(out(straddling))
   }
 
+  /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
+   *  each document's LM fluency ([[TextAnalysis.bigramLogProb]] average
+   *  bigram log-probability — higher = more fluent) buckets it into
+   *  head / middle / tail WITHIN its predicted language, and the tail
+   *  is dropped (`keep`). This is the canonical web-corpus cleaning
+   *  recipe: per-language thresholds, so low-resource languages are
+   *  bucketed against their own distribution, never against English's.
+   *  Documents with fewer than 2 tokens have no bigram score and are
+   *  excluded (both engines drop them identically).
+   *
+   *  Scale shape: same distinct-score histogram design as
+   *  [[qualityBuckets]], additionally keyed by language — the bucket
+   *  boundary table is ≤ |langs| × 10⁴ rows whatever the corpus size
+   *  and BROADCASTS back onto the scored docs; no global per-doc sort
+   *  anywhere. Scores snap to a 4-decimal grid so the bucket landing
+   *  rule is whole-bucket and engine-replayable. */
+  def perplexityBuckets(docs: DataFrame, headPermille: Int = 333,
+      tailPermille: Int = 333): DataFrame = {
+    require(headPermille >= 0 && tailPermille >= 0 &&
+      headPermille + tailPermille <= 1000, "permilles in [0, 1000], sum ≤ 1000")
+    val lang = TextAnalysis.langid(docs).select(col("doc_id"), col("pred_lang"))
+    val scored = TextAnalysis.bigramLogProb(docs)
+      .select(col("doc_id"), round(col("avg_logprob2"), 4).as("score"))
+      .join(lang, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val hist = scored.groupBy(col("pred_lang"), col("score")).agg(count(lit(1)).as("__n"))
+      .withColumn("__before", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__total", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("pred_lang"))))
+    val buckets = hist.select(col("pred_lang"), col("score"),
+      when(col("__before") * 1000 < col("__total") * headPermille, lit("head"))
+        .when(col("__before") * 1000 >= col("__total") * (1000 - tailPermille), lit("tail"))
+        .otherwise(lit("middle")).as("bucket"))
+    scored.join(broadcast(buckets), Seq("pred_lang", "score"))
+      .select(col("doc_id"), col("pred_lang"), col("score").as("lm_logprob"),
+        col("bucket"), (col("bucket") =!= "tail").as("keep"))
+  }
+
   /** DSIR-style data selection with importance resampling (Xie et al.
    *  2023, "Data Selection for Language Models via Importance
    *  Resampling"): score each RAW-pool document by how much more likely

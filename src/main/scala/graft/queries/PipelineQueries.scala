@@ -179,6 +179,11 @@ object PipelineQueries {
     // budget with its best docs (no domain starves another)
     "q_pipeline_budget_domain" -> ((s, d) =>
       Corpus.selectByTokenBudgetByDomain(docs(s, d), 5000)),
+    // CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
+    // bigram-LM fluency buckets head/middle/tail WITHIN each predicted
+    // language; the tail is the drop set. Boundary table broadcast; no
+    // global per-doc sort.
+    "q_pipeline_ccnet" -> ((s, d) => Corpus.perplexityBuckets(docs(s, d))),
     // DSIR importance-resampling selection (Xie et al. 2023): raw-pool
     // docs (source outside src0/src1) ranked by the summed hashed-unigram
     // log-likelihood ratio target-vs-raw; top 200 kept. Weights quantize
@@ -715,6 +720,33 @@ object PipelineQueries {
          |      FROM m)
          |SELECT doc_id, n_tokens, score AS quality_score FROM p
          |WHERE before < 20000""".stripMargin,
+
+    "q_pipeline_ccnet" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM b),
+         |dc AS (SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
+         |bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
+         |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cnt1 FROM bg GROUP BY 1),
+         |lp AS (SELECT doc_id,
+         |              ${rnd("sum(c * ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS score
+         |       FROM dc JOIN bg USING (w1, w2) JOIN c1 USING (w1)
+         |       GROUP BY doc_id),
+         |lg AS (SELECT doc_id, $langPred AS pred_lang FROM toks),
+         |sc AS (SELECT doc_id, pred_lang, score FROM lp JOIN lg USING (doc_id)),
+         |hist AS (SELECT pred_lang, score, count(*) AS n FROM sc GROUP BY 1, 2),
+         |hb AS (SELECT *,
+         |              coalesce(sum(n) OVER (PARTITION BY pred_lang ORDER BY score DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before,
+         |              sum(n) OVER (PARTITION BY pred_lang) AS total
+         |       FROM hist),
+         |bk AS (SELECT pred_lang, score,
+         |              CASE WHEN before * 1000 < total * 333 THEN 'head'
+         |                   WHEN before * 1000 >= total * (1000 - 333) THEN 'tail'
+         |                   ELSE 'middle' END AS bucket
+         |       FROM hb)
+         |SELECT doc_id, pred_lang, score AS lm_logprob, bucket, bucket <> 'tail' AS keep
+         |FROM sc JOIN bk USING (pred_lang, score)""".stripMargin,
 
     "q_pipeline_dsir" ->
       s"""WITH tkb AS (

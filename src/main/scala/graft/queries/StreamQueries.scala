@@ -307,6 +307,24 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // The anomaly node over the STREAMED store: the same expanding
+    // z-score chain as q_anomaly_zscore (whose oracle this shares
+    // verbatim), reading the ingest lake instead of the batch table —
+    // ingest that lost or duplicated a point would shift a daily count
+    // and surface as a hash mismatch.
+    "q_stream_anomaly" -> { (s, d) =>
+      val pts = IngestJob.points(s, lakeFor(s, d))
+        .filter(col("segment_start") >= lit(Start) && col("segment_start") < lit(End))
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      val ds = QueryEngine.downsample(
+        QueryEngine.dedupe(pts), DownsampleSpec("1d", "count"), Start, End)
+      val g = QueryEngine.groupBySpatial(ds, graft.query.GroupBySpec(Seq("user"), "sum"))
+        .withColumn("value", round(col("value"), 4))
+      graft.operators.SeriesAnalytics.zscore(g, Seq(col("user")))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("zscore"), col("anomaly"))
+    },
+
     // series_dim maintained by the stream matches the batch-derived one
     "q_stream_series_dim" -> { (s, d) =>
       IngestJob.seriesDim(s, lakeFor(s, d))
@@ -409,6 +427,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // streamed derivative replays the batch rate restatement verbatim
     "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
+    "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
 
     "q_stream_latest" ->
       s"""WITH $pointsCtes

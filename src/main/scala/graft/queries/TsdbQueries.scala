@@ -546,6 +546,31 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
     },
 
+    // Multi-source expression graph from ONE client JSON document (the
+    // upstream semantic-query shape): two named subqueries (error and
+    // click per-user daily sums) joined by the expression node "e / c".
+    // Each subquery's value snaps to 4 decimals at the subquery
+    // boundary — the single rounding point the oracle restates.
+    "q_json_expr" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "queries": [
+          {"id": "e",
+           "filter": {"type": "MetricLiteral", "metric": "error"},
+           "downsample": {"interval": "1d", "aggregator": "sum"},
+           "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}},
+          {"id": "c",
+           "filter": {"type": "MetricLiteral", "metric": "click"},
+           "downsample": {"interval": "1d", "aggregator": "sum"},
+           "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}}
+        ],
+        "expression": "e / c"
+      }"""
+      QueryEngine.runExpressionGraph(pts(s, d), TsdbJson.parseExpressionGraph(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("err_per_click"))
+    },
+
     // Dense fill through the JSON front end (downsample config's
     // FillPolicy): same grid as q_ds_dense, same oracle verbatim.
     "q_json_dense_fill" -> { (s, d) =>
@@ -994,6 +1019,23 @@ object TsdbQueries {
          |FROM cum CROSS JOIN (SELECT unnest(CAST([0.5, 0.95, 0.99] AS DOUBLE[])) AS quantile) AS qq
          |WHERE cm >= quantile * tot
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Expression graph: the subquery boundary is the ONE rounding point;
+    // inside a subquery the downsample→groupBy sum reassociates freely
+    // (same addends, one terminal round — the q_full_pipeline class).
+    "q_json_expr" ->
+      s"""WITH $pointsCtes,
+         |e AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} AND metric = 'error'
+         |  GROUP BY 1, 2),
+         |c AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} AND metric = 'click'
+         |  GROUP BY 1, 2)
+         |SELECT e.tag_user, e.bucket_ts, ${rnd("e.v / c.v")} AS err_per_click
+         |FROM e JOIN c USING (tag_user, bucket_ts)
+         |WHERE c.v <> 0""".stripMargin,
 
     // Olympic scoring: window frame and arithmetic order mirror the
     // engine expression exactly; counts are exact ints until the one

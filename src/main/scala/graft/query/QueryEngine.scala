@@ -317,4 +317,46 @@ object QueryEngine {
       .getOrElse(df)
     df
   }
+
+  /** Execute a multi-source expression graph (the upstream TSDB 3.x
+   *  semantic query: named subqueries + one arithmetic expression node
+   *  over two of them). Each referenced subquery runs through [[run]],
+   *  its output value snaps to 4 decimals at the SUBQUERY BOUNDARY (one
+   *  rounding point — the engine's cross-engine-replayable-join
+   *  discipline), and the expression joins the two aggregated frames on
+   *  their common group-by keys + bucket via
+   *  [[graft.operators.SeriesAnalytics.binary]] (intersection
+   *  semantics; divide drops zero denominators). Both subqueries must
+   *  declare the SAME groupBy keys — the expression's join identity.
+   *
+   *  Plan: two independent aggregation subplans (each ends
+   *  |series|×|buckets| rows) meeting in one equi-join — the only new
+   *  exchange this node adds is keyed by the group-by keys, at
+   *  aggregated scale. */
+  def runExpressionGraph(points: DataFrame, g: ExpressionGraph): DataFrame = {
+    val ExprRe = """^\s*(\w+)\s*([+\-*/])\s*(\w+)\s*$""".r
+    val (lid, opSym, rid) = g.expression match {
+      case ExprRe(a, o, b) => (a, o, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported expression (want 'id op id' over + - * /): $other")
+    }
+    val byId = g.queries.toMap
+    def side(id: String): (DataFrame, Seq[String]) = {
+      val q = byId.getOrElse(id,
+        throw new IllegalArgumentException(s"expression references unknown subquery '$id'"))
+      val keys = q.groupBy.map(_.keys).getOrElse(
+        throw new IllegalArgumentException(s"subquery '$id' needs a groupBy (the join identity)"))
+      (run(points, q).withColumn("value", round(col("value"), 4)), keys)
+    }
+    val (l, lk) = side(lid)
+    val (r, rk) = side(rid)
+    require(lk == rk, s"subqueries must group by the same keys: $lk vs $rk")
+    val op = opSym match {
+      case "+" => "add"
+      case "-" => "subtract"
+      case "*" => "multiply"
+      case "/" => "divide"
+    }
+    graft.operators.SeriesAnalytics.binary(l, r, lk, op)
+  }
 }

@@ -117,9 +117,39 @@ object TsdbJson {
    *  optional `filter` tree, optional `downsample` / `rate` / `groupBy` /
    *  `timeShift` configs (field names follow the TSDB query-node configs
    *  the reference absorbs, AuraMetricsSourceFactory.java:120-128). */
-  def parseQuery(json: String): TsdbQuery = {
+  def parseQuery(json: String): TsdbQuery = queryFromNode(mapper.readTree(json))
+
+  /** Parse a multi-source expression document (the upstream semantic-
+   *  query shape): top-level `start`/`end` shared by every subquery,
+   *  `queries`: [{"id": "e", …query fields…}, …], and `expression`:
+   *  `"e / c"` (id op id over `+ - * /`). Subqueries inherit the
+   *  top-level time range unless they carry their own. */
+  def parseExpressionGraph(json: String): ExpressionGraph = {
     val n = mapper.readTree(json)
-    require(n.has("start") && n.has("end"), s"query needs start/end: $json")
+    val qsNode = n.get("queries")
+    require(qsNode != null && qsNode.isArray && qsNode.size >= 2,
+      s"expression graph needs >= 2 named 'queries': $json")
+    val exprNode = n.get("expression")
+    require(exprNode != null && !exprNode.isNull, s"expression graph needs 'expression': $json")
+    val qs = qsNode.elements.asScala.map { q0 =>
+      val id = Option(q0.get("id")).filter(!_.isNull)
+        .map(_.asText).getOrElse(
+          throw new IllegalArgumentException(s"subquery needs 'id': $q0"))
+      val q = q0.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      Seq("start", "end").foreach { f =>
+        if (!q.has(f)) {
+          require(n.has(f), s"subquery '$id' and top level both missing '$f'")
+          q.put(f, n.get(f).asLong)
+        }
+      }
+      id -> queryFromNode(q)
+    }.toSeq
+    require(qs.map(_._1).distinct.size == qs.size, "duplicate subquery ids")
+    ExpressionGraph(qs, exprNode.asText)
+  }
+
+  def queryFromNode(n: JsonNode): TsdbQuery = {
+    require(n.has("start") && n.has("end"), s"query needs start/end: $n")
     val pf = Option(n.get("filter")).map(filterFromNode)
       .getOrElse(ParsedFilter(MatchAll, explicitTags = false, 0))
     val ds = Option(n.get("downsample")).map { d =>

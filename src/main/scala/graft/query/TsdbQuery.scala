@@ -73,6 +73,13 @@ final case class RatioSpec(asPercent: Boolean = true)
  *  (avg/sum/min/max/count/first/last). */
 final case class SummarizerSpec(aggs: Seq[String])
 
+/** Multi-source expression graph (the upstream TSDB 3.x semantic-query
+ *  shape: named subqueries + an expression node combining two of them
+ *  arithmetically, `ExpressionConfig.expression` = `"a / b"`). Both
+ *  referenced subqueries must group by the SAME tag keys — the
+ *  expression joins their aggregated outputs on those keys + bucket. */
+final case class ExpressionGraph(queries: Seq[(String, TsdbQuery)], expression: String)
+
 final case class TsdbQuery(
     filter: SeriesFilter,
     start: Long, // [start, end) in epoch seconds

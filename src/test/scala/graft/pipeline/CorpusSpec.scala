@@ -363,6 +363,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(hashes.length === hashes.distinct.length)
   }
 
+  test("perplexityBuckets: per-language terciles; fluent docs head, <2-token docs drop") {
+    val out = Corpus.perplexityBuckets(docs)
+    val rows = out.select("doc_id", "pred_lang", "bucket", "keep").collect()
+    // docs with >= 2 tokens all appear exactly once
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    // every language buckets against its OWN distribution: within each
+    // predicted language the head/middle/tail counts are ~⅓ each
+    // (whole-bucket landing can shift boundaries by one score bucket)
+    val byLang = rows.groupBy(_.getString(1))
+    byLang.foreach { case (lang, rs) =>
+      val n = rs.length
+      val nHead = rs.count(_.getString(2) == "head")
+      val nTail = rs.count(_.getString(2) == "tail")
+      if (n >= 10) {
+        assert(nHead > 0 && nTail > 0, s"$lang: degenerate bucketing ($nHead head / $nTail tail of $n)")
+        assert(nHead <= n * 2 / 3 && nTail <= n * 2 / 3, s"$lang: tercile wildly off")
+      }
+    }
+    // keep <=> not tail
+    assert(rows.forall(r => r.getBoolean(3) == (r.getString(2) != "tail")))
+    // within a language, every head score >= every tail score (fluency ordering)
+    val scored = out.select("pred_lang", "lm_logprob", "bucket").collect()
+    byLang.keys.foreach { lang =>
+      val hs = scored.filter(r => r.getString(0) == lang && r.getString(2) == "head").map(_.getDouble(1))
+      val ts = scored.filter(r => r.getString(0) == lang && r.getString(2) == "tail").map(_.getDouble(1))
+      if (hs.nonEmpty && ts.nonEmpty) assert(hs.min >= ts.max)
+    }
+  }
+
   test("dsirSelect: target-like raw docs outrank target-unlike; scores exact-integer ranked") {
     val sp = spark
     import sp.implicits._

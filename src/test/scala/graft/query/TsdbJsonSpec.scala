@@ -209,4 +209,79 @@ class TsdbJsonSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("missing 'tagKey'"))
   }
+
+  test("expression graph: named subqueries inherit top-level range; malformed docs raise") {
+    val g = TsdbJson.parseExpressionGraph("""{
+      "start": 100, "end": 200,
+      "queries": [
+        {"id": "a", "downsample": {"interval": "1d", "aggregator": "sum"},
+         "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}},
+        {"id": "b", "start": 50, "end": 150,
+         "downsample": {"interval": "1d", "aggregator": "sum"},
+         "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}}
+      ],
+      "expression": "a / b"}""")
+    assert(g.expression === "a / b")
+    val byId = g.queries.toMap
+    // a inherits the top-level range; b keeps its own
+    assert(byId("a").start === 100L && byId("a").end === 200L)
+    assert(byId("b").start === 50L && byId("b").end === 150L)
+    // movingAverage parses alongside the other analytic nodes
+    val ma = TsdbJson.parseQuery("""{
+      "start": 1, "end": 2,
+      "downsample": {"interval": "1d", "aggregator": "count"},
+      "movingAverage": {"samples": 4, "alpha": 0.25}}""")
+    assert(ma.movingAverage === Some(MovingAverageSpec(4, 0.25)))
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": 1, "end": 2, "movingAverage": {}}""")
+    }
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseExpressionGraph("""{"queries": [], "expression": "a / b"}""")
+    }
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseExpressionGraph("""{
+        "start": 1, "end": 2,
+        "queries": [{"id": "a"}, {"id": "a"}], "expression": "a / a"}""")
+    }
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseExpressionGraph("""{
+        "start": 1, "end": 2,
+        "queries": [{"id": "a"}, {"nope": true}], "expression": "a / b"}""")
+    }
+  }
+
+  test("expression graph executes: per-id filters, boundary rounding, divide semantics") {
+    val pts = graft.Fixtures.points(
+      ("err", Map("user" -> "1"), 10L, 2.0, 1L),
+      ("err", Map("user" -> "1"), 20L, 1.0, 2L),
+      ("clk", Map("user" -> "1"), 30L, 4.0, 3L),
+      ("clk", Map("user" -> "2"), 40L, 8.0, 4L)) // no err side → drops (intersection)
+    val g = TsdbJson.parseExpressionGraph("""{
+      "start": 0, "end": 86400,
+      "queries": [
+        {"id": "e", "filter": {"type": "MetricLiteral", "metric": "err"},
+         "downsample": {"interval": "1d", "aggregator": "sum"},
+         "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}},
+        {"id": "c", "filter": {"type": "MetricLiteral", "metric": "clk"},
+         "downsample": {"interval": "1d", "aggregator": "sum"},
+         "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}}
+      ],
+      "expression": "e / c"}""")
+    val out = QueryEngine.runExpressionGraph(pts, g)
+      .select("user", "bucket_ts", "value").collect()
+    assert(out.length === 1) // user 2 has no err series — intersection drops it
+    assert(out(0).getString(0) === "1" && out(0).getLong(1) === 0L)
+    assert(out(0).getDouble(2) === 3.0 / 4.0)
+    // unknown id and missing groupBy fail the config, not the plan
+    intercept[IllegalArgumentException] {
+      QueryEngine.runExpressionGraph(pts, g.copy(expression = "e / zz"))
+    }
+    intercept[IllegalArgumentException] {
+      QueryEngine.runExpressionGraph(pts, g.copy(expression = "e %% c"))
+    }
+    intercept[IllegalArgumentException] {
+      QueryEngine.runExpressionGraph(pts,
+        g.copy(queries = g.queries.map { case (id, q) => id -> q.copy(groupBy = None) }))
+    }
+  }
 }
