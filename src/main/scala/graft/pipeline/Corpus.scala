@@ -581,9 +581,16 @@ object Corpus {
     require(headPermille >= 0 && tailPermille >= 0 &&
       headPermille + tailPermille <= 1000, "permilles in [0, 1000], sum ≤ 1000")
     val lang = TextAnalysis.langid(docs).select(col("doc_id"), col("pred_lang"))
+    // scored feeds BOTH the boundary histogram and the output join; the
+    // LM + langid scoring is the expensive part, so persist the narrow
+    // (doc_id, score, pred_lang) frame — 3 columns, ~24 B/row — rather
+    // than recompute two tokenize passes (the kmeans-assignments
+    // precedent; measured 5.6 s → 4.6 s at sf0.1 — the remainder is the
+    // one LM + langid scoring pass itself, which probes linear)
     val scored = TextAnalysis.bigramLogProb(docs)
       .select(col("doc_id"), round(col("avg_logprob2"), 4).as("score"))
       .join(lang, "doc_id")
+      .persist()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang")).orderBy(col("score").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

@@ -197,6 +197,43 @@ object StreamQueries {
 
   private val rateRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val ewmaRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** True streamed EWMA per source dir per JVM: the range-filtered point
+   *  stream flows through [[graft.streaming.StreamOps.ewmaStream]]
+   *  (stateful per-series daily-bucket finalization + trailing weighted
+   *  mean); sentinel batches two days past the data close every bucket.
+   *  The batch q_ds_ewma oracle is shared verbatim: the streamed node
+   *  must replay the batch lag-chain bit-for-bit. */
+  private def streamedEwma(s: SparkSession, d: String): DataFrame =
+    ewmaRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = graft.sources.TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+        .select(col("series_id"), col("metric"), col("tags"),
+          col("ts"), col("value"), col("seq"))
+        .as[graft.streaming.PointRow].collect().toSeq
+      val maxTs = pts.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.PointRow]
+      val name = "ewma_stream_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps.ewmaStream(input.toDF(), samples = 4, alpha = 0.5)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) = graft.streaming.PointRow(
+          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+        input.addData(pts: _*); q.processAllAvailable()
+        // watermark lags one batch: two sentinel batches two days out
+        // close every real daily bucket
+        input.addData(sentinel(maxTs + 2 * 86400)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 4 * 86400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("series_id") =!= Long.MinValue)
+    })
+
   /** True streamed rate per source dir per JVM: the range-filtered point
    *  stream flows through [[graft.streaming.StreamOps.rateStream]]
    *  (stateful per-series delta chains, LWW on resends); two sentinel
@@ -287,6 +324,14 @@ object StreamQueries {
       streamedRate(s, d)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
           round(col("value"), 6).as("rate"))),
+
+    // The moving-average analytic node as a PURE stream: stateful
+    // per-series daily-bucket finalization + trailing weighted mean,
+    // surfacing exactly like q_ds_ewma and sharing its oracle
+    "q_stream_ewma" -> ((s, d) =>
+      streamedEwma(s, d)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("ewma"))),
 
     // A18 served from the streaming-maintained latest log (no fact scan)
     "q_stream_latest" -> { (s, d) =>
@@ -428,6 +473,7 @@ object StreamQueries {
     // streamed derivative replays the batch rate restatement verbatim
     "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
     "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
+    "q_stream_ewma" -> TsdbQueries.oracles("q_ds_ewma"),
 
     "q_stream_latest" ->
       s"""WITH $pointsCtes

@@ -35,6 +35,19 @@ final case class RatePoint(
     series_id: Long, metric: String, tags: Map[String, String],
     ts: Long, value: Double)
 
+/** Per-series streaming-EWMA state: LWW point buffers per OPEN bucket
+ *  plus the trailing finalized bucket values the next weighted mean
+ *  chains over (bounded at `samples - 1` entries). */
+final case class EwmaStreamState(
+    metric: String, tags: Map[String, String],
+    pending: Map[Long, Map[Long, (Long, Double)]],
+    trail: Vector[Double], lastBucket: Long, hasLast: Boolean)
+
+/** One finalized EWMA bucket. */
+final case class EwmaPoint(
+    series_id: Long, metric: String, tags: Map[String, String],
+    bucket_ts: Long, value: Double)
+
 /** Per-series last-write state carried across micro-batches. */
 final case class LatestState(last_ts: Long, last_seq: Long, last_value: Double)
 
@@ -181,6 +194,79 @@ object StreamOps {
           // re-arm: fire once the watermark can finalize the earliest
           // pending point (rest keys are > wmSec by the partition above)
           if (rest.nonEmpty) state.setTimeoutTimestamp(rest.keys.min * 1000)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming EWMA: the moving-average analytic node as a stateful
+   *  stream — per series, raw points buffer into LWW daily buckets;
+   *  when the watermark passes a bucket's end, the bucket finalizes (in
+   *  bucket order), its deduped non-NaN point COUNT becomes the bucket
+   *  value, and the operator emits the exponentially-weighted mean of
+   *  the trailing `samples` finalized buckets — the EXACT scalar
+   *  restatement of the batch lag-chain
+   *  ([[graft.operators.SeriesAnalytics.movingAverage]]): weights
+   *  `(1-alpha)^k` summed left-to-right k = 0 … samples-1 over the
+   *  buckets that EXIST, head windows renormalizing over the present
+   *  lags. Counts are exact ints and dyadic weights are exact binary
+   *  fractions, so finalized streaming output is bit-identical to the
+   *  batch node over the same points (StreamOpsSpec pins it).
+   *
+   *  State per series = open buckets inside the watermark delay + a
+   *  `samples-1`-deep trail of finalized doubles — bounded regardless
+   *  of stream length, the [[rateStream]] contract. Stragglers at or
+   *  below the finalized frontier drop (they would rewrite emitted
+   *  history), the standard late-beyond-watermark posture. */
+  def ewmaStream(points: DataFrame, samples: Int, alpha: Double = 0.5,
+      bucketSec: Long = 86400L, watermarkDelay: String = "1 hour"): Dataset[EwmaPoint] = {
+    require(samples >= 1, s"ewmaStream needs >= 1 samples, got $samples")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    val spark = points.sparkSession
+    import spark.implicits._
+    points
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("ts"), col("value"), col("seq"))
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[PointRow]
+      .groupByKey(_.series_id)
+      .flatMapGroupsWithState[EwmaStreamState, EwmaPoint](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (sid, rows, state) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          var st = state.getOption.getOrElse(
+            EwmaStreamState("", Map.empty, Map.empty, Vector.empty, 0L, hasLast = false))
+          rows.foreach { p =>
+            val bucket = p.ts - java.lang.Math.floorMod(p.ts, bucketSec)
+            // stragglers at/below the finalized frontier drop
+            if (!st.hasLast || bucket > st.lastBucket) {
+              val bmap = st.pending.getOrElse(bucket, Map.empty[Long, (Long, Double)])
+              if (bmap.get(p.ts).forall(_._1 < p.seq))
+                st = st.copy(metric = p.metric, tags = p.tags,
+                  pending = st.pending.updated(bucket, bmap.updated(p.ts, (p.seq, p.value))))
+            }
+          }
+          val (ready, rest) = st.pending.partition { case (b, _) => b + bucketSec <= wmSec }
+          val out = Vector.newBuilder[EwmaPoint]
+          ready.toSeq.sortBy(_._1).foreach { case (bucket, pts) =>
+            // deduped non-NaN count — the batch downsample "count" agg
+            val v = pts.valuesIterator.count(!_._2.isNaN).toDouble
+            val vals = v +: st.trail
+            var num = 0.0
+            var den = 0.0
+            var k = 0
+            while (k < samples && k < vals.length) {
+              val w = math.pow(1 - alpha, k)
+              num += vals(k) * w
+              den += w
+              k += 1
+            }
+            out += EwmaPoint(sid, st.metric, st.tags, bucket, num / den)
+            st = st.copy(trail = (v +: st.trail).take(samples - 1),
+              lastBucket = bucket, hasLast = true)
+          }
+          state.update(st.copy(pending = rest))
+          if (rest.nonEmpty) state.setTimeoutTimestamp((rest.keys.min + bucketSec) * 1000)
           out.result().iterator
       }
   }

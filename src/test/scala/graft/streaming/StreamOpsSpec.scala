@@ -65,6 +65,47 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rate_stream") }
   }
 
+  test("ewmaStream: finalized buckets equal the batch movingAverage; LWW dedupe; stragglers drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PointRow]
+    // 10s buckets so the test drives multiple finalizations quickly
+    val q = StreamOps.ewmaStream(input.toDF(), samples = 3, alpha = 0.5,
+      bucketSec = 10L, watermarkDelay = "5 seconds")
+      .writeStream.format("memory").queryName("ewma_stream").outputMode("append").start()
+    try {
+      // bucket 0: points at 1, 3 + a duplicate-ts resend (seq 9 wins but
+      // count is per distinct ts → 2); bucket 10: one point; bucket 30:
+      // two points (bucket 20 is a GAP — skipped, not zero-filled)
+      input.addData(pt(1, 1, 1.0, 1), pt(1, 3, 2.0, 2), pt(1, 3, 7.0, 9),
+        pt(1, 12, 4.0, 3), pt(1, 31, 5.0, 4), pt(1, 33, 6.0, 5))
+      q.processAllAvailable()
+      input.addData(pt(1, 100, 0.0, 6)); q.processAllAvailable()
+      input.addData(pt(1, 200, 0.0, 7)); q.processAllAvailable()
+      // a straggler into the already-finalized bucket 0 must be dropped
+      input.addData(pt(1, 5, 9.0, 10)); q.processAllAvailable()
+      input.addData(pt(1, 300, 0.0, 8)); q.processAllAvailable()
+      val got = spark.table("ewma_stream")
+        .select("bucket_ts", "value").as[(Long, Double)].collect().toMap
+      // counts: bucket0=2, bucket10=1, bucket30=2 → lag-chain with
+      // weights (1, .5, .25) over existing buckets
+      assert(got(0L) === 2.0)
+      assert(got(10L) === (1.0 + 0.5 * 2.0) / 1.5)
+      assert(got(30L) === (2.0 + 0.5 * 1.0 + 0.25 * 2.0) / 1.75)
+      // batch restatement: downsample count → movingAverage, bit-equal
+      val pts = Seq(pt(1, 1, 1.0, 1), pt(1, 3, 2.0, 2), pt(1, 3, 7.0, 9),
+        pt(1, 12, 4.0, 3), pt(1, 31, 5.0, 4), pt(1, 33, 6.0, 5)).toDF()
+      val batch = graft.operators.SeriesAnalytics.movingAverage(
+        graft.query.QueryEngine.downsample(
+          graft.query.QueryEngine.dedupe(pts),
+          graft.query.DownsampleSpec("10s", "count"), 0L, 40L),
+        Seq(col("series_id")), samples = 3, alpha = 0.5)
+        .select("bucket_ts", "value").as[(Long, Double)].collect().toMap
+      assert(batch === got.view.filterKeys(_ < 40).toMap)
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS ewma_stream") }
+  }
+
   test("watermarked windowed downsample: full composite finalizes once per window") {
     val spark = TestSpark.spark
     import spark.implicits._
