@@ -188,7 +188,7 @@ object ScaleProbe {
     // distinct-build-side left join; cross-label brute (exhaustive by
     // contract, probed for the same documentation the brute row gets)
     "q_text_bm25", "q_pipeline_novelty", "q_ann_hard_negatives",
-    "q_pipeline_dsir",
+    "q_pipeline_dsir", "q_pipeline_gopher", "q_pipeline_ccnet",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are
@@ -228,7 +228,7 @@ object ScaleProbe {
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
-    "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir",
+    "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir", "q_pipeline_gopher",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`

@@ -565,6 +565,57 @@ object TextAnalysis {
    *  is hashed up to FpWindow times — trading ≤ 5 cheap md5s for the
    *  token-table exchange + sort the lead() window paid); docs with
    *  fewer than FpWindow tokens produce no windows and drop out. */
+  /** Gopher-style quality rule set (Rae et al. 2021 §A1.1, restated
+   *  over this engine's token statistics): a document keeps iff
+   *   - token count in [50, 100000],
+   *   - mean token length in [3, 10],
+   *   - symbol ratio (non-alphanumeric non-space chars / chars) ≤ 0.1,
+   *   - at least 2 DISTINCT stopwords appear,
+   *   - top-bigram character coverage ≤ 0.20 and duplicate-5-gram
+   *     character fraction ≤ 0.15 (the paper's repetition gates, in
+   *     [[repetition]]'s vocabulary).
+   *
+   *  Every RULE compares integers cross-multiplied (e.g. mean token
+   *  length ∈ [3,10] ⇔ `3·n ≤ chars ≤ 10·n`) — no FP anywhere in a
+   *  keep decision, so the gate replays bit-identically on any engine;
+   *  the surfaced ratio columns are single divisions of exact ints.
+   *
+   *  Plan: one fused token aggregate + one char-side projection + the
+   *  [[repetition]] aggregates, all joined by doc_id — every stage is
+   *  per-doc-bounded and linear in corpus size. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val tokStats = tokenTable(docs).groupBy(col("doc_id")).agg(
+      count(lit(1)).as("__n_tok"),
+      sum(length(col("tk"))).as("__tok_chars"),
+      countDistinct(when(col("tk").isin(Stopwords: _*), col("tk"))).as("n_stop_distinct"))
+    val chars = docs.select(col("doc_id"),
+      length(col("text")).as("__n_chars"),
+      length(regexp_replace(lower(col("text")), "[a-z0-9\\s]", "")).as("__sym_chars"))
+    val rep = repetition(docs).select(col("doc_id"),
+      col("top_bigram_cover"), col("dup_5gram_chars"),
+      col("top_bigram_frac"), col("dup_5gram_frac"))
+    val joined = tokStats.join(chars, "doc_id").join(rep, "doc_id")
+    val totalChars = col("__tok_chars") + col("__n_tok") - 1 // repetition's total_chars
+    val rCount = col("__n_tok") >= 50 && col("__n_tok") <= 100000
+    val rWordLen = col("__tok_chars") >= col("__n_tok") * 3 &&
+      col("__tok_chars") <= col("__n_tok") * 10
+    val rSymbol = col("__sym_chars") * 10 <= col("__n_chars")
+    val rStop = col("n_stop_distinct") >= 2
+    val rRep = col("top_bigram_cover") * 5 <= totalChars &&
+      col("dup_5gram_chars") * 20 <= totalChars * 3
+    joined.select(
+      col("doc_id"),
+      col("__n_tok").as("n_tokens"),
+      round(col("__tok_chars").cast("double") / col("__n_tok"), 4).as("mean_token_len"),
+      round(col("__sym_chars").cast("double") / col("__n_chars"), 4).as("symbol_ratio"),
+      col("n_stop_distinct"),
+      round(col("top_bigram_frac"), 4).as("top_bigram_frac"),
+      round(col("dup_5gram_frac"), 4).as("dup_5gram_frac"),
+      rCount.as("r_count"), rWordLen.as("r_wordlen"), rSymbol.as("r_symbol"),
+      rStop.as("r_stop"), rRep.as("r_rep"),
+      (rCount && rWordLen && rSymbol && rStop && rRep).as("keep"))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val wh = FpWeights.zipWithIndex.map { case (wt, j) =>
       baseHash(col(s"g.w$j")) * lit(wt)

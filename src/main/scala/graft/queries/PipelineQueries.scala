@@ -179,6 +179,10 @@ object PipelineQueries {
     // budget with its best docs (no domain starves another)
     "q_pipeline_budget_domain" -> ((s, d) =>
       Corpus.selectByTokenBudgetByDomain(docs(s, d), 5000)),
+    // Gopher quality rule set (Rae et al. 2021): token-count, word-length,
+    // symbol-ratio, stopword and repetition gates — every keep decision is
+    // an exact-integer cross-multiplied compare, no FP in any rule.
+    "q_pipeline_gopher" -> ((s, d) => TextAnalysis.gopherRules(docs(s, d))),
     // CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
     // bigram-LM fluency buckets head/middle/tail WITHIN each predicted
     // language; the tail is the drop set. Boundary table broadcast; no
@@ -720,6 +724,51 @@ object PipelineQueries {
          |      FROM m)
          |SELECT doc_id, n_tokens, score AS quality_score FROM p
          |WHERE before < 20000""".stripMargin,
+
+    "q_pipeline_gopher" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |               CAST(sum(length(tk)) AS BIGINT) AS tok_chars,
+         |               CAST(count(DISTINCT CASE WHEN list_contains($stopList, tk) THEN tk END) AS BIGINT)
+         |                 AS n_stop_distinct
+         |        FROM u GROUP BY 1),
+         |ch AS (SELECT doc_id, length(text) AS n_chars,
+         |              length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS sym_chars
+         |       FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |                i -> t[i] || ' ' || t[i+1])) AS g
+         |       FROM toks WHERE len(t) >= 2),
+         |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bgt AS (SELECT doc_id, CAST(max(c * length(g)) AS BIGINT) AS cover FROM bgc GROUP BY 1),
+         |fg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)-3),
+         |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS g
+         |       FROM toks WHERE len(t) >= 5),
+         |fgc AS (SELECT doc_id, g, count(*) AS c FROM fg GROUP BY 1, 2),
+         |fgd AS (SELECT doc_id, CAST(sum(c * length(g)) AS BIGINT) AS dup5
+         |        FROM fgc WHERE c >= 2 GROUP BY 1),
+         |j AS (SELECT doc_id, n_tok, tok_chars, n_stop_distinct, n_chars, sym_chars,
+         |             coalesce(cover, 0) AS cover, coalesce(dup5, 0) AS dup5,
+         |             tok_chars + n_tok - 1 AS total_chars
+         |      FROM tot JOIN ch USING (doc_id)
+         |      LEFT JOIN bgt USING (doc_id) LEFT JOIN fgd USING (doc_id))
+         |SELECT doc_id, n_tok AS n_tokens,
+         |       ${rnd("CAST(tok_chars AS DOUBLE) / n_tok")} AS mean_token_len,
+         |       ${rnd("CAST(sym_chars AS DOUBLE) / n_chars")} AS symbol_ratio,
+         |       n_stop_distinct,
+         |       ${rnd("CAST(cover AS DOUBLE) / total_chars")} AS top_bigram_frac,
+         |       ${rnd("CAST(dup5 AS DOUBLE) / total_chars")} AS dup_5gram_frac,
+         |       (n_tok >= 50 AND n_tok <= 100000) AS r_count,
+         |       (tok_chars >= n_tok * 3 AND tok_chars <= n_tok * 10) AS r_wordlen,
+         |       (sym_chars * 10 <= n_chars) AS r_symbol,
+         |       (n_stop_distinct >= 2) AS r_stop,
+         |       (cover * 5 <= total_chars AND dup5 * 20 <= total_chars * 3) AS r_rep,
+         |       ((n_tok >= 50 AND n_tok <= 100000)
+         |        AND (tok_chars >= n_tok * 3 AND tok_chars <= n_tok * 10)
+         |        AND (sym_chars * 10 <= n_chars)
+         |        AND (n_stop_distinct >= 2)
+         |        AND (cover * 5 <= total_chars AND dup5 * 20 <= total_chars * 3)) AS keep
+         |FROM j""".stripMargin,
 
     "q_pipeline_ccnet" ->
       s"""WITH $toksCte,

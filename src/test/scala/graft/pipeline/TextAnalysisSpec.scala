@@ -85,6 +85,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(d3.getAs[Long]("max_token_run") === 1L)
   }
 
+  test("gopherRules: each gate fires on its planted violation; clean doc keeps") {
+    // a clean doc: 60 tokens, mean len ~4, 2+ distinct stopwords, no repetition
+    val cleanText = (0 until 58).map(i => s"word${i}x").mkString(" ") + " the of"
+    val docs = corpus(
+      1L -> cleanText,
+      2L -> "the of too short",                               // r_count fails (4 tokens)
+      3L -> ((0 until 58).map(_ => "a").mkString(" ") + " the of"), // r_wordlen fails (mean 1)
+      4L -> (cleanText.replaceAll("x", "###")),               // r_symbol fails
+      5L -> ((0 until 60).map(i => s"word${i}y").mkString(" ")), // r_stop fails (0 stopwords)
+      6L -> (("dup gram five token run " * 12) + "the of end")) // r_rep fails (dup 5-grams)
+    val out = TextAnalysis.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_count") && !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("r_wordlen") && !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("r_symbol") && !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("r_stop") && !out(5L).getAs[Boolean]("keep"))
+    assert(!out(6L).getAs[Boolean]("r_rep") && !out(6L).getAs[Boolean]("keep"))
+    // the keep decision is pure integer arithmetic: surfaced ratios agree
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_tokens") === 60L)
+    assert(r1.getAs[Long]("n_stop_distinct") === 2L)
+  }
+
   test("corpusLogProb: closed-form entropy and corpus log-prob") {
     val docs = corpus(1L -> "a a a a", 2L -> "a b") // vocab: a→5, b→1
     val out = TextAnalysis.corpusLogProb(docs).collect()
