@@ -233,7 +233,7 @@ object SeriesAnalytics {
    *  hash aggregate. Nothing here touches raw points — input is already
    *  aggregated counters, |series| × |buckets| × |intervals| rows. */
   def bucketQuantile(ds: DataFrame, keys: Seq[String], quantiles: Seq[Double],
-      bucketCol: String = "metric"): DataFrame = {
+      bucketCol: String = "metric", cumulative: Boolean = false): DataFrame = {
     require(quantiles.nonEmpty, "bucketQuantile needs at least one quantile")
     require(quantiles.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $quantiles")
     val lo = regexp_extract(col(bucketCol), "_([0-9.]+)_([0-9.]+|inf)$", 1).cast("double")
@@ -245,10 +245,18 @@ object SeriesAnalytics {
     val wCum = Window.partitionBy(part: _*).orderBy(col("__lo").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(part: _*)
-    val bounded = ds
-      .withColumn("__lo", lo).withColumn("__rep", rep)
-      .withColumn("__cum", sum(col("value")).over(wCum))
-      .withColumn("__tot", sum(col("value")).over(wTot))
+    // cumulative counters (the upstream config's other bucket shape —
+    // Prometheus-style "le" counters): each bucket already carries the
+    // running total, so the cumulative count IS the value and the grand
+    // total is the max; the pick below is identical either way
+    val withLo = ds.withColumn("__lo", lo).withColumn("__rep", rep)
+    val bounded =
+      if (cumulative) withLo
+        .withColumn("__cum", col("value"))
+        .withColumn("__tot", max(col("value")).over(wTot))
+      else withLo
+        .withColumn("__cum", sum(col("value")).over(wCum))
+        .withColumn("__tot", sum(col("value")).over(wTot))
     val spark = ds.sparkSession
     import spark.implicits._
     val qdf = broadcast(quantiles.toDF("quantile"))

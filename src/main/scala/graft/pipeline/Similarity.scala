@@ -468,6 +468,35 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame =
     ivfTopKWith(emb, sampledCentroids(emb, centroidEvery), queryPred, k)
 
+  /** Recall@k of the IVF index against the exact brute-force baseline —
+   *  the evaluation every ANN deployment runs before trusting an index
+   *  ("measure, don't guess"): per query, the fraction of the true
+   *  top-k ([[bruteForceTopK]]) the index ([[ivfTopKWith]]) returned.
+   *  Both result sets are deterministic (4-decimal-rounded similarity,
+   *  vec_id tiebreak), so the per-query hit COUNT is exact-integer and
+   *  the recall column is one division of identical operands.
+   *
+   *  Scale posture: the exhaustive baseline is the expensive side by
+   *  contract — recall evaluation runs on a BOUNDED query sample (the
+   *  annQPred convention, ≤ a fixed count at any corpus size), so the
+   *  cost is |sample| linear scans, not an index-scale operation; the
+   *  intersection is a left-semi join on (q_id, vec_id) at k-rows-per-
+   *  query scale. */
+  def recallAtK(emb: DataFrame, cents: DataFrame, queryPred: Column, k: Int,
+      nprobe: Int = 1): DataFrame = {
+    val exact = bruteForceTopK(emb, queryPred, k).select(col("q_id"), col("vec_id"))
+    val approx = ivfTopKWith(emb, cents, queryPred, k, nprobe)
+      .select(col("q_id"), col("vec_id"))
+    val hits = exact.join(approx, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** PQ codebooks: the vector space splits into `m` equal subspaces and

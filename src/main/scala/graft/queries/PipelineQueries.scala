@@ -365,6 +365,12 @@ object PipelineQueries {
       Similarity.ivfTopKWith(emb(s, d),
         Similarity.hashSampledCentroids(emb(s, d), IvfK),
         annQueryPred, 3, nprobe = 2)),
+    // recall@3 of the 2-probe IVF index vs the exact baseline — the
+    // index-quality evaluation, per query and exact-integer
+    "q_ann_recall" -> ((s, d) =>
+      Similarity.recallAtK(emb(s, d),
+        Similarity.hashSampledCentroids(emb(s, d), IvfK),
+        annQueryPred, 3, nprobe = 2)),
     // mean-pooled class prototypes: one centroid per label
     "q_ann_label_centroids" -> ((s, d) =>
       Similarity.centroidsBy(emb(s, d), col("label"))),
@@ -1374,6 +1380,46 @@ object PipelineQueries {
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
          |  FROM pairs)
          |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$cents64Cte,
+         |qsel AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $annQPred),
+         |bt AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM qsel, e WHERE vec_id != q_id))
+         |  WHERE rank <= 3),
+         |asg AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM e, c)
+         |  WHERE rn = 1),
+         |probe AS (
+         |  SELECT q_id, qv, c_id AS cell FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |           row_number() OVER (PARTITION BY q.q_id
+         |                              ORDER BY ${rnd("1.0 - (" + cosSql("q.qv", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+         |    FROM qsel q, c)
+         |  WHERE rn <= 2),
+         |it AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
+         |          FROM probe JOIN asg a USING (cell) WHERE a.vec_id != q_id))
+         |  WHERE rank <= 3),
+         |hits AS (SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |         FROM bt b JOIN it i ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+         |         GROUP BY 1),
+         |tot AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1)
+         |SELECT q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
+         |       ${rnd("CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact")} AS recall
+         |FROM tot LEFT JOIN hits USING (q_id)""".stripMargin,
 
     "q_ann_pq_codes" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

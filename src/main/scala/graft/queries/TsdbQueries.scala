@@ -527,6 +527,41 @@ object TsdbQueries {
           col("value").as("latency_bound"))
     },
 
+    // The same quantiles from CUMULATIVE bucket counters (the upstream
+    // config's other bucket shape — Prometheus-style "le" counters):
+    // the harness converts the per-bucket counts to running totals
+    // before the node, and the pick must be identical — the oracle is
+    // shared verbatim with q_bucket_quantile.
+    "q_bucket_quantile_cum" -> { (s, d) =>
+      val p = prepared(s, d)
+      val bucketMetric = when(col("value") < 1, "lat_0_1")
+        .when(col("value") < 5, "lat_1_5")
+        .when(col("value") < 20, "lat_5_20")
+        .when(col("value") < 50, "lat_20_50")
+        .when(col("value") < 100, "lat_50_100")
+        .when(col("value") < 250, "lat_100_250")
+        .otherwise("lat_250_inf")
+      val bucketOrd = when(col("value") < 1, 0).when(col("value") < 5, 1)
+        .when(col("value") < 20, 2).when(col("value") < 50, 3)
+        .when(col("value") < 100, 4).when(col("value") < 250, 5).otherwise(6)
+      val counts = p
+        .withColumn("metric", bucketMetric).withColumn("__ord", bucketOrd)
+        .groupBy(col("metric"), col("__ord"), col("tags")("user").as("tag_user"),
+          (col("ts") - col("ts") % 86400).as("bucket_ts"))
+        .agg(count(lit(1)).cast("double").as("__n"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tag_user"), col("bucket_ts")).orderBy(col("__ord").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val cumulative = counts
+        .withColumn("value", sum(col("__n")).over(wc))
+        .select(col("metric"), col("tag_user"), col("bucket_ts"), col("value"))
+      graft.operators.SeriesAnalytics
+        .bucketQuantile(cumulative, Seq("tag_user"), Seq(0.5, 0.95, 0.99), cumulative = true)
+        .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
+    },
+
     // Olympic-scoring anomaly baseline (the egads OlympicModel hosted by
     // the upstream anomaly node family): each user-day count is compared
     // to the olympic mean (drop one high + one low, average the rest) of
@@ -1076,5 +1111,6 @@ object TsdbQueries {
     "q_json_full" -> oraclesBase("q_full_pipeline"),
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
-    "q_json_ewma" -> oraclesBase("q_ds_ewma"))
+    "q_json_ewma" -> oraclesBase("q_ds_ewma"),
+    "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"))
 }

@@ -205,6 +205,16 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     assert(out(0.5) === 10.0)
     assert(out(0.9) === 100.0)
     assert(out(0.99) === 100.0)
+    // cumulative "le"-counter shape: running totals 5/8/10 must pick
+    // identically to the per-bucket counts 5/3/2
+    val cum = Seq(
+      ("lat_0_10", "u1", 100L, 5.0), ("lat_10_100", "u1", 100L, 8.0),
+      ("lat_100_inf", "u1", 100L, 10.0)
+    ).toDF("metric", "tag_user", "bucket_ts", "value")
+    val outCum = SeriesAnalytics
+      .bucketQuantile(cum, Seq("tag_user"), Seq(0.5, 0.9, 0.99), cumulative = true)
+      .select("quantile", "value").as[(Double, Double)].collect().toMap
+    assert(outCum === out)
     intercept[IllegalArgumentException] {
       SeriesAnalytics.bucketQuantile(counters, Seq("tag_user"), Seq.empty)
     }

@@ -128,6 +128,23 @@ class SimilaritySpec extends AnyFunSuite {
     brute.unpersist(): Unit
   }
 
+  test("recallAtK agrees with the spec-local recall; n_hit bounded by n_exact") {
+    val cents = Similarity.hashSampledCentroids(emb, 8)
+    val out = Similarity.recallAtK(emb, cents, pred, K, nprobe = 2).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nExact, nHit, recall) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nHit <= nExact && nExact <= K)
+      assert(recall >= 0.0 && recall <= 1.0)
+    }
+    // the aggregate of the per-query rows equals the spec-local pair recall
+    val aggregate = out.map(_.getLong(2)).sum.toDouble / out.map(_.getLong(1)).sum
+    val expected = recallVsBrute(
+      Similarity.ivfTopKWith(emb, cents, pred, K, nprobe = 2),
+      Similarity.bruteForceTopK(emb, pred, K))
+    assert(math.abs(aggregate - expected) < 1e-12)
+  }
+
   test("centroidsBy: one row per (group, dim); member counts constant across dims") {
     val cents = Similarity.centroidsBy(emb, col("label")).collect()
     val groups = cents.groupBy(_.getAs[Any]("grp").toString)
