@@ -150,7 +150,7 @@ object ScaleProbe {
     // downsample/group-by rows, never the fact rows
     "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn",
     "q_summarizer", "q_expr_percent", "q_ds_ewma", "q_bucket_quantile",
-    "q_anomaly_olympic",
+    "q_anomaly_olympic", "q_json_expr",
     // the events-analytics trio reads the raw events table: sessions /
     // funnel / retention are all one-or-two aggregate shapes whose cost
     // must track the event rows linearly
@@ -180,7 +180,7 @@ object ScaleProbe {
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
     "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq",
-    "q_ann_ivfpq_residual", "q_ann_cluster_cap",
+    "q_ann_ivfpq_residual", "q_ann_cluster_cap", "q_ann_recall",
     // constant-size eval suite broadcasts; cost must be linear in the
     // corpus side (the whole point of the declared fixed-slice shape)
     "q_pipeline_decontam_semantic",

@@ -581,6 +581,34 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
     },
 
+    // The anomaly node family from client JSON documents — each twin
+    // shares its direct query's oracle verbatim, so parser or node-order
+    // divergence surfaces as a hash mismatch.
+    "q_json_anomaly" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "anomaly": {"model": "zscore", "threshold": 3.0}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("zscore"), col("anomaly"))
+    },
+
+    "q_json_anomaly_olympic" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val json = s"""{
+        "start": $DataStart, "end": $fullEnd,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "anomaly": {"model": "olympic", "period": 7}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
+    },
+
     // Multi-source expression graph from ONE client JSON document (the
     // upstream semantic-query shape): two named subqueries (error and
     // click per-user daily sums) joined by the expression node "e / c".
@@ -1112,5 +1140,7 @@ object TsdbQueries {
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
     "q_json_ewma" -> oraclesBase("q_ds_ewma"),
-    "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"))
+    "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
+    "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),
+    "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"))
 }

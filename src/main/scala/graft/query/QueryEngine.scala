@@ -294,7 +294,7 @@ object QueryEngine {
     // in the node; fail the config here instead (mirrors the fill guard)
     val analyticNodes = Seq(
       q.slidingWindow.map(_ => "slidingWindow"), q.movingAverage.map(_ => "movingAverage"),
-      q.ratio.map(_ => "ratio"),
+      q.anomaly.map(_ => "anomaly"), q.ratio.map(_ => "ratio"),
       q.topN.map(_ => "topN"), q.summarizer.map(_ => "summarizer")).flatten
     if (analyticNodes.nonEmpty && !df.columns.contains("bucket_ts"))
       throw new IllegalArgumentException(
@@ -306,6 +306,22 @@ object QueryEngine {
     df = q.movingAverage.map(ma =>
       graft.operators.SeriesAnalytics.movingAverage(df, seriesKeys.map(col), ma.samples, ma.alpha))
       .getOrElse(df)
+    df = q.anomaly.map { a =>
+      // values snap to 4 decimals entering the node so both engines'
+      // baselines divide identical doubles (the declared-query discipline)
+      val in = df.withColumn("value", round(col("value"), 4))
+      a.model match {
+        case "zscore" =>
+          graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
+            a.resolvedThreshold, a.resolvedMinHistory)
+        case "olympic" =>
+          val ivSec = q.downsample.map(d => Intervals.toSeconds(d.interval)).get
+          graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
+            expr(s"(bucket_ts DIV $ivSec) % ${a.period}"),
+            a.resolvedThreshold, a.resolvedMinHistory)
+        case other => throw new IllegalArgumentException(s"unknown anomaly model: $other")
+      }
+    }.getOrElse(df)
     df = q.ratio.map(r =>
       graft.operators.SeriesAnalytics.ratio(df, r.asPercent))
       .getOrElse(df)

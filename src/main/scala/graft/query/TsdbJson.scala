@@ -189,6 +189,14 @@ object TsdbJson {
       MovingAverageSpec(samples = smp.get.asInt,
         alpha = Option(m.get("alpha")).filter(!_.isNull).map(_.asDouble).getOrElse(0.5))
     }
+    val an = Option(n.get("anomaly")).filter(!_.isNull).map { a =>
+      AnomalySpec(
+        model = Option(a.get("model")).filter(!_.isNull).map(_.asText).getOrElse("zscore"),
+        threshold = Option(a.get("threshold")).filter(!_.isNull).map(_.asDouble)
+          .getOrElse(Double.NaN),
+        minHistory = Option(a.get("minHistory")).filter(!_.isNull).map(_.asInt).getOrElse(0),
+        period = Option(a.get("period")).filter(!_.isNull).map(_.asInt).getOrElse(7))
+    }
     val tn = Option(n.get("topN")).filter(!_.isNull).map { t =>
       val cnt = Option(t.get("n")).filter(!_.isNull).orElse(Option(t.get("count")).filter(!_.isNull))
       require(cnt.isDefined, s"topN needs 'n': $t")
@@ -222,6 +230,7 @@ object TsdbJson {
       fill = fl,
       slidingWindow = sw,
       movingAverage = ma,
+      anomaly = an,
       ratio = rt,
       topN = tn,
       summarizer = sm)

@@ -73,6 +73,21 @@ final case class RatioSpec(asPercent: Boolean = true)
  *  (avg/sum/min/max/count/first/last). */
 final case class SummarizerSpec(aggs: Seq[String])
 
+/** Anomaly node (the upstream TSDB 3.x anomaly node family, restated
+ *  deterministically): `zscore` scores each bucket against its own
+ *  series' expanding earlier history; `olympic` against the trimmed
+ *  mean of earlier same-seasonal-position buckets (`period` positions
+ *  over the bucket index). Input values snap to 4 decimals entering
+ *  the node (the engine's replayable-FP discipline). */
+final case class AnomalySpec(
+    model: String = "zscore", threshold: Double = Double.NaN,
+    minHistory: Int = 0, period: Int = 7) {
+  def resolvedThreshold: Double =
+    if (threshold.isNaN) { if (model == "olympic") 0.5 else 3.0 } else threshold
+  def resolvedMinHistory: Int =
+    if (minHistory <= 0) { if (model == "olympic") 2 else 3 } else minHistory
+}
+
 /** Multi-source expression graph (the upstream TSDB 3.x semantic-query
  *  shape: named subqueries + an expression node combining two of them
  *  arithmetically, `ExpressionConfig.expression` = `"a / b"`). Both
@@ -92,6 +107,7 @@ final case class TsdbQuery(
     fill: Option[FillSpec] = None, // dense grid per series, directly above downsample
     slidingWindow: Option[SlidingWindowSpec] = None, // applied above downsample/groupBy
     movingAverage: Option[MovingAverageSpec] = None, // EWMA smoother, same slot as slidingWindow
+    anomaly: Option[AnomalySpec] = None, // applied above the smoothers, below topN
     ratio: Option[RatioSpec] = None, // applied above slidingWindow output
     topN: Option[TopNSpec] = None, // applied above ratio
     summarizer: Option[SummarizerSpec] = None) // terminal: collapses the time axis

@@ -232,6 +232,18 @@ class TsdbJsonSpec extends AnyFunSuite {
       "downsample": {"interval": "1d", "aggregator": "count"},
       "movingAverage": {"samples": 4, "alpha": 0.25}}""")
     assert(ma.movingAverage === Some(MovingAverageSpec(4, 0.25)))
+    // anomaly node: model-specific defaults resolve (zscore 3.0/3,
+    // olympic 0.5/2), explicit values win
+    val az = TsdbJson.parseQuery("""{
+      "start": 1, "end": 2,
+      "downsample": {"interval": "1d", "aggregator": "count"},
+      "anomaly": {"model": "zscore"}}""").anomaly.get
+    assert(az.resolvedThreshold === 3.0 && az.resolvedMinHistory === 3)
+    val ao = TsdbJson.parseQuery("""{
+      "start": 1, "end": 2,
+      "downsample": {"interval": "1d", "aggregator": "count"},
+      "anomaly": {"model": "olympic", "threshold": 0.7, "period": 3}}""").anomaly.get
+    assert(ao.resolvedThreshold === 0.7 && ao.resolvedMinHistory === 2 && ao.period === 3)
     intercept[IllegalArgumentException] {
       TsdbJson.parseQuery("""{"start": 1, "end": 2, "movingAverage": {}}""")
     }
