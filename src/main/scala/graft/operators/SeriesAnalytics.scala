@@ -100,6 +100,14 @@ object SeriesAnalytics {
       case "count" => count(col("value")).as("n_buckets")
       case "first" => round(min_by(col("value"), col("bucket_ts")), 4).as("first_value")
       case "last" => round(max_by(col("value"), col("bucket_ts")), 4).as("last_value")
+      // pNN / pNN.N percentile summaries (upstream SummarizerConfig's
+      // percentile vocabulary) — same exact-interpolation percentile as
+      // the downsample plugin family (q_ds_p90's cross-engine contract)
+      case p if p.length > 1 && p.head == 'p' &&
+          p.tail.forall(c => c.isDigit || c == '.') =>
+        val q = p.tail.toDouble / 100.0
+        require(q > 0 && q <= 1, s"summarizer percentile out of range: $p")
+        round(percentile(col("value"), lit(q)), 4).as(s"${p}_value")
       case other => throw new IllegalArgumentException(s"unknown summarizer agg: $other")
     }
     ds.groupBy(keys.map(col): _*).agg(exprs.head, exprs.tail: _*)

@@ -333,6 +333,32 @@ object StreamQueries {
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("ewma"))),
 
+    // Bucket-quantile over the STREAMED store: histogram counters built
+    // from the ingest lake's deduped points, quantiles from the same
+    // node — shares q_bucket_quantile's oracle verbatim.
+    "q_stream_bucket_quantile" -> { (s, d) =>
+      val pts = IngestJob.points(s, lakeFor(s, d))
+        .filter(col("segment_start") >= lit(Start) && col("segment_start") < lit(End))
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      val deduped = QueryEngine.dedupe(pts)
+      val bucketMetric = when(col("value") < 1, "lat_0_1")
+        .when(col("value") < 5, "lat_1_5")
+        .when(col("value") < 20, "lat_5_20")
+        .when(col("value") < 50, "lat_20_50")
+        .when(col("value") < 100, "lat_50_100")
+        .when(col("value") < 250, "lat_100_250")
+        .otherwise("lat_250_inf")
+      val counters = deduped
+        .withColumn("metric", bucketMetric)
+        .groupBy(col("metric"), col("tags")("user").as("tag_user"),
+          (col("ts") - col("ts") % 86400).as("bucket_ts"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      graft.operators.SeriesAnalytics
+        .bucketQuantile(counters, Seq("tag_user"), Seq(0.5, 0.95, 0.99))
+        .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
+    },
+
     // A18 served from the streaming-maintained latest log (no fact scan)
     "q_stream_latest" -> { (s, d) =>
       IngestJob.latest(s, lakeFor(s, d))
@@ -474,6 +500,7 @@ object StreamQueries {
     "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
     "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
     "q_stream_ewma" -> TsdbQueries.oracles("q_ds_ewma"),
+    "q_stream_bucket_quantile" -> TsdbQueries.oracles("q_bucket_quantile"),
 
     "q_stream_latest" ->
       s"""WITH $pointsCtes

@@ -453,6 +453,17 @@ object TsdbQueries {
         .select(col("user").as("tag_user"), col("avg_value"), col("max_value"),
           col("n_buckets"), col("last_value"))),
 
+    // Percentile summaries (upstream SummarizerConfig's pNN vocabulary):
+    // p95/p50 of each user's daily totals, the same exact-interpolation
+    // percentile as the q_ds_p90 plugin contract.
+    "q_summarizer_pct" -> ((s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+        summarizer = Some(SummarizerSpec(Seq("p95", "p50", "count")))))
+        .select(col("user").as("tag_user"), col("p95_value"), col("p50_value"),
+          col("n_buckets"))),
+
     // Ratio node: each user's share (%) of the all-user total per day.
     // The per-bucket total snaps to 4 decimals before the division
     // (broadcast back onto the series rows); surface rounds the quotient.
@@ -1016,6 +1027,17 @@ object TsdbQueries {
          |  GROUP BY 1, 2)
          |SELECT tag_user, ${rnd(rnd("sum(v)") + " / count(v)")} AS avg_value, ${rnd("max(v)")} AS max_value,
          |       count(v) AS n_buckets, ${rnd("max_by(v, bucket_ts)")} AS last_value
+         |FROM ds GROUP BY 1""".stripMargin,
+
+    "q_summarizer_pct" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts, sum(value) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2)
+         |SELECT tag_user, ${rnd("quantile_cont(v, 0.95)")} AS p95_value,
+         |       ${rnd("quantile_cont(v, 0.5)")} AS p50_value,
+         |       count(v) AS n_buckets
          |FROM ds GROUP BY 1""".stripMargin,
 
     "q_expr_percent" ->

@@ -110,8 +110,17 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     assert(a.getDouble(6) === 1.0 && a.getDouble(7) === 4.0) // first@10, last@40
     val b = rows("b")
     assert(b.getLong(5) === 3L && b.getDouble(7) === 40.0) // gap doesn't break last
+    // percentile summaries (upstream pNN vocabulary): exact
+    // interpolation — p50 of {1,2,3,4} = 2.5, p75 = 3.25
+    val pct = SeriesAnalytics.summarize(agg, Seq("series"), Seq("p50", "p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pct("a") === ((2.5, 3.25)))
+    assert(pct("b") === ((20.0, 30.0))) // {10,20,40}: p75 = 20 + 0.5*(40-20)
     intercept[IllegalArgumentException] {
       SeriesAnalytics.summarize(agg, Seq("series"), Seq("median"))
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.summarize(agg, Seq("series"), Seq("p0"))
     }
     intercept[IllegalArgumentException] {
       SeriesAnalytics.summarize(agg, Seq("series"), Nil)
