@@ -560,6 +560,32 @@ object Corpus {
     out(funded).unionByName(out(straddling))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis
+   *  exponential keys, DERANDOMIZED): each row draws
+   *  `e = -ln(u) / weight` where `u` is a hash-uniform in (0,1] from
+   *  the row's key (+ salt), and the k SMALLEST draws win — the
+   *  distributed one-pass equivalent of weighted reservoir sampling,
+   *  with selection probability proportional to `weight`. The hash
+   *  replaces the RNG, so the sample is a pure function of
+   *  (key, salt): stable across reruns, partitionings, and engines —
+   *  the [[hashSample]] reproducibility contract, now weighted.
+   *
+   *  The draw rounds to 8 decimals before ranking (key tiebreak), so
+   *  the cut replays cross-engine. Plan: a per-row projection + ONE
+   *  TakeOrderedAndProject — each task keeps a local top-k, no global
+   *  sort, no shuffle beyond the k-row collect. */
+  def weightedSample(df: DataFrame, key: org.apache.spark.sql.Column,
+      weight: org.apache.spark.sql.Column, k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, s"weightedSample needs k >= 1, got $k")
+    val u = (call_function("md5prefix28", concat(key.cast("string"), lit(salt))) + 1)
+      .cast("double") / lit((1L << 28).toDouble + 1)
+    val draw = round(-log(u) / weight, 8)
+    df.withColumn("__draw", draw)
+      .orderBy(col("__draw").asc, key.asc)
+      .limit(k)
+      .drop("__draw")
+  }
+
   /** CCNet-style per-language perplexity bucketing (Wenzek et al. 2020):
    *  each document's LM fluency ([[TextAnalysis.bigramLogProb]] average
    *  bigram log-probability — higher = more fluent) buckets it into

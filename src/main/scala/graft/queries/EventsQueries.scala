@@ -164,6 +164,20 @@ object EventsQueries {
           col("depth"))
     },
 
+    // Time-constrained funnel: each step must land within 48h of the
+    // previous completed step — a later conversion outside the window
+    // breaks the chain exactly like a missing one.
+    "q_events_funnel_window" -> { (s, d) =>
+      val ev = graft.sources.TsdbViews.table(s, d, "events")
+      val e2 = ev.select(col("user_id"), col("event_type"),
+        graft.sources.TsdbViews.toEpochSeconds(ev, "ts").as("ts"))
+      graft.operators.Funnel.conversion(e2, col("user_id"), col("event_type"),
+          col("ts"), Seq("view", "click", "purchase"), maxGapSec = Some(172800L))
+        .select(col("key").as("user_id"), col("step0_ts").as("view_ts"),
+          col("step1_ts").as("click_ts"), col("step2_ts").as("purchase_ts"),
+          col("depth"))
+    },
+
     // W6: top-1 (latest) event per group value
     "q_events_top1" -> { (s, d) =>
       EventsEngine.topOnePerGroup(docs(s, d), EventsQuery(Start, End, namespace = Some("error")), "user")
@@ -334,6 +348,23 @@ object EventsQueries {
          |      FROM v LEFT JOIN ev e ON e.user_id = v.user_id GROUP BY 1, 2),
          |p AS (SELECT c.user_id, c.t0, c.t1,
          |             min(CASE WHEN e.event_type = 'purchase' AND e.s >= c.t1 THEN e.s END) AS t2
+         |      FROM c LEFT JOIN ev e ON e.user_id = c.user_id GROUP BY 1, 2, 3)
+         |SELECT user_id, t0 AS view_ts, t1 AS click_ts, t2 AS purchase_ts,
+         |       CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS depth
+         |FROM p""".stripMargin,
+
+    "q_events_funnel_window" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s
+         |  FROM events),
+         |v AS (SELECT user_id, min(s) AS t0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT v.user_id, v.t0,
+         |             min(CASE WHEN e.event_type = 'click' AND e.s >= v.t0
+         |                       AND e.s <= v.t0 + 172800 THEN e.s END) AS t1
+         |      FROM v LEFT JOIN ev e ON e.user_id = v.user_id GROUP BY 1, 2),
+         |p AS (SELECT c.user_id, c.t0, c.t1,
+         |             min(CASE WHEN e.event_type = 'purchase' AND e.s >= c.t1
+         |                       AND e.s <= c.t1 + 172800 THEN e.s END) AS t2
          |      FROM c LEFT JOIN ev e ON e.user_id = c.user_id GROUP BY 1, 2, 3)
          |SELECT user_id, t0 AS view_ts, t1 AS click_ts, t2 AS purchase_ts,
          |       CASE WHEN t2 IS NOT NULL THEN 3 WHEN t1 IS NOT NULL THEN 2 ELSE 1 END AS depth

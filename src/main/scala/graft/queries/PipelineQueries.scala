@@ -179,6 +179,15 @@ object PipelineQueries {
     // budget with its best docs (no domain starves another)
     "q_pipeline_budget_domain" -> ((s, d) =>
       Corpus.selectByTokenBudgetByDomain(docs(s, d), 5000)),
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // exponential keys, hash-derandomized): 100 docs with probability
+    // proportional to token count; a pure function of (doc_id, salt).
+    "q_pipeline_sample_weighted" -> { (s, d) =>
+      val dd = docs(s, d)
+      val weighted = dd.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Corpus.weightedSample(weighted, col("doc_id"), col("n_tokens"), 100, salt = "w8")
+    },
     // Gopher quality rule set (Rae et al. 2021): token-count, word-length,
     // symbol-ratio, stopword and repetition gates — every keep decision is
     // an exact-integer cross-multiplied compare, no FP in any rule.
@@ -730,6 +739,15 @@ object PipelineQueries {
          |      FROM m)
          |SELECT doc_id, n_tokens, score AS quality_score FROM p
          |WHERE before < 20000""".stripMargin,
+
+    "q_pipeline_sample_weighted" ->
+      s"""WITH $toksCte,
+         |w AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+         |k AS (SELECT doc_id, n_tokens,
+         |             ${rnd(s"-ln((${bh("doc_id::VARCHAR || 'w8'")} + 1) / 268435457.0) / n_tokens", 8)} AS draw
+         |      FROM w)
+         |SELECT doc_id, n_tokens FROM k
+         |QUALIFY row_number() OVER (ORDER BY draw ASC, doc_id ASC) <= 100""".stripMargin,
 
     "q_pipeline_gopher" ->
       s"""WITH $toksCte,

@@ -38,7 +38,16 @@ object RollupQueries {
     "q_rollup_max" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "max")), "max_value")),
     "q_rollup_last" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "last")), "last_value")),
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
-    "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value"))
+    "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
+    // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
+    // counts served from the 1h rollup table (no raw scan), smoothed by
+    // the same lag-chain — shares q_ds_ewma's raw-points oracle, so any
+    // rollup lossiness OR node divergence fails the hash
+    "q_rollup_ewma" -> { (s, d) =>
+      val ds = routed(s, d, DownsampleSpec("1d", "count"))
+      out(graft.operators.SeriesAnalytics.movingAverage(ds,
+        Seq(col("metric"), col("tags")("user")), samples = 4, alpha = 0.5), "ewma")
+    }
   )
 
   private def oracle(aggSql: String, name: String, bucketSec: Long = 86400): String =
@@ -53,6 +62,7 @@ object RollupQueries {
     "q_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_rollup_max" -> oracle(rnd("max(value)"), "max_value"),
     "q_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
-    "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400)
+    "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
+    "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )
 }
