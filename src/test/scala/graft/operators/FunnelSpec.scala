@@ -36,4 +36,31 @@ class FunnelSpec extends AnyFunSuite {
       Funnel.conversion(ev, col("user"), col("etype"), col("ts"), Seq("view"))
     }
   }
+
+  test("maxGapSec: a step outside the window breaks the chain like a missing one") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ev = Seq(
+      // u1: click 10s after view (inside a 60s gap), purchase 100s after
+      // the click (OUTSIDE) — chain breaks at purchase
+      ("u1", "view", 10L), ("u1", "click", 20L), ("u1", "purchase", 120L),
+      // u2: everything within the window; the boundary (exactly +gap) counts
+      ("u2", "view", 10L), ("u2", "click", 70L), ("u2", "purchase", 130L),
+      // u3: first click too late, but a SECOND click in a fresh window
+      // can't rescue it — the window anchors on the completed previous
+      // step, and view is the only completed step
+      ("u3", "view", 10L), ("u3", "click", 100L)
+    ).toDF("user", "etype", "ts")
+    val out = Funnel.conversion(ev, col("user"), col("etype"), col("ts"),
+        Seq("view", "click", "purchase"), maxGapSec = Some(60L))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("u1").getLong(2) === 20L && out("u1").isNullAt(3) && out("u1").getInt(4) === 2)
+    assert(out("u2").getLong(2) === 70L && out("u2").getLong(3) === 130L
+      && out("u2").getInt(4) === 3) // both at exactly +60: boundary counts
+    assert(out("u3").isNullAt(2) && out("u3").getInt(4) === 1)
+    intercept[IllegalArgumentException] {
+      Funnel.conversion(ev, col("user"), col("etype"), col("ts"),
+        Seq("view", "click"), maxGapSec = Some(0L))
+    }
+  }
 }

@@ -363,6 +363,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(hashes.length === hashes.distinct.length)
   }
 
+  test("weightedSample: ∝-weight selection, reproducible, extreme weight always wins") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (1L to 400L).map(i => (i, if (i == 7L) 1000000L else 1L))
+      .toDF("id", "w")
+    // the one astronomically-heavy row is effectively certain to be drawn
+    val got = Corpus.weightedSample(rows, col("id"), col("w"), 10, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(7L))
+    assert(got.size === 10)
+    // pure function of (key, salt): same salt replays, new salt re-deals
+    val again = Corpus.weightedSample(rows, col("id"), col("w"), 10, salt = "s")
+      .select("id").as[Long].collect().toSet
+    assert(again === got)
+    val other = Corpus.weightedSample(rows, col("id"), col("w"), 10, salt = "t")
+      .select("id").as[Long].collect().toSet
+    assert(other !== got)
+    // equal weights ≈ uniform: selection matches the rank of the raw draw
+    val plan = Corpus.weightedSample(rows, col("id"), col("w"), 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"cut must be local top-k:\n$plan")
+  }
+
   test("perplexityBuckets: per-language terciles; fluent docs head, <2-token docs drop") {
     val out = Corpus.perplexityBuckets(docs)
     val rows = out.select("doc_id", "pred_lang", "bucket", "keep").collect()
