@@ -62,6 +62,56 @@ class EventsEngineSpec extends AnyFunSuite {
     assert(page1 === Seq(3L, 2L))
   }
 
+  test("JSON paging over a multi-day store replays the per-index budget walk (T1)") {
+    // Reference shape (events-lucene QueryRunner.java:99-131): one Lucene
+    // index per day, each searched sorted start-desc with a from+size
+    // budget; index responses are walked NEWEST-DAY-FIRST, the global
+    // size budget decrementing per day and cutting inside the first day
+    // that overruns it. An event's index day IS its start day, so the
+    // cross-index concatenation must equal a single global
+    // (start_ts desc, event_id desc) sort — this spec pins that
+    // equivalence on a 4-day store where pages straddle day boundaries.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val day = 86400L
+    // 4 days × uneven counts (3/4/5/2), start times interleaved so the
+    // global sort would shuffle days if the day walk were wrong
+    val rows = for {
+      (d, n) <- Seq((0, 3), (1, 4), (2, 5), (3, 2))
+      i <- 0 until n
+    } yield {
+      val start = (d + 10) * day + i * 137L
+      ((d * 10 + i).toLong, "alert", "src", s"t$d-$i", "m", "low",
+        start, start + 10L, false)
+    }
+    val store = rows.toDF("event_id", "namespace", "source", "title", "message",
+        "priority", "start_ts", "end_ts", "ongoing")
+      .selectExpr("*", "map('host', 'h') AS dimensions",
+        "date_format(to_timestamp(start_ts), 'yyyy-MM-dd') AS day")
+
+    // the reference walk, simulated literally: per-day desc-sorted lists,
+    // days newest-first, budget decremented day by day
+    val perDay = rows.groupBy(_._7 / day).toSeq.sortBy(-_._1)
+      .map(_._2.sortBy(r => (-r._7, -r._1)).map(_._1))
+    val walk = perDay.flatten // newest day first, desc within day
+
+    def jsonPage(from: Int, size: Int): Seq[Long] = {
+      val r = graft.query.TsdbJson.parseEventsRequest(
+        s"""{"start": 0, "end": ${20 * day}, "namespace": "alert",
+             "from": $from, "size": $size}""")
+      EventsEngine.run(store, r).select("event_id").collect().map(_.getLong(0)).toSeq
+    }
+    // budget cuts inside day 2 of the walk (2 + 5 = 7 events in the two
+    // newest days; size 6 part-consumes the second index)
+    assert(jsonPage(0, 6) === walk.slice(0, 6))
+    // offset skips the whole newest index and lands mid-day
+    assert(jsonPage(3, 5) === walk.slice(3, 8))
+    // page spanning three indices
+    assert(jsonPage(1, 10) === walk.slice(1, 11))
+    // overrunning budget returns everything left
+    assert(jsonPage(9, 99) === walk.slice(9, walk.length))
+  }
+
   test("group-by with hit counts and fetch-last (A16)") {
     val grouped = EventsEngine.group(docs, EventsQuery(0, 1000), "host", fetchLast = true)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
