@@ -183,12 +183,14 @@ object SeriesAnalytics {
     guarded.withColumn("value", v).drop("__l", "__r")
   }
 
-  /** Moving-average node with exponential weighting (the upstream TSDB
-   *  3.x `MovingAverageConfig` with `exponential = true`): each bucket's
-   *  value becomes the weighted mean of the trailing `samples` buckets of
-   *  its own series, weight `(1-alpha)^k` at lag k (most recent weighs
-   *  1). The upstream node bounds the window at `samples` points, so the
-   *  truncation IS the node's semantics — not an approximation.
+  /** Moving-average node (the upstream TSDB 3.x `MovingAverageConfig`):
+   *  each bucket's value becomes the weighted mean of the trailing
+   *  `samples` buckets of its own series — weight `(1-alpha)^k` at lag k
+   *  when `exponential` (most recent weighs 1), equal weights (the
+   *  upstream simple/WMA mode, where integer-valued inputs make the sum
+   *  exact FP with no weight discipline at all) when not. The upstream
+   *  node bounds the window at `samples` points, so the truncation IS
+   *  the node's semantics — not an approximation.
    *
    *  Determinism: the window is an explicit lag-chain (no windowed SUM,
    *  whose accumulation order differs between engines), summed
@@ -203,12 +205,12 @@ object SeriesAnalytics {
    *  reads per row — no per-series state beyond the frame, no global
    *  sort; identical scale posture to [[sliding]]. */
   def movingAverage(ds: DataFrame, partitionKeys: Seq[Column], samples: Int,
-      alpha: Double = 0.5): DataFrame = {
+      alpha: Double = 0.5, exponential: Boolean = true): DataFrame = {
     require(samples >= 1, s"movingAverage needs >= 1 samples, got $samples")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val w = Window.partitionBy(partitionKeys: _*).orderBy(col("bucket_ts").asc)
     val terms = (0 until samples).map { k =>
-      val weight = math.pow(1 - alpha, k)
+      val weight = if (exponential) math.pow(1 - alpha, k) else 1.0
       val v = if (k == 0) col("value") else lag(col("value"), k).over(w)
       (when(v.isNotNull, v * lit(weight)).otherwise(lit(0.0)),
         when(v.isNotNull, lit(weight)).otherwise(lit(0.0)))

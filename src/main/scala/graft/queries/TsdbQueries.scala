@@ -511,6 +511,49 @@ object TsdbQueries {
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "ewma")
     },
 
+    // Simple (equal-weight) moving average — MovingAverageConfig with
+    // exponential = false: trailing-4 mean, head windows renormalizing
+    // over the lags that exist. Integer daily counts sum exactly in FP,
+    // so the single terminal division replays bit-identically.
+    "q_ds_movavg_simple" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        movingAverage = Some(MovingAverageSpec(4, exponential = false)))), "mavg")),
+
+    // The same simple-MA node from a client JSON document — shares
+    // q_ds_movavg_simple's oracle verbatim.
+    "q_json_movavg_simple" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "movingAverage": {"samples": 4, "exponential": false}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "mavg")
+    },
+
+    // Time-difference processor (upstream TSDB 3.x TimeDifference):
+    // per-point gap since the series' previous point, in minutes — the
+    // heartbeat/liveness shape. First point of each series drops
+    // (upstream emits null there). Integer-second deltas divide by one
+    // literal, so values replay bit-identically.
+    "q_ds_timediff" -> { (s, d) =>
+      run(s, d, TsdbQuery(MatchAll, Start, End,
+        timeDifference = Some(TimeDifferenceSpec("minutes"))))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("tdiff"))
+    },
+
+    // The same node from JSON — shares q_ds_timediff's oracle.
+    "q_json_timediff" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "timeDifference": {"unit": "minutes"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("tdiff"))
+    },
+
     // Bucket-quantile node (upstream TSDB 3.x BucketQuantileConfig):
     // the input series are histogram BUCKET COUNTERS — per (user, day),
     // event values bin into fixed-bound buckets whose counts are stored
@@ -1070,6 +1113,36 @@ object TsdbQueries {
          |FROM ds
          |WINDOW win AS (PARTITION BY metric, tag_user ORDER BY bucket_ts)""".stripMargin,
 
+    // Simple MA: equal weights — integer counts sum exactly, one
+    // terminal division over identical doubles.
+    "q_ds_movavg_simple" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT metric, tag_user, bucket_ts,
+         |       ${rnd("(v + COALESCE(lag(v, 1) OVER win, 0) " +
+             "+ COALESCE(lag(v, 2) OVER win, 0) " +
+             "+ COALESCE(lag(v, 3) OVER win, 0)) / " +
+             "(1.0 + (CASE WHEN lag(v, 1) OVER win IS NULL THEN 0 ELSE 1 END) " +
+             "+ (CASE WHEN lag(v, 2) OVER win IS NULL THEN 0 ELSE 1 END) " +
+             "+ (CASE WHEN lag(v, 3) OVER win IS NULL THEN 0 ELSE 1 END))")} AS mavg
+         |FROM ds
+         |WINDOW win AS (PARTITION BY metric, tag_user ORDER BY bucket_ts)""".stripMargin,
+
+    // Time difference: integer-second gaps over one literal divisor.
+    "q_ds_timediff" ->
+      s"""WITH $pointsCtes,
+         |laged AS (
+         |  SELECT metric, tag_user, ts,
+         |         lag(ts) OVER (PARTITION BY metric, tag_user ORDER BY ts) AS pt
+         |  FROM dedup WHERE ${inRange()})
+         |SELECT metric, tag_user, ts,
+         |       ${rnd("CAST(ts - pt AS DOUBLE) / 60.0", 6)} AS tdiff
+         |FROM laged WHERE pt IS NOT NULL""".stripMargin,
+
     // Bucket-quantile: integer counts end-to-end, so the cumulative pick
     // needs no rounding discipline at all.
     "q_bucket_quantile" ->
@@ -1162,6 +1235,8 @@ object TsdbQueries {
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
     "q_json_ewma" -> oraclesBase("q_ds_ewma"),
+    "q_json_movavg_simple" -> oraclesBase("q_ds_movavg_simple"),
+    "q_json_timediff" -> oraclesBase("q_ds_timediff"),
     "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
     "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),
     "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"))

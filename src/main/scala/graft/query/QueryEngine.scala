@@ -113,6 +113,23 @@ object QueryEngine {
       .drop("__prev_ts", "__mode_dt")
   }
 
+  /** Time-difference stage (the upstream TSDB 3.x TimeDifference
+   *  processor, same slot family as [[rate]]): each point's value
+   *  becomes the time since its series' previous point in the spec's
+   *  unit; the first point of each series has no predecessor and is
+   *  dropped (the upstream node emits null there — same observable
+   *  result post-aggregation). Deltas are integer seconds divided by
+   *  one literal, so values replay bit-identically cross-engine. */
+  def timeDifference(points: DataFrame, spec: TimeDifferenceSpec): DataFrame = {
+    val w = Window.partitionBy(col("series_id")).orderBy(col("ts"))
+    points
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .filter(col("__prev_ts").isNotNull)
+      .withColumn("value",
+        (col("ts") - col("__prev_ts")).cast("double") / lit(spec.unitSeconds.toDouble))
+      .drop("__prev_ts")
+  }
+
   /** Per-series mode of timestamp deltas — the reference's auto-detected
    *  "data interval" for rate-to-count (reference :364-420). Ties break to
    *  the smallest delta for determinism. */
@@ -276,6 +293,7 @@ object QueryEngine {
     // AuraMetricsNumericArrayIterator.java:312,423)
     if (shiftSec != 0) df = df.withColumn("ts", col("ts") + lit(shiftSec))
     df = q.rate.map(r => rate(df, r)).getOrElse(df)
+    df = q.timeDifference.map(t => timeDifference(df, t)).getOrElse(df)
     df = q.downsample.map(d => downsample(df, d, q.start, q.end)).getOrElse(df)
     q.fill.foreach { f =>
       val iv = q.downsample.map(_.interval).getOrElse(
@@ -304,7 +322,8 @@ object QueryEngine {
       graft.operators.SeriesAnalytics.sliding(df, seriesKeys.map(col), sw.buckets, sw.agg))
       .getOrElse(df)
     df = q.movingAverage.map(ma =>
-      graft.operators.SeriesAnalytics.movingAverage(df, seriesKeys.map(col), ma.samples, ma.alpha))
+      graft.operators.SeriesAnalytics.movingAverage(df, seriesKeys.map(col), ma.samples,
+        ma.alpha, ma.exponential))
       .getOrElse(df)
     df = q.anomaly.map { a =>
       // values snap to 4 decimals entering the node so both engines'

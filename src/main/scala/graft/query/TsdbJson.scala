@@ -187,7 +187,12 @@ object TsdbJson {
       val smp = Option(m.get("samples")).filter(!_.isNull)
       require(smp.isDefined, s"movingAverage needs 'samples': $m")
       MovingAverageSpec(samples = smp.get.asInt,
-        alpha = Option(m.get("alpha")).filter(!_.isNull).map(_.asDouble).getOrElse(0.5))
+        alpha = Option(m.get("alpha")).filter(!_.isNull).map(_.asDouble).getOrElse(0.5),
+        exponential = Option(m.get("exponential")).filter(!_.isNull).forall(_.asBoolean))
+    }
+    val td = Option(n.get("timeDifference")).filter(!_.isNull).map { t =>
+      TimeDifferenceSpec(unit =
+        Option(t.get("unit")).filter(!_.isNull).map(_.asText).getOrElse("seconds"))
     }
     val an = Option(n.get("anomaly")).filter(!_.isNull).map { a =>
       AnomalySpec(
@@ -224,6 +229,7 @@ object TsdbJson {
       end = n.get("end").asLong,
       downsample = ds,
       rate = rate,
+      timeDifference = td,
       groupBy = gb,
       shift = Option(n.get("timeShift")).map(_.asText),
       explicitTags = pf.explicitTags,

@@ -52,11 +52,27 @@ final case class SlidingWindowSpec(buckets: Int, agg: String)
  *  keep the `n` largest (`top = false`: smallest). */
 final case class TopNSpec(n: Int, top: Boolean = true)
 
-/** Exponentially-weighted moving average (the upstream TSDB 3.x
- *  moving-average query node with `exponential = true`): each bucket's
- *  value becomes the weight-`(1-alpha)^k` mean of the trailing `samples`
- *  buckets of its own series. */
-final case class MovingAverageSpec(samples: Int, alpha: Double = 0.5)
+/** Moving average (the upstream TSDB 3.x moving-average query node):
+ *  each bucket's value becomes the mean of the trailing `samples`
+ *  buckets of its own series — weight `(1-alpha)^k` at lag k when
+ *  `exponential`, equal weights (the upstream WMA/simple mode) when
+ *  not. */
+final case class MovingAverageSpec(samples: Int, alpha: Double = 0.5,
+    exponential: Boolean = true)
+
+/** Time-difference (the upstream TSDB 3.x TimeDifference processor):
+ *  each point's value becomes the time elapsed since its series'
+ *  previous point, expressed in `unit` (seconds/minutes/hours — the
+ *  upstream config's ChronoUnit resolution). */
+final case class TimeDifferenceSpec(unit: String = "seconds") {
+  def unitSeconds: Long = unit.toLowerCase match {
+    case "seconds" => 1L
+    case "minutes" => 60L
+    case "hours" => 3600L
+    case other => throw new IllegalArgumentException(
+      s"timeDifference unit must be seconds/minutes/hours, got $other")
+  }
+}
 
 /** Dense-grid fill (the downsample config's FillPolicy): materialize
  *  every interval bucket per series, absent buckets filled per policy
@@ -101,6 +117,8 @@ final case class TsdbQuery(
     end: Long,
     downsample: Option[DownsampleSpec] = None,
     rate: Option[RateSpec] = None,
+    timeDifference: Option[TimeDifferenceSpec] = None, // same slot family as rate: per-point, pre-downsample
+
     groupBy: Option[GroupBySpec] = None,
     shift: Option[String] = None, // evaluate shifted back in time, map ts forward (reference AuraMetricsQueryNode.java:137-148)
     explicitTags: Boolean = false,

@@ -200,6 +200,32 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("movingAverage exponential=false: equal-weight trailing mean, head renormalizes") {
+    val out = SeriesAnalytics.movingAverage(agg, Seq(col("series")), samples = 3,
+        exponential = false)
+      .select("series", "bucket_ts", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("a", 10L, 1.0), ("a", 20L, 1.5), ("a", 30L, 2.0), ("a", 40L, 3.0),
+      ("b", 10L, 10.0), ("b", 20L, 15.0), ("b", 40L, (40.0 + 20.0 + 10.0) / 3)))
+  }
+
+  test("timeDifference: per-series gap in the configured unit; first point drops") {
+    val points = Seq(
+      ("s1", 0L, 1.0), ("s1", 120L, 2.0), ("s1", 300L, 3.0),
+      ("s2", 60L, 4.0), ("s2", 90L, 5.0)
+    ).toDF("series_id", "ts", "value")
+    val out = graft.query.QueryEngine.timeDifference(points,
+        graft.query.TimeDifferenceSpec("minutes"))
+      .select("series_id", "ts", "value").as[(String, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq(
+      ("s1", 120L, 2.0), ("s1", 300L, 3.0), ("s2", 90L, 0.5)))
+    intercept[IllegalArgumentException] {
+      graft.query.TimeDifferenceSpec("days").unitSeconds
+    }
+  }
+
   test("bucketQuantile: cumulative pick reports the bucket upper bound; overflow its lower") {
     // one series, one ts: counts 5/3/2 in buckets [0,10) [10,100) [100,inf)
     val counters = Seq(
