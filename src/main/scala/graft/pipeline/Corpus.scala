@@ -91,6 +91,55 @@ object Corpus {
       .select((docs.columns.map(col) :+ col("pred_lang")): _*)
   }
 
+  /** Mix a corpus to TARGET domain proportions — the data-mixture
+   *  recipe step of every pretraining corpus build (the fixed-weight
+   *  baseline DoReMi reweights, Xie et al. 2023): given per-domain
+   *  target shares (permille, over `domainCol`), emit the LARGEST
+   *  corpus whose composition matches them EXACTLY. The feasible total
+   *  is bounded by the scarcest domain relative to its share,
+   *  `T = min_d floor(n_d·1000/p_d)`; each listed domain then
+   *  contributes exactly `floor(p_d·T/1000)` docs (its hash-ranked
+   *  head — reproducible, re-salted by changing nothing but the hash
+   *  input) and unlisted domains drop. All-integer arithmetic: counts,
+   *  the feasible minimum, and the quotas replay exactly in any engine.
+   *
+   *  Plan: the per-domain counts are one tiny aggregate (|domains|
+   *  rows) broadcast back onto the scan; the exact-count cut is a
+   *  per-domain rank window ordered by (hash, doc_id). That window
+   *  sorts each domain partition — the standard price of EXACT quotas
+   *  (quotas are data-dependent, so no WindowGroupLimit literal
+   *  applies); domains sort in parallel, and a skew-heavy corpus can
+   *  pre-shard the rank like [[pack]] does. When binomial noise in the
+   *  proportions is acceptable, [[stratifiedSample]] is the sort-free
+   *  sibling (hash-threshold rates instead of ranked quotas). */
+  def mixToProportions(docs: DataFrame, domainCol: String,
+      targets: Map[String, Int]): DataFrame = {
+    require(targets.nonEmpty, "mixToProportions needs at least one target share")
+    require(targets.values.forall(p => p > 0 && p <= 1000), "shares are permille in (0, 1000]")
+    require(targets.values.sum <= 1000, "target shares must sum to <= 1000 permille")
+    val dom = col(domainCol)
+    val listed = docs.filter(dom.isin(targets.keys.toSeq: _*))
+    val counts = listed.groupBy(dom.as("__dom"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__p", targets.foldLeft(lit(null).cast("long")) { case (acc, (s0, p)) =>
+        when(col("__dom") === s0, lit(p.toLong)).otherwise(acc)
+      })
+    // the feasible total and per-domain quotas: a 1-row aggregate of a
+    // |domains|-row frame, broadcast back onto the corpus scan
+    val total = counts.agg(min(col("__n") * 1000L / col("__p")).as("__t"))
+    val quotas = counts.crossJoin(broadcast(total))
+      .select(col("__dom"), (col("__p") * col("__t") / 1000L).as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(dom).orderBy(col("__h").asc, col("doc_id").asc)
+    listed
+      .select(col("doc_id"), dom,
+        call_function("md5prefix28", col("doc_id").cast("string")).as("__h"))
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .join(broadcast(quotas), dom === col("__dom"))
+      .filter(col("__rank") <= col("__quota"))
+      .select(col("doc_id"), dom)
+  }
+
   /** Sequence packing (contiguous fill): documents, in doc_id order, fill
    *  context bins of `budgetTokens`; a doc lands in the bin where its
    *  token span begins. Packing runs per HASH shard —

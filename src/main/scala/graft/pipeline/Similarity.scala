@@ -638,6 +638,36 @@ object Similarity {
       .select("q_id", "rank", "vec_id", "adist")
   }
 
+  /** Two-stage retrieval: approximate candidate generation (PQ/ADC over
+   *  compressed codes, [[pqTopKWith]]) followed by EXACT re-ranking of
+   *  the surviving `kCand` candidates per query — the production search
+   *  shape (FAISS's refine/rerank stage): the compressed scan finds a
+   *  candidate superset cheaply, and only |queries| × kCand raw vectors
+   *  are ever fetched for exact scoring. The candidate list broadcasts
+   *  onto the corpus scan (a broadcast join on vec_id — the corpus is
+   *  touched by ONE projection-pruned pass), the bounded query batch
+   *  broadcasts for scoring, and the final top-k window runs over kCand
+   *  rows per query. Output is the exact top-k WITHIN the approximate
+   *  superset, so recall@k is monotonically ≥ the PQ stage's once
+   *  kCand ≥ k; both stages stay 4-decimal-rounded/vec_id-tiebroken, so
+   *  the whole composition replays bit-identically in the oracle. */
+  def rerankTopK(emb: DataFrame, cb: DataFrame, queryPred: Column, k: Int,
+      kCand: Int, m: Int): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val cand = pqTopKWith(emb, cb, queryPred, kCand, m).select("q_id", "vec_id")
+    val qv = emb.filter(queryPred)
+      .select(col("vec_id").as("q_id"), asDouble(col("embedding")).as("q_vec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qv), Seq("q_id"))
+      .withColumn("sim", round(cosine(col("q_vec"), col("vec")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
   /** IVF-PQ top-k — the production-standard ANN layout (coarse inverted
    *  file × product-quantized residuals-free codes): a query probes its
    *  nearest IVF cell and ADC-scans ONLY that cell's compressed codes.

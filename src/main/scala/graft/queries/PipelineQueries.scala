@@ -157,6 +157,13 @@ object PipelineQueries {
     "q_pipeline_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(docs(s, d), Map("en" -> 800, "de" -> 300), 100)
         .select(col("doc_id"), col("pred_lang"))),
+    // exact-proportion data mixing: the largest corpus whose domain
+    // composition matches the 50/30/20 target shares exactly — the
+    // scarcest domain relative to its share bounds the feasible total,
+    // each domain contributes its hash-ranked quota
+    "q_pipeline_mix" -> ((s, d) =>
+      Corpus.mixToProportions(docs(s, d), "source",
+        Map("src0" -> 500, "src1" -> 300, "src2" -> 200))),
     // sequence packing into 512-token context bins, hash-sharded so the
     // prefix-sum window parallelizes and shard sizes ignore the id space
     "q_pipeline_pack" -> ((s, d) =>
@@ -393,6 +400,13 @@ object PipelineQueries {
     "q_ann_pq" -> ((s, d) =>
       Similarity.pqTopKWith(emb(s, d),
         Similarity.pqCodebooksK(emb(s, d), m = 8, k = PqK), annQueryPred, 3, m = 8)),
+    // two-stage retrieval: PQ/ADC candidates (kCand = 12) re-ranked by
+    // exact cosine — compressed scan for the superset, exact repair on
+    // a constant per-query candidate pool
+    "q_ann_rerank" -> ((s, d) =>
+      Similarity.rerankTopK(emb(s, d),
+        Similarity.pqCodebooksK(emb(s, d), m = 8, k = PqK), annQueryPred,
+        3, kCand = 12, m = 8)),
     // IVF-PQ: probe the query's coarse cell, ADC-scan only its codes
     "q_ann_ivfpq" -> ((s, d) =>
       Similarity.ivfPqTopKWith(emb(s, d),
@@ -1205,6 +1219,19 @@ object PipelineQueries {
          |      < CASE WHEN $langPred = 'de' THEN 300
          |             WHEN $langPred = 'en' THEN 800 ELSE 100 END""".stripMargin,
 
+    "q_pipeline_mix" ->
+      s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
+         |counts AS (SELECT source, count(*) AS n FROM documents
+         |           WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
+         |t AS (SELECT min(n * 1000 // p) AS t FROM counts JOIN tg USING (source)),
+         |q AS (SELECT tg.source, (p * t.t) // 1000 AS quota FROM tg JOIN t ON true),
+         |ranked AS (SELECT doc_id, source,
+         |                  row_number() OVER (PARTITION BY source
+         |                    ORDER BY ${bh("CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC) AS rn
+         |           FROM documents WHERE source IN ('src0', 'src1', 'src2'))
+         |SELECT doc_id, source FROM ranked JOIN q USING (source)
+         |WHERE rn <= quota""".stripMargin,
+
     "q_pipeline_pack" ->
       s"""WITH $toksCte,
          |n AS (SELECT doc_id, len(t) AS n_tokens,
@@ -1473,6 +1500,37 @@ object PipelineQueries {
          |SELECT q_id, rank, vec_id, adist FROM (
          |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
          |  FROM adist)
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_ann_rerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$pqCb32Cte,
+         |sx AS (SELECT vec_id, sub, list_slice(v, sub*8 + 1, sub*8 + 8) AS x
+         |       FROM e, range(0, 8) AS r(sub)),
+         |d AS (SELECT vec_id, sub, c_id,
+         |             ${rnd("list_dot_product(x, x) - 2*list_dot_product(x, cv) + list_dot_product(cv, cv)")} AS d2
+         |      FROM sx JOIN cb USING (sub)),
+         |codes AS (SELECT vec_id, sub, code FROM (
+         |  SELECT vec_id, sub, c_id AS code,
+         |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_id ASC) AS rn
+         |  FROM d) WHERE rn = 1),
+         |qt AS (SELECT vec_id AS q_id, sub, c_id AS code, d2 AS pd
+         |       FROM d WHERE $annQPred),
+         |adist AS (SELECT q_id, c.vec_id, ${rnd("sum(pd)")} AS adist
+         |          FROM codes c JOIN qt USING (sub, code)
+         |          GROUP BY 1, 2 HAVING c.vec_id != q_id),
+         |cand AS (SELECT q_id, vec_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rank
+         |  FROM adist)
+         |WHERE rank <= 12),
+         |exact AS (SELECT cand.q_id, cand.vec_id,
+         |                 ${rnd(cosSql("q.v", "t.v"))} AS sim
+         |          FROM cand
+         |          JOIN e q ON q.vec_id = cand.q_id
+         |          JOIN e t ON t.vec_id = cand.vec_id)
+         |SELECT q_id, rank, vec_id, sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |  FROM exact)
          |WHERE rank <= 3""".stripMargin,
 
     "q_ann_ivfpq" ->

@@ -27,6 +27,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(again === s250)
   }
 
+  test("mixToProportions: exact quotas, scarcity-bound total, unlisted domains drop") {
+    val s = spark
+    import s.implicits._
+    // src A: 10 docs, B: 6, C: 30, D (unlisted): 5
+    val d = ((0 until 10).map(i => (i.toLong, "A")) ++
+      (10 until 16).map(i => (i.toLong, "B")) ++
+      (16 until 46).map(i => (i.toLong, "C")) ++
+      (46 until 51).map(i => (i.toLong, "D")))
+      .toDF("doc_id", "source")
+    // targets 50/30/20: B is the scarce domain (6/0.3 = 20 feasible)
+    val out = Corpus.mixToProportions(d, "source",
+      Map("A" -> 500, "B" -> 300, "C" -> 200)).collect()
+    val byDom = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // T = min(10*1000/500, 6*1000/300, 30*1000/200) = min(20, 20, 150) = 20
+    assert(byDom === Map("A" -> 10, "B" -> 6, "C" -> 4))
+    assert(!out.exists(_.getString(1) == "D"), "unlisted domains contribute nothing")
+    // deterministic: replay is exact
+    val again = Corpus.mixToProportions(d, "source",
+      Map("A" -> 500, "B" -> 300, "C" -> 200)).collect()
+    assert(again.map(_.getLong(0)).sorted.toSeq === out.map(_.getLong(0)).sorted.toSeq)
+    // a lone over-1000 share or empty targets fail the config
+    intercept[IllegalArgumentException] {
+      Corpus.mixToProportions(d, "source", Map.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.mixToProportions(d, "source", Map("A" -> 700, "B" -> 400))
+    }
+  }
+
   test("trainValTestSplit: disjoint, exhaustive, proportional, re-salt re-deals") {
     val out = Corpus.trainValTestSplit(docs, 800, 100, salt = "s1").collect()
     assert(out.length === docs.count())

@@ -339,6 +339,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall > 0.1, "compressed-domain search must beat noise")
   }
 
+  test("rerankTopK: exact top-k within the PQ candidate superset; recall never below the PQ stage") {
+    val m = 8
+    val cb = Similarity.pqCodebooksK(emb, m, k = 32)
+    val kCand = 4 * K
+    val cand = Similarity.pqTopKWith(emb, cb, pred, kCand, m)
+    val rr = Similarity.rerankTopK(emb, cb, pred, K, kCand, m)
+    // every reranked hit came from the candidate superset
+    val outside = rr.select("q_id", "vec_id")
+      .join(cand.select("q_id", "vec_id"), Seq("q_id", "vec_id"), "left_anti").count()
+    assert(outside === 0, "rerank may only reorder candidates, not invent them")
+    // within each query's candidate pool, rerank picks the EXACT cosine
+    // top-k (4-decimal rounding, vec_id tiebreak)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val sim = Similarity.dot(col("qv.v"), col("cv.v")) /
+      (sqrt(Similarity.dot(col("qv.v"), col("qv.v"))) *
+        sqrt(Similarity.dot(col("cv.v"), col("cv.v"))))
+    val expected = cand.select(col("q_id"), col("vec_id"))
+      .join(vecs.as("cv"), "vec_id")
+      .join(vecs.as("qv").withColumnRenamed("vec_id", "q_id"), "q_id")
+      .select(col("q_id"), col("vec_id"), round(sim, 4).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("q_id", "rank", "vec_id")
+    assert(rr.select("q_id", "rank", "vec_id").except(expected).count() === 0)
+    assert(expected.except(rr.select("q_id", "rank", "vec_id")).count() === 0)
+    // recall monotonicity vs the raw PQ stage at the same k (cosine truth)
+    val brute = Similarity.bruteForceTopK(emb, pred, K)
+    val rPq = recallVsBrute(Similarity.pqTopKWith(emb, cb, pred, K, m), brute)
+    val rRr = recallVsBrute(rr, brute)
+    info(f"recall@$K: pq=$rPq%.3f rerank=$rRr%.3f")
+    assert(rRr >= rPq, "exact re-ranking of a superset cannot lose recall")
+  }
+
   test("capped edges + exact-dup stars: a planted clone cluster still collapses, without the quadratic join") {
     val spark2 = spark
     import spark2.implicits._
