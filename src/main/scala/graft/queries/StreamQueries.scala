@@ -197,6 +197,8 @@ object StreamQueries {
 
   private val rateRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val timediffRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private val ewmaRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** True streamed EWMA per source dir per JVM: the range-filtered point
@@ -272,6 +274,37 @@ object StreamQueries {
       s.table(name).filter(col("series_id") =!= Long.MinValue)
     })
 
+  /** The TimeDifference node as a pure stream — the [[streamedRate]]
+   *  protocol verbatim (same sentinel close, same chained state
+   *  machine), the scalar swapped for the per-point gap in minutes.
+   *  Shares q_ds_timediff's batch oracle. */
+  private def streamedTimediff(s: SparkSession, d: String): DataFrame =
+    timediffRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = graft.sources.TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+        .select(col("series_id"), col("metric"), col("tags"),
+          col("ts"), col("value"), col("seq"))
+        .as[graft.streaming.PointRow].collect().toSeq
+      val maxTs = pts.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.PointRow]
+      val name = "timediff_stream_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps.timeDifferenceStream(input.toDF(), 60L)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) = graft.streaming.PointRow(
+          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+        input.addData(pts: _*); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("series_id") =!= Long.MinValue)
+    })
+
   private def lwwWindows(s: SparkSession, d: String): DataFrame =
     lwwRuns.getOrElseUpdate(d, {
       import s.implicits._
@@ -324,6 +357,14 @@ object StreamQueries {
       streamedRate(s, d)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
           round(col("value"), 6).as("rate"))),
+
+    // The TimeDifference node as a pure stream: same chained state
+    // machine as q_stream_rate, gap-in-minutes scalar — surfaces
+    // exactly like q_ds_timediff and shares its oracle
+    "q_stream_timediff" -> ((s, d) =>
+      streamedTimediff(s, d)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("tdiff"))),
 
     // The moving-average analytic node as a PURE stream: stateful
     // per-series daily-bucket finalization + trailing weighted mean,
@@ -498,6 +539,7 @@ object StreamQueries {
   val oracles: Map[String, String] = Map(
     // streamed derivative replays the batch rate restatement verbatim
     "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
+    "q_stream_timediff" -> TsdbQueries.oracles("q_ds_timediff"),
     "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
     "q_stream_ewma" -> TsdbQueries.oracles("q_ds_ewma"),
     "q_stream_bucket_quantile" -> TsdbQueries.oracles("q_bucket_quantile"),

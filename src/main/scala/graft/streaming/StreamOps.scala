@@ -155,7 +155,30 @@ object StreamOps {
    *  drop (they would reorder emitted history), exactly the
    *  late-beyond-watermark posture of [[windowedDownsampleLww]]. */
   def rateStream(points: DataFrame, intervalSec: Double = 1.0,
-      watermarkDelay: String = "1 hour"): Dataset[RatePoint] = {
+      watermarkDelay: String = "1 hour"): Dataset[RatePoint] =
+    chainedDeltaStream(points, watermarkDelay) { (ts, v, lastTs, lastVal) =>
+      (v - lastVal) / ((ts - lastTs).toDouble / intervalSec)
+    }
+
+  /** Streaming TimeDifference: the same chained per-series state machine
+   *  emitting `(ts − prev_ts) / unitSeconds` — the stream twin of
+   *  [[graft.query.QueryEngine.timeDifference]], bit-identical on
+   *  finalized output (integer-second gaps over one literal divisor). */
+  def timeDifferenceStream(points: DataFrame, unitSeconds: Long,
+      watermarkDelay: String = "1 hour"): Dataset[RatePoint] =
+    chainedDeltaStream(points, watermarkDelay) { (ts, _, lastTs, _) =>
+      (ts - lastTs).toDouble / unitSeconds.toDouble
+    }
+
+  /** The shared chained-delta state machine behind [[rateStream]] and
+   *  [[timeDifferenceStream]]: LWW-buffer points until the watermark
+   *  finalizes them in ts order, each emission computed by `delta(ts,
+   *  v, lastTs, lastVal)` against the last FINALIZED point. The scalar
+   *  is the only thing the two nodes disagree on; everything about
+   *  state bounds, straggler posture, and finalization order is one
+   *  implementation, so the batch-parity argument transfers. */
+  private def chainedDeltaStream(points: DataFrame, watermarkDelay: String)(
+      delta: (Long, Double, Long, Double) => Double): Dataset[RatePoint] = {
     val spark = points.sparkSession
     import spark.implicits._
     points
@@ -184,10 +207,9 @@ object StreamOps {
           val (ready, rest) = st.pending.partition(_._1 <= wmSec)
           val out = Vector.newBuilder[RatePoint]
           ready.toSeq.sortBy(_._1).foreach { case (ts, (_, v)) =>
-            if (st.hasLast) {
-              val dt = (ts - st.lastTs).toDouble / intervalSec
-              out += RatePoint(sid, st.metric, st.tags, ts, (v - st.lastVal) / dt)
-            }
+            if (st.hasLast)
+              out += RatePoint(sid, st.metric, st.tags, ts,
+                delta(ts, v, st.lastTs, st.lastVal))
             st = st.copy(lastTs = ts, lastVal = v, hasLast = true)
           }
           state.update(st.copy(pending = rest))
