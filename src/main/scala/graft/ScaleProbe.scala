@@ -151,6 +151,7 @@ object ScaleProbe {
     "q_ds_sliding_avg", "q_topn_series", "q_expr_ratio", "q_json_sliding_topn",
     "q_summarizer", "q_expr_percent", "q_ds_ewma", "q_bucket_quantile",
     "q_anomaly_olympic", "q_json_expr",
+    "q_ds_timediff", "q_ds_movavg_simple", "q_stale_series",
     // the events-analytics trio reads the raw events table: sessions /
     // funnel / retention are all one-or-two aggregate shapes whose cost
     // must track the event rows linearly
@@ -189,6 +190,7 @@ object ScaleProbe {
     // contract, probed for the same documentation the brute row gets)
     "q_text_bm25", "q_pipeline_novelty", "q_ann_hard_negatives",
     "q_pipeline_dsir", "q_pipeline_gopher", "q_pipeline_ccnet",
+    "q_text_oov", "q_pipeline_mix", "q_ann_rerank",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are
@@ -229,7 +231,8 @@ object ScaleProbe {
     "q_pipeline_topk_domain",
     "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
     "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir", "q_pipeline_gopher",
-    "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual")
+    "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual",
+    "q_text_oov", "q_pipeline_mix", "q_ann_rerank")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly

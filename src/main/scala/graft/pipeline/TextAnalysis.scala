@@ -377,6 +377,35 @@ object TextAnalysis {
         round(col("__tfidf"), 4).as("tfidf"))
   }
 
+  /** Vocabulary coverage / OOV rate: per document, the fraction of its
+   *  tokens falling OUTSIDE the corpus' top-`vocabSize` vocabulary (by
+   *  corpus frequency, token-ascending tiebreak) — the tokenizer-
+   *  coverage signal a training pipeline measures before committing to
+   *  a vocab size, and the per-doc outlier flag for junk detection
+   *  (high-OOV docs are boilerplate, code, or the wrong language).
+   *
+   *  Scale shape: the vocabulary is one hash aggregate cut by
+   *  TakeOrderedAndProject to `vocabSize` rows (constant at any corpus
+   *  size) and BROADCAST back as a membership probe — the token table
+   *  is touched by exactly two map-side-combining passes (the count and
+   *  the probe), nothing token-keyed ever shuffles. The rate is one
+   *  division of exact integer counts per doc. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tt = tokenTable(docs)
+    val vocab = tt.groupBy(col("tk")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tk").asc).limit(vocabSize)
+      .select(col("tk"), lit(1).as("__in"))
+    tt.join(broadcast(vocab), Seq("tk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
+  }
+
   /** Okapi BM25 top-k retrieval: for each query document, the `k`
    *  best-matching corpus documents under BM25(k1, b) — the
    *  quality-targeted retrieval / candidate-mining primitive of a

@@ -157,6 +157,10 @@ object PipelineQueries {
     "q_pipeline_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(docs(s, d), Map("en" -> 800, "de" -> 300), 100)
         .select(col("doc_id"), col("pred_lang"))),
+    // vocabulary coverage: per-doc OOV fraction against the corpus'
+    // top-24 vocab (constant-size broadcast probe; 31 distinct tokens
+    // in the corpus, so the tail is genuinely out-of-vocabulary)
+    "q_text_oov" -> ((s, d) => TextAnalysis.oovRate(docs(s, d), 24)),
     // exact-proportion data mixing: the largest corpus whose domain
     // composition matches the 50/30/20 target shares exactly — the
     // scarcest domain relative to its share bounds the feasible total,
@@ -1218,6 +1222,19 @@ object PipelineQueries {
          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
          |      < CASE WHEN $langPred = 'de' THEN 300
          |             WHEN $langPred = 'en' THEN 800 ELSE 100 END""".stripMargin,
+
+    "q_text_oov" ->
+      s"""WITH $toksCte,
+         |u AS (SELECT doc_id, unnest(t) AS tk FROM toks),
+         |vocab AS (SELECT tk, 1 AS inv FROM (
+         |  SELECT tk, count(*) AS c FROM u GROUP BY 1
+         |  ORDER BY c DESC, tk ASC LIMIT 24)),
+         |agg AS (SELECT doc_id, count(*) AS n_tokens,
+         |               CAST(sum(CASE WHEN inv IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |        FROM u LEFT JOIN vocab USING (tk) GROUP BY 1)
+         |SELECT doc_id, n_tokens, n_oov,
+         |       ${rnd("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate
+         |FROM agg""".stripMargin,
 
     "q_pipeline_mix" ->
       s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),

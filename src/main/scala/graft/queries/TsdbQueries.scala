@@ -270,6 +270,18 @@ object TsdbQueries {
           col("last_ts"), round(col("last_value"), 4).as("last_value"))
     },
 
+    // A18 composed: absent/stale-series detection — the alerting
+    // primitive (Prometheus absent(), staleness pages): series that
+    // matched but whose LAST point predates the staleness horizon.
+    // Same single max_by aggregate as q_latest, O(|series|) after the
+    // map-side combine, one filter on its output — no second scan.
+    "q_stale_series" -> { (s, d) =>
+      Latest(pts(s, d).filter(col("ts") >= lit(Start) && col("ts") < lit(End)))
+        .filter(col("last_ts") < lit(End - 3 * 86400))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("last_ts"), round(col("last_value"), 4).as("last_value"))
+    },
+
     // ---------------------------------------------------------------- F1-F9
 
     // F1+F4: literal metric + literal tag set
@@ -939,6 +951,15 @@ object TsdbQueries {
          |FROM points
          |QUALIFY row_number() OVER (PARTITION BY metric, tag_user
          |                           ORDER BY ts DESC, seq DESC) = 1""".stripMargin,
+
+    "q_stale_series" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, last_ts, last_value FROM (
+         |  SELECT metric, tag_user, ts AS last_ts, ${rnd("value")} AS last_value
+         |  FROM points WHERE ${inRange()}
+         |  QUALIFY row_number() OVER (PARTITION BY metric, tag_user
+         |                             ORDER BY ts DESC, seq DESC) = 1)
+         |WHERE last_ts < ${End - 3 * 86400}""".stripMargin,
 
     "q_filter_literal" -> dsOracle("CAST(count(value) AS DOUBLE)", "cnt",
       where = "AND metric IN ('click', 'error') AND tag_user IN ('1', '2', '3')"),

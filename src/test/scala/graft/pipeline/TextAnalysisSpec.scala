@@ -241,6 +241,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       maxPostings = 2).count() === 0)
   }
 
+  test("oovRate: top-V membership by count with token tiebreak; per-doc integer counts") {
+    val docs = corpus(
+      1L -> "a a a b b c", // a:3 b:2 c:1
+      2L -> "a b z z", // z:2
+      3L -> "q") // q:1
+    // corpus counts: a=4 b=3 z=2 c=1 q=1 → top-3 vocab {a, b, z}
+    val out = TextAnalysis.oovRate(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out === Map(
+      1L -> ((6L, 1L, 0.1667)), // c is OOV
+      2L -> ((4L, 0L, 0.0)),
+      3L -> ((1L, 1L, 1.0))))
+    // tiebreak: with V=4 the c/q tie at count 1 resolves token-ascending → c in
+    val out4 = TextAnalysis.oovRate(docs, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out4 === Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    intercept[IllegalArgumentException] { TextAnalysis.oovRate(docs, 0) }
+  }
+
   test("decontaminate: planted overlap found; maxDf cap drops shared shingles") {
     val docs = corpus(
       0L -> "alpha beta gamma delta",          // eval: 2 distinct shingles
