@@ -338,6 +338,32 @@ object Corpus {
       .select(col("doc_id"), col("score").as("quality_score"), col("bucket"))
   }
 
+  /** Quality-weighted epoch repetition — the "data recipe" step that
+   *  upsamples high-quality data by REPEATING it across training
+   *  epochs (the multi-epoch curriculum of Gopher/LLaMA-style mixes:
+   *  best bucket seen `headEpochs`×, middle `middleEpochs`×, tail
+   *  `tailEpochs`× — 0 drops the bucket): one (doc_id, epoch) row per
+   *  scheduled appearance, with a per-epoch shuffle salt so every
+   *  epoch re-deals its order downstream ([[shuffleShards]] on
+   *  salt = epoch). Bucket assignment is [[qualityBuckets]]' exact
+   *  integer-boundary histogram; the fan-out is a codegen'd
+   *  explode(sequence()) — a pure projection, no new shuffle at any
+   *  corpus size (output rows ∝ Σ epochs, the intended cost of
+   *  repetition). */
+  def epochSchedule(docs: DataFrame, headPermille: Int, tailPermille: Int,
+      headEpochs: Int, middleEpochs: Int, tailEpochs: Int): DataFrame = {
+    require(headEpochs >= 0 && middleEpochs >= 0 && tailEpochs >= 0,
+      "epoch counts must be >= 0")
+    val reps = when(col("bucket") === "head", headEpochs)
+      .when(col("bucket") === "middle", middleEpochs)
+      .otherwise(tailEpochs)
+    qualityBuckets(docs, headPermille, tailPermille)
+      .withColumn("__reps", reps)
+      .filter(col("__reps") >= 1)
+      .select(col("doc_id"), col("bucket"),
+        explode(sequence(lit(1), col("__reps"))).as("epoch"))
+  }
+
   /** Benchmark decontamination: which training documents share word-
    *  trigram shingles with an evaluation set? Emits one row per
    *  (train doc, eval doc) pair whose DISTINCT-shingle overlap reaches

@@ -335,6 +335,10 @@ object PipelineQueries {
     // CCNet-style head/middle/tail terciles on the quality histogram
     "q_pipeline_quality_buckets" -> ((s, d) =>
       Corpus.qualityBuckets(docs(s, d), 333, 333)),
+    // quality-weighted epoch repetition: head tercile trains 3 epochs,
+    // middle 2, tail 1 — one (doc_id, epoch) row per appearance
+    "q_pipeline_epochs" -> ((s, d) =>
+      Corpus.epochSchedule(docs(s, d), 333, 333, 3, 2, 1)),
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(emb(s, d), col("vec_id") % 50 === 0, 5)),
     // contrastive hard negatives: nearest neighbors whose label differs
@@ -1416,6 +1420,31 @@ object PipelineQueries {
          |      FROM hb, tt)
          |SELECT m.doc_id, m.score AS quality_score, b.bucket
          |FROM m JOIN b USING (score)""".stripMargin,
+
+    "q_pipeline_epochs" ->
+      s"""WITH $toksCte,
+         |m AS (SELECT doc_id,
+         |             ${rnd("((CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) / 10.0" +
+                s" + CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t))" +
+                s" + CAST(len(list_distinct(t)) AS DOUBLE) / len(t))")} AS score
+         |      FROM toks),
+         |h AS (SELECT score, count(*) AS n FROM m GROUP BY 1),
+         |hb AS (SELECT score, n,
+         |              coalesce(sum(n) OVER (ORDER BY score DESC
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |       FROM h),
+         |tt AS (SELECT count(*) AS total FROM m),
+         |b AS (SELECT score,
+         |             CASE WHEN before * 1000 < total * 333 THEN 'head'
+         |                  WHEN before * 1000 >= total * 667 THEN 'tail'
+         |                  ELSE 'middle' END AS bucket
+         |      FROM hb, tt),
+         |assigned AS (SELECT m.doc_id, b.bucket,
+         |                    CASE b.bucket WHEN 'head' THEN 3 WHEN 'middle' THEN 2
+         |                         ELSE 1 END AS reps
+         |             FROM m JOIN b USING (score))
+         |SELECT doc_id, bucket, CAST(unnest(range(1, reps + 1)) AS INTEGER) AS epoch
+         |FROM assigned""".stripMargin,
 
     // same assignment replay, but queries probe their 2 nearest cells
     "q_ann_ivf_probe" ->

@@ -408,6 +408,17 @@ object StreamQueries {
           col("last_ts"), round(col("last_value"), 4).as("last_value"))
     },
 
+    // Staleness page served from the streaming-maintained latest log:
+    // one filter over the O(|series|) state — the alert-time query
+    // never scans facts (the q_stale_series batch twin does the
+    // aggregate; here ingest already paid it)
+    "q_stream_stale" -> { (s, d) =>
+      IngestJob.latest(s, lakeFor(s, d))
+        .filter(col("last_ts") < lit(End - 3 * 86400))
+        .select(col("metric"), col("tags")("user").as("tag_user"),
+          col("last_ts"), round(col("last_value"), 4).as("last_value"))
+    },
+
     // S4/F10 over the streamed partitioned lake: the segment_start
     // conjunct prunes partitions (bounds are segment-aligned)
     "q_stream_ds_sum" -> { (s, d) =>
@@ -551,6 +562,15 @@ object StreamQueries {
          |FROM points
          |QUALIFY row_number() OVER (PARTITION BY metric, tag_user
          |                           ORDER BY ts DESC, seq DESC) = 1""".stripMargin,
+
+    "q_stream_stale" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, last_ts, last_value FROM (
+         |  SELECT metric, tag_user, ts AS last_ts, ${rnd("value")} AS last_value
+         |  FROM points
+         |  QUALIFY row_number() OVER (PARTITION BY metric, tag_user
+         |                             ORDER BY ts DESC, seq DESC) = 1)
+         |WHERE last_ts < ${End - 3 * 86400}""".stripMargin,
 
     "q_stream_ds_sum" ->
       s"""WITH $pointsCtes

@@ -56,6 +56,27 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("epochSchedule: per-bucket repetition counts; zero epochs drops the bucket") {
+    val out = Corpus.epochSchedule(docs, 333, 333, 3, 2, 1).collect()
+    val buckets = Corpus.qualityBuckets(docs, 333, 333).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val perDoc = out.groupBy(_.getLong(0)).view.mapValues(_.map(_.getInt(2)).sorted.toSeq).toMap
+    assert(perDoc.keySet === buckets.keySet, "every doc appears (no bucket has 0 epochs)")
+    perDoc.foreach { case (id, epochs) =>
+      val want = buckets(id) match {
+        case "head" => Seq(1, 2, 3); case "middle" => Seq(1, 2); case _ => Seq(1)
+      }
+      assert(epochs === want, s"doc $id bucket ${buckets(id)}")
+    }
+    // tail = 0 drops the tail bucket entirely
+    val noTail = Corpus.epochSchedule(docs, 333, 333, 1, 1, 0).collect()
+      .map(_.getLong(0)).toSet
+    assert(noTail === buckets.filter(_._2 != "tail").keySet)
+    intercept[IllegalArgumentException] {
+      Corpus.epochSchedule(docs, 333, 333, -1, 1, 1)
+    }
+  }
+
   test("trainValTestSplit: disjoint, exhaustive, proportional, re-salt re-deals") {
     val out = Corpus.trainValTestSplit(docs, 800, 100, salt = "s1").collect()
     assert(out.length === docs.count())
