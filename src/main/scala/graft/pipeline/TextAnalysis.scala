@@ -377,6 +377,26 @@ object TextAnalysis {
         round(col("__tfidf"), 4).as("tfidf"))
   }
 
+  /** Tokenizer fertility per language: BPE-ish tokens per whitespace
+   *  word, aggregated over each language's docs — the
+   *  tokens-per-word ratio tokenizer papers call fertility, the number
+   *  that decides whether a vocab serves a language efficiently (high
+   *  fertility = the tokenizer fragments that language's words). One
+   *  map-side-combining hash aggregate over per-row projections; the
+   *  ratio divides two exact integer sums. */
+  def fertility(docs: DataFrame, langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(langCol).as("lang"),
+        size(tokens(col("text"))).cast("long").as("__ws"),
+        bpeCount(col("text")).cast("long").as("__bpe"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__ws")).as("n_words"),
+        sum(col("__bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 4))
+
   /** Vocabulary coverage / OOV rate: per document, the fraction of its
    *  tokens falling OUTSIDE the corpus' top-`vocabSize` vocabulary (by
    *  corpus frequency, token-ascending tiebreak) — the tokenizer-

@@ -157,6 +157,9 @@ object PipelineQueries {
     "q_pipeline_sample_stratified" -> ((s, d) =>
       Corpus.stratifiedSample(docs(s, d), Map("en" -> 800, "de" -> 300), 100)
         .select(col("doc_id"), col("pred_lang"))),
+    // tokenizer fertility per language: BPE-ish tokens per whitespace
+    // word — the vocab-efficiency number per language
+    "q_text_fertility" -> ((s, d) => TextAnalysis.fertility(docs(s, d))),
     // vocabulary coverage: per-doc OOV fraction against the corpus'
     // top-24 vocab (constant-size broadcast probe; 31 distinct tokens
     // in the corpus, so the tail is genuinely out-of-vocabulary)
@@ -1226,6 +1229,16 @@ object PipelineQueries {
          |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT % 1000
          |      < CASE WHEN $langPred = 'de' THEN 300
          |             WHEN $langPred = 'en' THEN 800 ELSE 100 END""".stripMargin,
+
+    "q_text_fertility" ->
+      raw"""WITH $toksCte
+           |SELECT lang, count(*) AS n_docs,
+           |       CAST(sum(len(t)) AS BIGINT) AS n_words,
+           |       CAST(sum(len(regexp_extract_all(lower(text), '${TextAnalysis.BpeRegex}'))) AS BIGINT)
+           |         AS n_bpe_tokens,
+           |       ${rnd("CAST(sum(len(regexp_extract_all(lower(text), '" + TextAnalysis.BpeRegex +
+              "'))) AS DOUBLE) / CAST(sum(len(t)) AS DOUBLE)")} AS fertility
+           |FROM toks GROUP BY 1""".stripMargin,
 
     "q_text_oov" ->
       s"""WITH $toksCte,
