@@ -119,11 +119,17 @@ object Corpus {
     require(targets.values.sum <= 1000, "target shares must sum to <= 1000 permille")
     val dom = col(domainCol)
     val listed = docs.filter(dom.isin(targets.keys.toSeq: _*))
-    val counts = listed.groupBy(dom.as("__dom"))
-      .agg(count(lit(1)).as("__n"))
-      .withColumn("__p", targets.foldLeft(lit(null).cast("long")) { case (acc, (s0, p)) =>
-        when(col("__dom") === s0, lit(p.toLong)).otherwise(acc)
-      })
+    // counts LEFT-join from the target table, absent domains counting 0:
+    // a listed domain with no docs forces the feasible total to 0 (no
+    // corpus can match its share) instead of silently dropping out of
+    // the min — the contract is EXACT composition, not best-effort
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val tg = targets.toSeq.map { case (s0, p) => (s0, p.toLong) }.toDF("__dom", "__p")
+    val counts = tg.join(
+        listed.groupBy(dom.as("__dom")).agg(count(lit(1)).as("__n")),
+        Seq("__dom"), "left")
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
     // the feasible total and per-domain quotas: a 1-row aggregate of a
     // |domains|-row frame, broadcast back onto the corpus scan
     val total = counts.agg(min(col("__n") * 1000L / col("__p")).as("__t"))

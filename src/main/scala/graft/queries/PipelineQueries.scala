@@ -1255,9 +1255,11 @@ object PipelineQueries {
 
     "q_pipeline_mix" ->
       s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
-         |counts AS (SELECT source, count(*) AS n FROM documents
-         |           WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1),
-         |t AS (SELECT min(n * 1000 // p) AS t FROM counts JOIN tg USING (source)),
+         |counts AS (SELECT tg.source, tg.p, coalesce(c.n, 0) AS n FROM tg
+         |           LEFT JOIN (SELECT source, count(*) AS n FROM documents
+         |                      WHERE source IN ('src0', 'src1', 'src2') GROUP BY 1) c
+         |           USING (source)),
+         |t AS (SELECT min(n * 1000 // p) AS t FROM counts),
          |q AS (SELECT tg.source, (p * t.t) // 1000 AS quota FROM tg JOIN t ON true),
          |ranked AS (SELECT doc_id, source,
          |                  row_number() OVER (PARTITION BY source

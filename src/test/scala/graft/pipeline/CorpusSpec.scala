@@ -47,6 +47,10 @@ class CorpusSpec extends AnyFunSuite {
     val again = Corpus.mixToProportions(d, "source",
       Map("A" -> 500, "B" -> 300, "C" -> 200)).collect()
     assert(again.map(_.getLong(0)).sorted.toSeq === out.map(_.getLong(0)).sorted.toSeq)
+    // a listed domain with ZERO docs makes exact composition infeasible:
+    // the output is empty, never a best-effort mix missing that domain
+    assert(Corpus.mixToProportions(d, "source",
+      Map("A" -> 500, "E" -> 500)).count() === 0)
     // a lone over-1000 share or empty targets fail the config
     intercept[IllegalArgumentException] {
       Corpus.mixToProportions(d, "source", Map.empty)
