@@ -191,6 +191,7 @@ object ScaleProbe {
     "q_text_bm25", "q_pipeline_novelty", "q_ann_hard_negatives",
     "q_pipeline_dsir", "q_pipeline_gopher", "q_pipeline_ccnet",
     "q_text_oov", "q_pipeline_mix", "q_ann_rerank", "q_pipeline_epochs",
+    "q_text_fertility",
     "p_dedup_embed_capped", "p_dedup_minhash_capped")
 
   /** Probe-only rows: the PRODUCTION (capped) dedup variants that are

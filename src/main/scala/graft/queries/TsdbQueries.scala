@@ -555,6 +555,16 @@ object TsdbQueries {
           round(col("value"), 6).as("tdiff"))
     },
 
+    // TimeDifference COMPOSED with downsample: mean inter-arrival gap
+    // per series per day — the liveness dashboard number. Gaps are
+    // integer seconds (unit = seconds), so the avg's partial/final sums
+    // are exact FP in any accumulation order; one rounding point at the
+    // output.
+    "q_ds_timediff_daily" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        timeDifference = Some(TimeDifferenceSpec("seconds")),
+        downsample = Some(DownsampleSpec("1d", "avg")))), "gap_avg")),
+
     // The same node from JSON — shares q_ds_timediff's oracle.
     "q_json_timediff" -> { (s, d) =>
       val json = s"""{
@@ -1163,6 +1173,20 @@ object TsdbQueries {
          |SELECT metric, tag_user, ts,
          |       ${rnd("CAST(ts - pt AS DOUBLE) / 60.0", 6)} AS tdiff
          |FROM laged WHERE pt IS NOT NULL""".stripMargin,
+
+    // TimeDifference → daily avg: integer-second gaps sum exactly in
+    // any order; the division is the single rounding point.
+    "q_ds_timediff_daily" ->
+      s"""WITH $pointsCtes,
+         |g AS (
+         |  SELECT metric, tag_user, ts,
+         |         CAST(ts - lag(ts) OVER (PARTITION BY metric, tag_user ORDER BY ts)
+         |              AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()})
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("avg(v)")} AS gap_avg
+         |FROM g WHERE v IS NOT NULL
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // Bucket-quantile: integer counts end-to-end, so the cumulative pick
     // needs no rounding discipline at all.
