@@ -30,6 +30,36 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ds.getLong(0) === 0L && ds.getDouble(1) === 7.0)
   }
 
+  test("single-point series: timeDifference drops it too; empty selection flows through") {
+    val df = Fixtures.series("m", tagset, (42L, 7.0))
+    assert(QueryEngine.timeDifference(df, TimeDifferenceSpec()).count() === 0)
+    import graft.filters._
+    val q = TsdbQuery(MetricLiteral(Seq("nonexistent")), 0, 3600,
+      timeDifference = Some(TimeDifferenceSpec("hours")),
+      downsample = Some(DownsampleSpec("1m", "avg")))
+    assert(QueryEngine.run(df, q).count() === 0)
+  }
+
+  test("rerank with kCand beyond the corpus degenerates to exact search") {
+    import spark.implicits._
+    // 4 vectors, kCand = 100 >> corpus: candidates = everything, so the
+    // re-rank IS brute-force cosine — and must agree with it
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.2f, 0.8f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val pred = col("vec_id") === 0
+    val cb = graft.pipeline.Similarity.pqCodebooksK(emb, m = 2, k = 4)
+    val rr = graft.pipeline.Similarity.rerankTopK(emb, cb, pred, 2, kCand = 100, m = 2)
+      .select("rank", "vec_id").collect().map(r => r.getInt(0) -> r.getLong(1)).toSet
+    val brute = graft.pipeline.Similarity.bruteForceTopK(emb, pred, 2)
+      .select("rank", "vec_id").collect().map(r => r.getInt(0) -> r.getLong(1)).toSet
+    assert(rr === brute)
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Similarity.rerankTopK(emb, cb, pred, 3, kCand = 2, m = 2)
+    }
+  }
+
   test("paging beyond the result set returns empty, not an error (T1)") {
     import spark.implicits._
     val docs = Seq((1L, "ns", "s", "t", "m", "low", 10L, 20L, false))
