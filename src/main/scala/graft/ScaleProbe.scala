@@ -176,6 +176,7 @@ object ScaleProbe {
     "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_dedup_spans", "q_dedup_span_removal", "q_pipeline_chunks_strided",
     "q_pipeline_sample_temperature", "q_pipeline_quality_buckets",
+    "q_pipeline_sample_weighted",
     "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
     "q_text_logprob", "q_text_bigram_lm", "q_text_keywords", "q_text_fingerprint", "q_text_pii",
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",

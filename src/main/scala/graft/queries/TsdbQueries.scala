@@ -346,6 +346,22 @@ object TsdbQueries {
         downsample = Some(DownsampleSpec("0all", "count", runAll = true)))), "cnt")
     },
 
+    // F9 via JSON: the top-level ExplicitTags wrapper sets the flag and
+    // unwraps to the inner chain (QueryBuilderTSDBExt.java:64-66) —
+    // shares q_filter_explicit's oracle verbatim
+    "q_json_explicit" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "filter": {"type": "ExplicitTags", "filter":
+          {"type": "Chain", "op": "AND", "filters": [
+            {"type": "TagValueLiteralOr", "tagKey": "user",
+             "filter": "0|1|2|3|4|5|6|7"},
+            {"type": "TagKeyLiteralOr", "filter": "host|colo"}]}},
+        "downsample": {"interval": "0all", "aggregator": "count"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "cnt")
+    },
+
     // The OpenTSDB query-JSON front end (QueryBuilderTSDBExt.java:48-122
     // semantics): the SAME selection as q_filter_chain_not, but the whole
     // query — filter tree, range, downsample — arrives as a client JSON
@@ -1276,6 +1292,7 @@ object TsdbQueries {
   // between the JSON parser and the ADT shows up as a hash mismatch
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
+    "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_full" -> oraclesBase("q_full_pipeline"),
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
