@@ -253,6 +253,19 @@ object TsdbQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // A11 + P1: cross-series PERCENTILE group-by — "p95 daily volume
+    // across the host fleet", the upstream GroupByFactory resolving its
+    // aggregator from the same plugin registry as the temporal side.
+    // Per-series sums snap to 4 decimals entering the percentile so the
+    // interpolation runs over identical doubles cross-engine.
+    "q_groupby_p95" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("host"), "p95"))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("p95_value"))
+    },
+
     // A13: group-all — no group keys ⇒ single group per interval (spatial
     // max over snapped per-series sums: order-insensitive, bit-exact)
     "q_groupby_all" -> { (s, d) =>
@@ -959,6 +972,16 @@ object TsdbQueries {
          |  GROUP BY 1, 2, 3, 4, 5)
          |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
          |FROM ds GROUP BY 1, 2, 3""".stripMargin,
+
+    "q_groupby_p95" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host,
+         |         ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tag_host, bucket_ts, ${rnd("quantile_cont(v, 0.95)")} AS p95_value
+         |FROM ds GROUP BY 1, 2""".stripMargin,
 
     "q_groupby_all" ->
       s"""WITH $pointsCtes,

@@ -71,6 +71,18 @@ object QueryEngine {
     case "count" => count(v).cast("double")
     case "min" | "mimmin" => min(v)
     case "max" | "mimmax" => max(v)
+    // "last" resolves in the registry but is temporal-by-definition —
+    // cross-series there is no time order to be last IN; fail the
+    // config instead of returning an arbitrary series' value
+    case "last" => throw new IllegalArgumentException(
+      "group-by agg 'last' is temporal-only (no cross-series order)")
+    // the plugin family (median / pNN / runtime-registered customs):
+    // the same registry the temporal side resolves from (P1) — the
+    // upstream GroupByFactory also looks its aggregator up by name, so
+    // "p95 across hosts" works wherever "sum" does. Spatial use passes
+    // no time axis (percentiles and friends never read it).
+    case other if Aggregators.isRegistered(other) =>
+      Aggregators.resolve(other)(v, lit(0L), 0L, None)
     case other => throw new IllegalArgumentException(s"unknown group-by agg: $other")
   }
 

@@ -24,6 +24,22 @@ class AggregatorsSpec extends AnyFunSuite {
     assert(out === Map(0L -> 6.0, 60L -> 0.0))
   }
 
+  test("spatial group-by resolves the plugin family; 'last' is temporal-only") {
+    // two series on one bucket: host=a values 1.0 and 3.0 → median 2.0
+    val df = Fixtures.series("m", Map("h" -> "a"), (0L, 1.0)).unionByName(
+      Fixtures.series("m2", Map("h" -> "a"), (0L, 3.0)))
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 60)
+    val med = QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("h"), "median"))
+      .select("value").head.getDouble(0)
+    assert(med === 2.0)
+    assertThrows[IllegalArgumentException] {
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("h"), "last"))
+    }
+    assertThrows[IllegalArgumentException] {
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("h"), "nope"))
+    }
+  }
+
   test("zimsum equals sum through the engine") {
     val df = Fixtures.series("m", Map("h" -> "a"), (0L, 1.0), (10L, 2.0))
     def run(agg: String) =
