@@ -136,6 +136,87 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
+  /** Distributed (stateless-hash) events generator for the TSDB
+   *  three-point mode: the sequential-LCG recipe above holds every row
+   *  on the driver, which caps out near the 1M-row point — here each
+   *  row's fields derive from xxhash64(id, salt), so `spark.range`
+   *  generates any scale with zero driver memory. Same schema and
+   *  distributions (30-day uniform span, 5 metrics, 2-decimal values,
+   *  users ∝ scale) — a different seed recipe than the LCG tables,
+   *  which is irrelevant for wall-ratio probes. */
+  def genEventsDistributed(spark: SparkSession, nRows: Long, nUsers: Int,
+      dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val base = 1704067200L
+    val span = 30L * 86400
+    val types = Array("click", "error", "purchase", "view", "scroll")
+    spark.range(nRows).select(
+        col("id").as("event_id"),
+        timestamp_seconds(lit(base) + pmod(xxhash64(col("id"), lit(1)), lit(span)))
+          .as("ts"),
+        pmod(xxhash64(col("id"), lit(2)), lit(nUsers.toLong)).as("user_id"),
+        element_at(
+          array(types.map(lit): _*),
+          (pmod(xxhash64(col("id"), lit(3)), lit(5L)) + 1).cast("int")).as("event_type"),
+        (pmod(xxhash64(col("id"), lit(4)), lit(10000L)).cast("double") / 100.0).as("value"),
+        concat(lit("""{"k": """), pmod(xxhash64(col("id"), lit(5)), lit(100L)),
+          lit("}")).as("props"))
+      .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  /** The TSDB/events rows probed across TWO decades (100k / 1M / 10M
+   *  event rows) in `--tsdb-xl` mode — the downsample / group-by / rate
+   *  / analytics / events-analytics family whose 100 TB story is "one
+   *  or two map-side-combining aggregates, linear in fact rows". */
+  private val TsdbXlProbed: Seq[String] = Seq(
+    "q_ds_sum", "q_ds_avg", "q_ds_last", "q_rate", "q_groupby",
+    "q_groupby_all", "q_groupby_p95", "q_latest", "q_stale_series",
+    "q_ds_ewma", "q_ds_timediff", "q_ds_movavg_simple", "q_anomaly_zscore",
+    "q_events_sessions", "q_events_funnel", "q_events_retention",
+    "q_filter_semijoin", "q_meta_basic")
+
+  /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
+   *  Writes BENCH_SCALE_TSDB.json. */
+  private def mainTsdbXl(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--tsdb-xl")
+    val out = rest.headOption.getOrElse("BENCH_SCALE_TSDB.json")
+    val only = rest.drop(1).toSet
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-tsdb").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = java.nio.file.Files.createTempDirectory("graft_scale_tsdb").toString
+    val ns = Seq(100000L, 1000000L, 10000000L)
+    val dirs = ns.map(n => s"$base/n$n")
+    ns.zip(dirs).foreach { case (n, d) =>
+      genEventsDistributed(spark, n, (n / 666).toInt.max(150), d)
+    }
+    val queries = SparkEntry.queries
+    val sb = new StringBuilder
+    sb ++= "{\"events\": [" + ns.mkString(", ") + "], \"queries\": {"
+    var first = true
+    for (q <- TsdbXlProbed if queries.contains(q) && (only.isEmpty || only.contains(q))) {
+      queries(q)(spark, dirs.head).count() // warm (JIT + listing)
+      spark.catalog.clearCache()
+      val measured = dirs.map { d =>
+        val m = time(queries(q)(spark, d).count())
+        spark.catalog.clearCache()
+        m
+      }
+      val secs = measured.map(_._1)
+      val rows = measured.map(_._2)
+      val r10 = secs(1) / math.max(secs(0), 1e-9)
+      val r100 = secs(2) / math.max(secs(0), 1e-9)
+      val dec2 = secs(2) / math.max(secs(1), 1e-9)
+      if (!first) sb ++= ", "
+      first = false
+      sb ++= f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "r10": $r10%.2f, "r100": $r100%.2f, "decade2": $dec2%.2f}"""
+      println(f"$q%-28s ${secs.map(s => f"$s%7.2f").mkString(" ")}s r10=$r10%6.2f r100=$r100%7.2f decade2=$dec2%6.2f rows=${rows.mkString("/")}")
+    }
+    sb ++= "\n}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   /** TSDB queries probed against the generated events tables: the
    *  downsample / group-by / rate / latest / filter family (rollup and
    *  streaming rows are covered by their own lake harness, not here). */
@@ -280,6 +361,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--tsdb-xl")) { mainTsdbXl(args); return }
     if (args.contains("--xl")) { mainXl(args); return }
     val out = args.headOption.getOrElse("BENCH_SCALE.json")
     // optional name filter (args 2..n) for targeted local iteration; a
