@@ -236,6 +236,39 @@ object StreamQueries {
       s.table(name).filter(col("series_id") =!= Long.MinValue)
     })
 
+  private val movavgRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** The equal-weight (simple) MA mode as a stream — the streamedEwma
+   *  protocol with `exponential = false`; shares q_ds_movavg_simple's
+   *  batch oracle verbatim. */
+  private def streamedMovavgSimple(s: SparkSession, d: String): DataFrame =
+    movavgRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val pts = graft.sources.TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+        .select(col("series_id"), col("metric"), col("tags"),
+          col("ts"), col("value"), col("seq"))
+        .as[graft.streaming.PointRow].collect().toSeq
+      val maxTs = pts.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.PointRow]
+      val name = "movavg_stream_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps.ewmaStream(input.toDF(), samples = 4,
+          exponential = false)
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) = graft.streaming.PointRow(
+          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
+        input.addData(pts: _*); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 2 * 86400)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 4 * 86400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("series_id") =!= Long.MinValue)
+    })
+
   /** True streamed rate per source dir per JVM: the range-filtered point
    *  stream flows through [[graft.streaming.StreamOps.rateStream]]
    *  (stateful per-series delta chains, LWW on resends); two sentinel
@@ -373,6 +406,13 @@ object StreamQueries {
       streamedEwma(s, d)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("ewma"))),
+
+    // The equal-weight MA mode as the same stream — shares
+    // q_ds_movavg_simple's oracle
+    "q_stream_movavg_simple" -> ((s, d) =>
+      streamedMovavgSimple(s, d)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("mavg"))),
 
     // Bucket-quantile over the STREAMED store: histogram counters built
     // from the ingest lake's deduped points, quantiles from the same
@@ -551,6 +591,7 @@ object StreamQueries {
     // streamed derivative replays the batch rate restatement verbatim
     "q_stream_rate" -> TsdbQueries.oracles("q_rate"),
     "q_stream_timediff" -> TsdbQueries.oracles("q_ds_timediff"),
+    "q_stream_movavg_simple" -> TsdbQueries.oracles("q_ds_movavg_simple"),
     "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
     "q_stream_ewma" -> TsdbQueries.oracles("q_ds_ewma"),
     "q_stream_bucket_quantile" -> TsdbQueries.oracles("q_bucket_quantile"),

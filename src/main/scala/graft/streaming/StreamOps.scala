@@ -238,9 +238,14 @@ object StreamOps {
    *  `samples-1`-deep trail of finalized doubles — bounded regardless
    *  of stream length, the [[rateStream]] contract. Stragglers at or
    *  below the finalized frontier drop (they would rewrite emitted
-   *  history), the standard late-beyond-watermark posture. */
+   *  history), the standard late-beyond-watermark posture.
+   *
+   *  `exponential = false` is the equal-weight (simple) mode of the
+   *  same upstream MovingAverageConfig — identical machine, weight 1 at
+   *  every lag. */
   def ewmaStream(points: DataFrame, samples: Int, alpha: Double = 0.5,
-      bucketSec: Long = 86400L, watermarkDelay: String = "1 hour"): Dataset[EwmaPoint] = {
+      bucketSec: Long = 86400L, watermarkDelay: String = "1 hour",
+      exponential: Boolean = true): Dataset[EwmaPoint] = {
     require(samples >= 1, s"ewmaStream needs >= 1 samples, got $samples")
     require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
     val spark = points.sparkSession
@@ -278,7 +283,7 @@ object StreamOps {
             var den = 0.0
             var k = 0
             while (k < samples && k < vals.length) {
-              val w = math.pow(1 - alpha, k)
+              val w = if (exponential) math.pow(1 - alpha, k) else 1.0
               num += vals(k) * w
               den += w
               k += 1
