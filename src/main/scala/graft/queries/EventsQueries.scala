@@ -226,6 +226,23 @@ object EventsQueries {
         .select("event_id", "start_ts", "priority")
     },
 
+    // R7 parent/child read path: children link by parent id and the
+    // parent row carries the aggregated child list (the reference's
+    // updateParent writes childIds into the parent doc —
+    // LuceneWriter.java updateParent; the left join is the declarative
+    // equivalent). Links synthesized deterministically: each decade's
+    // 0th event parents the other nine.
+    "q_events_children" -> { (s, d) =>
+      val base = docs(s, d)
+        .withColumn("doc_id", col("event_id"))
+        .withColumn("parent_id",
+          when(col("event_id") % 10 =!= 0, col("event_id") - col("event_id") % 10))
+      EventsStore.withChildren(base)
+        .filter(col("n_children") > 0)
+        .select(col("event_id"), col("n_children"),
+          concat_ws(",", transform(col("child_ids"), _.cast("string"))).as("child_ids"))
+    },
+
     // S9+R7: upsert — every 13th event is re-indexed (closed, extended,
     // doubled value); the store's current view must keep only v2 for
     // those and v1 for the rest (reference LuceneWriter update semantics)
@@ -461,6 +478,17 @@ object EventsQueries {
          |SELECT start_ts - start_ts % 60 AS bucket_ts, count(*) AS hits
          |FROM docs WHERE ${inRange("view")}
          |GROUP BY 1""".stripMargin,
+
+    "q_events_children" ->
+      s"""WITH $docsCte,
+         |ch AS (SELECT event_id, event_id - event_id % 10 AS parent_id
+         |       FROM docs WHERE event_id % 10 != 0),
+         |agg AS (SELECT parent_id AS event_id,
+         |               CAST(count(*) AS BIGINT) AS n_children,
+         |               array_to_string(list_sort(list(event_id)), ',') AS child_ids
+         |        FROM ch GROUP BY 1)
+         |SELECT d.event_id, a.n_children, a.child_ids
+         |FROM docs d JOIN agg a USING (event_id)""".stripMargin,
 
     "q_events_upsert" ->
       s"""WITH $docsCte,
