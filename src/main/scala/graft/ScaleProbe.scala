@@ -237,6 +237,7 @@ object ScaleProbe {
     // funnel / retention are all one-or-two aggregate shapes whose cost
     // must track the event rows linearly
     "q_events_sessions", "q_events_funnel", "q_events_retention",
+    "q_events_children", "q_groupby_p95", "q_ds_timediff_daily",
     "q_anomaly_zscore")
 
   /** The doc/embedding-only queries (TSDB queries need the events table
