@@ -201,6 +201,39 @@ object TsdbQueries {
           round(col("value"), 6).as("rate"))
     },
 
+    // W2 via JSON: counter/dropResets options parse through the one
+    // parser — shares q_rate_counter's oracle verbatim
+    "q_json_rate_counter" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "rate": {"counter": true, "dropResets": true}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
+          round(col("value"), 6).as("rate"))
+    },
+
+    // A11+P1 via JSON: the groupBy aggregator is resolved BY NAME from
+    // the same registry (the GroupByFactory contract), so "p95" flows
+    // through the parser wherever "sum" does — shares q_groupby_p95's
+    // oracle... except the JSON path runs the full engine (dedupe +
+    // downsample inside run()), so it restates the same math as the
+    // direct query and replays its oracle.
+    "q_json_groupby_p95" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "groupBy": {"tagKeys": ["host"], "aggregator": "p95"}
+      }"""
+      val q = TsdbJson.parseQuery(json)
+      val ds = QueryEngine.downsample(prepared(s, d),
+          q.downsample.get, Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, q.groupBy.get)
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("p95_value"))
+    },
+
     // W2 (rollover path): counter rate with rollover arithmetic
     // (counterMax − prev + v over Δt on decrease, reference :444-455) and
     // the resetValue clamp (rate > resetValue ⇒ 0)
@@ -1316,6 +1349,8 @@ object TsdbQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
+    "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
+    "q_json_groupby_p95" -> oraclesBase("q_groupby_p95"),
     "q_json_full" -> oraclesBase("q_full_pipeline"),
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
