@@ -173,7 +173,19 @@ object ScaleProbe {
     "q_groupby_all", "q_groupby_p95", "q_latest", "q_stale_series",
     "q_ds_ewma", "q_ds_timediff", "q_ds_movavg_simple", "q_anomaly_zscore",
     "q_events_sessions", "q_events_funnel", "q_events_retention",
-    "q_filter_semijoin", "q_meta_basic")
+    "q_filter_semijoin", "q_meta_basic",
+    // the production meta/latest READ paths: q_meta_basic and q_latest
+    // above derive series_dim/latest from the raw fact scan (an honest
+    // batch fallback, but not what a deployment serves) — these two read
+    // the ingest-MAINTAINED tables, whose cost is dim-sized, not
+    // fact-sized. Their lakes are built OUTSIDE the timed region below.
+    "q_stream_series_dim", "q_stream_latest")
+
+  /** The rows whose source is the streaming-ingest-maintained lake: the
+   *  one-time ingest is a BUILD step (like corpus generation), excluded
+   *  from timing — the probe measures the production read. */
+  private val TsdbXlMaintained: Set[String] =
+    Set("q_stream_series_dim", "q_stream_latest")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */
@@ -190,6 +202,13 @@ object ScaleProbe {
       genEventsDistributed(spark, n, (n / 666).toInt.max(150), d)
     }
     val queries = SparkEntry.queries
+    // pre-build the ingest-maintained lakes at every scale point before
+    // any timing starts (StreamQueries caches one lake per source dir,
+    // so the timed runs below read the maintained tables only)
+    if (TsdbXlMaintained.exists(q => only.isEmpty || only.contains(q))) {
+      for (d <- dirs) queries("q_stream_series_dim")(spark, d).count()
+      spark.catalog.clearCache()
+    }
     val sb = new StringBuilder
     sb ++= "{\"events\": [" + ns.mkString(", ") + "], \"queries\": {"
     var first = true

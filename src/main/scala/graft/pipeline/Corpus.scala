@@ -132,9 +132,13 @@ object Corpus {
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
     // the feasible total and per-domain quotas: a 1-row aggregate of a
     // |domains|-row frame, broadcast back onto the corpus scan
-    val total = counts.agg(min(col("__n") * 1000L / col("__p")).as("__t"))
+    // FLOOR division, matching the documented `floor(n·1000/p)` contract
+    // (Spark's `/` on longs is double true-division: counts 40/10/30 at
+    // shares 500/300/200 would give B a rank bound of 10.0 instead of
+    // the exact quota 9 — the composition would no longer be exact)
+    val total = counts.agg(min(floor(col("__n") * 1000L / col("__p"))).cast("long").as("__t"))
     val quotas = counts.crossJoin(broadcast(total))
-      .select(col("__dom"), (col("__p") * col("__t") / 1000L).as("__quota"))
+      .select(col("__dom"), floor(col("__p") * col("__t") / 1000L).cast("long").as("__quota"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(dom).orderBy(col("__h").asc, col("doc_id").asc)
     listed

@@ -61,12 +61,25 @@ object Dedup {
    *  table. */
   def shingleRowsKeeping(docs: DataFrame, keep: Seq[String]): DataFrame = {
     val kept = keep.map(col)
+    shingleRowsMulti(docs, keep)
+      .select(col("doc_id") +: kept :+ col("s"): _*)
+      .distinct()
+  }
+
+  /** Shingle rows WITHOUT the per-(doc, shingle) distinct — one pure
+   *  projection, no exchange anywhere. Consumers whose math is
+   *  duplicate-invariant (MinHash minima) use this directly: the
+   *  distinct is a full shuffle of every shingle string, and min over a
+   *  multiset equals min over its set, so the signature path paying it
+   *  was pure waste (measured: the dominant stage of the capped
+   *  candidates probe at the 500k-doc point). */
+  private def shingleRowsMulti(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val kept = keep.map(col)
     docs
       .select(col("doc_id") +: kept :+
         explode(TextAnalysis.ngramStructs(col("text"), 3)).as("g"): _*)
       .select(col("doc_id") +: kept :+
         concat_ws(" ", col("g.w0"), col("g.w1"), col("g.w2")).as("s"): _*)
-      .distinct()
   }
 
   /** doc_id → MinHash signature (NumPerms minima of (a·h + b) mod P over
@@ -77,9 +90,17 @@ object Dedup {
    *  expressions. The obvious alternative — higher-order `transform` /
    *  `array_min` over a shingle array column — falls out of whole-stage
    *  codegen (HOFs are interpreted) and recomputes the md5 per
-   *  permutation: ~100× slower at bench scale. */
+   *  permutation: ~100× slower at bench scale.
+   *
+   *  Built over the NON-distinct shingle stream ([[shingleRowsMulti]]):
+   *  each minimum is idempotent under duplicates, so results are
+   *  bit-identical to the distinct-set definition while the plan drops
+   *  the shingle-keyed distinct exchange entirely — the doc_id-keyed
+   *  aggregate map-side-combines to ONE row per doc per partition (doc
+   *  rows are never split across partitions), so the only shuffle left
+   *  in signature construction moves ~|docs| signature rows. */
   def signatures(docs: DataFrame): DataFrame =
-    signaturesFromShingles(shingleRows(docs))
+    signaturesFromShingles(shingleRowsMulti(docs))
 
   /** As [[signatures]], over a precomputed (doc_id, s) shingle table —
    *  callers that also need the shingles (the verify-after-LSH stage)

@@ -282,27 +282,78 @@ object TextAnalysis {
    *  frequencies are as Zipfian as unigrams, and the dim sides reuse
    *  their own aggregation shuffles, so AQE's skew rule cannot fire;
    *  the hot head broadcasts instead. */
-  def bigramLogProb(docs: DataFrame, hotN: Int = 1024): DataFrame = {
+  def bigramLogProb(docs: DataFrame, hotN: Int = 1024): DataFrame =
+    bigramLogProb(docs, hotN, Int.MaxValue, Int.MaxValue)
+
+  /** As [[bigramLogProb]], with the bounded-statistics production mode:
+   *  when `headVocab`/`maxSuccessors` are finite, the LM is conditioned
+   *  on a bounded head table — only bigrams whose FIRST word ranks in
+   *  the top-`headVocab` by total successor mass (cnt1 desc, word asc)
+   *  and whose second word ranks in that first word's top-`maxSuccessors`
+   *  successors (cb desc, word asc) are scored; everything else is
+   *  out-of-model and contributes neither to a doc's `n_bigrams` nor its
+   *  mean (docs with no in-model bigram drop out). Conditional
+   *  probabilities stay TRUE MLE (`cnt1` sums the first word's FULL
+   *  successor mass, so truncation only removes rare events — it never
+   *  inflates the survivors). This is the impact-ordered-truncation
+   *  precedent of [[bm25TopK]]'s `maxPostings` (cf. Lucene's pruned
+   *  postings in the reference's events search, events-lucene
+   *  QueryRunner.java:133-149): the stats table is ≤ headVocab ×
+   *  maxSuccessors rows on ANY corpus — broadcastable at 100 TB — and
+   *  the cut ranks on exact integer counts, so any engine replays it.
+   *
+   *  Plan shape (both modes): bigram rows come from the shuffle-free
+   *  [[ngramStructs]] projection, and per-doc scoring is ONE
+   *  occurrence-level aggregate keyed doc_id — map-side combine
+   *  collapses each partition to one row per doc (doc rows are never
+   *  split), so nothing doc-keyed beyond |docs| partial rows ever
+   *  shuffles. The former (doc_id, w1, w2) pre-aggregation was itself
+   *  the measured 500k-doc bottleneck (a full shuffle of every bigram
+   *  occurrence keyed by a 3-part string tuple) and existed only to
+   *  feed `c·ln(p)` summation; summing `ln(p)` once per occurrence is
+   *  the same multiset of addends. The stats dimension attaches cnt1
+   *  to the bigram table dim-side (|types| rows, never fact-sized);
+   *  capped mode broadcasts the cut stats, uncapped mode goes through
+   *  [[zipfHeadJoin]] keyed "w1 w2" (Zipf head broadcasts, tail
+   *  equi-joins with bounded fan-in). */
+  def bigramLogProb(docs: DataFrame, hotN: Int,
+      headVocab: Int, maxSuccessors: Int): DataFrame = {
+    require(headVocab > 0 && maxSuccessors > 0,
+      "headVocab and maxSuccessors must be positive")
     val pairs = docs
       .select(col("doc_id"), explode(ngramStructs(col("text"), 2)).as("g"))
       .select(col("doc_id"), col("g.w0").as("w1"), col("g.w1").as("w2"))
-    val dc = pairs.groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c"))
     val bg = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
     val c1 = bg.groupBy(col("w1")).agg(sum(col("cb")).as("cnt1"))
-    val withCb = zipfHeadJoin(
-      dc.withColumn("tk", concat_ws(" ", col("w1"), col("w2"))),
-      bg.select(concat_ws(" ", col("w1"), col("w2")).as("tk"), col("cb")),
-      col("cb"), hotN)
-    val withC1 = zipfHeadJoin(
-      withCb.drop("tk").withColumn("tk", col("w1")),
-      c1.select(col("w1").as("tk"), col("cnt1")),
-      col("cnt1"), hotN)
-    val n = sum(col("c")).cast("double")
-    withC1.groupBy(col("doc_id"))
+    val joined =
+      if (headVocab == Int.MaxValue && maxSuccessors == Int.MaxValue) {
+        // exhaustive stats: (w1,w2,cb,cnt1) assembled dim-side, then one
+        // fact join through the Zipf-head split (whose single string key
+        // the fact side materializes once per occurrence)
+        val stats = bg.join(c1, Seq("w1"))
+          .select(concat_ws(" ", col("w1"), col("w2")).as("tk"),
+            col("cb"), col("cnt1"))
+        zipfHeadJoin(pairs.withColumn("tk", concat_ws(" ", col("w1"), col("w2"))),
+          stats, col("cb"), hotN)
+      } else {
+        // bounded head table: TakeOrderedAndProject cuts the head words,
+        // WindowGroupLimit cuts each head word's successor list locally.
+        // The broadcast join keys (w1, w2) directly — no per-occurrence
+        // concatenated key is ever materialized on the fact side.
+        val head = c1.orderBy(col("cnt1").desc, col("w1").asc).limit(headVocab)
+        val wSucc = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("w1")).orderBy(col("cb").desc, col("w2").asc)
+        val stats = bg.join(broadcast(head), Seq("w1"))
+          .withColumn("__r", row_number().over(wSucc))
+          .filter(col("__r") <= maxSuccessors)
+          .select(col("w1"), col("w2"), col("cb"), col("cnt1"))
+        pairs.join(broadcast(stats), Seq("w1", "w2"))
+      }
+    val n = count(lit(1)).cast("double")
+    joined.groupBy(col("doc_id"))
       .agg(
-        sum(col("c")).as("n_bigrams"),
-        (sum(col("c") * log(col("cb").cast("double") / col("cnt1").cast("double"))) / n)
+        count(lit(1)).as("n_bigrams"),
+        (sum(log(col("cb").cast("double") / col("cnt1").cast("double"))) / n)
           .as("avg_logprob2"))
   }
 

@@ -270,9 +270,16 @@ object PipelineQueries {
           round(col("entropy"), 4).as("entropy"))
     },
     // bigram-LM fluency: mean ln P(w2|w1) under the corpus bigram MLE —
-    // catches well-worded nonsense the unigram score can't
+    // catches well-worded nonsense the unigram score can't. Declared
+    // through the bounded head table (headVocab = 16 first words by
+    // successor mass, maxSuccessors = 8 per head word — both cuts bite
+    // on this testdata's ~31-token vocabulary): the stats side is ≤
+    // 16×8 rows and BROADCASTS on any corpus, the maxPostings
+    // precedent. cnt1 stays the full successor mass, so surviving
+    // probabilities are the true MLE conditionals.
     "q_text_bigram_lm" -> { (s, d) =>
-      TextAnalysis.bigramLogProb(docs(s, d))
+      TextAnalysis.bigramLogProb(docs(s, d), hotN = 1024,
+          headVocab = 16, maxSuccessors = 8)
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logprob2"), 4).as("avg_logprob2"))
     },
@@ -823,12 +830,11 @@ object PipelineQueries {
       s"""WITH $toksCte,
          |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
          |pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM b),
-         |dc AS (SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
          |bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
          |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cnt1 FROM bg GROUP BY 1),
          |lp AS (SELECT doc_id,
-         |              ${rnd("sum(c * ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS score
-         |       FROM dc JOIN bg USING (w1, w2) JOIN c1 USING (w1)
+         |              ${rnd("sum(ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(count(*) AS DOUBLE)")} AS score
+         |       FROM pairs JOIN bg USING (w1, w2) JOIN c1 USING (w1)
          |       GROUP BY doc_id),
          |lg AS (SELECT doc_id, $langPred AS pred_lang FROM toks),
          |sc AS (SELECT doc_id, pred_lang, score FROM lp JOIN lg USING (doc_id)),
@@ -1063,12 +1069,14 @@ object PipelineQueries {
       s"""WITH $toksCte,
          |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
          |pairs AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2 FROM b),
-         |dc AS (SELECT doc_id, w1, w2, count(*) AS c FROM pairs GROUP BY 1, 2, 3),
          |bg AS (SELECT w1, w2, count(*) AS cb FROM pairs GROUP BY 1, 2),
-         |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cnt1 FROM bg GROUP BY 1)
-         |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
-         |       ${rnd("sum(c * ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(sum(c) AS DOUBLE)")} AS avg_logprob2
-         |FROM dc JOIN bg USING (w1, w2) JOIN c1 USING (w1)
+         |c1 AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cnt1 FROM bg GROUP BY 1),
+         |head AS (SELECT w1, cnt1 FROM c1 ORDER BY cnt1 DESC, w1 ASC LIMIT 16),
+         |st AS (SELECT w1, w2, cb, cnt1 FROM bg JOIN head USING (w1)
+         |       QUALIFY row_number() OVER (PARTITION BY w1 ORDER BY cb DESC, w2 ASC) <= 8)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       ${rnd("sum(ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(count(*) AS DOUBLE)")} AS avg_logprob2
+         |FROM pairs JOIN st USING (w1, w2)
          |GROUP BY doc_id""".stripMargin,
 
     "q_text_stats" ->

@@ -28,6 +28,41 @@ object TsdbQueries {
     QueryEngine.dedupe(
       pts(s, dir).filter(col("ts") >= lit(Start) && col("ts") < lit(End)))
 
+  /** The synthetic histogram bucketing shared by the bucket-quantile
+   *  family: event values bin into fixed-bound latency buckets whose
+   *  counts are stored one metric per bucket, bounds in the metric name
+   *  (exactly the counter shape the upstream BucketQuantileConfig node
+   *  parses). */
+  private val bucketMetricExpr: org.apache.spark.sql.Column =
+    when(col("value") < 1, "lat_0_1")
+      .when(col("value") < 5, "lat_1_5")
+      .when(col("value") < 20, "lat_5_20")
+      .when(col("value") < 50, "lat_20_50")
+      .when(col("value") < 100, "lat_50_100")
+      .when(col("value") < 250, "lat_100_250")
+      .otherwise("lat_250_inf")
+
+  /** Prometheus-style CUMULATIVE "le" counters per (user, day): the
+   *  per-bucket counts converted to running totals in bucket-bound
+   *  order — the other stored-counter shape the node accepts. */
+  private def cumulativeCounters(s: SparkSession, d: String): DataFrame = {
+    val bucketOrd = when(col("value") < 1, 0).when(col("value") < 5, 1)
+      .when(col("value") < 20, 2).when(col("value") < 50, 3)
+      .when(col("value") < 100, 4).when(col("value") < 250, 5).otherwise(6)
+    val counts = prepared(s, d)
+      .withColumn("metric", bucketMetricExpr).withColumn("__ord", bucketOrd)
+      .groupBy(col("metric"), col("__ord"), col("tags")("user").as("tag_user"),
+        (col("ts") - col("ts") % 86400).as("bucket_ts"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag_user"), col("bucket_ts")).orderBy(col("__ord").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    counts
+      .withColumn("value", sum(col("__n")).over(wc))
+      .select(col("metric"), col("tag_user"), col("bucket_ts"), col("value"))
+  }
+
   /** Standard per-series downsample output shape. */
   private def dsOut(df: DataFrame, valueName: String, scale: Int = 4): DataFrame =
     df.select(
@@ -215,10 +250,11 @@ object TsdbQueries {
 
     // A11+P1 via JSON: the groupBy aggregator is resolved BY NAME from
     // the same registry (the GroupByFactory contract), so "p95" flows
-    // through the parser wherever "sum" does — shares q_groupby_p95's
-    // oracle... except the JSON path runs the full engine (dedupe +
-    // downsample inside run()), so it restates the same math as the
-    // direct query and replays its oracle.
+    // through the parser wherever "sum" does. What this pins is the
+    // PARSER: the specs parsed from the JSON document drive the same
+    // manual downsample+groupBySpatial composition as the direct query
+    // (not run() — the mid-pipeline rounding point matches the oracle's
+    // restated math), so a parser divergence fails the shared hash.
     "q_json_groupby_p95" -> { (s, d) =>
       val json = s"""{
         "start": $Start, "end": $End,
@@ -646,16 +682,8 @@ object TsdbQueries {
     // cumulative counts: the first bucket reaching q×total reports its
     // upper bound. Integer counts end-to-end — no rounding discipline.
     "q_bucket_quantile" -> { (s, d) =>
-      val p = prepared(s, d)
-      val bucketMetric = when(col("value") < 1, "lat_0_1")
-        .when(col("value") < 5, "lat_1_5")
-        .when(col("value") < 20, "lat_5_20")
-        .when(col("value") < 50, "lat_20_50")
-        .when(col("value") < 100, "lat_50_100")
-        .when(col("value") < 250, "lat_100_250")
-        .otherwise("lat_250_inf")
-      val counters = p
-        .withColumn("metric", bucketMetric)
+      val counters = prepared(s, d)
+        .withColumn("metric", bucketMetricExpr)
         .groupBy(col("metric"), col("tags")("user").as("tag_user"),
           (col("ts") - col("ts") % 86400).as("bucket_ts"))
         .agg(count(lit(1)).cast("double").as("value"))
@@ -671,31 +699,9 @@ object TsdbQueries {
     // before the node, and the pick must be identical — the oracle is
     // shared verbatim with q_bucket_quantile.
     "q_bucket_quantile_cum" -> { (s, d) =>
-      val p = prepared(s, d)
-      val bucketMetric = when(col("value") < 1, "lat_0_1")
-        .when(col("value") < 5, "lat_1_5")
-        .when(col("value") < 20, "lat_5_20")
-        .when(col("value") < 50, "lat_20_50")
-        .when(col("value") < 100, "lat_50_100")
-        .when(col("value") < 250, "lat_100_250")
-        .otherwise("lat_250_inf")
-      val bucketOrd = when(col("value") < 1, 0).when(col("value") < 5, 1)
-        .when(col("value") < 20, 2).when(col("value") < 50, 3)
-        .when(col("value") < 100, 4).when(col("value") < 250, 5).otherwise(6)
-      val counts = p
-        .withColumn("metric", bucketMetric).withColumn("__ord", bucketOrd)
-        .groupBy(col("metric"), col("__ord"), col("tags")("user").as("tag_user"),
-          (col("ts") - col("ts") % 86400).as("bucket_ts"))
-        .agg(count(lit(1)).cast("double").as("__n"))
-      val wc = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("tag_user"), col("bucket_ts")).orderBy(col("__ord").asc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      val cumulative = counts
-        .withColumn("value", sum(col("__n")).over(wc))
-        .select(col("metric"), col("tag_user"), col("bucket_ts"), col("value"))
       graft.operators.SeriesAnalytics
-        .bucketQuantile(cumulative, Seq("tag_user"), Seq(0.5, 0.95, 0.99), cumulative = true)
+        .bucketQuantile(cumulativeCounters(s, d), Seq("tag_user"),
+          Seq(0.5, 0.95, 0.99), cumulative = true)
         .select(col("tag_user"), col("bucket_ts"), col("quantile"),
           col("value").as("latency_bound"))
     },
@@ -798,6 +804,81 @@ object TsdbQueries {
       run(s, d, TsdbJson.parseQuery(json))
         .select(col("user").as("tag_user"), col("avg_value"), col("max_value"),
           col("n_buckets"), col("last_value"))
+    },
+
+    // Percentile summaries through the JSON front end: the pNN summary
+    // vocabulary resolves from the same registry as the direct query —
+    // shares q_summarizer_pct's oracle verbatim.
+    "q_json_summarizer_pct" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "summarizer": {"summaries": ["p95", "p50", "count"]}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("p95_value"), col("p50_value"),
+          col("n_buckets"))
+    },
+
+    // TimeDifference COMPOSED with downsample through the JSON front end
+    // (the parser fills both slots from one document; run() orders them
+    // node-before-downsample) — shares q_ds_timediff_daily's oracle.
+    "q_json_timediff_daily" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "timeDifference": {"unit": "seconds"},
+        "downsample": {"interval": "1d", "aggregator": "avg"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("gap_avg"))
+    },
+
+    // Bucket-quantile through the JSON front end, running the FULL
+    // parsed pipeline (downsample count → metric-keyed spatial group-by
+    // → quantile node inside run()). The harness synthesizes the
+    // bucket-counter SERIES the upstream node reads from storage
+    // (metric = bucket name, series identity re-derived), exactly as
+    // the direct query does; everything downstream of that synthesis is
+    // the engine driven by the parsed document. Shares
+    // q_bucket_quantile's oracle verbatim.
+    "q_json_bucket_quantile" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "bucketQuantile": {"quantiles": [0.5, 0.95, 0.99]}
+      }"""
+      val counters = prepared(s, d)
+        .withColumn("metric", bucketMetricExpr)
+        .withColumn("series_id",
+          graft.core.SeriesId.seriesId(col("metric"), col("tags")))
+      QueryEngine.run(counters, TsdbJson.parseQuery(json), assumeDeduped = true)
+        .select(col("user").as("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
+    },
+
+    // The cumulative-counter shape via the JSON parser: what this pins
+    // is the PARSER's bucketQuantile node (quantiles list + the
+    // cumulative flag) — the parsed spec drives the same manual
+    // cumulative-counter composition as q_bucket_quantile_cum (the
+    // running-total conversion sits between group-by and node, so the
+    // harness builds the counters; the node config comes from JSON).
+    // Shares q_bucket_quantile's oracle verbatim.
+    "q_json_bucket_quantile_cum" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "bucketQuantile": {"quantiles": [0.5, 0.95, 0.99], "cumulative": true}
+      }"""
+      val spec = TsdbJson.parseQuery(json).bucketQuantile.get
+      graft.operators.SeriesAnalytics
+        .bucketQuantile(cumulativeCounters(s, d), Seq("tag_user"),
+          spec.quantiles, cumulative = spec.cumulative)
+        .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
     }
   )
 
@@ -1357,7 +1438,11 @@ object TsdbQueries {
     "q_json_ewma" -> oraclesBase("q_ds_ewma"),
     "q_json_movavg_simple" -> oraclesBase("q_ds_movavg_simple"),
     "q_json_timediff" -> oraclesBase("q_ds_timediff"),
+    "q_json_timediff_daily" -> oraclesBase("q_ds_timediff_daily"),
+    "q_json_summarizer_pct" -> oraclesBase("q_summarizer_pct"),
     "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
+    "q_json_bucket_quantile" -> oraclesBase("q_bucket_quantile"),
+    "q_json_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
     "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),
     "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"))
 }

@@ -273,12 +273,19 @@ object QueryEngine {
   /** Spatial group-by stage: accumulate each series' downsampled value per
    *  bucket into per-group aggregates (reference A11; empty keys =
    *  group-all, reference A13). */
-  def groupBySpatial(ds: DataFrame, spec: GroupBySpec): DataFrame = {
-    val keyCols = spec.keys.map(k => col("tags")(k).as(k))
-    val out = ds
+  def groupBySpatial(ds: DataFrame, spec: GroupBySpec): DataFrame =
+    groupBySpatial(ds, spec, keepMetric = false)
+
+  /** As [[groupBySpatial]]; `keepMetric = true` keys the aggregate by the
+   *  metric IN ADDITION to the tag keys — the bucket-quantile node's
+   *  input contract, where each bucket-counter metric must stay its own
+   *  series instead of collapsing into the group. */
+  def groupBySpatial(ds: DataFrame, spec: GroupBySpec, keepMetric: Boolean): DataFrame = {
+    val tagKeys = spec.keys.map(k => col("tags")(k).as(k))
+    val keyCols = if (keepMetric) col("metric") +: tagKeys else tagKeys
+    ds
       .groupBy(keyCols :+ col("bucket_ts"): _*)
       .agg(spatialAgg(spec.agg, col("value")).as("value"))
-    out
   }
 
   /** Full query compilation.
@@ -290,6 +297,12 @@ object QueryEngine {
    *  even min/max change when an overwrite replaces a value, so skipping
    *  is a property of the source, not of the aggregate. */
   def run(points: DataFrame, q: TsdbQuery, assumeDeduped: Boolean = false): DataFrame = {
+    // rate and timeDifference both rewrite the raw point stream and both
+    // drop each series' first point; applying one over the other's
+    // output (inter-arrival gaps of rate survivors) has no defined
+    // upstream meaning — reject the config instead of silently composing
+    require(q.rate.isEmpty || q.timeDifference.isEmpty,
+      "a query may specify rate OR timeDifference, not both")
     val shiftSec = q.shift.map(Intervals.toSeconds).getOrElse(0L)
     val pred = SeriesFilter.compile(q.filter, col("metric"), col("tags"))
     val timePred =
@@ -312,7 +325,8 @@ object QueryEngine {
         throw new IllegalArgumentException("fill requires a downsample interval"))
       df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar)
     }
-    df = q.groupBy.map(g => groupBySpatial(df, g)).getOrElse(df)
+    df = q.groupBy.map(g =>
+      groupBySpatial(df, g, keepMetric = q.bucketQuantile.isDefined)).getOrElse(df)
     // the upstream TSDB 3.x analytic nodes sit above the source output:
     // sliding-window smoothing, then top-n selection. The series identity
     // at this point is the group-by keys when grouping happened, else
@@ -325,7 +339,17 @@ object QueryEngine {
     val analyticNodes = Seq(
       q.slidingWindow.map(_ => "slidingWindow"), q.movingAverage.map(_ => "movingAverage"),
       q.anomaly.map(_ => "anomaly"), q.ratio.map(_ => "ratio"),
-      q.topN.map(_ => "topN"), q.summarizer.map(_ => "summarizer")).flatten
+      q.topN.map(_ => "topN"), q.summarizer.map(_ => "summarizer"),
+      q.bucketQuantile.map(_ => "bucketQuantile")).flatten
+    // bucket-quantile consumes the metric axis and emits a quantile key
+    // the other analytic nodes don't know — terminal by construction
+    if (q.bucketQuantile.isDefined) {
+      require(q.groupBy.isDefined,
+        "bucketQuantile requires a groupBy (the counter series' spatial identity)")
+      require(analyticNodes == Seq("bucketQuantile"),
+        "bucketQuantile is terminal: combine with filter/downsample/groupBy only, " +
+          s"not with ${analyticNodes.filterNot(_ == "bucketQuantile").mkString("/")}")
+    }
     if (analyticNodes.nonEmpty && !df.columns.contains("bucket_ts"))
       throw new IllegalArgumentException(
         s"${analyticNodes.mkString("/")} require downsampled input: " +
@@ -361,6 +385,10 @@ object QueryEngine {
       .getOrElse(df)
     df = q.summarizer.map(sm =>
       graft.operators.SeriesAnalytics.summarize(df, seriesKeys, sm.aggs))
+      .getOrElse(df)
+    df = q.bucketQuantile.map(bq =>
+      graft.operators.SeriesAnalytics.bucketQuantile(df, q.groupBy.get.keys,
+        bq.quantiles, cumulative = bq.cumulative))
       .getOrElse(df)
     df
   }

@@ -223,6 +223,13 @@ object TsdbJson {
       require(aggs.exists(_.nonEmpty), s"summarizer needs 'summaries' or 'aggregator': $s0")
       SummarizerSpec(aggs.get)
     }
+    val bq = Option(n.get("bucketQuantile")).filter(!_.isNull).map { b =>
+      val qs = Option(b.get("quantiles")).filter(!_.isNull)
+        .map(_.elements.asScala.map(_.asDouble).toSeq)
+      require(qs.exists(_.nonEmpty), s"bucketQuantile needs 'quantiles': $b")
+      BucketQuantileSpec(qs.get,
+        cumulative = Option(b.get("cumulative")).filter(!_.isNull).exists(_.asBoolean))
+    }
     TsdbQuery(
       filter = pf.filter,
       start = n.get("start").asLong,
@@ -239,7 +246,8 @@ object TsdbJson {
       anomaly = an,
       ratio = rt,
       topN = tn,
-      summarizer = sm)
+      summarizer = sm,
+      bucketQuantile = bq)
   }
 
   /** Parse an events query document — the events domain's counterpart

@@ -65,12 +65,14 @@ final case class MovingAverageSpec(samples: Int, alpha: Double = 0.5,
  *  previous point, expressed in `unit` (seconds/minutes/hours — the
  *  upstream config's ChronoUnit resolution). */
 final case class TimeDifferenceSpec(unit: String = "seconds") {
+  // eager: a malformed JSON document fails at parse/construction with an
+  // attributable message, not later mid-plan-build
+  require(Set("seconds", "minutes", "hours")(unit.toLowerCase),
+    s"timeDifference unit must be seconds/minutes/hours, got $unit")
   def unitSeconds: Long = unit.toLowerCase match {
     case "seconds" => 1L
     case "minutes" => 60L
-    case "hours" => 3600L
-    case other => throw new IllegalArgumentException(
-      s"timeDifference unit must be seconds/minutes/hours, got $other")
+    case _ => 3600L
   }
 }
 
@@ -83,6 +85,21 @@ final case class FillSpec(policy: String = "nan", scalar: Double = 0.0)
  *  each series' value over the bucket's all-series total, ×100 when
  *  `asPercent`. */
 final case class RatioSpec(asPercent: Boolean = true)
+
+/** Histogram bucket-quantile (the upstream TSDB 3.x
+ *  BucketQuantileConfig node): quantile picks from bucket-counter
+ *  metric series whose bounds are parsed from the metric names
+ *  (`..._0_1`, `..._1_5`, …, `..._250_inf`); counters are either
+ *  per-bucket counts or Prometheus-style cumulative "le" counters
+ *  (`cumulative`). Terminal over the metric axis: the node consumes
+ *  the per-bucket-metric series and emits one series per (group keys,
+ *  quantile). */
+final case class BucketQuantileSpec(quantiles: Seq[Double],
+    cumulative: Boolean = false) {
+  require(quantiles.nonEmpty, "bucketQuantile needs at least one quantile")
+  require(quantiles.forall(q => q > 0 && q <= 1),
+    s"quantiles must be in (0,1]: $quantiles")
+}
 
 /** Terminal per-series summary (the upstream TSDB 3.x summarizer node):
  *  collapse each series' buckets to one row of summary columns
@@ -128,4 +145,5 @@ final case class TsdbQuery(
     anomaly: Option[AnomalySpec] = None, // applied above the smoothers, below topN
     ratio: Option[RatioSpec] = None, // applied above slidingWindow output
     topN: Option[TopNSpec] = None, // applied above ratio
-    summarizer: Option[SummarizerSpec] = None) // terminal: collapses the time axis
+    summarizer: Option[SummarizerSpec] = None, // terminal: collapses the time axis
+    bucketQuantile: Option[BucketQuantileSpec] = None) // terminal: collapses the metric axis

@@ -51,6 +51,18 @@ class CorpusSpec extends AnyFunSuite {
     // the output is empty, never a best-effort mix missing that domain
     assert(Corpus.mixToProportions(d, "source",
       Map("A" -> 500, "E" -> 500)).count() === 0)
+    // FRACTIONAL feasible total: counts A=40, B=10, C=30 at 500/300/200.
+    // T = min(floor(80), floor(33.33), floor(150)) = 33 (FLOOR, not 33.33)
+    // so quotas are floor(500*33/1000)=16, floor(300*33/1000)=9,
+    // floor(200*33/1000)=6 — true division would hand B 10 docs
+    val frac = ((0 until 40).map(i => (i.toLong, "A")) ++
+      (40 until 50).map(i => (i.toLong, "B")) ++
+      (50 until 80).map(i => (i.toLong, "C")))
+      .toDF("doc_id", "source")
+    val fracOut = Corpus.mixToProportions(frac, "source",
+      Map("A" -> 500, "B" -> 300, "C" -> 200)).collect()
+    val fracByDom = fracOut.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(fracByDom === Map("A" -> 16, "B" -> 9, "C" -> 6))
     // a lone over-1000 share or empty targets fail the config
     intercept[IllegalArgumentException] {
       Corpus.mixToProportions(d, "source", Map.empty)

@@ -149,6 +149,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob2")).toMap
     (1L to 6L).foreach(id =>
       assert(viaTiny(id) === out(id).getAs[Double]("avg_logprob2")))
+    // a wide-open bounded head table degenerates to the exhaustive LM
+    val viaCapWide = TextAnalysis.bigramLogProb(docs, 1024, 100, 100).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob2")).toMap
+    (1L to 6L).foreach(id =>
+      assert(viaCapWide(id) === out(id).getAs[Double]("avg_logprob2")))
+  }
+
+  test("bigramLogProb bounded head table: out-of-model bigrams drop, survivors keep true MLE") {
+    // corpus bigrams: ab=3, ba=3, ac=2, cd=1, de=3, ed=1 —
+    // c1 (successor mass): a=5, b=3, c=1, d=3, e=1
+    val docs = corpus(
+      1L -> "a b a b a c",   // bigrams: ab, ba, ab, ba, ac
+      2L -> "a b a c d e",   // ab, ba, ac, cd, de
+      3L -> "d e d e")       // de, ed, de
+    // headVocab=1 keeps only first-word 'a' (mass 5 > b:3, d:3);
+    // maxSuccessors=1 keeps only a→b (cb 3 > a→c 2). Scored bigram set
+    // = {"a b"}, P(b|a) = 3/5 (cnt1 = FULL successor mass of 'a')
+    val out = TextAnalysis.bigramLogProb(docs, 1024, 1, 1).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L), "doc 3 has no in-model bigram and drops")
+    assert(out(1L).getAs[Long]("n_bigrams") === 2L)
+    assert(out(2L).getAs[Long]("n_bigrams") === 1L)
+    val pAB = math.log(3.0 / 5.0)
+    assert(math.abs(out(1L).getAs[Double]("avg_logprob2") - pAB) < 1e-12)
+    assert(math.abs(out(2L).getAs[Double]("avg_logprob2") - pAB) < 1e-12)
   }
 
   test("keywords: rare tokens outrank common ones; ranks dense and ordered") {

@@ -153,6 +153,48 @@ class TsdbJsonSpec extends AnyFunSuite {
     }.getMessage.contains("summarizer"))
   }
 
+  test("bucketQuantile node parses: quantiles + cumulative flag; bad configs raise") {
+    val q = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2,
+          "bucketQuantile": {"quantiles": [0.5, 0.95, 0.99]}}""")
+    assert(q.bucketQuantile === Some(BucketQuantileSpec(Seq(0.5, 0.95, 0.99))))
+    val cum = TsdbJson.parseQuery(
+      """{"start": 1, "end": 2,
+          "bucketQuantile": {"quantiles": [0.9], "cumulative": true}}""")
+    assert(cum.bucketQuantile === Some(BucketQuantileSpec(Seq(0.9), cumulative = true)))
+    assert(TsdbJson.parseQuery("""{"start": 1, "end": 2}""").bucketQuantile.isEmpty)
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": 1, "end": 2, "bucketQuantile": {}}""")
+    }.getMessage.contains("quantiles"))
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery(
+        """{"start": 1, "end": 2, "bucketQuantile": {"quantiles": [1.5]}}""")
+    }
+  }
+
+  test("timeDifference validates its unit at parse time; rate+timeDifference is rejected by run()") {
+    // eager: the malformed document fails AT PARSE with an attributable
+    // message, never later mid-plan-build
+    assert(intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery(
+        """{"start": 1, "end": 2, "timeDifference": {"unit": "days"}}""")
+    }.getMessage.contains("days"))
+    intercept[IllegalArgumentException] { TimeDifferenceSpec("fortnights") }
+    assert(TimeDifferenceSpec("Hours").unitSeconds === 3600L)
+    // rate and timeDifference both rewrite the raw stream — composing
+    // them has no defined upstream meaning and the engine refuses
+    val both = TsdbQuery(MatchAll, 0L, 10L,
+      rate = Some(RateSpec()), timeDifference = Some(TimeDifferenceSpec()))
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val pts = Seq((1L, "m", 1L, 1.0, 1L))
+      .toDF("series_id", "metric", "ts", "value", "seq")
+      .withColumn("tags", org.apache.spark.sql.functions.map())
+    assert(intercept[IllegalArgumentException] {
+      QueryEngine.run(pts, both)
+    }.getMessage.contains("not both"))
+  }
+
   test("events query JSON: range + text + namespace + dims") {
     val q = TsdbJson.parseEventsQuery(
       """{"start": 10, "end": 20, "query": "disk fail*",
