@@ -136,6 +136,41 @@ object ScaleProbe {
       .repartition(32).write.mode("overwrite").parquet(s"$dir/events.parquet")
   }
 
+  /** Distributed (stateless-hash) documents generator for the 5M-doc
+   *  third-decade sweep: the LCG recipe above builds the corpus in a
+   *  driver-side buffer, which caps out near the 500k point — here every
+   *  field derives from xxhash64(doc_id, salt) so `spark.range`
+   *  generates any scale with zero driver memory. Same shape family
+   *  (30-word vocab, 16–300 token lengths, planted exact dup every
+   *  500th doc and near dup — one token swapped — every 100th), so
+   *  wall-ratio probes see the same collision/distribution regime; the
+   *  text HOFs run interpreted, which is fine for generation (the
+   *  generator is a BUILD step, never measured). */
+  def genDocsDistributed(spark: SparkSession, nRows: Long, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val vocabArr = array(Vocab.map(lit): _*)
+    val langsArr = array(Langs.map(lit): _*)
+    // dup plants copy the PREVIOUS doc's recipe (base id), near dups
+    // then swap one hash-picked position for a hash-picked token
+    val base = when(col("id") % 500 === 499 || col("id") % 100 === 99,
+      col("id") - 1).otherwise(col("id"))
+    val len = (lit(16) + pmod(xxhash64(base, lit(1)), lit(285L))).cast("int")
+    val swapPos = pmod(xxhash64(col("id"), lit(7)), len.cast("long")) + 1
+    val isNear = col("id") % 100 === 99 && !(col("id") % 500 === 499)
+    val toks = transform(sequence(lit(1), len), i =>
+      when(isNear && i === swapPos.cast("int"),
+        element_at(vocabArr, (pmod(xxhash64(col("id"), lit(8)), lit(30L)) + 1).cast("int")))
+      .otherwise(
+        element_at(vocabArr, (pmod(xxhash64(base, i.cast("long") + lit(100L)), lit(30L)) + 1).cast("int"))))
+    spark.range(nRows).select(
+        col("id").as("doc_id"),
+        array_join(toks, " ").as("text"),
+        element_at(langsArr, (pmod(xxhash64(col("id"), lit(2)), lit(7L)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(3)), lit(10L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
   /** Distributed (stateless-hash) events generator for the TSDB
    *  three-point mode: the sequential-LCG recipe above holds every row
    *  on the driver, which caps out near the 1M-row point — here each
@@ -380,8 +415,72 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Third-decade sweep (`--xl4`, BENCH_SCALE4.json): the steepest rows
+   *  from both two-decade artifacts, one decade further — 50k/500k/5M
+   *  docs and 1M/10M/100M events, all from the DISTRIBUTED stateless
+   *  generators (one recipe per family across all three points). A
+   *  linear operator's decade-3 ratio should sit near its decade-2
+   *  ratio; super-linear cost compounds and cannot hide at 5M/100M. */
+  private def mainXl4(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--xl4")
+    val out = rest.headOption.getOrElse("BENCH_SCALE4.json")
+    val only = rest.drop(1).toSet
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-xl4").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_SCALE4_DIR reuses a previous run's generated corpora —
+    // attribution re-runs measure the same bytes instead of paying the
+    // multi-minute generation again
+    val base = sys.env.getOrElse("GRAFT_SCALE4_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale4").toString)
+    val docNs = Seq(50000L, 500000L, 5000000L)
+    val evNs = Seq(1000000L, 10000000L, 100000000L)
+    val docDirs = docNs.map(n => s"$base/d$n")
+    val evDirs = evNs.map(n => s"$base/e$n")
+    def missing(d: String) =
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/documents.parquet")) &&
+        !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet"))
+    docNs.zip(docDirs).withFilter(x => missing(x._2))
+      .foreach { case (n, d) => genDocsDistributed(spark, n, d) }
+    evNs.zip(evDirs).withFilter(x => missing(x._2))
+      .foreach { case (n, d) =>
+        genEventsDistributed(spark, n, (n / 666).toInt.max(150), d)
+      }
+    val docProbed = Seq("q_text_bigram_lm", "p_dedup_minhash_capped", "q_pipeline_dsir")
+    val evProbed = Seq("q_ds_sum", "q_groupby")
+    val queries = SparkEntry.queries ++ ProbeOnly
+    val sb = new StringBuilder
+    sb ++= "{\"docs\": [" + docNs.mkString(", ") + "], \"events\": [" +
+      evNs.mkString(", ") + "], \"queries\": {"
+    var first = true
+    def probe(names: Seq[String], dirs: Seq[String]): Unit =
+      for (q <- names if queries.contains(q) && (only.isEmpty || only.contains(q))) {
+        queries(q)(spark, dirs.head).count() // warm (JIT + listing)
+        spark.catalog.clearCache()
+        val measured = dirs.map { d =>
+          val m = time(queries(q)(spark, d).count())
+          spark.catalog.clearCache()
+          m
+        }
+        val secs = measured.map(_._1)
+        val rows = measured.map(_._2)
+        val d2 = secs(1) / math.max(secs(0), 1e-9)
+        val d3 = secs(2) / math.max(secs(1), 1e-9)
+        if (!first) sb ++= ", "
+        first = false
+        sb ++= f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "decade2": $d2%.2f, "decade3": $d3%.2f}"""
+        println(f"$q%-28s ${secs.map(s => f"$s%8.2f").mkString(" ")}s decade2=$d2%6.2f decade3=$d3%6.2f rows=${rows.mkString("/")}")
+      }
+    probe(docProbed, docDirs)
+    probe(evProbed, evDirs)
+    sb ++= "\n}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.contains("--tsdb-xl")) { mainTsdbXl(args); return }
+    if (args.contains("--xl4")) { mainXl4(args); return }
     if (args.contains("--xl")) { mainXl(args); return }
     val out = args.headOption.getOrElse("BENCH_SCALE.json")
     // optional name filter (args 2..n) for targeted local iteration; a

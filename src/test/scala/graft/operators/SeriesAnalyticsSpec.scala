@@ -258,6 +258,47 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketQuantile inside run(): metric-keyed group-by feeds the node; terminal guard") {
+    import graft.query.{BucketQuantileSpec, DownsampleSpec, GroupBySpec, QueryEngine, SummarizerSpec, TsdbQuery}
+    import graft.filters.MatchAll
+    // counter-series points: bucket metrics lat_0_10 / lat_10_100 /
+    // lat_100_inf for user u1, counts arriving as individual points
+    // (downsample count rebuilds 5/3/2 per day), plus user u2 with all
+    // mass in the overflow bucket
+    val rows =
+      (1 to 5).map(i => ("lat_0_10", "u1", 100L + i)) ++
+      (1 to 3).map(i => ("lat_10_100", "u1", 200L + i)) ++
+      (1 to 2).map(i => ("lat_100_inf", "u1", 300L + i)) ++
+      (1 to 4).map(i => ("lat_100_inf", "u2", 400L + i))
+    val pts = rows.zipWithIndex.map { case ((m, u, ts), i) => (m, u, ts, 1.0, i.toLong) }
+      .toDF("metric", "user", "ts", "value", "seq")
+      .withColumn("tags", map(lit("user"), col("user")))
+      .withColumn("series_id",
+        graft.core.SeriesId.seriesId(col("metric"), col("tags")))
+      .drop("user")
+    val q = TsdbQuery(MatchAll, 0L, 86400L,
+      downsample = Some(DownsampleSpec("1d", "count")),
+      groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+      bucketQuantile = Some(BucketQuantileSpec(Seq(0.5, 0.9))))
+    val out = QueryEngine.run(pts, q).collect()
+      .map(r => (r.getAs[String]("user"), r.getAs[Double]("quantile")) ->
+        r.getAs[Double]("value")).toMap
+    // u1: counts 5/3/2, total 10 → q.5 picks bucket 1 (upper 10), q.9
+    // overflows (lower 100); u2: all mass overflow → both pick 100
+    assert(out(("u1", 0.5)) === 10.0)
+    assert(out(("u1", 0.9)) === 100.0)
+    assert(out(("u2", 0.5)) === 100.0)
+    assert(out(("u2", 0.9)) === 100.0)
+    // terminal: combining with another analytic node is a config error,
+    // as is omitting the groupBy that carries the spatial identity
+    intercept[IllegalArgumentException] {
+      QueryEngine.run(pts, q.copy(summarizer = Some(SummarizerSpec(Seq("avg")))))
+    }
+    intercept[IllegalArgumentException] {
+      QueryEngine.run(pts, q.copy(groupBy = None))
+    }
+  }
+
   test("olympic: trimmed-mean baseline over strictly-earlier same-position buckets") {
     // one series, one position (pos constant): history accumulates in
     // bucket order; 5th bucket sees 4 history points → olympic trim
