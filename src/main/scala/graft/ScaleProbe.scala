@@ -56,6 +56,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    UnsafeArrayData string bytes) — the right trade: CPU scales out,
  *    a per-key sort's spill does not.
  *
+ *  - q_text_oov read decade2 = 15.07 in the round-8 in-suite sweep
+ *    (0.38 → 5.74 s) — the only >10× decade in any artifact, seemingly
+ *    contradicting the operator's "nothing token-keyed shuffles" plan
+ *    claim. Round-9 isolated re-measure: 0.32 / 0.38 / 1.09 s,
+ *    decade2 = 2.56 — suite/page-cache contamination, the round-5/6
+ *    precedent again (as was the first xl4 sweep's dsir decade3 15.5,
+ *    isolated 7.4). The plan claim stands; measure outliers ISOLATED
+ *    before believing them.
+ *
  * Three-point mode (`--xl`, BENCH_SCALE3.json) adds a 500k-doc decade
  * for the production-path family. Measured note: p_dedup_minhash_capped
  * reads r100 = 23× there, but its OUTPUT rows grow 61× in decade 2

@@ -24,13 +24,24 @@ object StreamQueries {
   private def lakeFor(s: SparkSession, d: String): IngestJob.Config =
     lakes.getOrElseUpdate(d, {
       val base = java.nio.file.Files.createTempDirectory("graft_stream")
-      // the file stream source wants a directory: expose the single
-      // events parquet through a symlinked source dir
+      // the file stream source wants a directory: expose the events
+      // parquet through a symlinked source dir. The driver testdata's
+      // events.parquet is a single FILE; generated corpora (ScaleProbe)
+      // are parquet DIRECTORIES, whose nested part-files a non-recursive
+      // read would miss — flatten those by symlinking each part-file.
       val srcDir = base.resolve("src")
       java.nio.file.Files.createDirectory(srcDir)
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val src = java.nio.file.Paths.get(s"$d/events.parquet")
+      if (java.nio.file.Files.isDirectory(src)) {
+        val it = java.nio.file.Files.list(src).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
+        }
+      } else {
+        java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"), src)
+      }
       // retention + future tolerance wide open here: the synthetic table
       // spans 30 days in one batch; admission-drop behavior is
       // unit-tested and oracle-checked (q_stream_admission) separately
