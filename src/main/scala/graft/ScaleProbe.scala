@@ -37,6 +37,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  *    (the same boilerplate-shingle defense the operator documents) is
  *    the production path on high-collision corpora.
  *
+ *  - q_dedup_ngram (probed across two decades since round 10) runs the
+ *    verify-after-LSH Jaccard join over CAP-OFF candidates
+ *    (maxBucketSize = ∞ — the oracle contract), so its 500k point rides
+ *    the same chance-band-collision regime as the cap-off minhash rows
+ *    above; the capped candidate generator underneath
+ *    (p_dedup_minhash_capped) is the production path and stays
+ *    near-linear. The verify join itself is linear in CANDIDATE PAIRS
+ *    by construction (pair ⨝ exploded-shingles ⨝ per-doc counts).
+ *
  *  - q_text_bm25 reads super-linear HERE because the probe corpus has
  *    a 30-word vocabulary: every query term occurs in essentially
  *    every document, so the postings restriction degenerates to
@@ -379,7 +388,11 @@ object ScaleProbe {
     "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
     "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir", "q_pipeline_gopher",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual",
-    "q_text_oov", "q_pipeline_mix", "q_ann_rerank")
+    "q_text_oov", "q_pipeline_mix", "q_ann_rerank",
+    // round-10 additions: the two heaviest sf0.1 bench rows that had no
+    // decade evidence (q_dedup_ngram's verify-stage Jaccard join and the
+    // multi-operator corpus report)
+    "q_dedup_ngram", "q_pipeline_report")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly
@@ -455,7 +468,12 @@ object ScaleProbe {
         genEventsDistributed(spark, n, (n / 666).toInt.max(150), d)
       }
     val docProbed = Seq("q_text_bigram_lm", "p_dedup_minhash_capped", "q_pipeline_dsir")
-    val evProbed = Seq("q_ds_sum", "q_groupby")
+    // round-10 additions: the steep TSDB rows from the two-decade sweep
+    // (q_anomaly_zscore decade2 8.99 was the steepest TSDB shape —
+    // expanding-history window) plus rate / timeDifference /
+    // filter-semijoin, the remaining headline read shapes
+    val evProbed = Seq("q_ds_sum", "q_groupby", "q_anomaly_zscore",
+      "q_rate", "q_ds_timediff", "q_filter_semijoin")
     val queries = SparkEntry.queries ++ ProbeOnly
     val sb = new StringBuilder
     sb ++= "{\"docs\": [" + docNs.mkString(", ") + "], \"events\": [" +

@@ -281,7 +281,21 @@ object TextAnalysis {
    *  first-word totals keyed w₁) go through [[zipfHeadJoin]] — bigram
    *  frequencies are as Zipfian as unigrams, and the dim sides reuse
    *  their own aggregation shuffles, so AQE's skew rule cannot fire;
-   *  the hot head broadcasts instead. */
+   *  the hot head broadcasts instead.
+   *
+   *  CONTRACT — this overload is deliberately the UNBOUNDED exact-MLE
+   *  mode (one row per doc with ≥ 2 tokens; every bigram scored): the
+   *  bounded head table is not a cheaper plan for the same answer, it
+   *  CHANGES the row set (all-out-of-model docs drop) and `n_bigrams`,
+   *  so consumers with a one-row-per-doc contract (perplexityBuckets /
+   *  ccnet) must get the exact mode by default. Unbounded is scale-safe
+   *  without the cut — the full stats tables are distributed aggregates
+   *  scored through [[zipfHeadJoin]] (hot head broadcasts, cold tail
+   *  joins shuffle-to-shuffle), nothing requires them to broadcast
+   *  whole. Opt INTO the bounded 4-arg overload where a ≤
+   *  headVocab×maxSuccessors broadcastable LM is worth the contract
+   *  change — the same opt-in posture as [[bm25TopK]]'s
+   *  `maxPostings = 0` default. */
   def bigramLogProb(docs: DataFrame, hotN: Int = 1024): DataFrame =
     bigramLogProb(docs, hotN, Int.MaxValue, Int.MaxValue)
 
@@ -297,8 +311,9 @@ object TextAnalysis {
    *  successor mass, so truncation only removes rare events — it never
    *  inflates the survivors). This is the impact-ordered-truncation
    *  precedent of [[bm25TopK]]'s `maxPostings` (cf. Lucene's pruned
-   *  postings in the reference's events search, events-lucene
-   *  QueryRunner.java:133-149): the stats table is ≤ headVocab ×
+   *  postings in the reference's events search, bounded top-k fetch in
+   *  events-lucene/.../lucene/query/QueryRunner.java:130-146
+   *  `searchInIndex`): the stats table is ≤ headVocab ×
    *  maxSuccessors rows on ANY corpus — broadcastable at 100 TB — and
    *  the cut ranks on exact integer counts, so any engine replays it.
    *

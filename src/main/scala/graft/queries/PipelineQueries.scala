@@ -59,12 +59,17 @@ object PipelineQueries {
       // e.g. the scale probe's) symlinks its part files individually
       val tgt = java.nio.file.Paths.get(s"$d/documents.parquet")
       if (java.nio.file.Files.isDirectory(tgt)) {
-        val it = java.nio.file.Files.list(tgt).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
-        }
+        // close the DirectoryStream: each leaked stream pins a file
+        // descriptor for the life of the suite/probe JVM
+        val st = java.nio.file.Files.list(tgt)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
+          }
+        } finally st.close()
       } else {
         java.nio.file.Files.createSymbolicLink(srcDir.resolve("documents.parquet"), tgt)
       }

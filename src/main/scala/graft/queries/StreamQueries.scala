@@ -33,12 +33,17 @@ object StreamQueries {
       java.nio.file.Files.createDirectory(srcDir)
       val src = java.nio.file.Paths.get(s"$d/events.parquet")
       if (java.nio.file.Files.isDirectory(src)) {
-        val it = java.nio.file.Files.list(src).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          if (p.getFileName.toString.endsWith(".parquet"))
-            java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
-        }
+        // close the DirectoryStream: each leaked stream pins a file
+        // descriptor for the life of the suite/probe JVM
+        val st = java.nio.file.Files.list(src)
+        try {
+          val it = st.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet"))
+              java.nio.file.Files.createSymbolicLink(srcDir.resolve(p.getFileName), p)
+          }
+        } finally st.close()
       } else {
         java.nio.file.Files.createSymbolicLink(srcDir.resolve("events.parquet"), src)
       }

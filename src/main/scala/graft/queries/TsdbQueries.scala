@@ -63,6 +63,45 @@ object TsdbQueries {
       .select(col("metric"), col("tag_user"), col("bucket_ts"), col("value"))
   }
 
+  /** STORED cumulative "le" counter SERIES — the shape a collector
+   *  actually writes and the engine then reads as a plain source (the
+   *  upstream precedent: stored aggregate streams read directly,
+   *  aerospike/.../GorillaDownSampledTimeSeriesEncoder.java:138-180):
+   *  per (user, day) and bucket bound, a monotone running count of
+   *  events with value below the bound, sampled at every event arrival,
+   *  daily reset. A downsample `last` per day therefore reads the
+   *  end-of-day totals — identical numbers to [[cumulativeCounters]],
+   *  but arriving as raw points through the FULL `run()` pipeline.
+   *  Timestamps are distinct per series by construction (one point per
+   *  distinct event ts), so `assumeDeduped` applies. */
+  private def storedCumulativeCounters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bounds = Seq(("lat_0_1", 1.0), ("lat_1_5", 5.0), ("lat_5_20", 20.0),
+      ("lat_20_50", 50.0), ("lat_50_100", 100.0), ("lat_100_250", 250.0),
+      ("lat_250_inf", Double.PositiveInfinity))
+    val bdf = broadcast(bounds.toDF("metric", "hi")) // 7-row literal dim
+    val perTs = prepared(s, d)
+      .select(col("tags")("user").as("tag_user"),
+        (col("ts") - col("ts") % 86400).as("day"), col("ts"), col("value"))
+      .crossJoin(bdf)
+      .groupBy(col("tag_user"), col("day"), col("metric"), col("ts"))
+      // the overflow bound counts EVERY row (bucketMetricExpr's
+      // `.otherwise` semantics — `x < inf` alone would miss a NaN)
+      .agg(sum(when(col("hi") === Double.PositiveInfinity, 1L)
+        .when(col("value") < col("hi"), 1L).otherwise(0L)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tag_user"), col("day"), col("metric"))
+      .orderBy(col("ts").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val counterTags = map(lit("user"), col("tag_user"))
+    perTs
+      .withColumn("value", sum(col("__n")).over(w).cast("double"))
+      .select(col("metric"), counterTags.as("tags"), col("ts"), col("value"))
+      .withColumn("series_id",
+        graft.core.SeriesId.seriesId(col("metric"), col("tags")))
+  }
+
   /** Standard per-series downsample output shape. */
   private def dsOut(df: DataFrame, valueName: String, scale: Int = 4): DataFrame =
     df.select(
@@ -703,6 +742,26 @@ object TsdbQueries {
         .bucketQuantile(cumulativeCounters(s, d), Seq("tag_user"),
           Seq(0.5, 0.95, 0.99), cumulative = true)
         .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+          col("value").as("latency_bound"))
+    },
+
+    // The cumulative shape driven END-TO-END through run() from a
+    // STORED-counter source: the source table already holds
+    // Prometheus-style "le" counter series (monotone running counts,
+    // daily reset — [[storedCumulativeCounters]]), and the parsed
+    // pipeline downsamples each bucket series with `last` (reading the
+    // stored running total, never recounting it), spatial-groups, and
+    // picks inside run(). This is the stored-aggregate read path the
+    // upstream node serves (GorillaDownSampledTimeSeriesEncoder.java:
+    // 138-180); shares q_bucket_quantile's oracle verbatim.
+    "q_bucket_quantile_cum_stored" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "last")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+        bucketQuantile = Some(BucketQuantileSpec(Seq(0.5, 0.95, 0.99),
+          cumulative = true)))
+      QueryEngine.run(storedCumulativeCounters(s, d), q, assumeDeduped = true)
+        .select(col("user").as("tag_user"), col("bucket_ts"), col("quantile"),
           col("value").as("latency_bound"))
     },
 
@@ -1441,6 +1500,7 @@ object TsdbQueries {
     "q_json_timediff_daily" -> oraclesBase("q_ds_timediff_daily"),
     "q_json_summarizer_pct" -> oraclesBase("q_summarizer_pct"),
     "q_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
+    "q_bucket_quantile_cum_stored" -> oraclesBase("q_bucket_quantile"),
     "q_json_bucket_quantile" -> oraclesBase("q_bucket_quantile"),
     "q_json_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
     "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),

@@ -72,7 +72,12 @@ final case class TimeDifferenceSpec(unit: String = "seconds") {
   def unitSeconds: Long = unit.toLowerCase match {
     case "seconds" => 1L
     case "minutes" => 60L
-    case _ => 3600L
+    case "hours" => 3600L
+    // unreachable today (the require above pins the Set); explicit so a
+    // unit added to the Set without a case FAILS here instead of
+    // silently resolving to hours
+    case other => throw new IllegalStateException(
+      s"timeDifference unit '$other' validated but unmapped")
   }
 }
 

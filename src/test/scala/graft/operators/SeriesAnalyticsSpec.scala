@@ -299,6 +299,37 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketQuantile inside run(), STORED cumulative counters: downsample last reads " +
+      "the running total, never recounts it") {
+    import graft.query.{BucketQuantileSpec, DownsampleSpec, GroupBySpec, QueryEngine, TsdbQuery}
+    import graft.filters.MatchAll
+    // Prometheus-style stored "le" counter series: each bucket series is
+    // a monotone running count SAMPLED TWICE (ts 100 and 200) — the
+    // engine must read the ts-200 value per bucket (5/8/10), not count
+    // the 6 sample points. A `count` downsample here would yield 2/2/2
+    // per bucket and a completely different pick — the shape is
+    // discriminating.
+    val rows = Seq(
+      ("lat_0_10", 100L, 3.0), ("lat_0_10", 200L, 5.0),
+      ("lat_10_100", 100L, 5.0), ("lat_10_100", 200L, 8.0),
+      ("lat_100_inf", 100L, 6.0), ("lat_100_inf", 200L, 10.0))
+    val pts = rows.zipWithIndex.map { case ((m, ts, v), i) => (m, ts, v, i.toLong) }
+      .toDF("metric", "ts", "value", "seq")
+      .withColumn("tags", map(lit("user"), lit("u1")))
+      .withColumn("series_id",
+        graft.core.SeriesId.seriesId(col("metric"), col("tags")))
+    val q = TsdbQuery(MatchAll, 0L, 86400L,
+      downsample = Some(DownsampleSpec("1d", "last")),
+      groupBy = Some(GroupBySpec(Seq("user"), "sum")),
+      bucketQuantile = Some(BucketQuantileSpec(Seq(0.5, 0.9), cumulative = true)))
+    val out = QueryEngine.run(pts, q, assumeDeduped = true).collect()
+      .map(r => r.getAs[Double]("quantile") -> r.getAs[Double]("value")).toMap
+    // end-of-day cumulative 5/8/10 (total 10): q.5 → cum 5 ≥ 5 in bucket
+    // 1 (upper 10); q.9 → first cum ≥ 9 is the overflow (lower 100)
+    assert(out(0.5) === 10.0)
+    assert(out(0.9) === 100.0)
+  }
+
   test("olympic: trimmed-mean baseline over strictly-earlier same-position buckets") {
     // one series, one position (pos constant): history accumulates in
     // bucket order; 5th bucket sees 4 history points → olympic trim
