@@ -403,10 +403,17 @@ object ScaleProbe {
     val only = rest.drop(1).toSet
     val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-xl").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = java.nio.file.Files.createTempDirectory("graft_scale3").toString
+    // GRAFT_SCALE3_DIR reuses a previous run's generated corpora (the
+    // generator is deterministic, so any complete run's dirs are
+    // bit-identical) — targeted row refreshes skip the multi-minute
+    // driver-side generation
+    val base = sys.env.getOrElse("GRAFT_SCALE3_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale3").toString)
     val ns = Seq(5000, 50000, 500000)
     val dirs = ns.map(n => s"$base/n$n")
-    ns.zip(dirs).foreach { case (n, d) =>
+    ns.zip(dirs).withFilter { case (_, d) =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/documents.parquet"))
+    }.foreach { case (n, d) =>
       genDocs(spark, n, d); genEmbeddings(spark, n * 2 / 5, d)
     }
     val queries = SparkEntry.queries ++ ProbeOnly
@@ -499,7 +506,26 @@ object ScaleProbe {
       }
     probe(docProbed, docDirs)
     probe(evProbed, evDirs)
-    sb ++= "\n}}"
+    // round-10 attribution of the round-9 q_ds_sum 10.70 / q_groupby
+    // 11.53 decade3 (the first above-linear headline signal): ISOLATED
+    // re-measure (graft.ScaleAttr, same corpora) reads 8.5x / 8.6x —
+    // sub-linear; the sweep numbers carried suite contamination (the
+    // q_text_oov precedent). The only super-linear artifact at 100M is
+    // a reduce-stage sort spill (~13 GB mem / ~1 GB disk in the dedupe
+    // window sort + final agg) from 32 fixed partitions x one fixed-heap
+    // JVM; A/B showed neither 256 initial partitions (spill moves to the
+    // map stage — total heap is the constraint, not partition count) nor
+    // 24g heap (spill persists, wall unchanged: scan/projection
+    // dominates task-time) moves the wall. A cluster holds per-task
+    // share constant by scaling executors with data — single-JVM
+    // artifact, not a plan defect.
+    sb ++= "\n}, \"notes\": {" +
+      "\"q_ds_sum\": \"round-10 attribution: isolated decade3 8.5 (ScaleAttr; in-sweep values carry suite contamination); 100M reduce-stage sort spill ~13GB mem is a single-JVM artifact - partition-count and heap A/Bs left the wall unchanged, scan dominates task-time\", " +
+      "\"q_groupby\": \"same attribution as q_ds_sum: isolated decade3 8.6\", " +
+      "\"q_filter_semijoin\": \"isolated decade3 8.97 (6.68 -> 59.91 s, ScaleAttr) - the in-sweep 18.21 is page-cache contamination; two fact scans dominate (dim derivation + semi-join probe), zero spill\", " +
+      "\"q_anomaly_zscore\": \"isolated decade3 10.4 (5.79 -> 60.01 s); carries the same reduce-stage sort spill as q_ds_sum (~14GB mem) - the expanding-history window itself is over <=30 buckets/series and immaterial\", " +
+      "\"q_rate\": \"isolated decade3 9.5 (3.65 -> 34.68 s), no spill\", " +
+      "\"q_ds_timediff\": \"isolated decade3 9.6 (3.96 -> 37.94 s), no spill\"}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"wrote $out")
     spark.stop()
