@@ -117,6 +117,50 @@ object MetaQueries {
       .orderBy(col("metric"))
       .limit(limit)
 
+  /** KMV ("k-minimum-values" / bottom-k) distinct-series cardinality
+   *  sketch per metric — the DETERMINISTIC approximate counterpart to
+   *  [[metricsApprox]]: where HLL's estimate is engine-specific (only
+   *  unit-checkable against the exact path), KMV ranks integer
+   *  md5-prefix hashes and applies one double division, so the estimate
+   *  replays bit-identically in any engine — it carries a full DuckDB
+   *  oracle. `identity` is the caller's canonical series-identity string
+   *  (hashed with the engine's 28-bit base hash,
+   *  [[graft.functions.Md5Prefix28]]).
+   *
+   *  est = (k−1) · 2²⁸ / h_k with h_k the k-th smallest hash (Beyer et
+   *  al. 2007, "On synopses for distinct-value estimation under
+   *  multiset operations"); groups with fewer than k hashes report the
+   *  exact count. Hash-collision duplicates are deliberately KEPT (no
+   *  distinct): the dim has one row per series, 28-bit collisions are
+   *  the only duplicate source, and skipping the dedupe drops a whole
+   *  dim-sized exchange while both engines see the identical multiset.
+   *
+   *  Plan shape — why this is the 100 TB cardinality answer where the
+   *  exact walk (reference NewDocStore.java:883-1090 over its inverted
+   *  index) becomes a full shuffle: the `row_number ≤ k` filter
+   *  triggers Spark's WindowGroupLimit, so every map partition forwards
+   *  at most k hashes per metric BEFORE the exchange — bottom-k's
+   *  mergeability made physical; the shuffle is ≤ partitions × k rows
+   *  per metric whatever |series| is. */
+  def cardinalitySketch(dim: DataFrame, f: SeriesFilter, identity: Column,
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV sketch needs k >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metric")).orderBy(col("__h").asc)
+    dim.filter(pred(f))
+      .select(col("metric"), call_function("md5prefix28", identity).as("__h"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("sketch_n"), max(col("__h")).as("__hk"))
+      .withColumn("est_series",
+        when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * 268435456.0) / col("__hk"), 4)))
+      .select(col("metric"), col("sketch_n"), col("est_series"))
+      .orderBy(col("metric"))
+      .limit(SizeLimit)
+  }
+
   /** TIMESERIES: the matching series themselves (metric + tags),
    *  deterministically ordered and capped. */
   def timeseries(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =

@@ -56,6 +56,20 @@ object MetaQueriesSuite {
         .limit(MetaQueries.SizeLimit)
     },
 
+    // KMV bottom-k distinct-series cardinality sketch (the
+    // deterministic, oracle-checkable approximate counterpart to
+    // METRICS/BASIC' exact countDistinct): k=8 so BOTH gate scales (15
+    // and 150 series per metric) exercise the ESTIMATOR branch, never
+    // the exact-count fallback. The oracle replays the identical
+    // md5-prefix hash ranks and the one (k-1)*2^28/h_k division.
+    "q_meta_cardinality_sketch" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val ident = concat_ws("|", col("metric"), col("tags")("user"),
+        col("tags")("host"), col("tags")("colo"),
+        coalesce(col("tags")("env"), lit("")))
+      MetaQueries.cardinalitySketch(dim(s, d), MatchAll, ident, k = 8)
+    },
+
     // META via the query-JSON front end (the reference's
     // MetaQueryBuilderTSDBExt.fromTSDBQueryFilter path,
     // MetaQueryBuilderTSDBExt.java:58-66): the SAME selection as
@@ -149,7 +163,23 @@ object MetaQueriesSuite {
 
     "q_meta_namespaces" ->
       s"""SELECT event_type AS namespace, count(*) AS cardinality
-         |FROM events GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+         |FROM events GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    "q_meta_cardinality_sketch" ->
+      s"""WITH $seriesCte,
+         |hashed AS (
+         |  SELECT metric,
+         |         ('0x' || substr(md5(metric || '|' || tag_user || '|' || tag_host
+         |             || '|' || tag_colo || '|' || coalesce(tag_env, '')), 1, 7))::BIGINT AS h
+         |  FROM series),
+         |ranked AS (
+         |  SELECT metric, h, row_number() OVER (PARTITION BY metric ORDER BY h) AS rn
+         |  FROM hashed)
+         |SELECT metric, count(*) AS sketch_n,
+         |       CASE WHEN count(*) < 8 THEN CAST(count(*) AS DOUBLE)
+         |            ELSE round(7 * 268435456.0 / max(h), 4) END AS est_series
+         |FROM ranked WHERE rn <= 8
+         |GROUP BY metric ORDER BY metric LIMIT ${MetaQueries.SizeLimit}""".stripMargin
   ) ++ Map(
     // JSON front-end replay: same selection, same oracle — a parser
     // divergence shows up as a hash mismatch

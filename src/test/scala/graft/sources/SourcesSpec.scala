@@ -58,4 +58,30 @@ class SourcesSpec extends AnyFunSuite {
     for ((m, c) <- exact)
       assert(math.abs(approx(m) - c).toDouble / c < 0.1, s"$m: $c vs ${approx(m)}")
   }
+
+  test("KMV cardinality sketch: exact below k, sane estimate above k, group-limit plan") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // metric "big": 500 distinct series; metric "tiny": 3 — the sketch
+    // must report tiny EXACTLY (< k) and big within KMV's expected
+    // error (~1/sqrt(k-1) ≈ 18% at k=32; allow 3 sigma)
+    val dim = ((1 to 500).map(i => ("big", s"u$i")) ++
+        (1 to 3).map(i => ("tiny", s"u$i")))
+      .toDF("metric", "u")
+      .withColumn("tags", map(lit("user"), col("u")))
+      .withColumn("series_id", lit(0L)) // unused by the sketch
+    val ident = concat_ws("|", col("metric"), col("tags")("user"))
+    val out = graft.meta.MetaQueries
+      .cardinalitySketch(dim, graft.filters.MatchAll, ident, k = 32)
+    val m = out.collect().map(r => r.getString(0) ->
+      (r.getAs[Long]("sketch_n"), r.getAs[Double]("est_series"))).toMap
+    assert(m("tiny") === ((3L, 3.0)))
+    assert(m("big")._1 === 32L)
+    assert(math.abs(m("big")._2 - 500.0) / 500.0 < 0.55, s"est ${m("big")._2}")
+    // the scale claim: the rank filter must compile to WindowGroupLimit
+    // (map-side bottom-k per metric BEFORE the exchange)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
