@@ -60,6 +60,19 @@ object ScaleAttr {
     println(s"shuffle.partitions=${spark.conf.get("spark.sql.shuffle.partitions")}" +
       parts.map(p => s" initialPartitionNum=$p").getOrElse("") +
       s" heap=${Runtime.getRuntime.maxMemory() / (1 << 20)}m")
+    // generate a missing events dir on demand when it follows the
+    // ScaleProbe xl4 naming convention (.../e<N>), so ceiling probes
+    // beyond the prepared decades need no separate generation step
+    val EvDir = """.*/e(\d+)$""".r
+    for (d <- dirs
+         if !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet")))
+      d match {
+        case EvDir(n) =>
+          val rows = n.toLong
+          println(s"generating $rows events at $d")
+          ScaleProbe.genEventsDistributed(spark, rows, (rows / 666).toInt.max(150), d)
+        case _ => throw new IllegalArgumentException(s"no events.parquet under $d")
+      }
     val listener = new StageMetrics
     spark.sparkContext.addSparkListener(listener)
     val queries = SparkEntry.queries

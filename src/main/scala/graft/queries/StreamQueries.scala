@@ -511,6 +511,19 @@ object StreamQueries {
           col("first_seen"), col("last_seen"))
     },
 
+    // The KMV cardinality sketch served from the ingest-MAINTAINED dim —
+    // the production alert/overview read (dim-sized, no fact scan).
+    // Shares q_meta_cardinality_sketch's oracle verbatim, so any
+    // ingest-side series drift (a lost or duplicated series) surfaces as
+    // a hash mismatch in the sketch itself.
+    "q_stream_cardinality_sketch" -> { (s, d) =>
+      val ident = concat_ws("|", col("metric"), col("tags")("user"),
+        col("tags")("host"), col("tags")("colo"),
+        coalesce(col("tags")("env"), lit("")))
+      graft.meta.MetaQueries.cardinalitySketch(
+        IngestJob.seriesDim(s, lakeFor(s, d)), graft.filters.MatchAll, ident, k = 8)
+    },
+
     // R5 idle-series purge: series silent since the cutoff are gone from
     // the dim; the oracle replays the cutoff as a HAVING clause
     "q_stream_idle_purge" -> { (s, d) =>
@@ -611,6 +624,8 @@ object StreamQueries {
     "q_stream_anomaly" -> TsdbQueries.oracles("q_anomaly_zscore"),
     "q_stream_ewma" -> TsdbQueries.oracles("q_ds_ewma"),
     "q_stream_bucket_quantile" -> TsdbQueries.oracles("q_bucket_quantile"),
+    // the maintained-dim sketch must hash-match the batch sketch oracle
+    "q_stream_cardinality_sketch" -> MetaQueriesSuite.oracles("q_meta_cardinality_sketch"),
 
     "q_stream_latest" ->
       s"""WITH $pointsCtes
