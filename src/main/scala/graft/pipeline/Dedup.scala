@@ -252,7 +252,16 @@ object Dedup {
    *  `array_intersect` on paired shingle arrays: the relational form is
    *  codegen'd, reuses one persisted shingle table for both sides, and
    *  never ships whole shingle arrays through a shuffle. */
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccard(docs, threshold, Int.MaxValue)
+
+  /** As [[ngramJaccard]] with the candidate bucket cap of
+   *  [[candidates]]: the production shape on clone-heavy corpora, where
+   *  an uncapped band bucket's |bucket|² pairs dominate the verify
+   *  join's input. Cap-off (the 2-arg overload) stays the oracle
+   *  contract — the same opt-in posture as the capped minhash/simhash
+   *  candidate generators. */
+  def ngramJaccard(docs: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
     // ONE shingle table feeds the signature pipeline, the per-doc counts,
     // and both intersection sides; eagerly materialize the (small) result
     // so the big intermediates can be unpersisted before returning
@@ -262,7 +271,7 @@ object Dedup {
     // the pair set is read TWICE (intersection probe + the left join
     // below); unpersisted, the whole band self-join re-executes per
     // consumer — measured as the slowest bench row before this persist
-    val cand = candidatePairsFromSignatures(sigs, Int.MaxValue).persist()
+    val cand = candidatePairsFromSignatures(sigs, maxBucketSize).persist()
     val inter = cand
       .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
       .join(expl.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))

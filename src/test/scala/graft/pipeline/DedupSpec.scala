@@ -82,6 +82,13 @@ class DedupSpec extends AnyFunSuite {
     val j = out(0).getDouble(2)
     // 13 tokens → 11 trigrams; "dog" appears in 3 of them
     assert(j > 0.5 && j < 1.0)
+    // a cap wider than any band bucket degenerates to the exhaustive
+    // path bit-for-bit (the capped-variant contract); a 1-wide cap
+    // drops every multi-member bucket and with it the only pair
+    val capped = Dedup.ngramJaccard(df, 0.1, maxBucketSize = 1000).collect()
+    assert(capped.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq)
+    assert(Dedup.ngramJaccard(df, 0.1, maxBucketSize = 1).count() === 0)
   }
 
   test("SimHash collides for identical docs and separates unrelated ones") {
