@@ -272,9 +272,20 @@ object Dedup {
     // below); unpersisted, the whole band self-join re-executes per
     // consumer — measured as the slowest bench row before this persist
     val cand = candidatePairsFromSignatures(sigs, maxBucketSize).persist()
+    // only docs appearing in a candidate pair can contribute an
+    // intersection row — restricting the shingle table to them FIRST
+    // (a semi-join AQE turns into a broadcast when the candidate-doc
+    // set is small, the typical case) keeps the full corpus-sized
+    // shingle table out of the (doc, shingle)-keyed join shuffles;
+    // provably result-identical (inner joins on cand keys drop
+    // non-candidate docs anyway). Per-doc totals below stay FULL-corpus
+    // (na/nb are true shingle counts, not restricted ones).
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val explCand = expl.join(candDocs, Seq("doc_id"), "left_semi")
     val inter = cand
-      .join(expl.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(expl.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .join(explCand.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(explCand.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
     val out = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
