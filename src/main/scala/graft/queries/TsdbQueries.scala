@@ -918,25 +918,25 @@ object TsdbQueries {
           col("value").as("latency_bound"))
     },
 
-    // The cumulative-counter shape via the JSON parser: what this pins
-    // is the PARSER's bucketQuantile node (quantiles list + the
-    // cumulative flag) — the parsed spec drives the same manual
-    // cumulative-counter composition as q_bucket_quantile_cum (the
-    // running-total conversion sits between group-by and node, so the
-    // harness builds the counters; the node config comes from JSON).
-    // Shares q_bucket_quantile's oracle verbatim.
+    // The cumulative-counter shape via the JSON front end, running the
+    // FULL parsed pipeline (upgraded in round 10 from a parser-only pin):
+    // the source is the STORED "le" counter-series table
+    // ([[storedCumulativeCounters]]), and the parsed document drives
+    // downsample `last` (read the stored running total, never recount)
+    // → metric-keyed spatial group-by → cumulative quantile pick, all
+    // inside run() — the same end-to-end path as
+    // q_bucket_quantile_cum_stored, with the config arriving as client
+    // JSON. Shares q_bucket_quantile's oracle verbatim.
     "q_json_bucket_quantile_cum" -> { (s, d) =>
       val json = s"""{
         "start": $Start, "end": $End,
-        "downsample": {"interval": "1d", "aggregator": "count"},
+        "downsample": {"interval": "1d", "aggregator": "last"},
         "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
         "bucketQuantile": {"quantiles": [0.5, 0.95, 0.99], "cumulative": true}
       }"""
-      val spec = TsdbJson.parseQuery(json).bucketQuantile.get
-      graft.operators.SeriesAnalytics
-        .bucketQuantile(cumulativeCounters(s, d), Seq("tag_user"),
-          spec.quantiles, cumulative = spec.cumulative)
-        .select(col("tag_user"), col("bucket_ts"), col("quantile"),
+      QueryEngine.run(storedCumulativeCounters(s, d), TsdbJson.parseQuery(json),
+          assumeDeduped = true)
+        .select(col("user").as("tag_user"), col("bucket_ts"), col("quantile"),
           col("value").as("latency_bound"))
     }
   )
