@@ -214,6 +214,55 @@ object TsdbQueries {
           round(col("value"), 4).as("sum_zero"), round(col("__sc"), 4).as("sum_scalar"))
     },
 
+    // FillWithRealPolicy — the reference's SECOND fill axis, configured
+    // alongside the constant policy on the query node's interpolator
+    // (aura EphemeralAuraFactory.java:227-228): a missing bucket takes
+    // the series' nearest REAL value instead of a constant. Both
+    // one-sided modes in one row: `previous` stays NULL before the
+    // series' first real bucket, `next` after its last. Downsample
+    // values are rounded BEFORE the fill so the copied values are
+    // engine-identical.
+    "q_ds_fill_previous" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.denseFill(ds, "1d", Start, End, fill = "null",
+          realFill = Some("previous"))
+        .join(QueryEngine.denseFill(ds, "1d", Start, End, fill = "null",
+              realFill = Some("next"))
+            .select(col("series_id"), col("bucket_ts"), col("value").as("__nx")),
+          Seq("series_id", "bucket_ts"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("sum_prev"), col("__nx").as("sum_next"))
+    },
+
+    // LERP — the upstream linear interpolator: a missing bucket gets
+    // prev + (next − prev) · Δt-fraction between its two real
+    // neighbours; grid edges (one side missing) stay NULL. Inputs are
+    // rounded before interpolation and the oracle restates the exact
+    // same IEEE expression order, so the interpolated doubles are
+    // bit-identical before the final deterministic-FP round(6).
+    "q_ds_fill_lerp" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.denseFill(ds, "1d", Start, End, fill = "null",
+          realFill = Some("lerp"))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 6).as("sum_lerp"))
+    },
+
+    // PREFER_PREVIOUS through the full run() pipeline: previous real
+    // value, else next, else the constant policy (NULL here). Rounding
+    // commutes with the copy (no arithmetic on the filled value), so
+    // this rounds at output like every other run() query.
+    "q_ds_fill_prefer" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "sum")),
+        fill = Some(FillSpec(policy = "null", real = Some("prefer_previous"))))
+      run(s, d, q)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // S8+U3: the query-range scan as a union of "hot" (recent segments)
     // and "cold" (older partitions = the LTS analog) sources, merged and
     // deduped — totals must equal the single-source scan
@@ -851,6 +900,20 @@ object TsdbQueries {
             .otherwise(round(col("value"), 4)).as("sum_value"))
     },
 
+    // Real-value fill through the JSON front end: the `real` key on the
+    // fill config selects the FillWithRealPolicy axis — same pipeline as
+    // q_ds_fill_prefer, same oracle verbatim.
+    "q_json_fill_real" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "fill": {"policy": "null", "real": "prefer_previous"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // Summarizer through the JSON front end — same plan as q_summarizer,
     // same oracle verbatim.
     "q_json_summarizer" -> { (s, d) =>
@@ -1028,6 +1091,76 @@ object TsdbQueries {
          |FROM series s CROSS JOIN b
          |LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
          |               AND a.bucket_ts = b.bucket_ts""".stripMargin,
+
+    "q_ds_fill_previous" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts)
+         |SELECT metric, tag_user, bucket_ts,
+         |  COALESCE(v, last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |    ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS sum_prev,
+         |  COALESCE(v, first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |    ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)) AS sum_next
+         |FROM grid""".stripMargin,
+
+    "q_ds_fill_lerp" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts),
+         |w AS (
+         |  SELECT metric, tag_user, bucket_ts, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+         |      OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+         |      OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM grid)
+         |SELECT metric, tag_user, bucket_ts,
+         |  CASE WHEN v IS NOT NULL THEN v
+         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN ${rnd(
+                   "pv + (nv - pv) * (CAST(bucket_ts - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))", 6)}
+         |       ELSE NULL END AS sum_lerp
+         |FROM w""".stripMargin,
+
+    "q_ds_fill_prefer" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts, sum(value) AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts)
+         |SELECT metric, tag_user, bucket_ts, ${rnd(
+             "COALESCE(v, last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+               "first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))")} AS sum_value
+         |FROM grid""".stripMargin,
 
     "q_hot_cold_union" -> dsOracle(rnd("sum(value)"), "sum_value"),
 
@@ -1494,6 +1627,7 @@ object TsdbQueries {
     "q_json_full" -> oraclesBase("q_full_pipeline"),
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
+    "q_json_fill_real" -> oraclesBase("q_ds_fill_prefer"),
     "q_json_ewma" -> oraclesBase("q_ds_ewma"),
     "q_json_movavg_simple" -> oraclesBase("q_ds_movavg_simple"),
     "q_json_timediff" -> oraclesBase("q_ds_timediff"),

@@ -241,9 +241,24 @@ object QueryEngine {
    *  each series present in the downsample output is left-joined to the
    *  full generated bucket sequence of the query range, and the fill is
    *  a per-row projection on the join's null side. The generated grid
-   *  is O(|series| × buckets) — aggregated scale, never the fact table. */
+   *  is O(|series| × buckets) — aggregated scale, never the fact table.
+   *
+   *  `realFill` is the second, independent fill axis the reference's
+   *  query node configures alongside the constant policy
+   *  (FillWithRealPolicy — both set together on the interpolator config,
+   *  aura EphemeralAuraFactory.java:227-228): a missing bucket is filled
+   *  with the nearest REAL value of the same series —
+   *  `previous` / `next` (that side only), `prefer_previous` /
+   *  `prefer_next` (try one side, fall back to the other) — or linearly
+   *  interpolated between both neighbours (`lerp`, the upstream LERP
+   *  interpolator). Buckets with no real value on the required side(s)
+   *  fall back to the constant `fill` policy. Neighbour lookup is a
+   *  window PER SERIES over the bucket grid (|buckets| rows each,
+   *  partition-parallel — never a global sort), so the plan scales with
+   *  series count exactly like the grid itself. */
   def denseFill(ds: DataFrame, interval: String, start: Long, end: Long,
-      fill: String = "nan", fillScalar: Double = 0.0): DataFrame = {
+      fill: String = "nan", fillScalar: Double = 0.0,
+      realFill: Option[String] = None): DataFrame = {
     require(interval != "0all", "dense fill needs a finite interval")
     val iv = Intervals.toSeconds(interval)
     val alignedStart = start - start % iv
@@ -263,11 +278,43 @@ object QueryEngine {
       .select("series_id", "metric", "tags")
     val buckets = series.select(col("series_id"), col("metric"), col("tags"),
       explode(sequence(lit(alignedStart), lit(end - 1), lit(iv))).as("bucket_ts"))
-    buckets
+    val grid = buckets
       .join(ds.select("series_id", "bucket_ts", "value"), Seq("series_id", "bucket_ts"), "left")
-      .withColumn("value",
-        when(col("value").isNull, filler).otherwise(col("value")))
-      .select("series_id", "metric", "tags", "bucket_ts", "value")
+    val filled = realFill match {
+      case None =>
+        grid.withColumn("value",
+          when(col("value").isNull, filler).otherwise(col("value")))
+      case Some(policy) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("series_id")).orderBy(col("bucket_ts").asc)
+        val prevW = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val nextW = w.rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        val prevV = last(col("value"), ignoreNulls = true).over(prevW)
+        val nextV = first(col("value"), ignoreNulls = true).over(nextW)
+        val realTs = when(col("value").isNotNull, col("bucket_ts"))
+        val prevTs = last(realTs, ignoreNulls = true).over(prevW)
+        val nextTs = first(realTs, ignoreNulls = true).over(nextW)
+        val realValue: Column = policy match {
+          case "previous" => coalesce(prevV, filler)
+          case "next" => coalesce(nextV, filler)
+          case "prefer_previous" => coalesce(prevV, nextV, filler)
+          case "prefer_next" => coalesce(nextV, prevV, filler)
+          case "lerp" =>
+            // linear interpolation needs BOTH neighbours; grid edges fall
+            // back to the constant policy (the upstream interpolator's
+            // fill handles the ends the same way)
+            when(prevV.isNotNull && nextV.isNotNull,
+              prevV + (nextV - prevV) *
+                ((col("bucket_ts") - prevTs).cast("double") /
+                  (nextTs - prevTs).cast("double")))
+              .otherwise(filler)
+          case other =>
+            throw new IllegalArgumentException(s"unknown real-fill policy: $other")
+        }
+        grid.withColumn("value",
+          when(col("value").isNotNull, col("value")).otherwise(realValue))
+    }
+    filled.select("series_id", "metric", "tags", "bucket_ts", "value")
   }
 
   /** Spatial group-by stage: accumulate each series' downsampled value per
@@ -323,7 +370,7 @@ object QueryEngine {
     q.fill.foreach { f =>
       val iv = q.downsample.map(_.interval).getOrElse(
         throw new IllegalArgumentException("fill requires a downsample interval"))
-      df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar)
+      df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar, f.real)
     }
     df = q.groupBy.map(g =>
       groupBySpatial(df, g, keepMetric = q.bucketQuantile.isDefined)).getOrElse(df)

@@ -210,7 +210,8 @@ object TsdbJson {
     val fl = Option(n.get("fill")).filter(!_.isNull).map { f =>
       FillSpec(
         policy = Option(f.get("policy")).filter(!_.isNull).map(_.asText).getOrElse("nan"),
-        scalar = Option(f.get("scalar")).filter(!_.isNull).map(_.asDouble).getOrElse(0.0))
+        scalar = Option(f.get("scalar")).filter(!_.isNull).map(_.asDouble).getOrElse(0.0),
+        real = Option(f.get("real")).filter(!_.isNull).map(_.asText))
     }
     val rt = Option(n.get("ratio")).filter(!_.isNull).map { r =>
       RatioSpec(asPercent =

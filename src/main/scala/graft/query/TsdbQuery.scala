@@ -83,8 +83,20 @@ final case class TimeDifferenceSpec(unit: String = "seconds") {
 
 /** Dense-grid fill (the downsample config's FillPolicy): materialize
  *  every interval bucket per series, absent buckets filled per policy
- *  (nan/null/zero/scalar). Requires a finite downsample interval. */
-final case class FillSpec(policy: String = "nan", scalar: Double = 0.0)
+ *  (nan/null/zero/scalar). Requires a finite downsample interval.
+ *
+ *  `real` is the reference's second fill axis (FillWithRealPolicy, set
+ *  alongside the constant policy on the interpolator config — aura
+ *  EphemeralAuraFactory.java:227-228): fill a missing bucket from the
+ *  series' nearest real value — `previous`, `next`, `prefer_previous`,
+ *  `prefer_next` — or linearly interpolate between both neighbours
+ *  (`lerp`). Where no real value exists on the required side(s), the
+ *  constant `policy` applies. */
+final case class FillSpec(policy: String = "nan", scalar: Double = 0.0,
+    real: Option[String] = None) {
+  require(real.forall(Set("previous", "next", "prefer_previous",
+    "prefer_next", "lerp")), s"unknown real-fill policy: ${real.get}")
+}
 
 /** Per-bucket share-of-total (the upstream TSDB 3.x ratio query node):
  *  each series' value over the bucket's all-series total, ×100 when

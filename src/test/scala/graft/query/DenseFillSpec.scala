@@ -51,6 +51,47 @@ class DenseFillSpec extends AnyFunSuite {
     }
   }
 
+  test("real-value fill: previous/next stop at the series edge, prefer falls through, " +
+      "lerp interpolates between both neighbours") {
+    // real buckets 60 (v=2) and 180 (v=4) on a 5-bucket grid — bucket 0
+    // has no previous real value, bucket 240 no next, and bucket 120 sits
+    // exactly halfway between the two real neighbours
+    val df = Fixtures.series("m", tagset, (70L, 2.0), (190L, 4.0))
+    val ds = QueryEngine.downsample(df, DownsampleSpec("1m", "sum"), 0, 300)
+    def fills(real: String): Map[Long, Option[Double]] =
+      QueryEngine.denseFill(ds, "1m", 0, 300, fill = "null", realFill = Some(real))
+        .select("bucket_ts", "value").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(fills("previous") === Map(0L -> None, 60L -> Some(2.0), 120L -> Some(2.0),
+      180L -> Some(4.0), 240L -> Some(4.0)))
+    assert(fills("next") === Map(0L -> Some(2.0), 60L -> Some(2.0), 120L -> Some(4.0),
+      180L -> Some(4.0), 240L -> None))
+    // prefer_* fall through to the OTHER side at the edges — every bucket real
+    assert(fills("prefer_previous") === Map(0L -> Some(2.0), 60L -> Some(2.0),
+      120L -> Some(2.0), 180L -> Some(4.0), 240L -> Some(4.0)))
+    assert(fills("prefer_next") === Map(0L -> Some(2.0), 60L -> Some(2.0),
+      120L -> Some(4.0), 180L -> Some(4.0), 240L -> Some(4.0)))
+    // 120 is (120-60)/(180-60) = 0.5 of the way: 2 + (4-2)·0.5 = 3;
+    // edges have only one neighbour → constant policy (null)
+    assert(fills("lerp") === Map(0L -> None, 60L -> Some(2.0), 120L -> Some(3.0),
+      180L -> Some(4.0), 240L -> None))
+    intercept[IllegalArgumentException] {
+      QueryEngine.denseFill(ds, "1m", 0, 300, realFill = Some("bogus"))
+    }
+    // the JSON front end carries the axis (FillSpec.real) and validates it
+    val parsed = TsdbJson.parseQuery(
+      """{"start": 0, "end": 300,
+         "downsample": {"interval": "1m", "aggregator": "sum"},
+         "fill": {"policy": "null", "real": "lerp"}}""")
+    assert(parsed.fill === Some(FillSpec(policy = "null", real = Some("lerp"))))
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery(
+        """{"start": 0, "end": 300,
+           "downsample": {"interval": "1m", "aggregator": "sum"},
+           "fill": {"real": "bogus"}}""")
+    }
+  }
+
   test("time shift maps shifted data onto the query window (W5)") {
     import graft.filters.MatchAll
     // data lives one hour before the queried window
