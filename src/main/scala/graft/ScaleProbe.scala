@@ -232,6 +232,10 @@ object ScaleProbe {
     "q_ds_ewma", "q_ds_timediff", "q_ds_movavg_simple", "q_anomaly_zscore",
     "q_events_sessions", "q_events_funnel", "q_events_retention",
     "q_filter_semijoin", "q_meta_basic",
+    // real-value fill (round 10): the dense grid is |series| × |buckets|
+    // — AGGREGATED scale — and the neighbour window partitions per
+    // series, so growth should track the downsample prefix (fact-linear)
+    "q_ds_fill_prefer", "q_ds_fill_lerp",
     // the production meta/latest READ paths: q_meta_basic and q_latest
     // above derive series_dim/latest from the raw fact scan (an honest
     // batch fallback, but not what a deployment serves) — these two read
