@@ -493,7 +493,10 @@ object ScaleProbe {
     // expanding-history window) plus rate / timeDifference /
     // filter-semijoin, the remaining headline read shapes
     val evProbed = Seq("q_ds_sum", "q_groupby", "q_anomaly_zscore",
-      "q_rate", "q_ds_timediff", "q_filter_semijoin")
+      "q_rate", "q_ds_timediff", "q_filter_semijoin",
+      // round-10 real-value fill: the grid is aggregated-scale and the
+      // neighbour window partitions per series — expect fact-linear
+      "q_ds_fill_prefer", "q_ds_fill_lerp")
     val queries = SparkEntry.queries ++ ProbeOnly
     val sb = new StringBuilder
     sb ++= "{\"docs\": [" + docNs.mkString(", ") + "], \"events\": [" +

@@ -141,6 +141,14 @@ object TsdbQueries {
     // A6: LAST (last value in interval by time order)
     "q_ds_last" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "last"))), "last_value")),
 
+    // A6 sibling: FIRST (first value in interval by time order — the
+    // upstream aggregator vocabulary's symmetric twin of LAST)
+    "q_ds_first" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "first"))), "first_value")),
+
+    // A7 vocabulary: DEV (sample standard deviation per interval;
+    // single-point buckets are NULL in both engines)
+    "q_ds_dev" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "dev"))), "dev_value")),
+
     // A7: NON_OPTIMIZED plugin aggregator — exact median over buffered interval values
     "q_ds_median" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "median"))), "median_value")),
 
@@ -1033,6 +1041,10 @@ object TsdbQueries {
          |GROUP BY 1, 2, 3""".stripMargin,
 
     "q_ds_last" -> dsOracle(rnd("arg_max(value, ts)"), "last_value"),
+
+    "q_ds_first" -> dsOracle(rnd("arg_min(value, ts)"), "first_value"),
+
+    "q_ds_dev" -> dsOracle(rnd("stddev_samp(value)"), "dev_value"),
 
     "q_ds_median" -> dsOracle(rnd("quantile_cont(value, 0.5)"), "median_value"),
 

@@ -40,6 +40,11 @@ object Aggregators {
     "max" -> ((v, _, _, _) => max(v)),
     // last non-null value by time order (reference :482,522-523)
     "last" -> ((v, ts, _, _) => max_by(v, when(v.isNotNull, ts))),
+    // FIRST — the symmetric sibling in the upstream aggregator
+    // vocabulary: first non-null value by time order
+    "first" -> ((v, ts, _, _) => min_by(v, when(v.isNotNull, ts))),
+    // DEV — upstream's standard-deviation aggregator (sample stddev)
+    "dev" -> ((v, _, _, _) => stddev_samp(v)),
     "median" -> ((v, _, _, _) => percentile(v, lit(0.5))))
 
   private val custom =

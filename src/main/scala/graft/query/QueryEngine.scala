@@ -238,10 +238,13 @@ object QueryEngine {
   /** Dense interval grid per series with the reference's FillPolicy
    *  vocabulary for absent buckets (NumericFillPolicy: NAN the default,
    *  NULL, ZERO, SCALAR — AuraMetricsNumericArrayIterator.java:583-657):
-   *  each series present in the downsample output is left-joined to the
-   *  full generated bucket sequence of the query range, and the fill is
-   *  a per-row projection on the join's null side. The generated grid
-   *  is O(|series| × buckets) — aggregated scale, never the fact table.
+   *  each series present in the downsample output expands to the full
+   *  generated bucket sequence of the query range (one aggregate pass —
+   *  see the in-body note), and the fill is a per-row projection on the
+   *  absent cells. The generated grid is O(|series| × buckets) —
+   *  aggregated scale, never the fact table. Precondition: `ds` has one
+   *  row per (series_id, bucket_ts) — the downsample contract (a
+   *  duplicate key fails fast in the map build).
    *
    *  `realFill` is the second, independent fill axis the reference's
    *  query node configures alongside the constant policy
@@ -269,17 +272,31 @@ object QueryEngine {
       case "scalar" => lit(fillScalar)
       case other => throw new IllegalArgumentException(s"unknown fill policy: $other")
     }
-    // distinct over the series identity (maps can't be set-operated on;
-    // the JSON string as a grouping key keeps this a HashAggregate)
-    val series = ds.groupBy(col("series_id"), col("metric"),
-        to_json(col("tags")).as("__tj"))
-      .agg(count(lit(1)))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
-      .select("series_id", "metric", "tags")
-    val buckets = series.select(col("series_id"), col("metric"), col("tags"),
-      explode(sequence(lit(alignedStart), lit(end - 1), lit(iv))).as("bucket_ts"))
-    val grid = buckets
-      .join(ds.select("series_id", "bucket_ts", "value"), Seq("series_id", "bucket_ts"), "left")
+    // ONE pass over ds builds the whole grid: per series, the present
+    // buckets collapse into a bounded map (≤ |buckets| entries — the
+    // same cardinality the dense output materializes anyway), and the
+    // full bucket sequence expands from that SAME aggregate row via a
+    // transform + explode, each output row carrying only its own
+    // (bucket_ts, value). The former shape — distinct-series list
+    // joined back to the values side — evaluated the entire upstream
+    // (dedupe window + downsample aggregate) TWICE: at the 100M-event
+    // probe point that was 2× the reduce-stage task-time and 2× its
+    // ~13 GB sort spill (ScaleAttr stage table), for identical output.
+    // The JSON string as the grouping key keeps this a HashAggregate
+    // (maps can't be grouping keys).
+    val seq0 = sequence(lit(alignedStart), lit(end - 1), lit(iv))
+    val grid = ds
+      .groupBy(col("series_id"), col("metric"), to_json(col("tags")).as("__tj"))
+      .agg(map_from_entries(collect_list(struct(col("bucket_ts"), col("value"))))
+        .as("__m"))
+      .select(col("series_id"), col("metric"),
+        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        explode(transform(seq0, b =>
+          struct(b.as("bucket_ts"), try_element_at(col("__m"), b).as("value"))))
+          .as("__g"))
+      .select(col("series_id"), col("metric"), col("tags"),
+        col("__g").getField("bucket_ts").as("bucket_ts"),
+        col("__g").getField("value").as("value"))
     val filled = realFill match {
       case None =>
         grid.withColumn("value",

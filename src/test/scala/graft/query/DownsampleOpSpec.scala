@@ -41,6 +41,16 @@ class DownsampleOpSpec extends AnyFunSuite {
     assert(run(df, DownsampleSpec0("1m", "max")) === Map(0L -> 4.0, 60L -> 10.0))
     assert(run(df, DownsampleSpec0("1m", "count")) === Map(0L -> 2.0, 60L -> 1.0))
     assert(run(df, DownsampleSpec0("1m", "last")) === Map(0L -> 4.0, 60L -> 10.0))
+    // FIRST is last's time-order mirror
+    assert(run(df, DownsampleSpec0("1m", "first")) === Map(0L -> 2.0, 60L -> 10.0))
+    // DEV is the sample standard deviation: {2,4} → √2; single point → NULL
+    // (run() drops null aggregate rows only at output when asked; here the
+    // bucket survives with a null value, so probe via the engine directly)
+    val dev = QueryEngine.downsample(df, DownsampleSpec("1m", "dev"), 0, 120)
+      .collect().map(r => r.getLong(r.fieldIndex("bucket_ts")) ->
+        Option(r.get(r.fieldIndex("value")))).toMap
+    assert(math.abs(dev(0L).get.asInstanceOf[Double] - math.sqrt(2.0)) < 1e-12)
+    assert(dev(60L).isEmpty)
   }
 
   test("NaN gap: NaN values are skipped, empty buckets are absent") {
