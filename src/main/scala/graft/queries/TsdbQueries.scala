@@ -165,6 +165,23 @@ object TsdbQueries {
       dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "range"))), "range_value")
     },
 
+    // A7/P1 SCALE PATH: exact percentile over a DETERMINISTIC 1/m hash
+    // sample. Exact per-bucket percentiles buffer every interval value —
+    // at 100 TB a hot bucket's buffer is unbounded. approx_percentile's
+    // sketch merge is order-sensitive (not cross-engine replayable), so
+    // the bounded-memory path here is the md5-seeded systematic sample
+    // the ingest admission already uses (Config.admissionSampleMod
+    // precedent): rows whose md5prefix28(ts) ≡ 0 (mod m) — a pure
+    // function of the data, so any engine replays it and reruns are
+    // stable. Registered through the SAME plugin registry as every
+    // other aggregator (the NumericAggregatorFactory contract).
+    "q_ds_p95_sampled" -> { (s, d) =>
+      graft.query.Aggregators.register("p95_sampled", (v, ts, _, _) =>
+        percentile(when(pmod(call_function("md5prefix28", ts.cast("string")),
+          lit(4)) === 0, v), lit(0.95)))
+      dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "p95_sampled"))), "p95_sampled")
+    },
+
     // A8: runAll — single interval spanning the whole query range
     "q_ds_runall" -> { (s, d) =>
       QueryEngine.downsampleMulti(prepared(s, d), "0all", Start, End,
@@ -269,6 +286,26 @@ object TsdbQueries {
       run(s, d, q)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("sum_value"))
+    },
+
+    // A11 + FillWithRealPolicy: INTERPOLATED spatial aggregation — the
+    // upstream interpolatorConfigs semantic (each query node carries a
+    // LERP numeric interpolator so cross-series aggregation at a
+    // timestamp one series didn't report sees its interpolated value,
+    // not a hole). Composition: downsample → per-series lerp fill
+    // (grid edges take the constant ZERO policy, the interpolator's
+    // fillPolicy) → group-by sum. Stage-wise rounding (4dp entering the
+    // fill, 6dp on interpolated cells) keeps every interim double
+    // engine-identical, the fill-family discipline.
+    "q_groupby_lerp" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      val filled = QueryEngine.denseFill(ds, "1d", Start, End, fill = "zero",
+          realFill = Some("lerp"))
+        .withColumn("value", round(col("value"), 6))
+      QueryEngine.groupBySpatial(filled, GroupBySpec(Seq("host", "colo"), "sum"))
+        .select(col("host").as("tag_host"), col("colo").as("tag_colo"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
     },
 
     // S8+U3: the query-range scan as a union of "hot" (recent segments)
@@ -1054,6 +1091,13 @@ object TsdbQueries {
     // subtraction is bit-identical before the shared rounding
     "q_ds_range_plugin" -> dsOracle(rnd("max(value) - min(value)"), "range_value"),
 
+    // deterministic 1/4 systematic sample: md5prefix28(ts) ≡ 0 (mod 4);
+    // buckets with no sampled row surface as NULL in both engines
+    "q_ds_p95_sampled" -> dsOracle(
+      rnd("quantile_cont(value, 0.95) FILTER (WHERE " +
+        "('0x' || substr(md5(CAST(ts AS VARCHAR)), 1, 7))::BIGINT % 4 = 0)"),
+      "p95_sampled"),
+
     "q_ds_runall" -> dsOracle(
       rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)"), "avg_value",
       bucket = s"CAST($Start AS BIGINT)"),
@@ -1173,6 +1217,45 @@ object TsdbQueries {
                "first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
                "ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))")} AS sum_value
          |FROM grid""".stripMargin,
+
+    // interpolated spatial aggregation: per-series lerp grid (edges
+    // ZERO), then the cross-series sum — v rounds at 4 entering the
+    // fill and interpolated cells at 6, replaying the Spark stages
+    "q_groupby_lerp" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user, tag_host, tag_colo,
+         |         ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()} GROUP BY 1, 2, 3, 4, 5),
+         |series AS (SELECT DISTINCT metric, tag_user, tag_host, tag_colo FROM agg),
+         |b AS (SELECT unnest(range($Start, $End, 86400)) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, s.tag_host, s.tag_colo, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts),
+         |w AS (
+         |  SELECT metric, tag_user, tag_host, tag_colo, bucket_ts, v,
+         |    last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |      ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+         |    first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user
+         |      ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+         |    last_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+         |      OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+         |    first_value(CASE WHEN v IS NOT NULL THEN bucket_ts END IGNORE NULLS)
+         |      OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts
+         |        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+         |  FROM grid),
+         |f AS (
+         |  SELECT tag_host, tag_colo, bucket_ts,
+         |    CASE WHEN v IS NOT NULL THEN v
+         |         WHEN pv IS NOT NULL AND nv IS NOT NULL THEN ${rnd(
+                     "pv + (nv - pv) * (CAST(bucket_ts - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))", 6)}
+         |         ELSE 0.0 END AS fv
+         |  FROM w)
+         |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(fv)")} AS value
+         |FROM f GROUP BY 1, 2, 3""".stripMargin,
 
     "q_hot_cold_union" -> dsOracle(rnd("sum(value)"), "sum_value"),
 

@@ -40,6 +40,35 @@ class AggregatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash-sampled percentile: plugin resolves through the registry and equals " +
+      "the exact percentile over the deterministically-chosen subset") {
+    import org.apache.spark.sql.functions._
+    Aggregators.register("p50_sampled", (v, ts, _, _) =>
+      percentile(when(pmod(call_function("md5prefix28", ts.cast("string")),
+        lit(4)) === 0, v), lit(0.5)))
+    val rows = (0L until 40L).map(t => (t, t.toDouble))
+    val df = Fixtures.series("m", Map("h" -> "a"), rows: _*)
+    val got = QueryEngine.downsample(df, DownsampleSpec("1m", "p50_sampled"), 0, 60)
+      .select("value").head.getDouble(0)
+    // replay the sample membership independently of the engine
+    val sampled = rows.collect { case (t, v)
+      if (graft.functions.Md5Prefix28.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t.toString)) % 4) == 0 => v }
+      .sorted
+    assert(sampled.nonEmpty && sampled.size < rows.size) // a real 1/4-ish subset
+    val pos = 0.5 * (sampled.size - 1)
+    val (lo, hi) = (sampled(pos.toInt), sampled(math.ceil(pos).toInt))
+    val expect = lo + (hi - lo) * (pos - pos.toInt)
+    assert(got === expect)
+    // a bucket where NO row lands in the sample yields NULL, not a crash
+    val tiny = Fixtures.series("m", Map("h" -> "a"),
+      rows.filter { case (t, _) => (graft.functions.Md5Prefix28.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t.toString)) % 4) != 0 }: _*)
+    val none = QueryEngine.downsample(tiny, DownsampleSpec("1m", "p50_sampled"), 0, 60)
+      .select("value").head
+    assert(none.isNullAt(0))
+  }
+
   test("zimsum equals sum through the engine") {
     val df = Fixtures.series("m", Map("h" -> "a"), (0L, 1.0), (10L, 2.0))
     def run(agg: String) =

@@ -92,6 +92,26 @@ class DenseFillSpec extends AnyFunSuite {
     }
   }
 
+  test("interpolated group-by: a series' missing bucket contributes its lerp value " +
+      "to the cross-series aggregate, not a hole or a zero") {
+    // series A reports every minute (value 10); series B misses bucket 120
+    // between real neighbours 2.0 and 4.0 → interpolated 3.0. The group
+    // sum at 120 must be 13.0 (lerp), not 10.0 (hole) — the upstream
+    // interpolatorConfigs semantic. Edges take the ZERO constant policy.
+    val a = Fixtures.points(
+      (0L to 240L by 60L).map(t => ("m", Map("host" -> "w1"), t + 1, 10.0, t + 1)): _*)
+    val b = Fixtures.points(
+      ("m", Map("host" -> "w2"), 70L, 2.0, 1L), ("m", Map("host" -> "w2"), 190L, 4.0, 2L))
+    val ds = QueryEngine.downsample(a.unionByName(b), DownsampleSpec("1m", "sum"), 0, 300)
+    val filled = QueryEngine.denseFill(ds, "1m", 0, 300, fill = "zero", realFill = Some("lerp"))
+    // group-all across hosts per bucket
+    val sums = QueryEngine.groupBySpatial(filled, GroupBySpec(Seq.empty, "sum"))
+      .collect().map(r => r.getLong(r.fieldIndex("bucket_ts")) ->
+        r.getDouble(r.fieldIndex("value"))).toMap
+    // B: edge buckets 0/240 → 0 (constant policy), 120 → lerp 3.0
+    assert(sums === Map(0L -> 10.0, 60L -> 12.0, 120L -> 13.0, 180L -> 14.0, 240L -> 10.0))
+  }
+
   test("time shift maps shifted data onto the query window (W5)") {
     import graft.filters.MatchAll
     // data lives one hour before the queried window
