@@ -788,4 +788,40 @@ object Corpus {
         (col("cluster_id").isNull || col("cluster_id") === col("doc_id")))
       .select(col("doc_id"), col("quality_score"))
   }
+
+  /** [[select]] with a QUALITY-AWARE near-dup representative: each
+   *  near-dup cluster keeps its highest-quality member instead of the
+   *  cluster ROOT (which is an artifact of id ordering) — when
+   *  collapsing duplicates of a page, keep the best copy, not an
+   *  arbitrary one. The representative ranks on (round4(score) desc,
+   *  doc_id asc) — the 4-decimal snap is what makes the argmax
+   *  cross-engine replayable — and is chosen over ALL cluster members
+   *  as ONE max_by hash aggregate (|clusters| output rows, map-side
+   *  combining; never a per-cluster sort of the corpus). The quality
+   *  and exact-canonical gates then apply to the chosen member, the
+   *  [[select]] posture. */
+  def selectBestPerCluster(docs: DataFrame, nearThreshold: Double): DataFrame = {
+    val quality = TextAnalysis.quality(docs)
+      .select(col("doc_id"), col("quality_score"), col("keep"))
+    val canonical = docs
+      .select(col("doc_id"), md5(Dedup.normalized(col("text"))).as("__h"))
+      .join(Dedup.exact(docs).select(col("content_hash").as("__h"), col("canonical_id")), "__h")
+      .select(col("doc_id"), col("canonical_id"))
+    val clusters = Dedup.duplicateClusters(Dedup.nearDuplicates(docs, nearThreshold))
+    val best = clusters
+      .join(quality.select(col("doc_id"), col("quality_score")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(max_by(col("doc_id"),
+        struct(round(col("quality_score"), 4).as("q"), (-col("doc_id")).as("nid")))
+        .as("best_id"))
+    docs.select(col("doc_id"))
+      .join(quality, "doc_id")
+      .join(canonical, "doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(best, Seq("cluster_id"), "left")
+      .filter(col("keep") &&
+        col("canonical_id") === col("doc_id") &&
+        (col("cluster_id").isNull || col("best_id") === col("doc_id")))
+      .select(col("doc_id"), col("quality_score"))
+  }
 }

@@ -154,6 +154,14 @@ object PipelineQueries {
       Corpus.select(docs(s, d), 0.5)
         .select(col("doc_id"), round(col("quality_score"), 4).as("quality_score"))
     },
+    // as q_pipeline_corpus, but each near-dup cluster keeps its
+    // HIGHEST-QUALITY member (round4 score, doc_id tie-break) instead
+    // of the id-ordered root — collapsing duplicates keeps the best
+    // copy of the page
+    "q_pipeline_corpus_best" -> { (s, d) =>
+      Corpus.selectBestPerCluster(docs(s, d), 0.5)
+        .select(col("doc_id"), round(col("quality_score"), 4).as("quality_score"))
+    },
     // reproducible hash split: sample membership is a pure function of
     // the key, so holdout ranges can never leak across reruns
     "q_pipeline_sample" -> ((s, d) =>
@@ -703,6 +711,35 @@ object PipelineQueries {
          |WHERE m.n >= 8 AND m.n <= 100000 AND m.sr > 0.0 AND m.ttr > 0.1
          |  AND exmin.canon = m.doc_id
          |  AND (cl.cluster_id IS NULL OR cl.cluster_id = m.doc_id)""".stripMargin,
+
+    // the q_pipeline_corpus replay with the best-quality cluster
+    // representative: rank members on the SAME round4 snap Spark uses
+    "q_pipeline_corpus_best" ->
+      s"""WITH RECURSIVE $candCtes,
+         |$clusterCtes,
+         |m AS (SELECT doc_id,
+         |             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t) AS mtl,
+         |             CAST(len(list_filter(t, x -> list_contains($stopList, x))) AS DOUBLE) / len(t) AS sr,
+         |             CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+         |             len(t) AS n
+         |      FROM toks),
+         |ex AS (SELECT doc_id, md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h
+         |       FROM documents),
+         |exmin AS (SELECT h, min(doc_id) AS canon FROM ex GROUP BY 1),
+         |best AS (SELECT cluster_id, doc AS best_id FROM (
+         |    SELECT cl.cluster_id, cl.doc,
+         |           row_number() OVER (PARTITION BY cl.cluster_id
+         |             ORDER BY ${rnd("((m2.mtl / 10.0 + m2.sr) + m2.ttr)")} DESC, cl.doc ASC) AS rn
+         |    FROM cl JOIN m m2 ON m2.doc_id = cl.doc) WHERE rn = 1)
+         |SELECT m.doc_id, ${rnd("((m.mtl / 10.0 + m.sr) + m.ttr)")} AS quality_score
+         |FROM m
+         |JOIN ex ON ex.doc_id = m.doc_id
+         |JOIN exmin ON exmin.h = ex.h
+         |LEFT JOIN cl ON cl.doc = m.doc_id
+         |LEFT JOIN best ON best.cluster_id = cl.cluster_id
+         |WHERE m.n >= 8 AND m.n <= 100000 AND m.sr > 0.0 AND m.ttr > 0.1
+         |  AND exmin.canon = m.doc_id
+         |  AND (cl.cluster_id IS NULL OR best.best_id = m.doc_id)""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH $toksCte,

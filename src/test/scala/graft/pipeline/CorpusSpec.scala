@@ -429,6 +429,39 @@ class CorpusSpec extends AnyFunSuite {
     assert(hashes.length === hashes.distinct.length)
   }
 
+  test("selectBestPerCluster keeps the highest-quality member where select keeps the root") {
+    val sp = spark
+    import sp.implicits._
+    // docs 1 and 2 share a long common prefix (near-dups well above the
+    // 0.5 threshold); the tails differ so doc 2 scores HIGHER quality
+    // (distinct tokens raise ttr) while doc 1 — the min-id cluster ROOT —
+    // scores lower (repeated tokens). Doc 9 is unrelated.
+    val common = "the quick brown fox jumps over the lazy dog while rain " +
+      "falls on the quiet meadow and birds sing in the old oak tree near " +
+      "the river bank at dawn"
+    val planted = Seq(
+      (1L, s"$common the the the the the the"),
+      (2L, s"$common quartz vixen jumbo glyph crisp ember"),
+      (9L, "completely unrelated content about submarine volcanoes erupting " +
+        "beneath the arctic shelf with plumes of mineral ash and the slow dark tide"))
+      .toDF("doc_id", "text")
+    val q = TextAnalysis.quality(planted)
+      .select(col("doc_id"), col("quality_score"), col("keep"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    assert(q(1L)._2 && q(2L)._2 && q(9L)._2, "all planted docs must pass the gate")
+    assert(q(2L)._1 > q(1L)._1, "doc 2 must outscore the root")
+    // the two ARE one near-dup cluster
+    val cl = Dedup.duplicateClusters(Dedup.nearDuplicates(planted, 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.keySet === Set(1L, 2L) && cl.values.toSet === Set(1L))
+    val root = Corpus.select(planted, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val best = Corpus.selectBestPerCluster(planted, 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(root === Set(1L, 9L), "select keeps the id-ordered root")
+    assert(best === Set(2L, 9L), "selectBestPerCluster keeps the best-quality member")
+  }
+
   test("weightedSample: ∝-weight selection, reproducible, extreme weight always wins") {
     val sp = spark
     import sp.implicits._
