@@ -236,6 +236,11 @@ object ScaleProbe {
     // — AGGREGATED scale — and the neighbour window partitions per
     // series, so growth should track the downsample prefix (fact-linear)
     "q_ds_fill_prefer", "q_ds_fill_lerp",
+    // round 10: interpolated cross-series aggregation (grid stages are
+    // aggregated-scale above the downsample) and the deterministic
+    // hash-sampled percentile (same fact-scan HashAggregate as any
+    // downsample — the sample filter is a per-row projection)
+    "q_groupby_lerp", "q_ds_p95_sampled",
     // the production meta/latest READ paths: q_meta_basic and q_latest
     // above derive series_dim/latest from the raw fact scan (an honest
     // batch fallback, but not what a deployment serves) — these two read
@@ -405,7 +410,10 @@ object ScaleProbe {
     // decade evidence (q_dedup_ngram's verify-stage Jaccard join and the
     // multi-operator corpus report), plus the capped production shape of
     // the verify join (q_dedup_ngram runs cap-off by oracle contract)
-    "q_dedup_ngram", "q_pipeline_report", "p_dedup_ngram_capped")
+    "q_dedup_ngram", "q_pipeline_report", "p_dedup_ngram_capped",
+    // round 10: quality-aware cluster representative — same candidate
+    // pipeline as q_pipeline_corpus plus one |clusters|-row max_by agg
+    "q_pipeline_corpus_best")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly

@@ -37,6 +37,10 @@ object RollupQueries {
     "q_rollup_avg" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "avg")), "avg_value")),
     "q_rollup_max" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "max")), "max_value")),
     "q_rollup_last" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "last")), "last_value")),
+    // DEV served from the stored moments (sum/count/sumofsquare) — no
+    // raw scan; shares q_ds_dev's exact stddev_samp oracle, so moment
+    // reconstruction error beyond round4 fails the hash
+    "q_rollup_dev" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "dev")), "dev_value")),
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
@@ -62,6 +66,7 @@ object RollupQueries {
     "q_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_rollup_max" -> oracle(rnd("max(value)"), "max_value"),
     "q_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
+    "q_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

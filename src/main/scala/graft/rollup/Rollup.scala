@@ -35,9 +35,14 @@ import org.apache.spark.sql.functions._
 object Rollup {
 
   /** Aggregators the rollup stores (reference AggregatorType vocabulary;
-   *  avg is served as sum/count, per the reference's rewrite). */
+   *  avg is served as sum/count, per the reference's rewrite; dev is
+   *  served from (sum, count, sumofsquare) — the reason the reference's
+   *  composite carries sumofsquare at all,
+   *  core/downsample/AggregatorType.java:101,
+   *  SumOfSquareAggregator.java:24). */
   val StoredAggs: Set[String] =
-    Set("sum", "zimsum", "count", "min", "mimmin", "max", "mimmax", "last", "avg")
+    Set("sum", "zimsum", "count", "min", "mimmin", "max", "mimmax", "last", "avg",
+      "dev")
 
   /** One-pass composite rollup of deduped raw points. The interval must
    *  come from the reference's storable-interval whitelist
@@ -86,6 +91,18 @@ object Rollup {
       case "max" | "mimmax" => max(col("max"))
       case "avg" => sum(col("sum")) / sum(col("cnt"))
       case "last" => max_by(col("last"), when(col("last").isNotNull, col("bucket_ts")))
+      case "dev" =>
+        // sample stddev from the stored moments: the sub-interval sums,
+        // counts, and sums-of-squares ADD across rollup rows, so dev
+        // serves at any divisible query interval without the raw values.
+        // greatest(0, ·) clamps the tiny negative variance FP can
+        // produce when all values are equal (sqrt would return NaN).
+        val n = sum(col("cnt"))
+        val s = sum(col("sum"))
+        val sq = sum(col("sumsq"))
+        when(n > 1,
+          sqrt(greatest(lit(0.0), (sq - s * s / n) / (n - lit(1)).cast("double"))))
+          .otherwise(lit(null).cast("double"))
       case other => throw new IllegalArgumentException(s"not a stored agg: $other")
     }
     // requires start aligned to the query interval (the reference only

@@ -45,6 +45,33 @@ class RollupSpec extends AnyFunSuite {
     }
   }
 
+  test("dev serves from the stored moments, composing across sub-intervals") {
+    // 2h query over 1h rollup rows: total sumsq/sum/cnt ADD across the
+    // two sub-buckets, so the served stddev must equal the direct
+    // stddev over the raw values {1,3,10,2} (moment formula vs
+    // Welford-style accumulation agree far below 1e-9 here)
+    val rollup = Rollup.build(pts, "1h")
+    val served = Rollup.serve(rollup, DownsampleSpec("2h", "dev"), 0, 7200)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val direct = graft.query.QueryEngine
+      .downsample(pts, DownsampleSpec("2h", "dev"), 0, 7200)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(served.keySet === direct.keySet)
+    served.foreach { case (k, v) => assert(math.abs(v - direct(k)) < 1e-9, s"bucket $k") }
+    // a single-point bucket is NULL (sample stddev undefined), not 0 or NaN;
+    // and a constant-valued bucket is exactly 0, not NaN from a tiny
+    // negative variance
+    val single = Fixtures.series("m", tagset, (0L, 5.0), (3600L, 7.0), (3700L, 7.0))
+    val r1 = Rollup.serve(Rollup.build(single, "1h"), DownsampleSpec("1h", "dev"), 0, 7200)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(r1(0L).isEmpty)
+    assert(r1(3600L) === Some(0.0))
+    assert(Rollup.canServe(DownsampleSpec("1d", "dev"), "1h"))
+  }
+
   test("a routed query's physical plan scans the rollup table only") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
