@@ -126,6 +126,25 @@ object EventsEngine {
     }
   }
 
+  /** Structured-attribute analytics over the event payload: the
+   *  reference's events are Lucene documents whose additional fields are
+   *  indexed and queryable (events-lucene EventDocument / Fields); here
+   *  the payload rides `message` as a JSON object and ONE codegen'd
+   *  `get_json_object` projection extracts the numeric field inline with
+   *  the search filter — no second pass, no UDF — before a plain hash
+   *  aggregate per (namespace, day). `with_field` counts events actually
+   *  carrying the field (absent/non-numeric extract to NULL and drop out
+   *  of sum/max), so sparse payloads aggregate honestly. Integer sums
+   *  stay exact at any scale. */
+  def attributeStats(docs: DataFrame, q: EventsQuery, field: String): DataFrame =
+    search(docs, q)
+      .withColumn("__a", get_json_object(col("message"), "$." + field).cast("long"))
+      .groupBy(col("namespace"), (col("start_ts") - col("start_ts") % 86400).as("day"))
+      .agg(count(lit(1)).as("hits"),
+        count(col("__a")).as("with_field"),
+        sum(col("__a")).as("field_sum"),
+        max(col("__a")).as("field_max"))
+
   /** Events downsample (A17): per-minute hit counts — the reference
    *  groups on the index-time `timestampMinute` field
    *  (QueryRunner.java:169-172, Fields.java:31). */

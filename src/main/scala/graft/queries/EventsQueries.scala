@@ -117,6 +117,12 @@ object EventsQueries {
       EventsEngine.downsample(docs(s, d), EventsQuery(Start, End, namespace = Some("view")))
     },
 
+    // structured-attribute analytics: the numeric payload field "k"
+    // extracted from the message JSON inline with the search filter —
+    // per (namespace, day): hits, field coverage, exact integer sum/max
+    "q_events_attr_stats" -> ((s, d) =>
+      EventsEngine.attributeStats(docs(s, d), EventsQuery(Start, End), "k")),
+
     // Event-time sessionization over raw user activity: sessions split
     // on more than 1 day of silence (1214 sessions / 150 users at
     // sf0.01 — both multi-event sessions and splits are exercised).
@@ -431,6 +437,21 @@ object EventsQueries {
          |SELECT start_ts - start_ts % 60 AS bucket_ts, count(*) AS hits
          |FROM docs WHERE ${inRange("view")}
          |GROUP BY 1""".stripMargin,
+
+    // regexp restatement of the JSON field extract (TRY_CAST so an
+    // absent field degrades to NULL exactly like get_json_object);
+    // integer aggregates recast to BIGINT so pandas keeps them integral
+    "q_events_attr_stats" ->
+      s"""WITH $docsCte,
+         |x AS (
+         |  SELECT namespace, start_ts - start_ts % 86400 AS day,
+         |         TRY_CAST(regexp_extract(message, '"k": (\\d+)', 1) AS BIGINT) AS a
+         |  FROM docs WHERE ${inRange()})
+         |SELECT namespace, day, count(*) AS hits,
+         |       count(a) AS with_field,
+         |       CAST(sum(a) AS BIGINT) AS field_sum,
+         |       max(a) AS field_max
+         |FROM x GROUP BY 1, 2""".stripMargin,
 
     "q_events_top1" ->
       s"""WITH $docsCte

@@ -129,4 +129,26 @@ class EventsEngineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(buckets === Map(60L -> 1L, 120L -> 1L, 300L -> 1L, 480L -> 1L, 900L -> 1L))
   }
+
+  test("attribute stats: JSON field extraction, sparse coverage, exact sums") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // payloads: two carrying k, one other field, one malformed
+    val d = Seq(
+      (1L, "alert", """{"k": 7}""", 100L),
+      (2L, "alert", """{"k": 35, "other": 1}""", 150L),
+      (3L, "alert", """{"other": 2}""", 200L),
+      (4L, "deploy", """not json""", 300L))
+      .toDF("event_id", "namespace", "message", "start_ts")
+      .selectExpr("event_id", "namespace", "'s' AS source", "'t' AS title", "message",
+        "'low' AS priority", "start_ts", "start_ts AS end_ts", "false AS ongoing",
+        "map('host', 'w') AS dimensions")
+    val out = EventsEngine.attributeStats(d, EventsQuery(0, 1000), "k")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3),
+        Option(r.get(4)), Option(r.get(5)))).toMap
+    // alert: 3 hits, 2 with the field, sum 42, max 35
+    assert(out("alert") === ((3L, 2L, Some(42L), Some(35L))))
+    // deploy: field absent everywhere → NULL aggregates, honest zero coverage
+    assert(out("deploy") === ((1L, 0L, None, None)))
+  }
 }
