@@ -79,6 +79,27 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** One streamed NEAR-DUP-admission lake per sf dir: the doc_id%3==0
+   *  slice streams in THREE micro-batches (3 source files ×
+   *  maxFilesPerTrigger=1) against the doc_id%2==0 slice's precomputed
+   *  band index — the q_dedup_near_incremental split, so the oracle
+   *  reuses that query's MinHash replay. Multi-batch on purpose: the
+   *  oracle is batch-agnostic, so any admission decision that depended
+   *  on batch composition would hash-mismatch. */
+  private val nearDedupLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docNearDedupLake(s: SparkSession, d: String): String =
+    nearDedupLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_docneardedup")
+      val all = s.read.parquet(s"$d/documents.parquet")
+      all.filter(col("doc_id") % 3 === 0).repartition(3)
+        .write.parquet(s"$base/src")
+      graft.streaming.DocIngest.runPipelineNearDedup(s, s"$base/src",
+        s"$base/lake", s"$base/ckpt", s"$base/work", all.schema,
+        all.filter(col("doc_id") % 2 === 0), 0.5,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      s"$base/lake"
+    })
+
   /** One streamed DECONTAM lake per sf dir: the odd-doc_id half streams
    *  through scrub → gate → reference-bloom decontam → dedup
    *  ([[graft.streaming.DocIngest.runPipelineDecontam]]) against the
@@ -345,6 +366,12 @@ object PipelineQueries {
         .select(col("content_hash"),
           length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
     },
+    // streamed near-dup ADMISSION: the crawl slice admitted by the
+    // per-batch MinHash band join against the prior snapshot's stored
+    // index — equals the batch nearDuplicatesAgainstReference
+    // restatement whatever the micro-batch split
+    "q_stream_near_admission" -> ((s, d) =>
+      s.read.parquet(docNearDedupLake(s, d)).select(col("doc_id"))),
     // the removal half: drop every repeated 16-token block but its
     // canonical occurrence; fully duplicated docs vanish entirely
     "q_dedup_span_removal" -> ((s, d) => Corpus.removeDuplicateSpans(docs(s, d), 16)),
@@ -671,6 +698,23 @@ object PipelineQueries {
          |  JOIN sigs sa ON sa.doc_id = new_id
          |  JOIN sigs sb ON sb.doc_id = ref_id)
          |WHERE est_jaccard >= 0.5""".stripMargin,
+
+    // admitted = new-slice docs with NO reference near-dup: the
+    // q_dedup_near_incremental replay inverted into an anti-filter
+    "q_stream_near_admission" ->
+      s"""WITH $candCtes,
+         |xc AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS ref_id
+         |       FROM bands a JOIN bands b ON a.bi = b.bi AND a.key = b.key
+         |       WHERE a.doc_id % 3 = 0 AND b.doc_id % 2 = 0),
+         |dup AS (SELECT DISTINCT new_id FROM (
+         |  SELECT new_id,
+         |         len(list_filter(range(1, ${NumPerms + 1}), i -> sa.sig[i] = sb.sig[i])) / $NumPerms.0 AS ej
+         |  FROM xc
+         |  JOIN sigs sa ON sa.doc_id = new_id
+         |  JOIN sigs sb ON sb.doc_id = ref_id)
+         |  WHERE ej >= 0.5)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT new_id FROM dup)""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH $candCtes

@@ -121,4 +121,68 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** NEAR-duplicate admission on ingest — the streaming face of
+   *  [[Dedup.nearDuplicatesAgainstReference]]: each arriving document
+   *  is MinHash-signed and banded, its bands equi-join the PRIOR
+   *  snapshot's band-table index, and any doc whose estimated Jaccard
+   *  against some reference doc clears `threshold` is rejected; the
+   *  rest append to the lake.
+   *
+   *  The reference's signatures and band table are computed ONCE and
+   *  materialized under `workDir` before the stream starts — at 100 TB
+   *  the previous snapshot's band index is a stored artifact, not a
+   *  per-batch recomputation. Each micro-batch then pays: signature
+   *  aggregation over ITSELF (batch-local, map-side combining), an
+   *  equi-join into the stored index, and the verify join over only
+   *  the colliding pairs — the batch operator's no-new×new /
+   *  no-ref×ref shape. Admitted docs are NOT near-deduped against each
+   *  other (within-crawl dedup is the batch pipeline's job), so
+   *  admission is a pure per-document function of (doc, reference) and
+   *  the streamed lake equals the batch restatement whatever the
+   *  file/batch split — the property the declared query's oracle pins.
+   *
+   *  Sink: batch-keyed subdirectory + overwrite (the [[EmbedIngest]]
+   *  exactly-once pattern) — a batch retried after a crash between
+   *  write and checkpoint commit replaces its own directory instead of
+   *  appending duplicates. */
+  def runPipelineNearDedup(spark: SparkSession, srcDir: String, outDir: String,
+      ckptDir: String, workDir: String, schema: StructType, reference: DataFrame,
+      threshold: Double, maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    Dedup.signatures(reference).write.mode("overwrite").parquet(s"$workDir/ref_sigs")
+    val sigsRef = spark.read.parquet(s"$workDir/ref_sigs")
+    Dedup.bands(sigsRef)
+      .select(col("doc_id").as("ref_id"), col("band"), col("key"))
+      .write.mode("overwrite").parquet(s"$workDir/ref_bands")
+    val bandsRef = spark.read.parquet(s"$workDir/ref_bands")
+    val nPerms = graft.pipeline.HashConstants.NumPerms
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val sigsNew = Dedup.signatures(batch).persist()
+        val pairs = Dedup.bands(sigsNew)
+          .select(col("doc_id").as("new_id"), col("band"), col("key"))
+          .join(bandsRef, Seq("band", "key"))
+          .select("new_id", "ref_id").distinct()
+        val eq = zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0))
+        val dup = pairs
+          .join(sigsNew.select(col("doc_id").as("new_id"), col("sig").as("sig_a")), "new_id")
+          .join(sigsRef.select(col("doc_id").as("ref_id"), col("sig").as("sig_b")), "ref_id")
+          .withColumn("__ej",
+            aggregate(eq, lit(0), _ + _).cast("double") / lit(nPerms.toDouble))
+          .filter(col("__ej") >= threshold)
+          .select(col("new_id").as("doc_id")).distinct()
+        batch.join(dup, Seq("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        sigsNew.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

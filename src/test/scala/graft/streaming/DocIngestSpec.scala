@@ -100,4 +100,57 @@ class DocIngestSpec extends AnyFunSuite {
     assert(saturated.intersect(Set(3L, 4L)).size === 1)
     assert(saturated.contains(2L) && !saturated.contains(1L) && !saturated.contains(5L))
   }
+
+  test("runPipelineNearDedup: reference near-dups rejected across batches; " +
+      "admission is batch-independent (no within-stream near-dedup)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val page = "the quick brown fox jumps over the lazy dog while rain falls " +
+      "on the quiet meadow and birds sing in the old oak tree near the river"
+    val fresh = "completely different content about submarine volcanoes " +
+      "erupting beneath the arctic shelf with plumes of mineral ash in the tide"
+    val reference = Seq(100L -> page).toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_nearadm_spec")
+    // three SEPARATE source files × maxFilesPerTrigger=1 = three batches:
+    // doc 1 (near-dup of the reference page — small tail edit) lands in a
+    // different batch from doc 2 (another near-dup) and from docs 3/4
+    // (mutual near-dups of each OTHER but not of the reference)
+    Seq(1L -> (page + " at dawn today")).toDF("doc_id", "text")
+      .write.parquet(s"$base/src/f1")
+    Seq(2L -> (page + " at dusk tonight")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$base/src/f2")
+    Seq(3L -> (fresh + " observed early"), 4L -> (fresh + " observed late"))
+      .toDF("doc_id", "text").write.mode("append").parquet(s"$base/src/f3")
+    // flatten: the file-stream source needs files in one dir
+    val srcFlat = s"$base/srcflat"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(srcFlat))
+    for (sub <- Seq("f1", "f2", "f3")) {
+      val dir = java.nio.file.Paths.get(s"$base/src/$sub")
+      val st = java.nio.file.Files.list(dir)
+      try {
+        val it = st.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet"))
+            java.nio.file.Files.copy(p,
+              java.nio.file.Paths.get(s"$srcFlat/${sub}_${p.getFileName}"))
+        }
+      } finally st.close()
+    }
+    val schema = spark.read.parquet(srcFlat).schema
+    DocIngest.runPipelineNearDedup(spark, srcFlat, s"$base/out", s"$base/ckpt",
+      s"$base/work", schema, reference, 0.5, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    val admitted = spark.read.parquet(s"$base/out")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    // both reference near-dups rejected — in whichever batch they arrived;
+    // both fresh docs admitted even though they near-dup EACH OTHER (the
+    // documented no-new×new posture: within-crawl dedup is batch work)
+    assert(admitted === Set(3L, 4L))
+    // and the result equals the batch restatement
+    val batchDup = graft.pipeline.Dedup.nearDuplicatesAgainstReference(
+      spark.read.parquet(srcFlat), reference, 0.5)
+      .select("new_id").collect().map(_.getLong(0)).toSet
+    assert(batchDup === Set(1L, 2L))
+  }
 }
