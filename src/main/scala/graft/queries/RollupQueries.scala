@@ -41,6 +41,18 @@ object RollupQueries {
     // raw scan; shares q_ds_dev's exact stddev_samp oracle, so moment
     // reconstruction error beyond round4 fails the hash
     "q_rollup_dev" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "dev")), "dev_value")),
+    // PERCENTILE served from the rollup pair (composite = presence,
+    // stored 1/4 hash sample = order statistic): shares
+    // q_ds_p95_sampled's oracle VERBATIM — the stored-sample route is
+    // lossless by construction, so any divergence from the raw-scan
+    // sampled percentile fails the hash
+    "q_rollup_p95_sampled" -> { (s, d) =>
+      val p = TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      out(Rollup.servePercentileSampled(Rollup.build(p, RollupInterval),
+        Rollup.buildSample(p, RollupInterval, 4), "1d", 0.95, Start, End),
+        "p95_sampled")
+    },
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
@@ -67,6 +79,7 @@ object RollupQueries {
     "q_rollup_max" -> oracle(rnd("max(value)"), "max_value"),
     "q_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
     "q_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
+    "q_rollup_p95_sampled" -> TsdbQueries.oracles("q_ds_p95_sampled"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

@@ -80,6 +80,55 @@ object Rollup {
       Intervals.toSeconds(spec.interval) % rSec == 0
   }
 
+  /** Stored-SAMPLE companion to the composite rollup: the deterministic
+   *  1/`mod` systematic hash sample of the deduped raw points, kept at
+   *  raw-value granularity with a rollup-aligned bucket column for
+   *  pruning. Moments serve sum/avg/dev but CANNOT serve order
+   *  statistics; this table is the percentile bridge — ~1/mod of the
+   *  raw lake, and because membership is a pure function of the row
+   *  (md5prefix28(ts) ≡ 0 mod `mod`, the ingest-admission sampler), a
+   *  percentile served from it is IDENTICAL to running the same
+   *  sampled-percentile aggregator over raw points: the routing is
+   *  lossless BY CONSTRUCTION, not approximately. */
+  def buildSample(points: DataFrame, interval: String, mod: Int): DataFrame = {
+    require(Intervals.isRollupInterval(interval),
+      s"not a storable rollup interval: $interval")
+    require(mod >= 1, "mod must be >= 1")
+    val iv = Intervals.toSeconds(interval)
+    QueryEngine.dedupe(points)
+      .filter(pmod(call_function("md5prefix28", col("ts").cast("string")),
+        lit(mod)) === 0)
+      .select(col("series_id"), col("metric"), col("tags"),
+        (col("ts") - col("ts") % lit(iv)).as("bucket_ts"), col("ts"), col("value"))
+  }
+
+  /** Percentile at query time from the rollup pair (composite + stored
+   *  sample): the composite provides bucket PRESENCE (every (series,
+   *  query-bucket) the raw downsample would emit — including all-NaN
+   *  buckets, whose percentile is NULL), the sample provides the order
+   *  statistic. Sub-interval samples concatenate, so any
+   *  divisibility-legal query interval serves. */
+  def servePercentileSampled(rollup: DataFrame, sample: DataFrame,
+      interval: String, q: Double, start: Long, end: Long): DataFrame = {
+    val iv = Intervals.toSeconds(interval)
+    val presence = rollup
+      .filter(col("bucket_ts") >= lit(start) && col("bucket_ts") < lit(end))
+      .withColumn("__tj", to_json(col("tags")))
+      .groupBy(col("series_id"), col("metric"), col("__tj"),
+        (col("bucket_ts") - col("bucket_ts") % lit(iv)).as("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val cleaned = when(isnan(col("value")), lit(null)).otherwise(col("value"))
+    val quantiles = sample
+      .filter(col("ts") >= lit(start) && col("ts") < lit(end))
+      .groupBy(col("series_id"), (col("ts") - col("ts") % lit(iv)).as("__bucket"))
+      .agg(percentile(cleaned, lit(q)).as("__p"))
+    presence
+      .join(quantiles, Seq("series_id", "__bucket"), "left")
+      .select(col("series_id"), col("metric"),
+        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        col("__bucket").as("bucket_ts"), col("__p").as("value"))
+  }
+
   /** Second-stage aggregation: rollup rows → query buckets. */
   def serve(rollup: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
     val iv = Intervals.toSeconds(spec.interval)

@@ -72,6 +72,32 @@ class RollupSpec extends AnyFunSuite {
     assert(Rollup.canServe(DownsampleSpec("1d", "dev"), "1h"))
   }
 
+  test("sampled percentile serves losslessly from the stored sample + presence pair") {
+    // membership is a pure function of ts, so serving from the stored
+    // sample must BIT-equal the direct sampled aggregator over raw
+    // points — including presence rows whose sample is empty (NULL)
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 40L).map(t => (t, (t * 7 % 13).toDouble)) ++
+      Seq((3600L, 5.0)) // second bucket: likely no sampled ts → NULL row
+    val df = Fixtures.series("m", tagset, rows: _*)
+    graft.query.Aggregators.register("p95s_spec", (v, ts, _, _) =>
+      percentile(when(pmod(call_function("md5prefix28", ts.cast("string")),
+        lit(4)) === 0, v), lit(0.95)))
+    val direct = graft.query.QueryEngine
+      .downsample(df, DownsampleSpec("1h", "p95s_spec"), 0, 7200)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val served = Rollup.servePercentileSampled(
+      Rollup.build(df, "1h"), Rollup.buildSample(df, "1h", 4), "1h", 0.95, 0, 7200)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(served === direct)
+    assert(served.keySet === Set(0L, 3600L)) // presence covers the unsampled bucket
+    // the sample really is a strict subset
+    val nSample = Rollup.buildSample(df, "1h", 4).count()
+    assert(nSample > 0 && nSample < rows.size)
+  }
+
   test("a routed query's physical plan scans the rollup table only") {
     val spark = TestSpark.spark
     val dir = java.nio.file.Files.createTempDirectory("graft_rollup").toString
