@@ -468,6 +468,46 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryPred: Column, k: Int, centroidEvery: Int): DataFrame =
     ivfTopKWith(emb, sampledCentroids(emb, centroidEvery), queryPred, k)
 
+  /** IVF top-k for an EXTERNAL query batch — the SERVING-time shape:
+   *  queries arrive from OUTSIDE the corpus (an online retrieval
+   *  request) as (q_id, embedding) rows, probe their `nprobe` nearest
+   *  cells via the broadcast centroid table, and scan only those
+   *  inverted lists of the prebuilt `assigned` index
+   *  ([[ivfAssignWith]] output — at scale a cell-partitioned stored
+   *  table, so the cell equi-join prunes to the probed partitions).
+   *  Scoring, tie-break, and rank are IDENTICAL to [[ivfTopKWith]], and
+   *  a query sharing an id with a corpus vector excludes itself — so
+   *  serving the corpus's own query rows through this path reproduces
+   *  ivfTopKWith bit-for-bit, which is exactly what the streamed
+   *  declared query pins against q_ann_ivf's oracle. */
+  def ivfTopKQueries(assigned: DataFrame, cents: DataFrame, queries: DataFrame,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe >= 1")
+    val qv = queries.select(col("q_id"), asDouble(col("embedding")).as("q_vec"))
+    val probes =
+      if (nprobe == 1)
+        assignToCells(qv.select(col("q_id").as("vec_id"), col("q_vec").as("vec")), cents)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"), col("cell"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("d").asc, col("c_id").asc)
+        qv.join(broadcast(cents), lit(true))
+          .withColumn("d", round(lit(1.0) - cosine(col("q_vec"), col("c_vec")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= nprobe)
+          .select(col("q_id"), col("q_vec"), col("c_id").as("cell"))
+      }
+    val sim = round(cosine(col("q_vec"), col("vec")), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", sim)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "sim")
+  }
+
   /** Recall@k of the IVF index against the exact brute-force baseline —
    *  the evaluation every ANN deployment runs before trusting an index
    *  ("measure, don't guess"): per query, the fraction of the true

@@ -79,6 +79,25 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** One streamed ANN-SERVING lake per sf dir: the q_ann_ivf query set
+   *  arrives as THREE micro-batches of retrieval requests (3 files ×
+   *  maxFilesPerTrigger=1) answered against the prebuilt assigned index
+   *  — per-query purity means the result must equal the batch IVF,
+   *  whose oracle the declared query reuses verbatim. */
+  private val annServeLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def annServeLake(s: SparkSession, d: String): String =
+    annServeLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_annserve")
+      emb(s, d).filter(annQueryPred)
+        .select(col("vec_id").as("q_id"), col("embedding"))
+        .repartition(3).write.parquet(s"$base/src")
+      val cents = Similarity.hashSampledCentroids(emb(s, d), IvfK)
+      val assigned = Similarity.ivfAssignWith(emb(s, d), cents)
+      graft.streaming.EmbedIngest.runQueryServe(s, s"$base/src", assigned, cents,
+        s"$base/out", s"$base/ckpt", k = 3, nprobe = 1, maxFilesPerTrigger = Some(1))
+      s"$base/out"
+    })
+
   /** One streamed NEAR-DUP-admission lake per sf dir: the doc_id%3==0
    *  slice streams in THREE micro-batches (3 source files ×
    *  maxFilesPerTrigger=1) against the doc_id%2==0 slice's precomputed
@@ -366,6 +385,11 @@ object PipelineQueries {
         .select(col("content_hash"),
           length(Dedup.normalized(col("text"))).cast("long").as("n_chars_norm"))
     },
+    // streamed ANN query serving: retrieval requests answered per
+    // micro-batch against the prebuilt IVF index — equals the batch
+    // IVF (q_ann_ivf's oracle verbatim) whatever the request batching
+    "q_stream_ann_query" -> ((s, d) =>
+      s.read.parquet(annServeLake(s, d)).select("q_id", "rank", "vec_id", "sim")),
     // streamed near-dup ADMISSION: the crawl slice admitted by the
     // per-batch MinHash band join against the prior snapshot's stored
     // index — equals the batch nearDuplicatesAgainstReference
@@ -657,6 +681,26 @@ object PipelineQueries {
        |    FROM (SELECT cell, unnest(range(0, len(v))) AS pos, unnest(v) AS val FROM $assignCte)
        |    GROUP BY 1, 2)
        |  GROUP BY 1)""".stripMargin
+
+  /** The batch IVF replay — shared verbatim by q_ann_ivf and its
+   *  streamed-serving restatement q_stream_ann_query. */
+  private val ivfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$cents64Cte,
+       |asg AS (
+       |  SELECT vec_id, v, c_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.c_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
+       |    FROM e, c)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE $annQPred),
+       |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
+       |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
+       |SELECT q_id, rank, vec_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM pairs)
+       |WHERE rank <= 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1284,6 +1328,9 @@ object PipelineQueries {
          |  FROM asg)
          |WHERE rank <= 5""".stripMargin,
 
+    // serving a stream of requests == the batch IVF, per-query purity
+    "q_stream_ann_query" -> ivfOracle,
+
     "q_stream_ann_assign" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |$cents64Cte
@@ -1295,23 +1342,7 @@ object PipelineQueries {
          |  FROM e, c)
          |WHERE rn = 1""".stripMargin,
 
-    "q_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |$cents64Cte,
-         |asg AS (
-         |  SELECT vec_id, v, c_id AS cell FROM (
-         |    SELECT e.vec_id, e.v, c.c_id,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |                              ORDER BY ${rnd("1.0 - (" + cosSql("e.v", "c.cv") + ")")} ASC, c.c_id ASC) AS rn
-         |    FROM e, c)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS q_id, v AS qv, cell FROM asg WHERE $annQPred),
-         |pairs AS (SELECT q_id, a.vec_id, ${rnd(cosSql("qv", "a.v"))} AS sim
-         |          FROM q JOIN asg a USING (cell) WHERE a.vec_id != q_id)
-         |SELECT q_id, rank, vec_id, sim FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
-         |  FROM pairs)
-         |WHERE rank <= 3""".stripMargin,
+    "q_ann_ivf" -> ivfOracle,
 
     "q_pipeline_sample" ->
       s"""SELECT doc_id FROM documents

@@ -58,4 +58,36 @@ object EmbedIngest {
           .parquet(s"$outDir/batch_id=$batchId")
       }
       .start().awaitTermination()
+
+  /** Streamed ANN QUERY SERVING — the read side of the streamed index:
+   *  retrieval requests arrive as (q_id, embedding) parquet batches and
+   *  each micro-batch is answered by [[Similarity.ivfTopKQueries]]
+   *  against the prebuilt assigned index — the query batch probes its
+   *  cells via the broadcast centroid table and scans only those
+   *  inverted lists (with a cell-partitioned stored index, only those
+   *  partitions). Answers are a pure per-query function of (query,
+   *  index), so results are independent of how requests batch — the
+   *  streamed result set equals the batch restatement, which the
+   *  declared query pins against the batch IVF oracle. Sink:
+   *  batch-keyed overwrite, the exactly-once pattern above. */
+  def runQueryServe(spark: SparkSession, srcDir: String, assigned: DataFrame,
+      cents: DataFrame, outDir: String, ckptDir: String, k: Int,
+      nprobe: Int = 1, maxFilesPerTrigger: Option[Int] = None): Unit = {
+    val schema = StructType(Seq(
+      StructField("q_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Similarity.ivfTopKQueries(assigned, cents, batch, k, nprobe)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .start().awaitTermination()
+  }
 }

@@ -65,4 +65,37 @@ class EmbedIngestSpec extends AnyFunSuite {
     assert(scan.contains("PartitionFilters: [isnotnull(cell"),
       s"cell filter must prune index partitions:\n$scan")
   }
+
+  test("streamed query serving == batch IVF for corpus queries; external query answered") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_annserve_spec")
+
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(64)(i => (((seed * 31 + i * 7) % 13) - 6).toFloat / 6f)
+    val corpus = (0L to 49L).map(i => (i, vec(i), (i % 3).toInt))
+      .toDF("vec_id", "embedding", "label")
+    val cents = Similarity.hashSampledCentroids(corpus, 8)
+    val assigned = Similarity.ivfAssignWith(corpus, cents)
+
+    // requests: the corpus's own %10 vectors PLUS one external id, split
+    // across two files/batches
+    (0L to 49L).filter(_ % 10 == 0).map(i => (i, vec(i)))
+      .toDF("q_id", "embedding").write.parquet(s"$base/src")
+    Seq((1000L, vec(1000L))).toDF("q_id", "embedding")
+      .write.mode("append").parquet(s"$base/src")
+    EmbedIngest.runQueryServe(spark, s"$base/src", assigned, cents,
+      s"$base/out", s"$base/ckpt", k = 3, nprobe = 1, maxFilesPerTrigger = Some(1))
+
+    val served = spark.read.parquet(s"$base/out")
+      .select("q_id", "rank", "vec_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val batch = Similarity.ivfTopKWith(corpus, cents, col("vec_id") % 10 === 0, 3)
+      .as[(Long, Int, Long, Double)].collect().toSet
+    // the corpus queries' streamed answers are bit-identical to the
+    // batch IVF; the external request adds its own rows on top
+    assert(served.filter(_._1 != 1000L) === batch)
+    val ext = served.filter(_._1 == 1000L)
+    assert(ext.map(_._2) === Set(1, 2, 3) && ext.forall(_._3 != 1000L))
+  }
 }
