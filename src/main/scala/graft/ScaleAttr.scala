@@ -75,7 +75,7 @@ object ScaleAttr {
       }
     val listener = new StageMetrics
     spark.sparkContext.addSparkListener(listener)
-    val queries = SparkEntry.queries
+    val queries = SparkEntry.queries ++ ScaleProbe.ProbeOnly
     for (q <- names; qf = queries(q)) {
       qf(spark, dirs.head).count() // warm JIT + listing on the smallest dir
       spark.catalog.clearCache()

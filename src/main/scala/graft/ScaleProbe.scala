@@ -369,7 +369,19 @@ object ScaleProbe {
    *  carry the same 10× evidence as the exhaustive paths. The constant-k
    *  nprobe-IVF production shape needs no extra row: q_ann_ivf_probe IS
    *  that shape since the constant-k restatement. */
-  private val ProbeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+  private[graft] val ProbeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A/B: q_ds_sum with the sort-free hash-aggregate LWW dedupe in
+    // place of the window — same rows, no reduce-stage sort
+    "p_ds_sum_hashdedup" -> { (s, d) =>
+      import graft.query._
+      import org.apache.spark.sql.functions.{col, lit}
+      val Start = graft.queries.OracleCommon.Start
+      val End = graft.queries.OracleCommon.End
+      val p = graft.sources.TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      QueryEngine.downsample(QueryEngine.dedupeAgg(p),
+        DownsampleSpec("1d", "sum"), Start, End)
+    },
     "p_dedup_embed_capped" -> ((s, d) =>
       graft.pipeline.Similarity.nearDuplicateEdgesCapped(
         s.read.parquet(s"$d/embeddings.parquet"), 0.3, maxBucketSize = 100)),

@@ -99,6 +99,21 @@ class DownsampleOpSpec extends AnyFunSuite {
     assert(out === Map(0L -> 11.0)) // 9 (last write) + 2
   }
 
+  test("dedupeAgg: same winners as the window dedupe, no sort in the plan") {
+    // multi-series, multi-duplicate, out-of-order arrival
+    val df = Fixtures.points(
+      ("m", tagset, 0L, 1.0, 0L), ("m", tagset, 0L, 9.0, 5L), ("m", tagset, 0L, 4.0, 3L),
+      ("m", tagset, 30L, 2.0, 2L),
+      ("m2", tagset, 0L, 7.0, 1L), ("m2", tagset, 0L, 8.0, 0L))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.select("metric", "ts", "value", "seq").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(rows(QueryEngine.dedupeAgg(df)) === rows(QueryEngine.dedupe(df)))
+    // the aggregate path must carry no sort (the window's spill source)
+    val plan = QueryEngine.dedupeAgg(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort "), s"dedupeAgg plan must be sort-free:\n$plan")
+  }
+
   test("median and percentile aggregate the buffered interval values") {
     val df = Fixtures.series("m", tagset, (0L, 1.0), (10L, 2.0), (20L, 9.0))
     assert(run(df, DownsampleSpec0("1m", "median")) === Map(0L -> 2.0))
