@@ -241,6 +241,11 @@ object ScaleProbe {
     // hash-sampled percentile (same fact-scan HashAggregate as any
     // downsample — the sample filter is a per-row projection)
     "q_groupby_lerp", "q_ds_p95_sampled",
+    // round 10: the rollup serving paths that moved beyond moments —
+    // dev from stored sumsq, percentile from the stored hash sample
+    // (each row pays rollup BUILD + serve; the serve itself is
+    // rollup-table-sized)
+    "q_rollup_dev", "q_rollup_p95_sampled",
     // the production meta/latest READ paths: q_meta_basic and q_latest
     // above derive series_dim/latest from the raw fact scan (an honest
     // batch fallback, but not what a deployment serves) — these two read

@@ -301,6 +301,52 @@ object Dedup {
     materialized
   }
 
+  /** MinHash estimator-quality evaluation over the LSH candidate set —
+   *  the dedup analog of ANN recall@k ("measure, don't guess" as a
+   *  first-class query): per candidate pair, the 32-perm signature
+   *  ESTIMATE vs the exact n-gram Jaccard, summarized as one row of
+   *  exact-integer confusion counts at `threshold` (tp/fp/fn/tn —
+   *  within candidates; banding misses are unobservable without the
+   *  all-pairs join this evaluation exists to avoid) plus the mean
+   *  absolute estimation error (per-pair error snapped to 4 decimals
+   *  before the mean, the declared-query rounding discipline). The
+   *  numbers tell an operator whether the capped signature path's
+   *  threshold can be trusted on THEIR corpus before a dedup run. */
+  def minhashEval(docs: DataFrame, threshold: Double): DataFrame = {
+    val expl = shingleRows(docs).persist()
+    val sigs = signaturesFromShingles(expl).persist()
+    val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val cand = candidatePairsFromSignatures(sigs, Int.MaxValue).persist()
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val explCand = expl.join(candDocs, Seq("doc_id"), "left_semi")
+    val inter = cand
+      .join(explCand.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(explCand.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("i"))
+    val eq = zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0))
+    val pairs = cand
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("i"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est",
+        aggregate(eq, lit(0), _ + _).cast("double") / lit(NumPerms.toDouble))
+      .withColumn("exact",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
+    val t = lit(threshold)
+    val out = Iterate.truncate(pairs.agg(
+      sum(when(col("est") >= t && col("exact") >= t, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("est") >= t && col("exact") < t, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("est") < t && col("exact") >= t, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("est") < t && col("exact") < t, 1L).otherwise(0L)).as("tn"),
+      round(avg(round(abs(col("est") - col("exact")), 4)), 4).as("mean_abs_err")))
+    expl.unpersist(); sigs.unpersist(); cand.unpersist()
+    out
+  }
+
   /** Streaming exact dedup: content-hash keyed, first-arrival-wins,
    *  across micro-batches — dedup-on-ingest for a continuously arriving
    *  document feed, so downstream stages never see a copy of content

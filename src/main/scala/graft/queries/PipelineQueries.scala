@@ -174,6 +174,9 @@ object PipelineQueries {
         docs(s, d).filter(col("doc_id") % 2 === 0), 0.5)
         .filter(col("new_id") =!= col("ref_id"))),
     "q_dedup_ngram" -> ((s, d) => Dedup.ngramJaccard(docs(s, d), 0.3)),
+    // estimator-quality report: MinHash estimate vs exact Jaccard over
+    // the candidate set, one row of confusion counts + mean abs error
+    "q_dedup_minhash_eval" -> ((s, d) => Dedup.minhashEval(docs(s, d), 0.5)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
     // SimHash near-dup within Hamming distance 3: block-collision
     // candidates (pigeonhole over 4 x 7-bit blocks) + popcount verify
@@ -770,6 +773,27 @@ object PipelineQueries {
          |  JOIN sh sa ON sa.doc_id = doc_a
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.3""".stripMargin,
+
+    // estimate-vs-exact confusion over the same candidate set
+    "q_dedup_minhash_eval" ->
+      s"""WITH $candCtes,
+         |pe AS (
+         |  SELECT doc_a, doc_b,
+         |    len(list_filter(range(1, ${NumPerms + 1}), i -> ga.sig[i] = gb.sig[i])) / $NumPerms.0 AS est,
+         |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |      / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) AS ex
+         |  FROM cand
+         |  JOIN sigs ga ON ga.doc_id = doc_a
+         |  JOIN sigs gb ON gb.doc_id = doc_b
+         |  JOIN sh sa ON sa.doc_id = doc_a
+         |  JOIN sh sb ON sb.doc_id = doc_b)
+         |SELECT
+         |  CAST(count(*) FILTER (WHERE est >= 0.5 AND ex >= 0.5) AS BIGINT) AS tp,
+         |  CAST(count(*) FILTER (WHERE est >= 0.5 AND ex < 0.5) AS BIGINT) AS fp,
+         |  CAST(count(*) FILTER (WHERE est < 0.5 AND ex >= 0.5) AS BIGINT) AS fn,
+         |  CAST(count(*) FILTER (WHERE est < 0.5 AND ex < 0.5) AS BIGINT) AS tn,
+         |  ${rnd("avg(" + rnd("abs(est - ex)") + ")")} AS mean_abs_err
+         |FROM pe""".stripMargin,
 
     // connected components as a recursive transitive closure: min
     // reachable id == the propagation fixpoint the Spark side converges to

@@ -307,6 +307,41 @@ class DedupSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS stream_dedup") }
   }
 
+  test("minhashEval: confusion counts reconstructed from the independent est/exact operators") {
+    import org.apache.spark.sql.functions._
+    // clones (both metrics agree high), a partial overlap (borderline),
+    // and unrelated docs
+    val d = docsOf(
+      1L -> (base + " one two three four five six seven"),
+      2L -> (base + " one two three four five six seven"),
+      3L -> (base + " something rather different here instead now maybe"),
+      4L -> "entirely unrelated words about glaciers calving into a grey sea at night",
+      5L -> "entirely unrelated words about glaciers calving into a grey sea at dawn")
+    val t = 0.5
+    val eval = Dedup.minhashEval(d, t).collect().head
+    // independent reconstruction: est from nearDuplicates(0) (all
+    // candidate pairs), exact from ngramJaccard(0) (same pair set)
+    val est = Dedup.nearDuplicates(d, 0.0)
+      .select("doc_a", "doc_b", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccard(d, 0.0)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet === exact.keySet && est.nonEmpty)
+    def n(f: ((Long, Long)) => Boolean) = est.keys.count(f)
+    assert(eval.getAs[Long]("tp") === n(k => est(k) >= t && exact(k) >= t))
+    assert(eval.getAs[Long]("fp") === n(k => est(k) >= t && exact(k) < t))
+    assert(eval.getAs[Long]("fn") === n(k => est(k) < t && exact(k) >= t))
+    assert(eval.getAs[Long]("tn") === n(k => est(k) < t && exact(k) < t))
+    val counts = Seq("tp", "fp", "fn", "tn").map(eval.getAs[Long](_)).sum
+    assert(counts === est.size)
+    val mae = est.keys.map(k =>
+      BigDecimal(math.abs(est(k) - exact(k))).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble).sum / est.size
+    assert(math.abs(eval.getAs[Double]("mean_abs_err") -
+      BigDecimal(mae).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
   test("nearDuplicatesAgainstReference: cross-set pairs only, estimates match the union pipeline") {
     val a = base + " one"
     val aVar = base + " two"            // near-dup of a (one token differs)
