@@ -665,6 +665,18 @@ object TsdbQueries {
           round(col("value"), 4).as("mov_avg"), col("series_total"))
     },
 
+    // The round-10 aggregator vocabulary through the ONE parser: the
+    // JSON front end resolves the downsample aggregator by name from
+    // the same registry, so `dev` (and `first`) need no parser change —
+    // this row pins that claim with q_ds_dev's oracle verbatim
+    "q_json_ds_dev" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "dev"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "dev_value")
+    },
+
     // Full pushed-down query graph from JSON: filter + rate + downsample +
     // groupBy + timeShift (the reference's absorbed source-node configs,
     // AuraMetricsSourceFactory.java:120-128); same oracle as q_full_pipeline
@@ -1716,6 +1728,7 @@ object TsdbQueries {
   // between the JSON parser and the ADT shows up as a hash mismatch
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
+    "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
     "q_json_groupby_p95" -> oraclesBase("q_groupby_p95"),
