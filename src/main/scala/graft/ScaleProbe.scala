@@ -430,7 +430,12 @@ object ScaleProbe {
     "q_dedup_ngram", "q_pipeline_report", "p_dedup_ngram_capped",
     // round 10: quality-aware cluster representative — same candidate
     // pipeline as q_pipeline_corpus plus one |clusters|-row max_by agg
-    "q_pipeline_corpus_best")
+    "q_pipeline_corpus_best",
+    // round 10: estimator-quality evaluation — by construction it pays
+    // BOTH the signature pipeline and the exact verify join (it compares
+    // them), so its wall tracks q_dedup_ngram's cap-off regime, not the
+    // capped production dedup path
+    "q_dedup_minhash_eval")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly

@@ -75,28 +75,41 @@ object TsdbQueries {
    *  Timestamps are distinct per series by construction (one point per
    *  distinct event ts), so `assumeDeduped` applies. */
   private def storedCumulativeCounters(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val bounds = Seq(("lat_0_1", 1.0), ("lat_1_5", 5.0), ("lat_5_20", 20.0),
-      ("lat_20_50", 50.0), ("lat_50_100", 100.0), ("lat_100_250", 250.0),
-      ("lat_250_inf", Double.PositiveInfinity))
-    val bdf = broadcast(bounds.toDF("metric", "hi")) // 7-row literal dim
+    // ONE hash aggregate over fact rows computes ALL seven per-ts bucket
+    // counts as columns, ONE window pass accumulates the seven running
+    // totals, and the ×7 bucket explosion happens LAST, at aggregated
+    // (user, ts) scale — the former shape crossJoined the 7-row bound dim
+    // BEFORE the aggregate, paying the groupBy exchange and the window
+    // sort on 7× fact-sized input (interleaved same-JVM A/B at sf0.1:
+    // source build 1.09 → 0.55 s warm; the full declared query is a
+    // wash at this scale because the shared dedupe+run pipeline
+    // dominates — the build's 7× exchange/sort input is what grows with
+    // the fact table). The overflow bound counts EVERY row
+    // (bucketMetricExpr's `.otherwise` semantics — `x < inf` alone would
+    // miss a NaN), hence count(*) rather than a `< inf` predicate.
+    val names = Seq("lat_0_1", "lat_1_5", "lat_5_20", "lat_20_50",
+      "lat_50_100", "lat_100_250", "lat_250_inf")
+    val his = Seq(1.0, 5.0, 20.0, 50.0, 100.0, 250.0)
+    val cnts = his.zipWithIndex.map { case (hi, i) =>
+      sum(when(col("value") < hi, 1L).otherwise(0L)).as(s"__c$i")
+    } :+ count(lit(1)).as("__c6")
     val perTs = prepared(s, d)
       .select(col("tags")("user").as("tag_user"),
         (col("ts") - col("ts") % 86400).as("day"), col("ts"), col("value"))
-      .crossJoin(bdf)
-      .groupBy(col("tag_user"), col("day"), col("metric"), col("ts"))
-      // the overflow bound counts EVERY row (bucketMetricExpr's
-      // `.otherwise` semantics — `x < inf` alone would miss a NaN)
-      .agg(sum(when(col("hi") === Double.PositiveInfinity, 1L)
-        .when(col("value") < col("hi"), 1L).otherwise(0L)).as("__n"))
+      .groupBy(col("tag_user"), col("day"), col("ts"))
+      .agg(cnts.head, cnts.tail: _*)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tag_user"), col("day"), col("metric"))
+      .partitionBy(col("tag_user"), col("day"))
       .orderBy(col("ts").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
+    val cums = (0 to 6).map(i => sum(col(s"__c$i")).over(w).cast("double").as(s"__v$i"))
     val counterTags = map(lit("user"), col("tag_user"))
     perTs
-      .withColumn("value", sum(col("__n")).over(w).cast("double"))
+      .select(Seq(col("tag_user"), col("ts")) ++ cums: _*)
+      .select(col("tag_user"), col("ts"),
+        posexplode(array((0 to 6).map(i => col(s"__v$i")): _*)).as(Seq("__i", "value")))
+      .withColumn("metric", element_at(array(names.map(lit): _*), col("__i") + 1))
       .select(col("metric"), counterTags.as("tags"), col("ts"), col("value"))
       .withColumn("series_id",
         graft.core.SeriesId.seriesId(col("metric"), col("tags")))
