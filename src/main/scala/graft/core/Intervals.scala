@@ -30,4 +30,28 @@ object Intervals {
     Set("5s", "10s", "15s", "30s", "1m", "5m", "10m", "15m", "30m", "1h", "1d")
 
   def isRollupInterval(s: String): Boolean = RollupVocabulary.contains(s)
+
+  /** The `auto` downsample ladder: query duration → snap interval, the
+   *  upstream TSDB 3.x DownsampleFactory mechanism (interval "auto"
+   *  resolves against the factory's ordered duration→interval table
+   *  before the node plans; the reference repo ships only the storage
+   *  source that consumes the already-resolved config). The TABLE is
+   *  deployment config upstream; this is our documented default —
+   *  roughly one-to-few hundred output buckets per series at every
+   *  rung. Ordered largest-threshold-first; the first rung whose
+   *  threshold the duration reaches wins. */
+  val AutoLadder: Seq[(Long, String)] = Seq(
+    14L * 86400 -> "1d", // >= 2w  → daily
+    3L * 86400 -> "6h", // >= 3d  → 6-hourly
+    86400L -> "1h", // >= 1d  → hourly
+    6L * 3600 -> "15m", // >= 6h  → 15-minute
+    3600L -> "5m" // >= 1h  → 5-minute
+  )
+
+  /** Resolve the `auto` interval for a query range of `rangeSec`
+   *  seconds: the first ladder rung whose threshold the range reaches;
+   *  shorter than every rung → "1m" (the ladder floor). */
+  def autoInterval(rangeSec: Long): String =
+    AutoLadder.collectFirst { case (t, iv) if rangeSec >= t => iv }
+      .getOrElse("1m")
 }

@@ -132,6 +132,14 @@ object TsdbQueries {
     // A1: downsample SUM (zimsum is the NaN-skipping alias — same result here)
     "q_ds_sum" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "sum"))), "sum_value")),
 
+    // `auto` downsample interval (the upstream DownsampleFactory
+    // mechanism: "auto" resolves against a duration→interval ladder
+    // before the node plans). This 20-day range resolves to "1d" on the
+    // default ladder, so the oracle is q_ds_sum's VERBATIM — a wrong
+    // rung or an unresolved "auto" fails the hash (toSeconds("auto")
+    // throws). Rung boundaries are spec-pinned in IntervalsSpec.
+    "q_ds_auto" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("auto", "sum"))), "sum_value")),
+
     // A2 + A4: AVG and COUNT per interval (one pass; the avg output is
     // defined as round4(sum)/count so both engines divide bit-identical
     // doubles — raw avg() is exercised in unit tests)
@@ -688,6 +696,18 @@ object TsdbQueries {
         "downsample": {"interval": "1d", "aggregator": "dev"}
       }"""
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "dev_value")
+    },
+
+    // `auto` through the JSON front end: the client document carries the
+    // literal interval "auto"; resolution happens inside run() (the one
+    // shared resolution point), so this twin pins that the parser passes
+    // "auto" through un-mangled — shares q_ds_sum's oracle verbatim
+    "q_json_ds_auto" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "auto", "aggregator": "sum"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "sum_value")
     },
 
     // Full pushed-down query graph from JSON: filter + rate + downsample +
@@ -1742,6 +1762,8 @@ object TsdbQueries {
   val oracles: Map[String, String] = oraclesBase ++ Map(
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
+    "q_ds_auto" -> oraclesBase("q_ds_sum"),
+    "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
     "q_json_groupby_p95" -> oraclesBase("q_groupby_p95"),

@@ -400,7 +400,20 @@ object QueryEngine {
    *  NOT be skipped automatically per-aggregator; under last-write-wins
    *  even min/max change when an overwrite replaces a value, so skipping
    *  is a property of the source, not of the aggregate. */
-  def run(points: DataFrame, q: TsdbQuery, assumeDeduped: Boolean = false): DataFrame = {
+  def run(points: DataFrame, q0: TsdbQuery, assumeDeduped: Boolean = false): DataFrame = {
+    // `auto` downsample interval resolves against the query duration
+    // HERE — one resolution point shared by the ADT and JSON paths
+    // (upstream DownsampleFactory resolves "auto" from its configured
+    // duration ladder before the node plans; Intervals.AutoLadder is our
+    // documented default table). Everything downstream — fill, rollup
+    // divisibility, sliding windows — sees only the resolved interval;
+    // Intervals.toSeconds("auto") throws, so an unresolved leak is loud.
+    val q = q0.downsample match {
+      case Some(d) if d.interval == "auto" =>
+        q0.copy(downsample =
+          Some(d.copy(interval = Intervals.autoInterval(q0.end - q0.start))))
+      case _ => q0
+    }
     // rate and timeDifference both rewrite the raw point stream and both
     // drop each series' first point; applying one over the other's
     // output (inter-arrival gaps of rate survivors) has no defined

@@ -29,6 +29,28 @@ class CorePropsSpec extends AnyFunSuite {
     assert(Intervals.toSeconds("1w") === 604800)
     assert(Intervals.toSeconds("0all") === -1)
     assertThrows[IllegalArgumentException](Intervals.toSeconds("5x"))
+    // "auto" must resolve via autoInterval BEFORE reaching toSeconds —
+    // an unresolved leak through run() fails loudly, not as hours
+    assertThrows[IllegalArgumentException](Intervals.toSeconds("auto"))
+  }
+
+  test("Intervals.autoInterval picks the ladder rung at every boundary") {
+    // below the lowest rung → the 1m floor
+    assert(Intervals.autoInterval(0) === "1m")
+    assert(Intervals.autoInterval(3599) === "1m")
+    // each rung activates AT its threshold (>=) and holds to the next
+    assert(Intervals.autoInterval(3600) === "5m")
+    assert(Intervals.autoInterval(6 * 3600 - 1) === "5m")
+    assert(Intervals.autoInterval(6 * 3600) === "15m")
+    assert(Intervals.autoInterval(86400 - 1) === "15m")
+    assert(Intervals.autoInterval(86400) === "1h")
+    assert(Intervals.autoInterval(3 * 86400 - 1) === "1h")
+    assert(Intervals.autoInterval(3 * 86400) === "6h")
+    assert(Intervals.autoInterval(14 * 86400 - 1) === "6h")
+    assert(Intervals.autoInterval(14 * 86400) === "1d")
+    // the declared q_ds_auto range (20 days) lands on the 1d rung —
+    // the premise of sharing q_ds_sum's oracle verbatim
+    assert(Intervals.autoInterval(20 * 86400) === "1d")
     assertThrows[IllegalArgumentException](Intervals.toSeconds(""))
   }
 
