@@ -117,6 +117,35 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** LSH banding S-curve planner — the analytical companion to
+   *  [[minhashEval]]'s measured estimator quality: for each similarity
+   *  `s` on a 0.05-step grid, the probability a pair at Jaccard `s`
+   *  becomes an LSH candidate under (`numBands` bands × `rowsPerBand`
+   *  rows) banding, P(candidate | s) = 1 − (1 − s^r)^b (the standard
+   *  MinHash-LSH S-curve, Leskovec/Rajaraman/Ullman MMDS ch. 3), plus
+   *  two closed-form summary points: `threshold_approx` = (1/b)^(1/r),
+   *  the curve's steepest-slope point (MMDS's conventional "threshold"
+   *  — NOTE it is where P ≈ 1−(1−1/b)^b ≈ 1−1/e, not 50%), and
+   *  `s50` = (1 − 2^(−1/b))^(1/r), the exact similarity where the
+   *  curve crosses 50%. An operator reads the two queries side by
+   *  side: the planner says what the config SHOULD catch, the
+   *  evaluation says what it DID catch on their corpus. Pure
+   *  projection over a 19-row literal grid — no data touched. */
+  def bandingPlan(spark: org.apache.spark.sql.SparkSession,
+      numBands: Int = NumBands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(numBands > 0 && rowsPerBand > 0,
+      "bandingPlan needs positive bands and rows per band")
+    val sApprox = math.pow(1.0 / numBands, 1.0 / rowsPerBand)
+    val s50 = math.pow(1.0 - math.pow(2.0, -1.0 / numBands), 1.0 / rowsPerBand)
+    spark.range(1, 20)
+      .select(
+        round(col("id") / 20.0, 2).as("s"),
+        round(lit(1.0) - pow(lit(1.0) - pow(col("id") / 20.0, rowsPerBand), numBands), 4)
+          .as("p_candidate"),
+        round(lit(sApprox), 4).as("threshold_approx"),
+        round(lit(s50), 4).as("s50"))
+  }
+
   /** LSH banding: one row per (doc, band) with the band's row values
    *  concatenated as the bucket key. */
   def bands(sigs: DataFrame): DataFrame = {

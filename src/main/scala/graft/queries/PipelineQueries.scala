@@ -177,6 +177,11 @@ object PipelineQueries {
     // estimator-quality report: MinHash estimate vs exact Jaccard over
     // the candidate set, one row of confusion counts + mean abs error
     "q_dedup_minhash_eval" -> ((s, d) => Dedup.minhashEval(docs(s, d), 0.5)),
+    // the analytical companion: the S-curve the current banding config
+    // enforces, P(candidate | s) = 1 - (1 - s^r)^b over a 0.05 grid,
+    // plus the curve's 50% point — planner (should catch) next to
+    // q_dedup_minhash_eval (did catch)
+    "q_dedup_band_plan" -> ((s, _) => Dedup.bandingPlan(s)),
     "q_dedup_simhash" -> ((s, d) => Dedup.simhashBuckets(docs(s, d))),
     // SimHash near-dup within Hamming distance 3: block-collision
     // candidates (pigeonhole over 4 x 7-bit blocks) + popcount verify
@@ -773,6 +778,16 @@ object PipelineQueries {
          |  JOIN sh sa ON sa.doc_id = doc_a
          |  JOIN sh sb ON sb.doc_id = doc_b)
          |WHERE jaccard >= 0.3""".stripMargin,
+
+    // the S-curve is closed-form: both engines evaluate the identical
+    // IEEE-double expression over the same integer grid (the repo's
+    // round-4 discipline absorbs libm ULP differences)
+    "q_dedup_band_plan" ->
+      s"""SELECT round(i/20.0, 2) AS s,
+         |  round(1 - power(1 - power(i/20.0, $RowsPerBand), $NumBands), 4) AS p_candidate,
+         |  round(power(1.0/$NumBands, 1.0/$RowsPerBand), 4) AS threshold_approx,
+         |  round(power(1 - power(2.0, -1.0/$NumBands), 1.0/$RowsPerBand), 4) AS s50
+         |FROM range(1, 20) AS t(i)""".stripMargin,
 
     // estimate-vs-exact confusion over the same candidate set
     "q_dedup_minhash_eval" ->

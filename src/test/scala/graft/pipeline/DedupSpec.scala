@@ -442,4 +442,29 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("hashpartitioning") && !plan.contains("rangepartitioning"),
       "neither branch may shuffle: reference is map-side filtered, new is broadcast-anti-joined")
   }
+
+  test("bandingPlan: S-curve monotone; s50 is the true 50% crossing, not the MMDS approx") {
+    val spark = TestSpark.spark
+    val rows = Dedup.bandingPlan(spark).orderBy("s").collect()
+    assert(rows.length === 19)
+    val ps = rows.map(_.getAs[Double]("p_candidate"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b }, "S-curve must be monotone in s")
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the 8-band x 4-row default: MMDS threshold approx (1/8)^(1/4) =
+    // 0.5946 — the steepest-slope point, where P = 1-(1-1/b)^b = 0.6564,
+    // NOT 50%; the true 50% crossing is (1 - 2^(-1/8))^(1/4) = 0.5370
+    assert(rows.head.getAs[Double]("threshold_approx") === r4(math.pow(1.0 / 8, 1.0 / 4)))
+    val s50 = rows.head.getAs[Double]("s50")
+    assert(s50 === r4(math.pow(1.0 - math.pow(2.0, -1.0 / 8), 1.0 / 4)))
+    assert(s50 < rows.head.getAs[Double]("threshold_approx"),
+      "for b=8/r=4 the 50% crossing sits below the steepest-slope approx")
+    // grid points straddling s50 = 0.5370: P < 0.5 at 0.50, > 0.5 at 0.55
+    val byS = rows.map(r => r.getAs[Double]("s") -> r.getAs[Double]("p_candidate")).toMap
+    assert(byS(0.5) < 0.5 && byS(0.55) > 0.5,
+      s"curve must cross 50% between 0.50 and 0.55 (s50=$s50), got ${byS(0.5)} / ${byS(0.55)}")
+    // near-zero at low similarity, near-one at high: the filtering the
+    // banding is FOR
+    assert(byS(0.2) < 0.02 && byS(0.95) > 0.999)
+  }
 }
