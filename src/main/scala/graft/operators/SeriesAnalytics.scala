@@ -61,9 +61,24 @@ object SeriesAnalytics {
    *  the n-row winner table then BROADCASTS back onto the bucket rows,
    *  so the fact-side frame is never shuffled by this operator. */
   def topN(ds: DataFrame, keys: Seq[String], n: Int, top: Boolean = true,
-      valueCol: String = "value"): DataFrame = {
+      valueCol: String = "value", agg: String = "sum"): DataFrame = {
     require(n >= 1, s"topN needs n >= 1, got $n")
     require(keys.nonEmpty, "topN needs at least one series key column")
+    // the upstream TopNConfig aggregator vocabulary: the ranking
+    // statistic per series/group. FP statistics snap to 4 decimals (the
+    // replayable-sum discipline); avg divides the rounded sum (the
+    // q_ds_avg convention); `last` picks by bucket_ts, which downsample
+    // output guarantees unique per series.
+    val rankStat = agg match {
+      case "sum" | "zimsum" => round(sum(col(valueCol)), 4)
+      case "avg" => round(round(sum(col(valueCol)), 4) / count(col(valueCol)), 4)
+      case "min" | "mimmin" => round(min(col(valueCol)), 4)
+      case "max" | "mimmax" => round(max(col(valueCol)), 4)
+      case "count" => count(col(valueCol)).cast("double")
+      case "last" => round(max_by(col(valueCol), col("bucket_ts")), 4)
+      case other => throw new IllegalArgumentException(
+        s"topN aggregator must be sum/zimsum/avg/min/max/count/last, got $other")
+    }
     // drop null-keyed rows UPFRONT (they cannot survive the inner join
     // below). This also makes the two references to `ds` canonicalize
     // identically — the join would otherwise push isnotnull onto only
@@ -71,7 +86,7 @@ object SeriesAnalytics {
     // scan→aggregate prefix instead of computing the input twice.
     val clean = ds.filter(keys.map(col(_).isNotNull).reduce(_ && _))
     val totals = clean.groupBy(keys.map(col): _*)
-      .agg(round(sum(col(valueCol)), 4).as("series_total"))
+      .agg(rankStat.as("series_total"))
     val rankOrd = (if (top) col("series_total").desc else col("series_total").asc) +:
       keys.map(col(_).asc)
     val winners = totals.orderBy(rankOrd: _*).limit(n)

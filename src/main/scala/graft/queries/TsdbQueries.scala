@@ -651,6 +651,25 @@ object TsdbQueries {
         valueCol = "sum_value")
     },
 
+    // topn with the upstream config's non-default ranking aggregator
+    // (TopNConfig.aggregator): groups ranked by their PEAK daily value
+    // instead of their total — the "which series spiked" question.
+    // Driven through the JSON front end so the parser's aggregator plumb
+    // is the thing pinned; downsample `count` keeps the chained node
+    // values integer-exact end-to-end (the q_json_sliding_topn
+    // precedent for run()-chained analytics).
+    "q_json_topn_max" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "topN": {"n": 5, "aggregator": "max"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("cnt"), col("series_total"))
+    },
+
     // Cross-metric expression: error-rate = error sums / click sums per
     // user per day. Each operand snaps to 4 decimals before the join
     // (the q_groupby discipline), so the division runs over identical
@@ -1556,6 +1575,22 @@ object TsdbQueries {
          |        QUALIFY row_number() OVER (ORDER BY series_total DESC, tag_host ASC) <= 2)
          |SELECT s.tag_host, s.bucket_ts, ${rnd("s.mv")} AS mov_avg, t.series_total
          |FROM sl s JOIN top t USING (tag_host)""".stripMargin,
+
+    // ranking stat is max over integer-exact daily counts; row_number
+    // ties break on tag_user ASC in both engines (the topN rankOrd)
+    "q_json_topn_max" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3),
+         |g AS (SELECT tag_user, bucket_ts, sum(v) AS v FROM ds GROUP BY 1, 2),
+         |tot AS (SELECT tag_user, round(max(v), 4) AS series_total FROM g GROUP BY 1),
+         |top AS (SELECT * FROM tot
+         |        QUALIFY row_number() OVER (ORDER BY series_total DESC, tag_user ASC) <= 5)
+         |SELECT g.tag_user, g.bucket_ts, round(g.v, 4) AS cnt, t.series_total
+         |FROM g JOIN top t USING (tag_user)""".stripMargin,
 
     "q_anomaly_zscore" ->
       s"""WITH $pointsCtes,

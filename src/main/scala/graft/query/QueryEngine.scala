@@ -498,7 +498,7 @@ object QueryEngine {
       graft.operators.SeriesAnalytics.ratio(df, r.asPercent))
       .getOrElse(df)
     df = q.topN.map(t =>
-      graft.operators.SeriesAnalytics.topN(df, seriesKeys, t.n, t.top))
+      graft.operators.SeriesAnalytics.topN(df, seriesKeys, t.n, t.top, agg = t.agg))
       .getOrElse(df)
     df = q.summarizer.map(sm =>
       graft.operators.SeriesAnalytics.summarize(df, seriesKeys, sm.aggs))

@@ -205,7 +205,9 @@ object TsdbJson {
     val tn = Option(n.get("topN")).filter(!_.isNull).map { t =>
       val cnt = Option(t.get("n")).filter(!_.isNull).orElse(Option(t.get("count")).filter(!_.isNull))
       require(cnt.isDefined, s"topN needs 'n': $t")
-      TopNSpec(n = cnt.get.asInt, top = Option(t.get("top")).filter(!_.isNull).forall(_.asBoolean))
+      TopNSpec(n = cnt.get.asInt,
+        top = Option(t.get("top")).filter(!_.isNull).forall(_.asBoolean),
+        agg = Option(t.get("aggregator")).filter(!_.isNull).map(_.asText).getOrElse("sum"))
     }
     val fl = Option(n.get("fill")).filter(!_.isNull).map { f =>
       FillSpec(

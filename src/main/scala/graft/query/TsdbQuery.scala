@@ -48,9 +48,11 @@ final case class GroupBySpec(keys: Seq[String], agg: String)
 final case class SlidingWindowSpec(buckets: Int, agg: String)
 
 /** Top-n series selection (the upstream TSDB 3.x topn query node): rank
- *  series/groups by the 4-decimal-rounded sum of their output values and
- *  keep the `n` largest (`top = false`: smallest). */
-final case class TopNSpec(n: Int, top: Boolean = true)
+ *  series/groups by `agg` over their output values (the upstream
+ *  config's `aggregator` — sum/avg/min/max/count/last; 4-decimal
+ *  rounding discipline on FP statistics) and keep the `n` largest
+ *  (`top = false`: smallest). */
+final case class TopNSpec(n: Int, top: Boolean = true, agg: String = "sum")
 
 /** Moving average (the upstream TSDB 3.x moving-average query node):
  *  each bucket's value becomes the mean of the trailing `samples`

@@ -63,6 +63,23 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     assert(keep.toSeq === Seq("a", "m"))
   }
 
+  test("topN ranking aggregator (upstream TopNConfig.aggregator): max/avg/last differ from sum") {
+    // a: steady 30+30 (sum 60, max 30, last 30)
+    // b: spike 50+1   (sum 51, max 50, last 1)
+    val ds = Seq(("a", 10L, 30.0), ("a", 20L, 30.0), ("b", 10L, 50.0), ("b", 20L, 1.0))
+      .toDF("series", "bucket_ts", "value")
+    def win(agg: String) = SeriesAnalytics.topN(ds, Seq("series"), 1, agg = agg)
+      .select("series").distinct().as[String].collect().toSeq
+    assert(win("sum") === Seq("a"), "by total, steady a wins")
+    assert(win("max") === Seq("b"), "by peak, spiky b wins")
+    assert(win("avg") === Seq("a"))
+    assert(win("last") === Seq("a"), "last bucket: a=30 beats b=1")
+    val stat = SeriesAnalytics.topN(ds, Seq("series"), 1, agg = "max")
+      .select("series_total").distinct().as[Double].collect().toSeq
+    assert(stat === Seq(50.0), "series_total carries the ranking statistic, not the sum")
+    assertThrows[IllegalArgumentException](SeriesAnalytics.topN(ds, Seq("series"), 1, agg = "p95"))
+  }
+
   test("binary: intersection join semantics; divide drops zero denominators") {
     val l = Seq(("u1", 10L, 6.0), ("u1", 20L, 8.0), ("u2", 10L, 9.0))
       .toDF("k", "bucket_ts", "value")
