@@ -54,4 +54,22 @@ object Intervals {
   def autoInterval(rangeSec: Long): String =
     AutoLadder.collectFirst { case (t, iv) if rangeSec >= t => iv }
       .getOrElse("1m")
+
+  /** UTC-offset segments of `zone` over [start, end): (fromEpochSec,
+   *  offsetSec) pairs, ascending, first entry at `start`. Resolved ONCE
+   *  on the driver from JVM ZoneRules at plan build; executors see only
+   *  the literal CASE the query compiler folds these into — a query
+   *  range crosses at most a handful of DST transitions, so the
+   *  expression stays O(1) per row at any fact size. */
+  def zoneOffsets(zone: String, start: Long, end: Long): Seq[(Long, Int)] = {
+    val rules = java.time.ZoneId.of(zone).getRules
+    val buf = scala.collection.mutable.ListBuffer[(Long, Int)](
+      start -> rules.getOffset(java.time.Instant.ofEpochSecond(start)).getTotalSeconds)
+    var t = rules.nextTransition(java.time.Instant.ofEpochSecond(start))
+    while (t != null && t.getInstant.getEpochSecond < end) {
+      buf += t.getInstant.getEpochSecond -> t.getOffsetAfter.getTotalSeconds
+      t = rules.nextTransition(t.getInstant)
+    }
+    buf.toList
+  }
 }

@@ -140,6 +140,17 @@ object TsdbQueries {
     // throws). Rung boundaries are spec-pinned in IntervalsSpec.
     "q_ds_auto" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("auto", "sum"))), "sum_value")),
 
+    // Calendar-aligned downsample (upstream DownsampleConfig.timezone):
+    // daily buckets at DENVER local midnight — epoch labels sit at
+    // 07:00 UTC (MST, UTC-7; the whole January range is one DST
+    // segment, so the driver-resolved offset CASE folds to a constant
+    // and the oracle restates the identical -25200 arithmetic). Rows
+    // straddling UTC midnight regroup vs q_ds_sum, so a silently
+    // ignored timezone fails the hash.
+    "q_ds_tz" -> ((s, d) => dsOut(
+      run(s, d, matchAllQ(DownsampleSpec("1d", "sum", timezone = Some("America/Denver")))),
+      "sum_value")),
+
     // A2 + A4: AVG and COUNT per interval (one pass; the avg output is
     // defined as round4(sum)/count so both engines divide bit-identical
     // doubles — raw avg() is exercised in unit tests)
@@ -717,6 +728,18 @@ object TsdbQueries {
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "dev_value")
     },
 
+    // timezone through the JSON front end — shares q_ds_tz's oracle
+    // verbatim, so a parser that drops the field regroups to UTC
+    // midnights and fails the hash
+    "q_json_ds_tz" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum",
+                       "timezone": "America/Denver"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "sum_value")
+    },
+
     // `auto` through the JSON front end: the client document carries the
     // literal interval "auto"; resolution happens inside run() (the one
     // shared resolution point), so this twin pins that the parser passes
@@ -1124,6 +1147,11 @@ object TsdbQueries {
 
   private val oraclesBase: Map[String, String] = Map(
     "q_ds_sum" -> dsOracle(rnd("sum(value)"), "sum_value"),
+
+    // local = ts + offset; floor on the local clock; label back in epoch.
+    // January 2024 is one MST segment: offset = -25200 throughout.
+    "q_ds_tz" -> dsOracle(rnd("sum(value)"), "sum_value",
+      bucket = "(ts - 25200) - (ts - 25200) % 86400 + 25200"),
 
     "q_ds_avg" ->
       s"""WITH $pointsCtes
@@ -1799,6 +1827,7 @@ object TsdbQueries {
     "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
+    "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
     "q_json_groupby_p95" -> oraclesBase("q_groupby_p95"),

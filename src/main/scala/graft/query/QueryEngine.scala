@@ -212,7 +212,34 @@ object QueryEngine {
       if (runAll) lit(start)
       else {
         val iv = Intervals.toSeconds(spec.interval)
-        col("ts") - (col("ts") % lit(iv))
+        spec.timezone match {
+          case None => col("ts") - (col("ts") % lit(iv))
+          case Some(zone) =>
+            // calendar alignment: flooring happens on the LOCAL clock
+            // (ts + per-row offset), so a 23/25-hour DST day stays ONE
+            // bucket; the label converts the local bucket back to epoch
+            // with the offset in effect AT THE BUCKET'S LOCAL START —
+            // using each row's own offset instead would split a
+            // transition day into two epoch labels. Both offsets are
+            // literal CASEs over the zone's DST segments in [start, end),
+            // resolved once on the driver (Intervals.zoneOffsets): pure
+            // per-row arithmetic on executors, no tz lookup in the hot
+            // path. Later transitions wrap earlier ones, so the
+            // outermost matching `when` is the latest segment; an
+            // ambiguous fall-back local midnight resolves to the
+            // post-transition offset (the second wall-clock occurrence).
+            val segs = Intervals.zoneOffsets(zone, start, end)
+            val rowOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
+              case (acc, (t, o)) => when(col("ts") >= lit(t), lit(o)).otherwise(acc)
+            }
+            val local = col("ts") + rowOff
+            val localBucket = local - (local % lit(iv))
+            val labelOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
+              case (acc, (t, o)) =>
+                when(localBucket >= lit(t + o), lit(o)).otherwise(acc)
+            }
+            localBucket - labelOff
+        }
       }
     val intervalSec = if (runAll) end - start else Intervals.toSeconds(spec.interval)
     val repSec = spec.reportingInterval.map(Intervals.toSeconds)

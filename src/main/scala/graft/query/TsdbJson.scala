@@ -159,7 +159,8 @@ object TsdbJson {
         runAll = Option(d.get("runAll")).exists(_.asBoolean) ||
           Option(d.get("interval")).exists(_.asText == "0all"),
         infectiousNan = Option(d.get("infectiousNan")).exists(_.asBoolean),
-        reportingInterval = Option(d.get("reportingInterval")).map(_.asText))
+        reportingInterval = Option(d.get("reportingInterval")).map(_.asText),
+        timezone = Option(d.get("timezone")).filter(!_.isNull).map(_.asText))
     }
     val rate = Option(n.get("rate")).map { r =>
       RateSpec(

@@ -22,7 +22,12 @@ final case class DownsampleSpec(
     agg: String,
     runAll: Boolean = false, // single interval spanning the whole range (reference :199-202)
     infectiousNan: Boolean = false, // any NaN in interval => NaN result (reference :465-473)
-    reportingInterval: Option[String] = None // "reporting average": sum / dpsInInterval (reference :151-157)
+    reportingInterval: Option[String] = None, // "reporting average": sum / dpsInInterval (reference :151-157)
+    // calendar alignment (upstream DownsampleConfig.timezone): buckets
+    // snap to the zone's local boundaries (local midnight for "1d"), not
+    // UTC epoch multiples. DST transitions inside the range are honored
+    // per-row via driver-resolved offset segments (Intervals.zoneOffsets).
+    timezone: Option[String] = None
 )
 
 /** Rate (per-point derivative) spec — reference

@@ -130,4 +130,35 @@ class DownsampleOpSpec extends AnyFunSuite {
     val plan = QueryEngine.run(df, q, assumeDeduped = true).queryExecution.executedPlan.toString
     assert(!plan.contains("WindowGroupLimit"), "dedupe window must be gone")
   }
+
+  test("timezone calendar alignment: local-midnight buckets, DST transition honored per-row") {
+    // US spring-forward 2024: 2024-03-10 02:00 MST → 03:00 MDT, i.e.
+    // epoch 1710061200 (09:00 UTC). Before: UTC-7 (-25200); after: UTC-6
+    // (-21600). Denver's Mar-10 local midnight = 1710054000 (07:00 UTC);
+    // the 23-hour local day ends at Mar-11 local midnight = 1710136800
+    // (06:00 UTC — one hour EARLIER in UTC than a fixed -7h would put it).
+    val dayStart = 1710054000L
+    val segs = graft.core.Intervals.zoneOffsets(
+      "America/Denver", dayStart, dayStart + 2 * 86400)
+    assert(segs === Seq(dayStart -> -25200, 1710061200L -> -21600))
+    val df = Fixtures.series("m", tagset,
+      (1710054000L, 1.0), // Mar 10 00:00 MST — first second of the local day
+      (1710061200L, 2.0), // Mar 10 03:00 MDT — the skipped-hour boundary itself
+      (1710136799L, 4.0), // Mar 10 23:59:59 MDT — last second of the 23h day
+      (1710136800L, 8.0)) // Mar 11 00:00 MDT — next local day
+    val spec = DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))
+    val got = QueryEngine.downsample(df, spec, dayStart, dayStart + 2 * 86400)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1710054000L -> 7.0, 1710136800L -> 8.0),
+      "all 23h-day points share the Mar-10 local-midnight label (the MST " +
+        "offset at the bucket's local start); a UTC epoch floor would split " +
+        "them at 00:00 UTC, per-row label offsets would split the day at the " +
+        "transition, and a fixed -7h would misplace Mar-11 midnight")
+    // and the fixed-offset winter case the declared q_ds_tz rides: one
+    // segment only, label = local midnight in epoch (07:00 UTC)
+    val winter = graft.core.Intervals.zoneOffsets(
+      "America/Denver", 1704412800L, 1706140800L)
+    assert(winter === Seq(1704412800L -> -25200))
+  }
 }
