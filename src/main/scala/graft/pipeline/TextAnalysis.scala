@@ -492,6 +492,60 @@ object TextAnalysis {
           .as("oov_rate"))
   }
 
+  /** Corpus drift: pairwise Jensen-Shannon divergence between the
+   *  per-`source` unigram distributions — the snapshot-to-snapshot /
+   *  domain-to-domain distribution-shift monitor a training pipeline
+   *  runs before mixing or refreshing corpora (JSD over a shared
+   *  support is symmetric and always finite, unlike raw KL, which is
+   *  infinite wherever one side has a zero).
+   *
+   *  The support is BOUNDED: the global top-`headN` tokens (count
+   *  desc, token asc — the integer-exact cut discipline of oovRate /
+   *  bm25) plus one `__other` bucket absorbing the tail mass, so the
+   *  comparison is over ≤ headN+1 rows per source however large the
+   *  corpus. Scale shape: one map-side-combining hash aggregate over
+   *  token occurrences, a TakeOrderedAndProject head cut (constant
+   *  rows), a broadcast membership probe to re-bucket the counts —
+   *  nothing token-keyed ever shuffles — and everything after
+   *  (densify × sources, pair join, JSD sum) runs on
+   *  |sources| × (headN+1) aggregated rows. */
+  def unigramDrift(docs: DataFrame, headN: Int = 64): DataFrame = {
+    require(headN > 0, "headN must be positive")
+    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("tk"))
+      .filter(col("tk") =!= "")
+      .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("__c"))
+    val head = tf.groupBy(col("tk")).agg(sum(col("__c")).as("__tc"))
+      .orderBy(col("__tc").desc, col("tk").asc).limit(headN)
+      .select(col("tk"), lit(1).as("__in"))
+    val bucketed = tf.join(broadcast(head), Seq("tk"), "left")
+      .groupBy(col("source"),
+        when(col("__in").isNotNull, col("tk")).otherwise(lit("__other")).as("tok"))
+      .agg(sum(col("__c")).as("__c"))
+    // densify over the full (source × support) grid so zero-count terms
+    // contribute their JSD mass (an inner pair join would silently drop
+    // them); both frames are aggregated-tiny, the crossJoin is bounded
+    val support = bucketed.select(col("tok")).distinct()
+    val srcs = bucketed.select(col("source")).distinct()
+    val dense = srcs.crossJoin(broadcast(support))
+      .join(bucketed, Seq("source", "tok"), "left")
+      .select(col("source"), col("tok"), coalesce(col("__c"), lit(0L)).as("__c"))
+    val totals = dense.groupBy(col("source")).agg(sum(col("__c")).as("__n"))
+    val probs = dense.join(broadcast(totals), "source")
+      .select(col("source"), col("tok"),
+        (col("__c").cast("double") / col("__n").cast("double")).as("p"))
+    val a = probs.select(col("source").as("source_a"), col("tok"), col("p").as("pa"))
+    val b = probs.select(col("source").as("source_b"), col("tok"), col("p").as("pb"))
+    a.join(b, Seq("tok"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(round(
+        lit(0.5) * sum(when(col("pa") > 0,
+          col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))).otherwise(0.0)) +
+        lit(0.5) * sum(when(col("pb") > 0,
+          col("pb") * log(lit(2.0) * col("pb") / (col("pa") + col("pb")))).otherwise(0.0)),
+        4).as("jsd"))
+  }
+
   /** Okapi BM25 top-k retrieval: for each query document, the `k`
    *  best-matching corpus documents under BM25(k1, b) — the
    *  quality-targeted retrieval / candidate-mining primitive of a

@@ -225,6 +225,9 @@ object PipelineQueries {
     // top-24 vocab (constant-size broadcast probe; 31 distinct tokens
     // in the corpus, so the tail is genuinely out-of-vocabulary)
     "q_text_oov" -> ((s, d) => TextAnalysis.oovRate(docs(s, d), 24)),
+    // corpus drift: pairwise JSD between per-source unigram
+    // distributions over the top-24 head + __other bucket
+    "q_text_drift" -> ((s, d) => TextAnalysis.unigramDrift(docs(s, d), 24)),
     // exact-proportion data mixing: the largest corpus whose domain
     // composition matches the 50/30/20 target shares exactly — the
     // scarcest domain relative to its share bounds the feasible total,
@@ -1416,6 +1419,38 @@ object PipelineQueries {
          |SELECT doc_id, n_tokens, n_oov,
          |       ${rnd("CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE)")} AS oov_rate
          |FROM agg""".stripMargin,
+
+    // integer-exact head cut + exact-count probabilities: both engines
+    // divide the same integers and evaluate the identical ln expression;
+    // the final round4 absorbs libm ULP differences
+    "q_text_drift" ->
+      raw"""WITH stoks AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+         |               FROM documents),
+         |u AS (SELECT source, unnest(t) AS tk FROM stoks),
+         |tf AS (SELECT source, tk, count(*) AS c FROM u WHERE tk <> '' GROUP BY 1, 2),
+         |head AS (SELECT tk, 1 AS inh FROM (
+         |  SELECT tk, sum(c) AS tc FROM tf GROUP BY 1
+         |  ORDER BY tc DESC, tk ASC LIMIT 24)),
+         |b AS (SELECT source,
+         |             CASE WHEN inh IS NOT NULL THEN tk ELSE '__other' END AS tok,
+         |             sum(c) AS c
+         |      FROM tf LEFT JOIN head USING (tk) GROUP BY 1, 2),
+         |support AS (SELECT DISTINCT tok FROM b),
+         |srcs AS (SELECT DISTINCT source FROM b),
+         |dense AS (SELECT s.source, sup.tok, coalesce(b.c, 0) AS c
+         |          FROM srcs s CROSS JOIN support sup
+         |          LEFT JOIN b ON b.source = s.source AND b.tok = sup.tok),
+         |tot AS (SELECT source, sum(c) AS n FROM dense GROUP BY 1),
+         |p AS (SELECT d.source, d.tok, CAST(d.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+         |      FROM dense d JOIN tot t USING (source)),
+         |pairs AS (SELECT a.source AS source_a, b2.source AS source_b, a.tok,
+         |                 a.p AS pa, b2.p AS pb
+         |          FROM p a JOIN p b2 USING (tok) WHERE a.source < b2.source)
+         |SELECT source_a, source_b,
+         |       round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END)
+         |           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END),
+         |             4) AS jsd
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
 
     "q_pipeline_mix" ->
       s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),

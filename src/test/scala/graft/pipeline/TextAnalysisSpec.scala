@@ -354,4 +354,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("unigramDrift: hand-computed JSD; identical distributions read zero") {
+    val s = spark
+    import s.implicits._
+    // A: x,x,y,y → p=(.5,.5); B: x,x,x,y → p=(.75,.25); C: same as A
+    val docs = Seq(
+      (1L, "x x y y", "A"), (2L, "x x x y", "B"), (3L, "x x y y", "C"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.unigramDrift(docs, headN = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    def term(p: Double, q: Double): Double =
+      if (p == 0) 0.0 else p * math.log(2 * p / (p + q))
+    val expected = BigDecimal(
+      0.5 * (term(0.5, 0.75) + term(0.5, 0.25)) +
+        0.5 * (term(0.75, 0.5) + term(0.25, 0.5)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(("A", "B")) === expected)
+    assert(got(("B", "C")) === expected, "JSD is symmetric: d(B,C) = d(A,B) since C = A")
+    assert(got(("A", "C")) === 0.0, "identical distributions diverge by zero")
+    assert(got.size === 3, "each unordered pair reported once")
+  }
 }
