@@ -435,7 +435,10 @@ object ScaleProbe {
     // BOTH the signature pipeline and the exact verify join (it compares
     // them), so its wall tracks q_dedup_ngram's cap-off regime, not the
     // capped production dedup path
-    "q_dedup_minhash_eval")
+    "q_dedup_minhash_eval",
+    // round 10: corpus-drift JSD — oov-shaped (one token-occurrence
+    // aggregate + constant head cut + broadcast probe), expect linear
+    "q_text_drift")
 
   /** Three-point mode: `runMain graft.ScaleProbe --xl [outJson] [names...]`
    *  (run with SPARK_DRIVER_MEM=24g — the 500k-doc generator briefly
