@@ -93,6 +93,27 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"), round(avg(col("col")), 4).as("value"))
       .select(col("grp"), col("dim").cast("long").as("dim"), col("n_vecs"), col("value"))
 
+  /** Embedding-space drift: pairwise cosine similarity between group
+   *  centroids — the embedding-side companion to the text-side unigram
+   *  JSD (TextAnalysis.unigramDrift): a snapshot/domain whose centroid
+   *  swings away from the others signals distribution shift before any
+   *  downstream model does. Centroid components snap to 4 decimals
+   *  BEFORE the cosine (one rounding point — both engines dot identical
+   *  doubles, the engine's replayable-join discipline); the pair join
+   *  runs over |groups|² centroid rows, aggregated scale only. */
+  def centroidDrift(emb: DataFrame, group: Column): DataFrame = {
+    val c = centroidsBy(emb, group).select(col("grp"), col("dim"), col("value"))
+    val a = c.select(col("grp").as("grp_a"), col("dim"), col("value").as("va"))
+    val b = c.select(col("grp").as("grp_b"), col("dim"), col("value").as("vb"))
+    a.join(b, Seq("dim"))
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy(col("grp_a"), col("grp_b"))
+      .agg(round(
+        sum(col("va") * col("vb")) /
+          (sqrt(sum(col("va") * col("va"))) * sqrt(sum(col("vb") * col("vb")))),
+        4).as("centroid_cos"))
+  }
+
   /** Scalar int8-style quantization of a vector subset: per-DIMENSION
    *  min/max over the whole corpus (two exact aggregates — no FP
    *  summation), then `floor((v-min)/(max-min)·255 + 0.5)` per

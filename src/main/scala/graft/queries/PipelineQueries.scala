@@ -483,6 +483,10 @@ object PipelineQueries {
     // mean-pooled class prototypes: one centroid per label
     "q_ann_label_centroids" -> ((s, d) =>
       Similarity.centroidsBy(emb(s, d), col("label"))),
+    // embedding-space drift: pairwise cosine between label centroids —
+    // the embedding companion to q_text_drift's unigram JSD
+    "q_embed_drift" -> ((s, d) =>
+      Similarity.centroidDrift(emb(s, d), col("label"))),
     // PQ compression: each vector → 8 subspace codes (nearest codeword
     // per subspace from the CONSTANT-32-codeword codebooks, packed-long
     // argmin — encode is n·m·32, linear)
@@ -1860,6 +1864,20 @@ object PipelineQueries {
          |SELECT grp, CAST(dim AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n_vecs,
          |       ${rnd("avg(val)")} AS value
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    // centroids snap to 4 decimals BEFORE the cosine: both engines dot
+    // identical doubles, the final round4 absorbs sqrt/division ULP
+    "q_embed_drift" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |x AS (SELECT label AS grp, unnest(v) AS val, unnest(range(0, len(v))) AS dim FROM e),
+         |c AS (SELECT grp, dim, ${rnd("avg(val)")} AS value FROM x GROUP BY 1, 2)
+         |SELECT a.grp AS grp_a, b.grp AS grp_b,
+         |       round(sum(a.value * b.value) /
+         |             (sqrt(sum(a.value * a.value)) * sqrt(sum(b.value * b.value))), 4)
+         |         AS centroid_cos
+         |FROM c a JOIN c b USING (dim)
+         |WHERE a.grp < b.grp
+         |GROUP BY 1, 2""".stripMargin,
 
     "q_ann_quantize" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -443,4 +443,21 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("40-bit"))
   }
+
+  test("centroidDrift: orthogonal groups read 0, identical groups read 1") {
+    val s = spark
+    import s.implicits._
+    // A: mass on dim 0; B: mass on dim 1 (orthogonal to A); C: same as A
+    val df = Seq(
+      (1L, Array(2f, 0f), "A"), (2L, Array(4f, 0f), "A"),
+      (3L, Array(0f, 3f), "B"), (4L, Array(0f, 5f), "B"),
+      (5L, Array(2f, 0f), "C"), (6L, Array(4f, 0f), "C"))
+      .toDF("vec_id", "embedding", "grp")
+    val got = Similarity.centroidDrift(df, col("grp"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(got(("A", "B")) === 0.0)
+    assert(got(("B", "C")) === 0.0)
+    assert(got(("A", "C")) === 1.0)
+    assert(got.size === 3, "each unordered pair reported once")
+  }
 }
