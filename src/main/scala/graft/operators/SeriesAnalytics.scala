@@ -43,6 +43,19 @@ object SeriesAnalytics {
       case "sum" | "zimsum" => sum(col("value")).over(w)
       case "min" | "mimmin" => min(col("value")).over(w)
       case "max" | "mimmax" => max(col("value")).over(w)
+      // "last" over a trailing frame is the current row — identity, not
+      // a smoother; reject it like the spatial side does
+      case "last" => throw new IllegalArgumentException(
+        "sliding agg 'last' is the identity over a trailing frame")
+      // the plugin family (median / pNN / runtime customs): the SAME
+      // registry as the temporal and spatial sides (P1 — the upstream
+      // sliding-window node resolves its aggregator from the shared
+      // NumericAggregatorFactory registry too), so "p95 over the
+      // trailing N buckets" works wherever "avg" does. The aggregate
+      // runs per window frame over ≤ `buckets` ALREADY-AGGREGATED
+      // values — bounded work per output row at any fact size.
+      case other if graft.query.Aggregators.isRegistered(other) =>
+        graft.query.Aggregators.resolve(other)(col("value"), lit(0L), 0L, None).over(w)
       case other => throw new IllegalArgumentException(s"unknown sliding agg: $other")
     }
     ds.withColumn("value", f)

@@ -642,6 +642,16 @@ object TsdbQueries {
         downsample = Some(DownsampleSpec("1d", "count")),
         slidingWindow = Some(SlidingWindowSpec(3, "avg")))), "mov_avg")),
 
+    // Sliding PERCENTILE (the plugin registry through the sliding node —
+    // the upstream sliding-window factory resolves percentile aggregators
+    // from the same registry as downsample/group-by): p90 over the
+    // trailing 5 daily counts, integer-exact inputs so both engines
+    // interpolate between identical order statistics.
+    "q_ds_sliding_p90" -> ((s, d) =>
+      dsOut(run(s, d, TsdbQuery(MatchAll, Start, End,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        slidingWindow = Some(SlidingWindowSpec(5, "p90")))), "mov_p90")),
+
     // Sliding max over daily sums (trailing 3 buckets): max is
     // order-free, so the only FP license is the per-bucket sum itself —
     // the same rounded class as q_ds_sum.
@@ -1542,6 +1552,18 @@ object TsdbQueries {
          |SELECT metric, tag_user, bucket_ts,
          |       ${rnd("avg(v) OVER (PARTITION BY metric, tag_user ORDER BY bucket_ts " +
              "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)")} AS mov_avg
+         |FROM ds""".stripMargin,
+
+    "q_ds_sliding_p90" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3)
+         |SELECT metric, tag_user, bucket_ts,
+         |       ${rnd("quantile_cont(v, 0.9) OVER (PARTITION BY metric, tag_user " +
+             "ORDER BY bucket_ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)")} AS mov_p90
          |FROM ds""".stripMargin,
 
     "q_ds_sliding_max" ->

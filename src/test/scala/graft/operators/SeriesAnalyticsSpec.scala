@@ -41,8 +41,19 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       SeriesAnalytics.sliding(agg, Seq(col("series")), 0, "avg")
     }
+    // the plugin registry serves the sliding node too (round 10 — the
+    // upstream factory resolves percentiles from the shared registry):
+    // a's values are 1,2,3,4 → trailing-3 medians 1, 1.5, 2, 3
+    val med = SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "median")
+      .filter(col("series") === "a").select("bucket_ts", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(med.toSeq === Seq((10L, 1.0), (20L, 1.5), (30L, 2.0), (40L, 3.0)))
+    // identity-over-frame and unknown names still fail the config
     intercept[IllegalArgumentException] {
-      SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "median")
+      SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "last")
+    }
+    intercept[IllegalArgumentException] {
+      SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "nope")
     }
   }
 
