@@ -246,6 +246,12 @@ object ScaleProbe {
     // (each row pays rollup BUILD + serve; the serve itself is
     // rollup-table-sized)
     "q_rollup_dev", "q_rollup_p95_sampled",
+    // round 10: the stored cumulative-counter read path — the row pays
+    // harness SOURCE BUILD (one fact-sized aggregate + one window over
+    // (user,day,ts) rows) + the run() read (downsample `last` +
+    // group-by + pick over counter-series rows); expect fact-linear,
+    // window-sort dominated
+    "q_bucket_quantile_cum_stored",
     // the production meta/latest READ paths: q_meta_basic and q_latest
     // above derive series_dim/latest from the raw fact scan (an honest
     // batch fallback, but not what a deployment serves) — these two read
