@@ -509,11 +509,22 @@ object TextAnalysis {
    *  nothing token-keyed ever shuffles — and everything after
    *  (densify × sources, pair join, JSD sum) runs on
    *  |sources| × (headN+1) aggregated rows. */
-  def unigramDrift(docs: DataFrame, headN: Int = 64): DataFrame = {
-    require(headN > 0, "headN must be positive")
-    val tf = docs.select(col("source"), explode(tokens(col("text"))).as("tk"))
+  def unigramDrift(docs: DataFrame, headN: Int = 64): DataFrame =
+    unigramDriftFromCounts(sourceTokenCounts(docs), headN)
+
+  /** The (source, tk, __c) unigram count table [[unigramDrift]] consumes —
+   *  exposed so a streaming ingest can MAINTAIN it incrementally (append
+   *  per-batch partial counts to a log, sum at read — counts add, so the
+   *  maintained table equals the batch recount exactly). */
+  def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("tk"))
       .filter(col("tk") =!= "")
       .groupBy(col("source"), col("tk")).agg(count(lit(1)).as("__c"))
+
+  /** As [[unigramDrift]], over a precomputed count table (columns
+   *  source / tk / __c) — the serving path for ingest-maintained counts. */
+  def unigramDriftFromCounts(tf: DataFrame, headN: Int = 64): DataFrame = {
+    require(headN > 0, "headN must be positive")
     val head = tf.groupBy(col("tk")).agg(sum(col("__c")).as("__tc"))
       .orderBy(col("__tc").desc, col("tk").asc).limit(headN)
       .select(col("tk"), lit(1).as("__in"))

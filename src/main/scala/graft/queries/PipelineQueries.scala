@@ -119,6 +119,23 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** One ingest-MAINTAINED drift-counts log per sf dir: the corpus
+   *  streams in multi-file micro-batches, each appending its partial
+   *  (source, token) counts ([[graft.streaming.DocIngest.runTokenCounts]]);
+   *  counts add, so the summed log equals the batch recount exactly —
+   *  q_stream_drift shares q_text_drift's oracle verbatim. */
+  private val driftLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def driftCountsLake(s: SparkSession, d: String): String =
+    driftLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_driftcounts")
+      val all = s.read.parquet(s"$d/documents.parquet")
+      all.repartition(3).write.parquet(s"$base/src")
+      graft.streaming.DocIngest.runTokenCounts(s, s"$base/src",
+        s"$base/lake", s"$base/ckpt", all.schema,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      s"$base/lake"
+    })
+
   /** One streamed DECONTAM lake per sf dir: the odd-doc_id half streams
    *  through scrub → gate → reference-bloom decontam → dedup
    *  ([[graft.streaming.DocIngest.runPipelineDecontam]]) against the
@@ -228,6 +245,15 @@ object PipelineQueries {
     // corpus drift: pairwise JSD between per-source unigram
     // distributions over the top-24 head + __other bucket
     "q_text_drift" -> ((s, d) => TextAnalysis.unigramDrift(docs(s, d), 24)),
+    // the same drift served from INGEST-MAINTAINED counts: micro-batches
+    // append partial (source, token) counts; counts add, so the summed
+    // log equals the batch recount exactly — q_text_drift's oracle
+    // verbatim, whatever the micro-batch split
+    "q_stream_drift" -> { (s, d) =>
+      val counts = s.read.parquet(driftCountsLake(s, d))
+        .groupBy(col("source"), col("tk")).agg(sum(col("__c")).as("__c"))
+      TextAnalysis.unigramDriftFromCounts(counts, 24)
+    },
     // exact-proportion data mixing: the largest corpus whose domain
     // composition matches the 50/30/20 target shares exactly — the
     // scarcest domain relative to its share bounds the feasible total,
@@ -716,6 +742,39 @@ object PipelineQueries {
        |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
        |  FROM pairs)
        |WHERE rank <= 3""".stripMargin
+
+  // integer-exact head cut + exact-count probabilities: both engines
+  // divide the same integers and evaluate the identical ln expression;
+  // the final round4 absorbs libm ULP differences. Shared verbatim by
+  // the batch query and the ingest-maintained streamed restatement.
+  private val driftOracle: String =
+    raw"""WITH stoks AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
+       |               FROM documents),
+       |u AS (SELECT source, unnest(t) AS tk FROM stoks),
+       |tf AS (SELECT source, tk, count(*) AS c FROM u WHERE tk <> '' GROUP BY 1, 2),
+       |head AS (SELECT tk, 1 AS inh FROM (
+       |  SELECT tk, sum(c) AS tc FROM tf GROUP BY 1
+       |  ORDER BY tc DESC, tk ASC LIMIT 24)),
+       |b AS (SELECT source,
+       |             CASE WHEN inh IS NOT NULL THEN tk ELSE '__other' END AS tok,
+       |             sum(c) AS c
+       |      FROM tf LEFT JOIN head USING (tk) GROUP BY 1, 2),
+       |support AS (SELECT DISTINCT tok FROM b),
+       |srcs AS (SELECT DISTINCT source FROM b),
+       |dense AS (SELECT s.source, sup.tok, coalesce(b.c, 0) AS c
+       |          FROM srcs s CROSS JOIN support sup
+       |          LEFT JOIN b ON b.source = s.source AND b.tok = sup.tok),
+       |tot AS (SELECT source, sum(c) AS n FROM dense GROUP BY 1),
+       |p AS (SELECT d.source, d.tok, CAST(d.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
+       |      FROM dense d JOIN tot t USING (source)),
+       |pairs AS (SELECT a.source AS source_a, b2.source AS source_b, a.tok,
+       |                 a.p AS pa, b2.p AS pb
+       |          FROM p a JOIN p b2 USING (tok) WHERE a.source < b2.source)
+       |SELECT source_a, source_b,
+       |       round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END)
+       |           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END),
+       |             4) AS jsd
+       |FROM pairs GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1427,34 +1486,10 @@ object PipelineQueries {
     // integer-exact head cut + exact-count probabilities: both engines
     // divide the same integers and evaluate the identical ln expression;
     // the final round4 absorbs libm ULP differences
-    "q_text_drift" ->
-      raw"""WITH stoks AS (SELECT source, string_split_regex(trim(lower(text)), '\s+') AS t
-         |               FROM documents),
-         |u AS (SELECT source, unnest(t) AS tk FROM stoks),
-         |tf AS (SELECT source, tk, count(*) AS c FROM u WHERE tk <> '' GROUP BY 1, 2),
-         |head AS (SELECT tk, 1 AS inh FROM (
-         |  SELECT tk, sum(c) AS tc FROM tf GROUP BY 1
-         |  ORDER BY tc DESC, tk ASC LIMIT 24)),
-         |b AS (SELECT source,
-         |             CASE WHEN inh IS NOT NULL THEN tk ELSE '__other' END AS tok,
-         |             sum(c) AS c
-         |      FROM tf LEFT JOIN head USING (tk) GROUP BY 1, 2),
-         |support AS (SELECT DISTINCT tok FROM b),
-         |srcs AS (SELECT DISTINCT source FROM b),
-         |dense AS (SELECT s.source, sup.tok, coalesce(b.c, 0) AS c
-         |          FROM srcs s CROSS JOIN support sup
-         |          LEFT JOIN b ON b.source = s.source AND b.tok = sup.tok),
-         |tot AS (SELECT source, sum(c) AS n FROM dense GROUP BY 1),
-         |p AS (SELECT d.source, d.tok, CAST(d.c AS DOUBLE) / CAST(t.n AS DOUBLE) AS p
-         |      FROM dense d JOIN tot t USING (source)),
-         |pairs AS (SELECT a.source AS source_a, b2.source AS source_b, a.tok,
-         |                 a.p AS pa, b2.p AS pb
-         |          FROM p a JOIN p b2 USING (tok) WHERE a.source < b2.source)
-         |SELECT source_a, source_b,
-         |       round(0.5 * sum(CASE WHEN pa > 0 THEN pa * ln(2 * pa / (pa + pb)) ELSE 0 END)
-         |           + 0.5 * sum(CASE WHEN pb > 0 THEN pb * ln(2 * pb / (pa + pb)) ELSE 0 END),
-         |             4) AS jsd
-         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "q_text_drift" -> driftOracle,
+    // the ingest-maintained restatement must be indistinguishable,
+    // whatever the micro-batch split
+    "q_stream_drift" -> driftOracle,
 
     "q_pipeline_mix" ->
       s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),

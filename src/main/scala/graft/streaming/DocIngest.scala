@@ -185,4 +185,33 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Ingest-MAINTAINED corpus-drift statistics: each micro-batch appends
+   *  its per-(source, token) PARTIAL counts to a log lake — the
+   *  log-structured-aggregate posture of the metrics side's rollup
+   *  flush: counts ADD, so `sum` over the log at read time equals a
+   *  batch recount over all documents EXACTLY, whatever the micro-batch
+   *  split. A serving query feeds the summed log to
+   *  [[graft.pipeline.TextAnalysis.unigramDriftFromCounts]] — the drift
+   *  monitor runs continuously without ever re-reading the corpus. Each
+   *  batch's write is one aggregated frame (distinct (source, token)
+   *  pairs of THAT batch, not occurrences); compact the log like any
+   *  other maintained lake when generations accumulate. */
+  def runTokenCounts(spark: SparkSession, srcDir: String, outDir: String,
+      ckptDir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextAnalysis.sourceTokenCounts(batch)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }
