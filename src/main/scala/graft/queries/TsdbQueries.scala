@@ -487,6 +487,21 @@ object TsdbQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // Group-by over a SPARSE tag (env exists on 1-in-5 users): a series
+    // missing the tag joins NO group — the reference groups through the
+    // meta index's tag-value search, so absent-tag series are absent
+    // from every group, not a null-keyed group (AerospikeQueryNode
+    // .java:139-146). The oracle's `WHERE tag_env IS NOT NULL` states
+    // the same drop; before round 10 the engine emitted Spark's null
+    // group here and would fail this hash.
+    "q_groupby_sparse" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d), DownsampleSpec("1d", "sum"), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("env"), "sum"))
+        .select(col("env").as("tag_env"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
     // A11 + P1: cross-series PERCENTILE group-by — "p95 daily volume
     // across the host fleet", the upstream GroupByFactory resolving its
     // aggregator from the same plugin registry as the temporal side.
@@ -1475,6 +1490,17 @@ object TsdbQueries {
          |  GROUP BY 1, 2, 3, 4, 5)
          |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
          |FROM ds GROUP BY 1, 2, 3""".stripMargin,
+
+    // absent-tag series join no group: WHERE tag_env IS NOT NULL
+    "q_groupby_sparse" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_env,
+         |         ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tag_env, bucket_ts, ${rnd("sum(v)")} AS value
+         |FROM ds WHERE tag_env IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "q_groupby_p95" ->
       s"""WITH $pointsCtes,

@@ -414,7 +414,17 @@ object QueryEngine {
   def groupBySpatial(ds: DataFrame, spec: GroupBySpec, keepMetric: Boolean): DataFrame = {
     val tagKeys = spec.keys.map(k => col("tags")(k).as(k))
     val keyCols = if (keepMetric) col("metric") +: tagKeys else tagKeys
-    ds
+    // a series MISSING a group-by tag joins no group — the reference
+    // groups through the meta index's tag-value search (gbKeys resolve
+    // to tag-value groups, AerospikeQueryNode.java:139-146), so an
+    // absent tag means absent from every group, not a null-keyed group
+    // of its own. Null-filtering here (instead of emitting Spark's
+    // null group) pins that semantic; group-all (empty keys) is the
+    // separate A13 path and never reaches this filter.
+    val present =
+      if (spec.keys.isEmpty) lit(true)
+      else spec.keys.map(k => col("tags")(k).isNotNull).reduce(_ && _)
+    ds.filter(present)
       .groupBy(keyCols :+ col("bucket_ts"): _*)
       .agg(spatialAgg(spec.agg, col("value")).as("value"))
   }
