@@ -753,6 +753,20 @@ object TsdbQueries {
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "dev_value")
     },
 
+    // OpenTSDB's relative-time grammar through the front end: start
+    // "20d-ago", end "now", resolved against a CALLER-SUPPLIED now (a
+    // parameter, not wall-clock — parsing stays a pure value). now =
+    // End makes the window identical to q_ds_sum's [Start, End), so the
+    // oracle is shared verbatim and a mis-resolved relative time fails
+    // the hash.
+    "q_json_relative_time" -> { (s, d) =>
+      val json = s"""{
+        "start": "20d-ago", "end": "now",
+        "downsample": {"interval": "1d", "aggregator": "sum"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json, now = End)), "sum_value")
+    },
+
     // timezone through the JSON front end — shares q_ds_tz's oracle
     // verbatim, so a parser that drops the field regroups to UTC
     // midnights and fails the hash
@@ -1876,6 +1890,7 @@ object TsdbQueries {
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
+    "q_json_relative_time" -> oraclesBase("q_ds_sum"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
     "q_json_groupby_p95" -> oraclesBase("q_groupby_p95"),

@@ -119,6 +119,15 @@ object TsdbJson {
    *  the reference absorbs, AuraMetricsSourceFactory.java:120-128). */
   def parseQuery(json: String): TsdbQuery = queryFromNode(mapper.readTree(json))
 
+  /** As [[parseQuery]], with OpenTSDB's RELATIVE time grammar enabled:
+   *  `start`/`end` may be `"now"` or `"<n><unit>-ago"` (s/m/h/d/w — the
+   *  interval grammar), resolved against the CALLER-SUPPLIED `now`.
+   *  `now` is a parameter, not wall-clock, so a parsed query is a pure
+   *  value — the same document replays identically in a test, an oracle
+   *  compare, or a backfill; a serving layer passes its own clock. */
+  def parseQuery(json: String, now: Long): TsdbQuery =
+    queryFromNode(mapper.readTree(json), Some(now))
+
   /** Parse a multi-source expression document (the upstream semantic-
    *  query shape): top-level `start`/`end` shared by every subquery,
    *  `queries`: [{"id": "e", …query fields…}, …], and `expression`:
@@ -139,7 +148,11 @@ object TsdbJson {
       Seq("start", "end").foreach { f =>
         if (!q.has(f)) {
           require(n.has(f), s"subquery '$id' and top level both missing '$f'")
-          q.put(f, n.get(f).asLong)
+          // copy the raw node: a textual relative time ("1h-ago") must
+          // reach the subquery parse intact, not collapse to asLong=0
+          // (set's return type parameter must be pinned — inference
+          // from a discarded value picks T=Unit and casts at runtime)
+          q.set[JsonNode](f, n.get(f))
         }
       }
       id -> queryFromNode(q)
@@ -148,7 +161,29 @@ object TsdbJson {
     ExpressionGraph(qs, exprNode.asText)
   }
 
-  def queryFromNode(n: JsonNode): TsdbQuery = {
+  /** Resolve a `start`/`end` field: epoch-second number (or digit
+   *  string), or — when `now` is supplied — `"now"` / `"<n><unit>-ago"`.
+   *  Relative forms without a `now` fail loudly: resolution against an
+   *  implicit wall clock would make parsing nondeterministic. */
+  private def timeField(n: JsonNode, field: String, now: Option[Long]): Long = {
+    val v = n.get(field)
+    if (v.isNumber) v.asLong
+    else v.asText match {
+      case t if t.nonEmpty && t.forall(_.isDigit) => t.toLong
+      case "now" => now.getOrElse(throw new IllegalArgumentException(
+        s"'$field': \"now\" needs a caller-supplied now (parseQuery(json, now))"))
+      case t if t.endsWith("-ago") =>
+        val base = now.getOrElse(throw new IllegalArgumentException(
+          s"'$field': relative time \"$t\" needs a caller-supplied now (parseQuery(json, now))"))
+        base - graft.core.Intervals.toSeconds(t.dropRight(4))
+      case other => throw new IllegalArgumentException(
+        s"'$field': expected epoch seconds, \"now\", or \"<n><unit>-ago\", got \"$other\"")
+    }
+  }
+
+  def queryFromNode(n: JsonNode): TsdbQuery = queryFromNode(n, None)
+
+  def queryFromNode(n: JsonNode, now: Option[Long]): TsdbQuery = {
     require(n.has("start") && n.has("end"), s"query needs start/end: $n")
     val pf = Option(n.get("filter")).map(filterFromNode)
       .getOrElse(ParsedFilter(MatchAll, explicitTags = false, 0))
@@ -236,8 +271,8 @@ object TsdbJson {
     }
     TsdbQuery(
       filter = pf.filter,
-      start = n.get("start").asLong,
-      end = n.get("end").asLong,
+      start = timeField(n, "start", now),
+      end = timeField(n, "end", now),
       downsample = ds,
       rate = rate,
       timeDifference = td,

@@ -338,4 +338,27 @@ class TsdbJsonSpec extends AnyFunSuite {
         g.copy(queries = g.queries.map { case (id, q) => id -> q.copy(groupBy = None) }))
     }
   }
+
+  test("relative time grammar: now/<n><unit>-ago against a caller-supplied now; pure parse") {
+    val now = 1706140800L
+    val q = TsdbJson.parseQuery(
+      """{"start": "20d-ago", "end": "now"}""", now)
+    assert(q.start === now - 20L * 86400)
+    assert(q.end === now)
+    // digit strings stay absolute; mixed forms compose
+    val q2 = TsdbJson.parseQuery("""{"start": "1704412800", "end": "1h-ago"}""", now)
+    assert(q2.start === 1704412800L && q2.end === now - 3600)
+    // relative WITHOUT a now must fail loudly, not read a wall clock
+    val e = intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": "20d-ago", "end": 1706140800}""")
+    }
+    assert(e.getMessage.contains("now"))
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": "yesterday", "end": "now"}""", now)
+    }
+    // bad relative unit surfaces the interval-grammar error
+    intercept[IllegalArgumentException] {
+      TsdbJson.parseQuery("""{"start": "5x-ago", "end": "now"}""", now)
+    }
+  }
 }
