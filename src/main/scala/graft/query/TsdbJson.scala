@@ -133,7 +133,17 @@ object TsdbJson {
    *  `queries`: [{"id": "e", …query fields…}, …], and `expression`:
    *  `"e / c"` (id op id over `+ - * /`). Subqueries inherit the
    *  top-level time range unless they carry their own. */
-  def parseExpressionGraph(json: String): ExpressionGraph = {
+  def parseExpressionGraph(json: String): ExpressionGraph =
+    parseExpressionGraph(json, None)
+
+  /** As [[parseExpressionGraph]] with the relative-time grammar enabled
+   *  (see `parseQuery(json, now)`): top-level or per-subquery
+   *  `start`/`end` may be `"now"` / `"<n><unit>-ago"`, resolved against
+   *  the caller-supplied `now`. */
+  def parseExpressionGraph(json: String, now: Long): ExpressionGraph =
+    parseExpressionGraph(json, Some(now))
+
+  private def parseExpressionGraph(json: String, now: Option[Long]): ExpressionGraph = {
     val n = mapper.readTree(json)
     val qsNode = n.get("queries")
     require(qsNode != null && qsNode.isArray && qsNode.size >= 2,
@@ -155,7 +165,7 @@ object TsdbJson {
           q.set[JsonNode](f, n.get(f))
         }
       }
-      id -> queryFromNode(q)
+      id -> queryFromNode(q, now)
     }.toSeq
     require(qs.map(_._1).distinct.size == qs.size, "duplicate subquery ids")
     ExpressionGraph(qs, exprNode.asText)

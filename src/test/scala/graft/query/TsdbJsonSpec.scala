@@ -360,5 +360,18 @@ class TsdbJsonSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TsdbJson.parseQuery("""{"start": "5x-ago", "end": "now"}""", now)
     }
+    // expression graphs inherit textual relative times intact
+    val g = TsdbJson.parseExpressionGraph(
+      """{"start": "2d-ago", "end": "now",
+         "queries": [
+           {"id": "e", "filter": {"type": "MetricLiteral", "metric": "error"},
+            "downsample": {"interval": "1d", "aggregator": "sum"},
+            "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}},
+           {"id": "c", "filter": {"type": "MetricLiteral", "metric": "click"},
+            "downsample": {"interval": "1d", "aggregator": "sum"},
+            "groupBy": {"tagKeys": ["user"], "aggregator": "sum"}}],
+         "expression": "e / c"}""", now)
+    assert(g.queries.forall { case (_, q) =>
+      q.start === now - 2L * 86400 && q.end === now })
   }
 }
