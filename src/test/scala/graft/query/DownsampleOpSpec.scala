@@ -160,5 +160,14 @@ class DownsampleOpSpec extends AnyFunSuite {
     val winter = graft.core.Intervals.zoneOffsets(
       "America/Denver", 1704412800L, 1706140800L)
     assert(winter === Seq(1704412800L -> -25200))
+    // plan-shape guard: the zone CASEs are pure projection arithmetic —
+    // the tz plan must carry EXACTLY the exchanges of the UTC plan
+    // (PLANS.md documents the identical shape; this pins it)
+    def exchanges(d: DownsampleSpec): Int =
+      "(?<!Broadcast)Exchange".r.findAllIn(
+        QueryEngine.downsample(df, d, dayStart, dayStart + 2 * 86400)
+          .queryExecution.executedPlan.toString).length
+    assert(exchanges(spec) === exchanges(DownsampleSpec("1d", "sum")),
+      "timezone bucketing must not introduce a shuffle")
   }
 }
