@@ -76,6 +76,14 @@ object Rollup {
     val rSec = Intervals.toSeconds(rollupInterval)
     !spec.runAll && spec.interval != "0all" &&
       spec.reportingInterval.isEmpty && !spec.infectiousNan &&
+      // timezone-aligned buckets start at local midnight, not at the
+      // stored composites' UTC-epoch boundaries — serving them from the
+      // rollup would silently re-bucket to UTC. Route to raw (always
+      // correct). Refinement left on the table: a zone whose offsets in
+      // range are all multiples of rollupInterval (whole hours vs a 1h
+      // rollup) COULD be served by shifting the serve-side bucketing;
+      // that needs the zone CASE inside serve(), not just this guard.
+      spec.timezone.isEmpty &&
       StoredAggs.contains(spec.agg) &&
       Intervals.toSeconds(spec.interval) % rSec == 0
   }

@@ -27,6 +27,10 @@ class RollupSpec extends AnyFunSuite {
     assert(Rollup.canServe(DownsampleSpec("2h", "avg"), "1h"))
     assert(!Rollup.canServe(DownsampleSpec("90m", "sum"), "1h"), "5400 % 3600 != 0")
     assert(!Rollup.canServe(DownsampleSpec("1d", "median"), "1h"), "median is not stored")
+    assert(!Rollup.canServe(
+      DownsampleSpec("1d", "sum", timezone = Some("America/Denver")), "1h"),
+      "tz-aligned buckets start at local midnight, not the stored UTC " +
+        "boundaries - must route to raw, never silently re-bucket to UTC")
     assert(!Rollup.canServe(DownsampleSpec("1d", "sum", runAll = true), "1h"))
     assert(!Rollup.canServe(DownsampleSpec("1d", "sum", infectiousNan = true), "1h"))
   }
