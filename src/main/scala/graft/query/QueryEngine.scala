@@ -477,6 +477,16 @@ object QueryEngine {
     q.fill.foreach { f =>
       val iv = q.downsample.map(_.interval).getOrElse(
         throw new IllegalArgumentException("fill requires a downsample interval"))
+      // denseFill enumerates an epoch-aligned [start, end) grid; a
+      // timezone'd downsample labels buckets at LOCAL midnights, which
+      // that grid would miss entirely (every real bucket would look
+      // absent and every grid slot empty). Reject the combo until the
+      // grid enumerates on the local clock and maps labels back
+      // through the zone segments — silent wrong-grid fill is worse
+      // than no fill.
+      require(q.downsample.forall(_.timezone.isEmpty),
+        "fill with a timezone-aligned downsample is not supported yet " +
+          "(the fill grid is epoch-aligned; tz buckets are local-midnight)")
       df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar, f.real)
     }
     df = q.groupBy.map(g =>

@@ -148,4 +148,14 @@ class DenseFillSpec extends AnyFunSuite {
       assert(e.getMessage.contains("downsample"), s"got: ${e.getMessage}")
     }
   }
+
+  test("fill rejects a timezone-aligned downsample: the epoch grid would miss every local bucket") {
+    import graft.filters.MatchAll
+    val df = Fixtures.series("m", Map("host" -> "a"), (0L, 1.0), (86400L, 2.0))
+    val q = TsdbQuery(MatchAll, 0, 2 * 86400,
+      downsample = Some(DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))),
+      fill = Some(FillSpec(policy = "zero")))
+    val e = intercept[IllegalArgumentException] { QueryEngine.run(df, q) }
+    assert(e.getMessage.contains("timezone"), s"got: ${e.getMessage}")
+  }
 }
