@@ -534,6 +534,14 @@ object QueryEngine {
           graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
             a.resolvedThreshold, a.resolvedMinHistory)
         case "olympic" =>
+          // the seasonal position is (bucket_ts DIV ivSec) % period,
+          // which assumes epoch-multiple bucket labels; tz labels sit at
+          // local midnights (and DST days space them 23/25 h), so two
+          // buckets could land in one seasonal slot — reject rather than
+          // misindex the baseline silently
+          require(q.downsample.forall(_.timezone.isEmpty),
+            "olympic anomaly with a timezone-aligned downsample is not " +
+              "supported (seasonal indexing assumes epoch-aligned buckets)")
           val ivSec = q.downsample.map(d => Intervals.toSeconds(d.interval)).get
           graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
             expr(s"(bucket_ts DIV $ivSec) % ${a.period}"),

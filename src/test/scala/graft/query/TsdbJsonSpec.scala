@@ -286,6 +286,18 @@ class TsdbJsonSpec extends AnyFunSuite {
       "downsample": {"interval": "1d", "aggregator": "count"},
       "anomaly": {"model": "olympic", "threshold": 0.7, "period": 3}}""").anomaly.get
     assert(ao.resolvedThreshold === 0.7 && ao.resolvedMinHistory === 2 && ao.period === 3)
+    // olympic seasonal indexing assumes epoch-aligned buckets: the
+    // tz-downsample combo is rejected at run(), not silently misindexed
+    val tzOly = TsdbJson.parseQuery("""{
+      "start": 1704412800, "end": 1706140800,
+      "downsample": {"interval": "1d", "aggregator": "count",
+                     "timezone": "America/Denver"},
+      "anomaly": {"model": "olympic"}}""")
+    val eTz = intercept[IllegalArgumentException] {
+      QueryEngine.run(graft.Fixtures.series("m", Map("h" -> "a"),
+        (1704412800L, 1.0)), tzOly)
+    }
+    assert(eTz.getMessage.contains("timezone"))
     intercept[IllegalArgumentException] {
       TsdbJson.parseQuery("""{"start": 1, "end": 2, "movingAverage": {}}""")
     }
