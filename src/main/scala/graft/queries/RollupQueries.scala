@@ -41,6 +41,13 @@ object RollupQueries {
     // raw scan; shares q_ds_dev's exact stddev_samp oracle, so moment
     // reconstruction error beyond round4 fails the hash
     "q_rollup_dev" -> ((s, d) => out(routed(s, d, DownsampleSpec("1d", "dev")), "dev_value")),
+    // TIMEZONE-aligned serving: Denver local-midnight daily sums from
+    // the stored 1h composites (legal — every Jan-2024 offset is a
+    // whole hour, Rollup.canServeTz). Shares q_ds_tz's oracle verbatim,
+    // so a serve-side bucketing that diverges from the raw zone
+    // expression by one row fails the hash.
+    "q_rollup_tz" -> ((s, d) => out(routed(s, d,
+      DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))), "sum_value")),
     // PERCENTILE served from the rollup pair (composite = presence,
     // stored 1/4 hash sample = order statistic): shares
     // q_ds_p95_sampled's oracle VERBATIM — the stored-sample route is
@@ -80,6 +87,7 @@ object RollupQueries {
     "q_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
     "q_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_rollup_p95_sampled" -> TsdbQueries.oracles("q_ds_p95_sampled"),
+    "q_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

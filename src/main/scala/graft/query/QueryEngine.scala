@@ -203,6 +203,33 @@ object QueryEngine {
   /** Downsample stage: per-series temporal aggregation into aligned
    *  interval buckets (bucket = ts - ts % interval, the reference's
    *  `segmentTime`-style floor, TimeseriesStorageContext.java:75-77). */
+  /** Timezone calendar-aligned bucket label for `tsCol`: flooring
+   *  happens on the LOCAL clock (ts + per-row offset), so a 23/25-hour
+   *  DST day stays ONE bucket; the label converts the local bucket back
+   *  to epoch with the offset in effect AT THE BUCKET'S LOCAL START —
+   *  using each row's own offset instead would split a transition day
+   *  into two epoch labels. Both offsets are literal CASEs over the
+   *  zone's DST segments in [start, end), resolved once on the driver
+   *  (Intervals.zoneOffsets): pure per-row arithmetic on executors, no
+   *  tz lookup in the hot path. Later transitions wrap earlier ones, so
+   *  the outermost matching `when` is the latest segment; an ambiguous
+   *  fall-back local midnight resolves to the post-transition offset
+   *  (the second wall-clock occurrence). Shared by the raw downsample
+   *  and the rollup serve path, so both bucket identically. */
+  def tzBucket(tsCol: Column, zone: String, iv: Long, start: Long, end: Long): Column = {
+    val segs = Intervals.zoneOffsets(zone, start, end)
+    val rowOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
+      case (acc, (t, o)) => when(tsCol >= lit(t), lit(o)).otherwise(acc)
+    }
+    val local = tsCol + rowOff
+    val localBucket = local - (local % lit(iv))
+    val labelOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
+      case (acc, (t, o)) =>
+        when(localBucket >= lit(t + o), lit(o)).otherwise(acc)
+    }
+    localBucket - labelOff
+  }
+
   def downsample(points: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
     // "0all" is the whole-range marker (reference :199-202) whether or not
     // the caller also set runAll — without this, `ts - ts % -1` would
@@ -214,31 +241,7 @@ object QueryEngine {
         val iv = Intervals.toSeconds(spec.interval)
         spec.timezone match {
           case None => col("ts") - (col("ts") % lit(iv))
-          case Some(zone) =>
-            // calendar alignment: flooring happens on the LOCAL clock
-            // (ts + per-row offset), so a 23/25-hour DST day stays ONE
-            // bucket; the label converts the local bucket back to epoch
-            // with the offset in effect AT THE BUCKET'S LOCAL START —
-            // using each row's own offset instead would split a
-            // transition day into two epoch labels. Both offsets are
-            // literal CASEs over the zone's DST segments in [start, end),
-            // resolved once on the driver (Intervals.zoneOffsets): pure
-            // per-row arithmetic on executors, no tz lookup in the hot
-            // path. Later transitions wrap earlier ones, so the
-            // outermost matching `when` is the latest segment; an
-            // ambiguous fall-back local midnight resolves to the
-            // post-transition offset (the second wall-clock occurrence).
-            val segs = Intervals.zoneOffsets(zone, start, end)
-            val rowOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
-              case (acc, (t, o)) => when(col("ts") >= lit(t), lit(o)).otherwise(acc)
-            }
-            val local = col("ts") + rowOff
-            val localBucket = local - (local % lit(iv))
-            val labelOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
-              case (acc, (t, o)) =>
-                when(localBucket >= lit(t + o), lit(o)).otherwise(acc)
-            }
-            localBucket - labelOff
+          case Some(zone) => tzBucket(col("ts"), zone, iv, start, end)
         }
       }
     val intervalSec = if (runAll) end - start else Intervals.toSeconds(spec.interval)

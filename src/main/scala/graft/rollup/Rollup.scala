@@ -76,16 +76,35 @@ object Rollup {
     val rSec = Intervals.toSeconds(rollupInterval)
     !spec.runAll && spec.interval != "0all" &&
       spec.reportingInterval.isEmpty && !spec.infectiousNan &&
-      // timezone-aligned buckets start at local midnight, not at the
-      // stored composites' UTC-epoch boundaries — serving them from the
-      // rollup would silently re-bucket to UTC. Route to raw (always
-      // correct). Refinement left on the table: a zone whose offsets in
-      // range are all multiples of rollupInterval (whole hours vs a 1h
-      // rollup) COULD be served by shifting the serve-side bucketing;
-      // that needs the zone CASE inside serve(), not just this guard.
+      // timezone'd specs route through the range-aware [[canServeTz]]
+      // (serving needs every zone offset and transition in range on a
+      // rollup boundary — not knowable from the spec alone)
       spec.timezone.isEmpty &&
       StoredAggs.contains(spec.agg) &&
       Intervals.toSeconds(spec.interval) % rSec == 0
+  }
+
+  /** Range-aware serving test for TIMEZONE-aligned downsamples: legal
+   *  when the spec is otherwise servable AND, over [start, end), every
+   *  zone offset is a multiple of the rollup interval (whole hours vs a
+   *  1h rollup — Denver −7h/−6h yes, Kolkata +5:30 no; +5:30 against a
+   *  30m rollup yes) AND every DST transition instant lands on a rollup
+   *  boundary. Together these guarantee each stored composite row lies
+   *  wholly inside one local query bucket on one offset segment, so the
+   *  serve-side zone bucketing ([[serve]]) reproduces the raw path's
+   *  per-point bucketing exactly. Query start/end must also sit on
+   *  rollup boundaries, so partial edge buckets clip identically on
+   *  both paths. */
+  def canServeTz(spec: DownsampleSpec, rollupInterval: String,
+      start: Long, end: Long): Boolean = {
+    val rSec = Intervals.toSeconds(rollupInterval)
+    spec.timezone.isDefined &&
+      canServe(spec.copy(timezone = None), rollupInterval) &&
+      start % rSec == 0 && end % rSec == 0 && {
+        val segs = Intervals.zoneOffsets(spec.timezone.get, start, end)
+        segs.forall { case (_, off) => Math.floorMod(off.toLong, rSec) == 0L } &&
+          segs.tail.forall { case (t, _) => t % rSec == 0 }
+      }
   }
 
   /** Stored-SAMPLE companion to the composite rollup: the deterministic
@@ -137,10 +156,19 @@ object Rollup {
         col("__bucket").as("bucket_ts"), col("__p").as("value"))
   }
 
-  /** Second-stage aggregation: rollup rows → query buckets. */
+  /** Second-stage aggregation: rollup rows → query buckets. With a
+   *  timezone'd spec (legal only under [[canServeTz]]), the query
+   *  bucket is the SAME zone expression the raw path uses, applied to
+   *  the rollup row's bucket_ts — legality guarantees every rollup row
+   *  lies wholly inside one local bucket and on one offset segment, so
+   *  row-start labeling equals point-level labeling. */
   def serve(rollup: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
     val iv = Intervals.toSeconds(spec.interval)
-    val bucket = (col("bucket_ts") - col("bucket_ts") % lit(iv)).as("__bucket")
+    val bucket = (spec.timezone match {
+      case Some(zone) =>
+        graft.query.QueryEngine.tzBucket(col("bucket_ts"), zone, iv, start, end)
+      case None => col("bucket_ts") - col("bucket_ts") % lit(iv)
+    }).as("__bucket")
     val agg: Column = spec.agg match {
       case "sum" | "zimsum" => sum(col("sum"))
       case "count" => sum(col("cnt")).cast("double")
@@ -208,6 +236,14 @@ object Rollup {
       QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
     }
     val qSec = Intervals.toSeconds(spec.interval)
+    // A timezone'd downsample serves from the rollup only in the FULL-
+    // serve case (no open tail) and only when the range passes the
+    // offset/transition boundary test — the hybrid frontier split on a
+    // local-midnight grid is future work, and raw is always correct.
+    if (spec.timezone.isDefined)
+      return if (canServeTz(spec, rollupInterval, start, end) && rollupUntil >= end)
+        serve(rollup, spec, start, end)
+      else raw(start)
     // An interval-unaligned start cannot be served from the rollup at all:
     // the epoch-aligned first rollup bucket would mix pre-start points
     // into the partial first query bucket (the raw path clips by ts range;

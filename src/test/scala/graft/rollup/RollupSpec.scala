@@ -35,6 +35,58 @@ class RollupSpec extends AnyFunSuite {
     assert(!Rollup.canServe(DownsampleSpec("1d", "sum", infectiousNan = true), "1h"))
   }
 
+  test("canServeTz: zone offsets and transitions must land on rollup boundaries") {
+    val denver = DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))
+    val kolkata = DownsampleSpec("1d", "sum", timezone = Some("Asia/Kolkata"))
+    // Jan 2024, no transitions: Denver -7h on a 1h rollup serves
+    assert(Rollup.canServeTz(denver, "1h", 1704412800L, 1706140800L))
+    // +5:30 is not a whole hour: a 1h rollup row straddles Kolkata's
+    // local midnight; a 30m rollup's rows do not
+    assert(!Rollup.canServeTz(kolkata, "1h", 1704412800L, 1706140800L))
+    assert(Rollup.canServeTz(kolkata, "30m", 1704412800L, 1706140800L))
+    // the 2024 US spring-forward transition (1710061200) is a whole
+    // hour — still servable across it
+    assert(Rollup.canServeTz(denver, "1h", 1710028800L, 1710288000L))
+    // unaligned query edges clip differently on the two paths: reject
+    assert(!Rollup.canServeTz(denver, "1h", 1704412800L + 60, 1706140800L))
+    // a tz-free spec is not this path's business
+    assert(!Rollup.canServeTz(DownsampleSpec("1d", "sum"), "1h",
+      1704412800L, 1706140800L))
+  }
+
+  test("tz rollup serving equals the raw tz downsample across a DST transition") {
+    // points across the 23h spring-forward Denver day + the next day
+    val dayStart = 1710054000L // Mar 10 2024 00:00 MST
+    val p = Fixtures.series("m", tagset,
+      (dayStart, 1.0), // local midnight
+      (1710061199L, 2.0), // 01:59:59 MST, last pre-transition second
+      (1710061200L, 4.0), // 03:00:00 MDT, the skipped-hour boundary
+      (1710136799L, 8.0), // 23:59:59 MDT, last second of the 23h day
+      (1710136800L, 16.0)) // next local midnight
+    val spec = DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))
+    val (start, end) = (dayStart, dayStart + 2 * 86400)
+    val raw = graft.query.QueryEngine.downsample(p, spec, start, end)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val served = Rollup.serve(Rollup.build(p, "1h"), spec, start, end)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(raw === Map(dayStart -> 15.0, 1710136800L -> 16.0))
+    assert(served === raw,
+      "stored hourly composites re-bucketed on the zone expression must " +
+        "reproduce the per-point local-midnight grouping exactly")
+    // and the routed path picks the rollup here (full-serve, legal range)
+    val routed = Rollup.downsampleRouted(
+      p.withColumn("segment_start",
+        org.apache.spark.sql.functions.col("ts") -
+          org.apache.spark.sql.functions.col("ts") %
+            graft.core.TsdbSchema.SegmentSeconds),
+      Rollup.build(p, "1h"), "1h", spec, start, end)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(routed === raw)
+  }
+
   test("served results equal the direct computation") {
     val rollup = Rollup.build(pts, "1h")
     for (agg <- Seq("sum", "count", "min", "max", "avg", "last")) {
@@ -115,6 +167,17 @@ class RollupSpec extends AnyFunSuite {
     val fallback = Rollup.downsampleRouted(pts, rollup, "1h", DownsampleSpec("90m", "sum"), 0, 86400)
     assert(!fallback.queryExecution.executedPlan.toString.contains("rollup_1h"),
       "non-divisible interval must route to raw points")
+
+    // tz serving reaches the rollup scan when the range is legal...
+    val tzSpec = DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))
+    val tzServed = Rollup.downsampleRouted(pts, rollup, "1h", tzSpec, 0, 86400)
+    assert(tzServed.queryExecution.executedPlan.toString.contains("rollup_1h"),
+      "whole-hour-offset zone over an aligned range must serve from the rollup")
+    // ...and falls back to raw for a fractional-hour zone
+    val tzRaw = Rollup.downsampleRouted(pts, rollup, "1h",
+      tzSpec.copy(timezone = Some("Asia/Kolkata")), 0, 86400)
+    assert(!tzRaw.queryExecution.executedPlan.toString.contains("rollup_1h"),
+      "+5:30 against a 1h rollup must route to raw")
   }
 
   test("rollup output conforms to the declared schema; interval vocabulary enforced") {
