@@ -136,7 +136,12 @@ object EventsEngine {
    *  carrying the field (absent/non-numeric extract to NULL and drop out
    *  of sum/max), so sparse payloads aggregate honestly. Integer sums
    *  stay exact at any scale. */
-  def attributeStats(docs: DataFrame, q: EventsQuery, field: String): DataFrame =
+  def attributeStats(docs: DataFrame, q: EventsQuery, field: String): DataFrame = {
+    // the field name splices into the JSON-path string: a metacharacter
+    // (dot/bracket/quote) would silently extract nothing and report
+    // with_field=0 — reject it loudly instead
+    require(field.matches("^[A-Za-z0-9_]+$"),
+      s"attribute field must be a simple identifier ([A-Za-z0-9_]+): '$field'")
     search(docs, q)
       .withColumn("__a", get_json_object(col("message"), "$." + field).cast("long"))
       .groupBy(col("namespace"), (col("start_ts") - col("start_ts") % 86400).as("day"))
@@ -144,6 +149,7 @@ object EventsEngine {
         count(col("__a")).as("with_field"),
         sum(col("__a")).as("field_sum"),
         max(col("__a")).as("field_max"))
+  }
 
   /** Events downsample (A17): per-minute hit counts — the reference
    *  groups on the index-time `timestampMinute` field

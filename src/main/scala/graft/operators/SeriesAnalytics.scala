@@ -54,8 +54,11 @@ object SeriesAnalytics {
       // trailing N buckets" works wherever "avg" does. The aggregate
       // runs per window frame over ≤ `buckets` ALREADY-AGGREGATED
       // values — bounded work per output row at any fact size.
+      // bucket_ts is the time axis at this stage, so ts-consuming
+      // registered aggregators (last/first, the hash-sampled family)
+      // order/sample by the real bucket labels, not a constant.
       case other if graft.query.Aggregators.isRegistered(other) =>
-        graft.query.Aggregators.resolve(other)(col("value"), lit(0L), 0L, None).over(w)
+        graft.query.Aggregators.resolve(other)(col("value"), col("bucket_ts"), 0L, None).over(w)
       case other => throw new IllegalArgumentException(s"unknown sliding agg: $other")
     }
     ds.withColumn("value", f)

@@ -366,11 +366,16 @@ object Dedup {
       .withColumn("exact",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
     val t = lit(threshold)
+    // a collision-free corpus has ZERO candidate pairs; sum/avg over no
+    // rows are SQL-null, so the confusion counts coalesce to 0 (the
+    // well-defined empty confusion matrix) while mean_abs_err stays
+    // null EXPLICITLY — there is no error to average, and 0.0 would
+    // read as "perfect estimator" rather than "no evidence"
     val out = Iterate.truncate(pairs.agg(
-      sum(when(col("est") >= t && col("exact") >= t, 1L).otherwise(0L)).as("tp"),
-      sum(when(col("est") >= t && col("exact") < t, 1L).otherwise(0L)).as("fp"),
-      sum(when(col("est") < t && col("exact") >= t, 1L).otherwise(0L)).as("fn"),
-      sum(when(col("est") < t && col("exact") < t, 1L).otherwise(0L)).as("tn"),
+      coalesce(sum(when(col("est") >= t && col("exact") >= t, 1L).otherwise(0L)), lit(0L)).as("tp"),
+      coalesce(sum(when(col("est") >= t && col("exact") < t, 1L).otherwise(0L)), lit(0L)).as("fp"),
+      coalesce(sum(when(col("est") < t && col("exact") >= t, 1L).otherwise(0L)), lit(0L)).as("fn"),
+      coalesce(sum(when(col("est") < t && col("exact") < t, 1L).otherwise(0L)), lit(0L)).as("tn"),
       round(avg(round(abs(col("est") - col("exact")), 4)), 4).as("mean_abs_err")))
     expl.unpersist(); sigs.unpersist(); cand.unpersist()
     out

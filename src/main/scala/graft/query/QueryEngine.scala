@@ -333,6 +333,14 @@ object QueryEngine {
       fill: String = "nan", fillScalar: Double = 0.0,
       realFill: Option[String] = None): DataFrame = {
     require(interval != "0all", "dense fill needs a finite interval")
+    // the one-pass grid build keys a map by (bucket_ts) per series and
+    // DEPENDS on the session's EXCEPTION dedup policy to fail fast on a
+    // duplicate key (the downsample contract); under LAST_WIN a
+    // duplicate would silently keep an arbitrary value instead
+    require(ds.sparkSession.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+      == "EXCEPTION",
+      "denseFill requires spark.sql.mapKeyDedupPolicy=EXCEPTION " +
+        "(the duplicate-bucket fail-fast contract)")
     val iv = Intervals.toSeconds(interval)
     val alignedStart = start - start % iv
     val filler: Column = fill match {

@@ -150,5 +150,10 @@ class EventsEngineSpec extends AnyFunSuite {
     assert(out("alert") === ((3L, 2L, Some(42L), Some(35L))))
     // deploy: field absent everywhere → NULL aggregates, honest zero coverage
     assert(out("deploy") === ((1L, 0L, None, None)))
+    // JSON-path metacharacters would silently extract nothing — rejected
+    for (bad <- Seq("a.b", "a[0]", "a'b", "", "a b"))
+      intercept[IllegalArgumentException] {
+        EventsEngine.attributeStats(d, EventsQuery(0, 1000), bad)
+      }
   }
 }

@@ -57,6 +57,17 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding registry aggregators receive bucket_ts as the time axis (not a constant)") {
+    // "first" resolves through the registry as min_by(value, ts): with
+    // bucket_ts as ts, a trailing-3 frame over a's 1,2,3,4 yields the
+    // frame's EARLIEST value 1,1,1,2 — a constant ts column would make
+    // every min_by pick arbitrary
+    val out = SeriesAnalytics.sliding(agg, Seq(col("series")), 3, "first")
+      .filter(col("series") === "a").select("bucket_ts", "value")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === Seq((10L, 1.0), (20L, 1.0), (30L, 1.0), (40L, 2.0)))
+  }
+
   test("topN keeps the n best series' FULL bucket rows + their total; bottom-n via top=false") {
     val top1 = SeriesAnalytics.topN(agg, Seq("series"), 1)
     assert(top1.select("series").distinct().as[String].collect().toSeq === Seq("b"))

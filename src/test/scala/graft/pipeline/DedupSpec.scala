@@ -342,6 +342,18 @@ class DedupSpec extends AnyFunSuite {
       BigDecimal(mae).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("minhashEval: collision-free corpus reports the zero confusion matrix, not nulls") {
+    // no shingle overlap at all → zero band collisions → zero candidate
+    // pairs; the one-row report must still be well-defined
+    val d = docsOf(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      2L -> "one two three four five six seven eight nine ten eleven twelve")
+    val eval = Dedup.minhashEval(d, 0.5).collect().head
+    for (c <- Seq("tp", "fp", "fn", "tn")) assert(eval.getAs[Long](c) === 0L)
+    // no pairs → no error to average: explicitly null, never 0.0
+    assert(eval.isNullAt(eval.fieldIndex("mean_abs_err")))
+  }
+
   test("nearDuplicatesAgainstReference: cross-set pairs only, estimates match the union pipeline") {
     val a = base + " one"
     val aVar = base + " two"            // near-dup of a (one token differs)
