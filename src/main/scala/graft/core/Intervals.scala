@@ -61,6 +61,40 @@ object Intervals {
    *  the literal CASE the query compiler folds these into — a query
    *  range crosses at most a handful of DST transitions, so the
    *  expression stays O(1) per row at any fact size. */
+  /** The complete set of epoch bucket LABELS a timezone calendar-aligned
+   *  downsample ([[graft.query.QueryEngine.tzBucket]]) can emit over
+   *  [start, end): for each offset segment, the local-clock buckets its
+   *  epoch span touches, each mapped back to epoch with the offset in
+   *  effect at the bucket's LOCAL start (the tzBucket label rule; an
+   *  ambiguous fall-back bucket resolves to the post-transition offset).
+   *  Enumerating per segment — not one blind local sweep — keeps
+   *  spring-forward phantom buckets (local times that never exist on the
+   *  timeline) out of the grid, and the fall-back repeated hour dedupes
+   *  to its single shared label. Driver-side, O(range/interval +
+   *  transitions) — the same cardinality the dense grid materializes
+   *  anyway, never a function of fact size. */
+  def tzGridLabels(zone: String, iv: Long, start: Long, end: Long): Seq[Long] = {
+    require(iv > 0, s"tz grid needs a positive finite interval, got $iv")
+    val segs = zoneOffsets(zone, start, end)
+    // the latest segment whose (transition + its offset) the local bucket
+    // has reached — the identical fold tzBucket compiles to a literal CASE
+    def labelOff(lb: Long): Long = segs.foldLeft(segs.head._2.toLong) {
+      case (acc, (t, o)) => if (lb >= t + o) o.toLong else acc
+    }
+    val segEnds = segs.drop(1).map(_._1) :+ end
+    val labels = scala.collection.mutable.SortedSet.empty[Long]
+    segs.zip(segEnds).foreach { case ((segStart, off), segEnd) =>
+      val localLo = segStart + off
+      val localHi = segEnd + off // exclusive
+      var lb = localLo - Math.floorMod(localLo, iv)
+      while (lb < localHi) {
+        labels += lb - labelOff(lb)
+        lb += iv
+      }
+    }
+    labels.toList
+  }
+
   def zoneOffsets(zone: String, start: Long, end: Long): Seq[(Long, Int)] = {
     val rules = java.time.ZoneId.of(zone).getRules
     val buf = scala.collection.mutable.ListBuffer[(Long, Int)](

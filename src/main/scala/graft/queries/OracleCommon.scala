@@ -22,6 +22,11 @@ object OracleCommon {
   /** Full data range [2024-01-01, 2024-02-01) — used by shift queries. */
   val DataStart: Long = 1704067200L
 
+  /** Extended end for the timezone fill queries: 2024-03-15 00:00 UTC —
+   *  past the 2024-03-10 US spring-forward, so the zone-aware fill grid
+   *  must walk a DST transition (data itself stops Feb 1). */
+  val TzFillEnd: Long = 1710460800L
+
   /** events → points mapping + last-write-wins dedupe, as DuckDB CTEs.
    *  Must stay in lock-step with [[graft.sources.TsdbViews.points]]. */
   val pointsCtes: String =

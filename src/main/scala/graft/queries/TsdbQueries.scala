@@ -307,6 +307,38 @@ object TsdbQueries {
           round(col("value"), 6).as("sum_lerp"))
     },
 
+    // FILL × TIMEZONE (round 11 — the upstream DownsampleConfig keeps
+    // timezone and fill policy as sibling fields, so they must compose):
+    // Denver local-midnight daily buckets on a range extended across the
+    // 2024 SPRING-FORWARD, prefer_previous fill. Data stops Feb 1, so
+    // every later grid slot carries the previous real value forward —
+    // meaning the fill GRID LABELS are what's under test: they must
+    // follow the zone segments (07:00 UTC labels in winter, 06:00 after
+    // Mar 10, the 23h day one slot) or rows hash-mismatch. The oracle
+    // restates the two-segment label walk with literal offsets.
+    "q_ds_fill_tz" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, Start, TzFillEnd,
+        downsample = Some(DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))),
+        fill = Some(FillSpec(policy = "null", real = Some("prefer_previous"))))
+      run(s, d, q)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
+    // the same composition arriving as client JSON — timezone and fill
+    // are sibling downsample/fill fields in one document; shares
+    // q_ds_fill_tz's oracle verbatim
+    "q_json_fill_tz" -> { (s, d) =>
+      val json = s"""{
+        "start": $Start, "end": $TzFillEnd,
+        "downsample": {"interval": "1d", "aggregator": "sum", "timezone": "America/Denver"},
+        "fill": {"policy": "null", "real": "prefer_previous"}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // PREFER_PREVIOUS through the full run() pipeline: previous real
     // value, else next, else the constant policy (NULL here). Rounding
     // commutes with the copy (no arithmetic on the filled value), so
@@ -1349,6 +1381,36 @@ object TsdbQueries {
                "ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))")} AS sum_value
          |FROM grid""".stripMargin,
 
+    // zone-aware fill grid, restated with literal offsets: the label
+    // walk runs on the LOCAL clock (uniform 86400 steps) and each local
+    // day maps back to epoch with the offset at its own local start —
+    // +25200 (MST) until the local walk reaches the transition's local
+    // landing point 1710039600 (= 2024-03-10 09:00 UTC − 6h), +21600
+    // (MDT) after. All data is in the MST segment, so the agg bucket is
+    // q_ds_tz's single-segment arithmetic; the grid is two-segment.
+    "q_ds_fill_tz" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user,
+         |         (ts - 25200) - (ts - 25200) % 86400 + 25200 AS bucket_ts,
+         |         sum(value) AS v
+         |  FROM dedup WHERE ts >= $Start AND ts < $TzFillEnd GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (
+         |  SELECT lb + CASE WHEN lb >= 1710039600 THEN 21600 ELSE 25200 END AS bucket_ts
+         |  FROM (SELECT unnest(range(1704326400, 1710439200, 86400)) AS lb) t),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts)
+         |SELECT metric, tag_user, bucket_ts, ${rnd(
+             "COALESCE(v, last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+               "first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))")} AS sum_value
+         |FROM grid""".stripMargin,
+
     // interpolated spatial aggregation: per-series lerp grid (edges
     // ZERO), then the cross-series sum — v rounds at 4 entering the
     // fill and interpolated cells at 6, replaying the Spark stages
@@ -1898,6 +1960,7 @@ object TsdbQueries {
     "q_json_summarizer" -> oraclesBase("q_summarizer"),
     "q_json_dense_fill" -> oraclesBase("q_ds_dense"),
     "q_json_fill_real" -> oraclesBase("q_ds_fill_prefer"),
+    "q_json_fill_tz" -> oraclesBase("q_ds_fill_tz"),
     "q_json_ewma" -> oraclesBase("q_ds_ewma"),
     "q_json_movavg_simple" -> oraclesBase("q_ds_movavg_simple"),
     "q_json_timediff" -> oraclesBase("q_ds_timediff"),

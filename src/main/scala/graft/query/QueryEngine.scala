@@ -331,7 +331,8 @@ object QueryEngine {
    *  series count exactly like the grid itself. */
   def denseFill(ds: DataFrame, interval: String, start: Long, end: Long,
       fill: String = "nan", fillScalar: Double = 0.0,
-      realFill: Option[String] = None): DataFrame = {
+      realFill: Option[String] = None,
+      timezone: Option[String] = None): DataFrame = {
     require(interval != "0all", "dense fill needs a finite interval")
     // the one-pass grid build keys a map by (bucket_ts) per series and
     // DEPENDS on the session's EXCEPTION dedup policy to fail fast on a
@@ -362,7 +363,16 @@ object QueryEngine {
     // ~13 GB sort spill (ScaleAttr stage table), for identical output.
     // The JSON string as the grouping key keeps this a HashAggregate
     // (maps can't be grouping keys).
-    val seq0 = sequence(lit(alignedStart), lit(end - 1), lit(iv))
+    // with a timezone the grid is NOT an epoch arithmetic sequence: DST
+    // days are 23/25 local hours, so the label set is enumerated once on
+    // the driver from the same zone segments tzBucket compiles against
+    // (Intervals.tzGridLabels) and ships as one literal array —
+    // O(|buckets|) driver work and literal size, independent of fact
+    // scale, exactly like the epoch `sequence` it replaces
+    val seq0 = timezone match {
+      case None => sequence(lit(alignedStart), lit(end - 1), lit(iv))
+      case Some(zone) => typedLit(Intervals.tzGridLabels(zone, iv, start, end))
+    }
     val grid = ds
       .groupBy(col("series_id"), col("metric"), to_json(col("tags")).as("__tj"))
       .agg(map_from_entries(collect_list(struct(col("bucket_ts"), col("value"))))
@@ -488,17 +498,11 @@ object QueryEngine {
     q.fill.foreach { f =>
       val iv = q.downsample.map(_.interval).getOrElse(
         throw new IllegalArgumentException("fill requires a downsample interval"))
-      // denseFill enumerates an epoch-aligned [start, end) grid; a
-      // timezone'd downsample labels buckets at LOCAL midnights, which
-      // that grid would miss entirely (every real bucket would look
-      // absent and every grid slot empty). Reject the combo until the
-      // grid enumerates on the local clock and maps labels back
-      // through the zone segments — silent wrong-grid fill is worse
-      // than no fill.
-      require(q.downsample.forall(_.timezone.isEmpty),
-        "fill with a timezone-aligned downsample is not supported yet " +
-          "(the fill grid is epoch-aligned; tz buckets are local-midnight)")
-      df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar, f.real)
+      // a timezone'd downsample labels buckets at local midnights (23/25h
+      // DST days included); denseFill's grid follows by enumerating the
+      // SAME zone-segment label set instead of an epoch sequence
+      df = denseFill(df, iv, q.start, q.end, f.policy, f.scalar, f.real,
+        q.downsample.flatMap(_.timezone))
     }
     df = q.groupBy.map(g =>
       groupBySpatial(df, g, keepMetric = q.bucketQuantile.isDefined)).getOrElse(df)

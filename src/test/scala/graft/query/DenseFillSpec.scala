@@ -149,13 +149,50 @@ class DenseFillSpec extends AnyFunSuite {
     }
   }
 
-  test("fill rejects a timezone-aligned downsample: the epoch grid would miss every local bucket") {
+  test("tz grid labels: 23h spring-forward day is ONE slot; phantom skipped hour absent; " +
+      "25h fall-back repeated hour dedupes to its shared label") {
+    import graft.core.Intervals
+    // US spring-forward 2024 (DownsampleOpSpec's fixture): Denver local
+    // midnights Mar 10/11/12 sit at 07:00, 06:00, 06:00 UTC — the 23h
+    // day is exactly one daily slot, never two
+    val mar10 = 1710054000L
+    assert(Intervals.tzGridLabels("America/Denver", 86400, mar10, mar10 + 3 * 86400 - 3600)
+      === Seq(1710054000L, 1710136800L, 1710223200L))
+    // hourly across the transition: local 02:00 never exists on the
+    // timeline, so the grid walks 00,01 MST then 03,04 MDT — four slots
+    // for four real hours, no phantom 02:00 slot
+    assert(Intervals.tzGridLabels("America/Denver", 3600, mar10, mar10 + 4 * 3600)
+      === Seq(1710054000L, 1710057600L, 1710061200L, 1710064800L))
+    // fall-back 2024 (Nov 3): 25 epoch hours, but the repeated 01:00
+    // local hour shares ONE label (the post-transition offset — the
+    // tzBucket ambiguity rule), so the local day holds 24 hourly slots
+    val nov3 = 1730613600L
+    val fb = Intervals.tzGridLabels("America/Denver", 3600, nov3, nov3 + 25 * 3600)
+    assert(fb.length === 24 && fb.head === nov3 && fb.contains(1730620800L))
+    // and the grid is EXACTLY the label set tzBucket emits when every
+    // epoch hour carries a point — the grid/downsample contract
+    val pts = Fixtures.series("m", tagset,
+      (0 until 25).map(h => (nov3 + h * 3600L, 1.0)): _*)
+    val spec = DownsampleSpec("1h", "sum", timezone = Some("America/Denver"))
+    val emitted = QueryEngine.downsample(pts, spec, nov3, nov3 + 25 * 3600)
+      .select("bucket_ts").collect().map(_.getLong(0)).toSet
+    assert(emitted === fb.toSet)
+  }
+
+  test("fill composes with a timezone-aligned downsample: zone-aware grid through run()") {
     import graft.filters.MatchAll
-    val df = Fixtures.series("m", Map("host" -> "a"), (0L, 1.0), (86400L, 2.0))
-    val q = TsdbQuery(MatchAll, 0, 2 * 86400,
+    // points on the Mar-10 (23h) and Mar-12 local days; Mar-11 is absent
+    // and must zero-fill AT ITS LOCAL-MIDNIGHT LABEL (06:00 UTC) — an
+    // epoch-aligned grid would both miss every real bucket and invent
+    // 00:00-UTC slots
+    val df = Fixtures.series("m", Map("host" -> "a"),
+      (1710054000L, 1.0), (1710061200L, 2.0), (1710223200L, 4.0))
+    val q = TsdbQuery(MatchAll, 1710054000L, 1710054000L + 3 * 86400 - 3600,
       downsample = Some(DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))),
       fill = Some(FillSpec(policy = "zero")))
-    val e = intercept[IllegalArgumentException] { QueryEngine.run(df, q) }
-    assert(e.getMessage.contains("timezone"), s"got: ${e.getMessage}")
+    val got = QueryEngine.run(df, q)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(1710054000L -> 3.0, 1710136800L -> 0.0, 1710223200L -> 4.0))
   }
 }
