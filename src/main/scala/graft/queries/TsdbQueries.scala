@@ -1036,6 +1036,28 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
     },
 
+    // OLYMPIC × TIMEZONE (round 11 — the second half of the tz
+    // composition gap): Denver local-day counts with weekly seasonal
+    // indexing on the LOCAL clock. The full run() pipeline — tz
+    // downsample → group-by → olympic node with the local seasonal
+    // position (label + offset-at-label recovers the local day number).
+    // January is one MST segment, so the oracle restates the constant
+    // −25200 arithmetic in both the bucket and the position; regrouped
+    // buckets AND a shifted seasonal slot each fail the hash.
+    "q_anomaly_olympic_tz" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val json = s"""{
+        "start": $DataStart, "end": $fullEnd,
+        "downsample": {"interval": "1d", "aggregator": "count",
+                       "timezone": "America/Denver"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "anomaly": {"model": "olympic", "period": 7}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
+    },
+
     // The anomaly node family from client JSON documents — each twin
     // shares its direct query's oracle verbatim, so parser or node-order
     // divergence surfaces as a hash mismatch.
@@ -1971,5 +1993,37 @@ object TsdbQueries {
     "q_json_bucket_quantile" -> oraclesBase("q_bucket_quantile"),
     "q_json_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
     "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),
-    "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"))
+    "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"),
+
+    // olympic over Denver local-day buckets: tz bucket arithmetic from
+    // q_ds_tz + the LOCAL day number ((bucket_ts − 25200) // 86400) as
+    // the weekly seasonal position; window/arithmetic mirror
+    // q_anomaly_olympic exactly
+    "q_anomaly_olympic_tz" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user,
+         |         (ts - 25200) - (ts - 25200) % 86400 + 25200 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < ${DataStart + 31L * 86400}
+         |  GROUP BY 1, 2),
+         |h AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         count(v) OVER win AS n, sum(v) OVER win AS s,
+         |         min(v) OVER win AS mn, max(v) OVER win AS mx
+         |  FROM (SELECT *, ((bucket_ts - 25200) // 86400) % 7 AS pos FROM ds)
+         |  WINDOW win AS (PARTITION BY tag_user, pos ORDER BY bucket_ts
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         |base AS (
+         |  SELECT tag_user, bucket_ts, v,
+         |         CASE WHEN n >= 4 THEN ${rnd("(s - mn - mx) / (n - 2)")}
+         |              WHEN n >= 2 THEN ${rnd("s / n")} END AS baseline
+         |  FROM h),
+         |dev AS (
+         |  SELECT tag_user, bucket_ts, v, baseline,
+         |         CASE WHEN baseline > 0 THEN ${rnd("abs(v - baseline) / baseline")} END AS deviation
+         |  FROM base)
+         |SELECT tag_user, bucket_ts, v AS cnt, baseline, deviation,
+         |       COALESCE(deviation >= 0.5, false) AS anomaly
+         |FROM dev""".stripMargin)
 }

@@ -216,12 +216,24 @@ object QueryEngine {
    *  fall-back local midnight resolves to the post-transition offset
    *  (the second wall-clock occurrence). Shared by the raw downsample
    *  and the rollup serve path, so both bucket identically. */
-  def tzBucket(tsCol: Column, zone: String, iv: Long, start: Long, end: Long): Column = {
+  /** UTC offset of `zone` in effect at the epoch instant `tsCol` — the
+   *  per-row offset fold of [[tzBucket]], exposed for consumers that must
+   *  reconstruct the LOCAL clock from an epoch value. In particular, a
+   *  tz bucket LABEL is the epoch instant of its own local start, so
+   *  `label + tzOffsetAt(label)` recovers the local bucket start exactly
+   *  (incl. the ambiguous fall-back bucket, whose label resolves to the
+   *  post-transition offset by construction). Literal CASE chain, same
+   *  driver-resolved segments as the bucketing itself. */
+  def tzOffsetAt(tsCol: Column, zone: String, start: Long, end: Long): Column = {
     val segs = Intervals.zoneOffsets(zone, start, end)
-    val rowOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
+    segs.tail.foldLeft(lit(segs.head._2): Column) {
       case (acc, (t, o)) => when(tsCol >= lit(t), lit(o)).otherwise(acc)
     }
-    val local = tsCol + rowOff
+  }
+
+  def tzBucket(tsCol: Column, zone: String, iv: Long, start: Long, end: Long): Column = {
+    val segs = Intervals.zoneOffsets(zone, start, end)
+    val local = tsCol + tzOffsetAt(tsCol, zone, start, end)
     val localBucket = local - (local % lit(iv))
     val labelOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
       case (acc, (t, o)) =>
@@ -549,18 +561,25 @@ object QueryEngine {
           graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
             a.resolvedThreshold, a.resolvedMinHistory)
         case "olympic" =>
-          // the seasonal position is (bucket_ts DIV ivSec) % period,
-          // which assumes epoch-multiple bucket labels; tz labels sit at
-          // local midnights (and DST days space them 23/25 h), so two
-          // buckets could land in one seasonal slot — reject rather than
-          // misindex the baseline silently
-          require(q.downsample.forall(_.timezone.isEmpty),
-            "olympic anomaly with a timezone-aligned downsample is not " +
-              "supported (seasonal indexing assumes epoch-aligned buckets)")
           val ivSec = q.downsample.map(d => Intervals.toSeconds(d.interval)).get
+          // the seasonal position indexes buckets on the clock the
+          // buckets were CUT on: epoch buckets by (bucket_ts DIV iv),
+          // tz buckets on the LOCAL clock — the label is the epoch
+          // instant of its own local start, so label + offset-at-label
+          // recovers the local bucket start exactly, and a post-DST
+          // hourly bucket keeps its local hour-of-day slot (a raw epoch
+          // index would shift every slot by the transition delta)
+          val pos = q.downsample.flatMap(_.timezone) match {
+            case None => expr(s"(bucket_ts DIV $ivSec) % ${a.period}")
+            case Some(zone) =>
+              val localBucket = col("bucket_ts") +
+                tzOffsetAt(col("bucket_ts"), zone, q.start, q.end).cast("long")
+              // local bucket starts are exact iv-multiples on the local
+              // clock, so the division is exact
+              (localBucket / lit(ivSec)).cast("long") % lit(a.period)
+          }
           graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
-            expr(s"(bucket_ts DIV $ivSec) % ${a.period}"),
-            a.resolvedThreshold, a.resolvedMinHistory)
+            pos, a.resolvedThreshold, a.resolvedMinHistory)
         case other => throw new IllegalArgumentException(s"unknown anomaly model: $other")
       }
     }.getOrElse(df)

@@ -286,18 +286,30 @@ class TsdbJsonSpec extends AnyFunSuite {
       "downsample": {"interval": "1d", "aggregator": "count"},
       "anomaly": {"model": "olympic", "threshold": 0.7, "period": 3}}""").anomaly.get
     assert(ao.resolvedThreshold === 0.7 && ao.resolvedMinHistory === 2 && ao.period === 3)
-    // olympic seasonal indexing assumes epoch-aligned buckets: the
-    // tz-downsample combo is rejected at run(), not silently misindexed
+    // olympic × timezone (round 11): the seasonal position indexes on
+    // the LOCAL clock — hourly buckets at Denver local hour 5 on four
+    // consecutive days across the 2024 spring-forward stay ONE seasonal
+    // slot (period 24), so the Mar-11 bucket's baseline is the plain
+    // mean of its three same-local-hour predecessors. A raw epoch index
+    // would put the post-DST buckets (11:00 UTC) in a different slot
+    // than the pre-DST ones (12:00 UTC) and emit a null baseline.
     val tzOly = TsdbJson.parseQuery("""{
-      "start": 1704412800, "end": 1706140800,
-      "downsample": {"interval": "1d", "aggregator": "count",
+      "start": 1709881200, "end": 1710223200,
+      "downsample": {"interval": "1h", "aggregator": "sum",
                      "timezone": "America/Denver"},
-      "anomaly": {"model": "olympic"}}""")
-    val eTz = intercept[IllegalArgumentException] {
-      QueryEngine.run(graft.Fixtures.series("m", Map("h" -> "a"),
-        (1704412800L, 1.0)), tzOly)
-    }
-    assert(eTz.getMessage.contains("timezone"))
+      "anomaly": {"model": "olympic", "period": 24, "minHistory": 2}}""")
+    val tzPts = graft.Fixtures.series("m", Map("h" -> "a"),
+      (1709899200L, 1.0), // Mar  8 05:00 MST (12:00 UTC)
+      (1709985600L, 2.0), // Mar  9 05:00 MST (12:00 UTC)
+      (1710068400L, 3.0), // Mar 10 05:00 MDT (11:00 UTC) — post-transition
+      (1710154800L, 4.0)) // Mar 11 05:00 MDT (11:00 UTC)
+    val oly = QueryEngine.run(tzPts, tzOly)
+      .select("bucket_ts", "baseline").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(oly(1710154800L) === Some(2.0),
+      "Mar-11 local-hour-5 baseline must average its three local-hour-5 predecessors")
+    assert(oly(1710068400L) === Some(1.5),
+      "the first post-DST bucket still sees its two pre-DST same-slot predecessors")
     intercept[IllegalArgumentException] {
       TsdbJson.parseQuery("""{"start": 1, "end": 2, "movingAverage": {}}""")
     }
