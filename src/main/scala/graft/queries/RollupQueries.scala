@@ -60,6 +60,21 @@ object RollupQueries {
         Rollup.buildSample(p, RollupInterval, 4), "1d", 0.95, Start, End),
         "p95_sampled")
     },
+    // A14 × timezone HYBRID (round 11): the Denver daily downsample with
+    // a flush frontier mid-range — closed local days serve from the
+    // stored 1h composites, the tail reads raw, split on the largest
+    // local-midnight LABEL at or below the frontier (tz buckets are
+    // non-uniform, so an epoch floor could bisect a local day). Shares
+    // q_ds_tz's oracle verbatim: a double-emitted or lost straddling
+    // bucket fails the hash.
+    "q_rollup_tz_hybrid" -> { (s, d) =>
+      val pts = TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      val rollup = Rollup.build(pts, RollupInterval)
+      out(Rollup.downsampleHybrid(pts, rollup, RollupInterval,
+        DownsampleSpec("1d", "sum", timezone = Some("America/Denver")),
+        Start, End, Start + 10 * 86400 + 3600), "sum_value")
+    },
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
@@ -88,6 +103,7 @@ object RollupQueries {
     "q_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_rollup_p95_sampled" -> TsdbQueries.oracles("q_ds_p95_sampled"),
     "q_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
+    "q_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

@@ -236,14 +236,28 @@ object Rollup {
       QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
     }
     val qSec = Intervals.toSeconds(spec.interval)
-    // A timezone'd downsample serves from the rollup only in the FULL-
-    // serve case (no open tail) and only when the range passes the
-    // offset/transition boundary test — the hybrid frontier split on a
-    // local-midnight grid is future work, and raw is always correct.
-    if (spec.timezone.isDefined)
-      return if (canServeTz(spec, rollupInterval, start, end) && rollupUntil >= end)
-        serve(rollup, spec, start, end)
+    // A timezone'd downsample splits on a tz bucket LABEL — the only
+    // epoch instants where neither side bisects a local bucket (labels
+    // are non-uniform: 23/25h DST days). The frontier is the largest
+    // label at or below the flush boundary; [start, frontier) must
+    // itself pass the offset/transition test (canServeTz — on a legal
+    // zone/rollup pair every label is rollup-aligned, so the sub-range
+    // check succeeds exactly when the full-range one would), and the
+    // straddling local bucket reads entirely from raw, the same
+    // no-partial-merge discipline as the epoch split below.
+    if (spec.timezone.isDefined) {
+      if (rollupUntil >= end)
+        return if (canServeTz(spec, rollupInterval, start, end))
+          serve(rollup, spec, start, end)
+        else raw(start)
+      val clamped = math.min(math.max(rollupUntil, start), end)
+      val frontier = Intervals
+        .tzGridLabels(spec.timezone.get, qSec, start, end)
+        .takeWhile(_ <= clamped).lastOption.getOrElse(start)
+      return if (frontier > start && canServeTz(spec, rollupInterval, start, frontier))
+        serve(rollup, spec, start, frontier).unionByName(raw(frontier))
       else raw(start)
+    }
     // An interval-unaligned start cannot be served from the rollup at all:
     // the epoch-aligned first rollup bucket would mix pre-start points
     // into the partial first query bucket (the raw path clips by ts range;

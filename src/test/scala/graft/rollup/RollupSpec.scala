@@ -214,6 +214,48 @@ class RollupSpec extends AnyFunSuite {
     assert(fallback === 16.0)
   }
 
+  test("tz hybrid: frontier lands on a local-midnight label; closed days read the rollup, the tail reads raw") {
+    import org.apache.spark.sql.functions._
+    val dayStart = 1710054000L // Mar 10 2024 00:00 MST — the 23h day
+    val p = Fixtures.series("m", tagset,
+      (dayStart, 1.0), (1710061199L, 2.0), (1710061200L, 4.0),
+      (1710136799L, 8.0), (1710136800L, 16.0))
+      .withColumn("segment_start",
+        col("ts") - col("ts") % graft.core.TsdbSchema.SegmentSeconds)
+    val spec = DownsampleSpec("1d", "sum", timezone = Some("America/Denver"))
+    val (start, end) = (dayStart, dayStart + 2 * 86400)
+    val expect = Map(dayStart -> 15.0, 1710136800L -> 16.0)
+    val ru = Rollup.build(p, "1h")
+    def run(rollup: org.apache.spark.sql.DataFrame, until: Long): Map[Long, Double] = {
+      val rows = Rollup.downsampleHybrid(p, rollup, "1h", spec, start, end, until)
+        .collect().map(r => r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value"))
+      assert(rows.map(_._1).distinct.length === rows.length,
+        s"split double-emitted a bucket: ${rows.toSeq}")
+      rows.toMap
+    }
+    // frontier mid-second-day → split at the Mar-11 local-midnight LABEL
+    // (1710136800): poison every rollup row past it — the tail must read
+    // raw, so the poison cannot surface
+    val poisonTail = ru.withColumn("sum",
+      when(col("bucket_ts") >= 1710136800L, lit(1e9)).otherwise(col("sum")))
+    assert(run(poisonTail, 1710136800L + 7200) === expect)
+    // ...and nudge every row BEFORE it to prove the closed 23h day
+    // really is served from the stored composites (4 rollup rows → +4)
+    val poisonHead = ru.withColumn("sum",
+      when(col("bucket_ts") < 1710136800L, col("sum") + 1.0).otherwise(col("sum")))
+    assert(run(poisonHead, 1710136800L + 7200)
+      === Map(dayStart -> 19.0, 1710136800L -> 16.0))
+    // frontier before the first closed local day → pure raw, rollup unused
+    assert(run(ru.limit(0), dayStart + 3600) === expect)
+    // fractional-hour zone: no legal split exists → raw end to end
+    assert({
+      val rows = Rollup.downsampleHybrid(p, poisonTail, "1h",
+        spec.copy(timezone = Some("Asia/Kolkata")), start, end, 1710136800L + 7200)
+        .agg(sum(col("value"))).head.getDouble(0)
+      rows
+    } === 31.0)
+  }
+
   test("hybrid routing with an unaligned start falls back to raw (partial first bucket unservable)") {
     import org.apache.spark.sql.functions._
     val p = graft.Fixtures.series("m", tagset,
