@@ -140,6 +140,19 @@ object TsdbQueries {
     // throws). Rung boundaries are spec-pinned in IntervalsSpec.
     "q_ds_auto" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("auto", "sum"))), "sum_value")),
 
+    // S5 ALTERNATIVE STRATEGY through the full pipeline: the spill-free
+    // hash-aggregate LWW dedupe (QueryEngine.dedupeAgg, selected via
+    // spark.graft.dedupe.strategy=hashagg) — winners are bit-identical
+    // to the window path, so this shares q_ds_sum's oracle verbatim.
+    // The strategy is read at plan build, so the conf flips around the
+    // DataFrame construction only.
+    "q_ds_sum_hashdedup" -> { (s, d) =>
+      try {
+        s.conf.set("spark.graft.dedupe.strategy", "hashagg")
+        dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "sum"))), "sum_value")
+      } finally s.conf.unset("spark.graft.dedupe.strategy")
+    },
+
     // Calendar-aligned downsample (upstream DownsampleConfig.timezone):
     // daily buckets at DENVER local midnight — epoch labels sit at
     // 07:00 UTC (MST, UTC-7; the whole January range is one DST
@@ -1972,6 +1985,7 @@ object TsdbQueries {
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
+    "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
     "q_json_relative_time" -> oraclesBase("q_ds_sum"),

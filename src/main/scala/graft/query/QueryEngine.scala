@@ -75,7 +75,9 @@ object QueryEngine {
    *  32-thread probe host: 48.9 → 55.1 s, so the WINDOW stays the
    *  default here; on a memory-constrained cluster where the sort
    *  would spill per-executor, the spill-free trade goes the other
-   *  way — that is what this alternative is for. */
+   *  way — that is what this alternative is for. Reachable through the
+   *  full pipeline via `spark.graft.dedupe.strategy=hashagg`
+   *  ([[dedupeConfigured]]). */
   def dedupeAgg(points: DataFrame): DataFrame = {
     val cols = points.columns
     // all aggregation BUFFERS primitive (max_by(double,long), max(long))
@@ -95,6 +97,24 @@ object QueryEngine {
       .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
       .select(cols.map(col): _*)
   }
+
+  /** The LWW dedupe stage by configured strategy —
+   *  `spark.graft.dedupe.strategy` = `window` (default) | `hashagg`.
+   *  Winners are bit-identical either way; the trade is measured
+   *  (100M-event interleaved same-JVM A/B, BENCH_SCALE4 notes): the
+   *  window sorts inside the series exchange (12.9 GB memory + 1.05 GB
+   *  disk spill at 100M; wall 48.9 s on the 32-thread probe host),
+   *  [[dedupeAgg]] is spill-FREE and writes 31% less shuffle but pays
+   *  +75% reduce-stage CPU (55.1 s there). `window` stays the default
+   *  for CPU-bound hosts; set `hashagg` on memory-constrained executors
+   *  where the per-executor sort would spill. */
+  def dedupeConfigured(points: DataFrame): DataFrame =
+    points.sparkSession.conf.get("spark.graft.dedupe.strategy", "window") match {
+      case "window" => dedupe(points)
+      case "hashagg" => dedupeAgg(points)
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.dedupe.strategy must be window|hashagg, got: $other")
+    }
 
   /** The temporal aggregator by name, resolved through the
    *  [[Aggregators]] registry (reference alias table :159-177 + the
@@ -499,7 +519,7 @@ object QueryEngine {
       else lit(true)
 
     var df = points.filter(timePred && pred && explicitPred)
-    if (!assumeDeduped) df = dedupe(df)
+    if (!assumeDeduped) df = dedupeConfigured(df)
     // map shifted timestamps forward so downstream buckets align with the
     // *query* window (reference applies shiftSeconds inside the iterator,
     // AuraMetricsNumericArrayIterator.java:312,423)

@@ -114,6 +114,30 @@ class DownsampleOpSpec extends AnyFunSuite {
     assert(!plan.contains("Sort "), s"dedupeAgg plan must be sort-free:\n$plan")
   }
 
+  test("dedupe strategy config selects the hash-agg path; results identical; bad value rejected") {
+    import graft.filters.MatchAll
+    val spark = graft.TestSpark.spark
+    val df = Fixtures.points(
+      ("m", tagset, 10L, 1.0, 0L), ("m", tagset, 10L, 5.0, 1L), // LWW pair
+      ("m", tagset, 70L, 2.0, 2L))
+    val q = TsdbQuery(MatchAll, 0, 3600, downsample = Some(DownsampleSpec("1m", "sum")))
+    def rows = QueryEngine.run(df, q).select("bucket_ts", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaWindow = rows
+    try {
+      spark.conf.set("spark.graft.dedupe.strategy", "hashagg")
+      val planned = QueryEngine.run(df, q)
+      // strategy is read at PLAN BUILD: the hashagg plan carries no
+      // dedupe window sort-limit
+      assert(!planned.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+      assert(planned.select("bucket_ts", "value")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap === viaWindow)
+      spark.conf.set("spark.graft.dedupe.strategy", "bogus")
+      intercept[IllegalArgumentException] { QueryEngine.run(df, q) }
+    } finally spark.conf.unset("spark.graft.dedupe.strategy")
+    assert(viaWindow === Map(0L -> 5.0, 60L -> 2.0))
+  }
+
   test("median and percentile aggregate the buffered interval values") {
     val df = Fixtures.series("m", tagset, (0L, 1.0), (10L, 2.0), (20L, 9.0))
     assert(run(df, DownsampleSpec0("1m", "median")) === Map(0L -> 2.0))
