@@ -194,6 +194,152 @@ object ScaleProbe {
       .repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
+  /** Distributed documents generator with a REALISTIC vocabulary: ~10k
+   *  distinct tokens, log-uniform rank sampling (≈ Zipf(1) — rank =
+   *  floor(V^u) puts equal probability mass in each rank decade, the
+   *  natural-text shape). Same planted-dup structure and length
+   *  distribution as [[genDocsDistributed]], so the ONLY variable vs the
+   *  30-word corpus is vocabulary breadth — the factor the SCALE3
+   *  super-linear attributions blame for chance shingle collisions. */
+  def genDocsZipfDistributed(spark: SparkSession, nRows: Long, dir: String,
+      vocabSize: Int = 10000): Unit = {
+    import org.apache.spark.sql.functions._
+    val langsArr = array(Langs.map(lit): _*)
+    val base = when(col("id") % 500 === 499 || col("id") % 100 === 99,
+      col("id") - 1).otherwise(col("id"))
+    val len = (lit(16) + pmod(xxhash64(base, lit(1)), lit(285L))).cast("int")
+    val swapPos = pmod(xxhash64(col("id"), lit(7)), len.cast("long")) + 1
+    val isNear = col("id") % 100 === 99 && !(col("id") % 500 === 499)
+    def zipfTok(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val u = pmod(xxhash64(seed), lit(1000000L)).cast("double") / 1e6
+      concat(lit("w"), floor(pow(lit(vocabSize.toDouble), u)).cast("long"))
+    }
+    val toks = transform(sequence(lit(1), len), i =>
+      when(isNear && i === swapPos.cast("int"),
+        zipfTok(struct(col("id"), lit(8), i)))
+      .otherwise(zipfTok(struct(base, lit(100), i))))
+    spark.range(nRows).select(
+        col("id").as("doc_id"),
+        array_join(toks, " ").as("text"),
+        element_at(langsArr, (pmod(xxhash64(col("id"), lit(2)), lit(7L)) + 1).cast("int")).as("lang"),
+        concat(lit("src"), pmod(xxhash64(col("id"), lit(3)), lit(10L))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .repartition(64).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** Realistic-vocabulary + streamed-serving mode (`--zipf`, writes
+   *  BENCH_SCALE_ZIPF.json): one decade pair (50k / 500k docs) over the
+   *  [[genDocsZipfDistributed]] corpus, measuring
+   *   1. the two SCALE3 rows whose super-linearity was ATTRIBUTED to the
+   *      degenerate 30-word probe vocabulary (q_dedup_ngram,
+   *      q_dedup_minhash_eval): with a 10k-word Zipf vocabulary, chance
+   *      band collisions should collapse and both rows should read
+   *      near-linear — the attribution's falsifiable prediction;
+   *   2. the round-10 streamed serving paths that had no scale rows:
+   *      the drift count-log READ over a 100-micro-batch ingest-
+   *      maintained log (log length grows with batch COUNT, not data —
+   *      the compaction question), and the near-dup admission ingest
+   *      (per-batch band join against the stored prior-snapshot index)
+   *      plus its admitted-lake read. Streaming builds are timed once
+   *      per point (no warm run) — wall ratios carry ingest variance,
+   *      which the artifact notes. */
+  private def mainZipf(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--zipf")
+    val out = rest.headOption.getOrElse("BENCH_SCALE_ZIPF.json")
+    val only = rest.drop(1).toSet
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-zipf").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = sys.env.getOrElse("GRAFT_SCALE_ZIPF_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale_zipf").toString)
+    val ns = Seq(50000L, 500000L)
+    val dirs = ns.map(n => s"$base/z$n")
+    ns.zip(dirs).withFilter { case (_, d) =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/documents.parquet"))
+    }.foreach { case (n, d) => genDocsZipfDistributed(spark, n, d) }
+    import org.apache.spark.sql.functions._
+
+    val results = new scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Seq[Long])]
+    def record(name: String, measured: Seq[(Double, Long)]): Unit = {
+      results(name) = (measured.map(_._1), measured.map(_._2))
+      val (s2, r2) = (measured.map(_._1), measured.map(_._2))
+      val ratio = s2(1) / math.max(s2(0), 1e-9)
+      println(f"$name%-28s ${s2.map(x => f"$x%8.2f").mkString(" ")}s ratio=$ratio%6.2f rows=${r2.mkString("/")}")
+    }
+
+    // 1. the batch attribution rows (warm like the other modes)
+    val queries = SparkEntry.queries ++ ProbeOnly
+    for (q <- Seq("q_dedup_ngram", "q_dedup_minhash_eval")
+         if only.isEmpty || only.contains(q)) {
+      queries(q)(spark, dirs.head).count()
+      spark.catalog.clearCache()
+      record(q, dirs.map { d =>
+        val m = time(queries(q)(spark, d).count()); spark.catalog.clearCache(); m
+      })
+    }
+
+    // 2. streamed drift: 100-batch ingest-maintained count log per point,
+    // then the production read (sum the log → JSD drift)
+    if (only.isEmpty || only.exists(_.startsWith("p_stream_drift"))) {
+      val built = dirs.map { d =>
+        val b = java.nio.file.Files.createTempDirectory("graft_zipf_drift").toString
+        val all = spark.read.parquet(s"$d/documents.parquet")
+        all.repartition(100).write.parquet(s"$b/src")
+        val ing = time {
+          graft.streaming.DocIngest.runTokenCounts(spark, s"$b/src", s"$b/lake",
+            s"$b/ckpt", all.schema, maxFilesPerTrigger = Some(1)).awaitTermination()
+          spark.read.parquet(s"$b/lake").count()
+        }
+        (s"$b/lake", ing)
+      }
+      record("p_stream_drift_ingest100", built.map(_._2))
+      def readDrift(lake: String) = time {
+        graft.pipeline.TextAnalysis.unigramDriftFromCounts(
+          spark.read.parquet(lake)
+            .groupBy(col("source"), col("tk")).agg(sum(col("__c")).as("__c")),
+          24).count()
+      }
+      built.foreach(b => readDrift(b._1)) // warm
+      record("p_stream_drift_read", built.map(b => readDrift(b._1)))
+    }
+
+    // 3. streamed near-dup admission: 10 micro-batches of the crawl
+    // third band-joined per batch against the even-half prior snapshot's
+    // stored index; read = the admitted lake scan
+    if (only.isEmpty || only.exists(_.startsWith("p_stream_near"))) {
+      val built = dirs.map { d =>
+        val b = java.nio.file.Files.createTempDirectory("graft_zipf_near").toString
+        val all = spark.read.parquet(s"$d/documents.parquet")
+        all.filter(col("doc_id") % 3 === 0).repartition(10).write.parquet(s"$b/src")
+        val ing = time {
+          graft.streaming.DocIngest.runPipelineNearDedup(spark, s"$b/src",
+            s"$b/lake", s"$b/ckpt", s"$b/work", all.schema,
+            all.filter(col("doc_id") % 2 === 0), 0.5,
+            maxFilesPerTrigger = Some(1)).awaitTermination()
+          spark.read.parquet(s"$b/lake").count()
+        }
+        (s"$b/lake", ing)
+      }
+      record("p_stream_near_ingest10", built.map(_._2))
+      built.foreach(b => spark.read.parquet(b._1).count()) // warm
+      record("p_stream_near_read",
+        built.map(b => time(spark.read.parquet(b._1).select("doc_id").count())))
+    }
+
+    val sb = new StringBuilder
+    sb ++= "{\"docs\": [" + ns.mkString(", ") + "], \"queries\": {"
+    sb ++= results.iterator.map { case (q, (secs, rows)) =>
+      val ratio = secs(1) / math.max(secs(0), 1e-9)
+      f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "ratio": $ratio%.2f}"""
+    }.mkString(",")
+    sb ++= "\n}, \"notes\": {" +
+      "\"vocab\": \"10k-token log-uniform (Zipf-like) vocabulary vs the degenerate 30-word SCALE3 corpus; same planted-dup structure and lengths\", " +
+      "\"p_stream_drift_read\": \"reads a 100-micro-batch count log at BOTH points: log length scales with batches x distinct-(source,token)-per-batch, not raw data - the read is one sum aggregate over the log plus the constant-head JSD\", " +
+      "\"ingest rows\": \"streaming builds timed once per point (no warm run); ratios carry ingest variance\"}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   /** Distributed (stateless-hash) events generator for the TSDB
    *  three-point mode: the sequential-LCG recipe above holds every row
    *  on the driver, which caps out near the 1M-row point — here each
@@ -257,7 +403,13 @@ object ScaleProbe {
     // batch fallback, but not what a deployment serves) — these two read
     // the ingest-MAINTAINED tables, whose cost is dim-sized, not
     // fact-sized. Their lakes are built OUTSIDE the timed region below.
-    "q_stream_series_dim", "q_stream_latest")
+    "q_stream_series_dim", "q_stream_latest",
+    // round 11: the timezone calendar downsample — same plan shape as
+    // q_ds_sum with the zone CASEs as pure projection arithmetic, so its
+    // decades must track q_ds_sum; p_ds_tz_multiyear widens the range to
+    // 5 years (~11 offset segments → ~21-branch literal CASE) to show
+    // the codegen'd chain stays immaterial as segments accumulate
+    "q_ds_tz", "p_ds_tz_multiyear")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded
@@ -273,13 +425,19 @@ object ScaleProbe {
     val only = rest.drop(1).toSet
     val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-tsdb").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val base = java.nio.file.Files.createTempDirectory("graft_scale_tsdb").toString
+    // GRAFT_SCALE_TSDB_DIR reuses a previous run's generated events (the
+    // generator is deterministic) — targeted row refreshes skip the
+    // multi-minute generation, like the --xl/--xl4 modes
+    val base = sys.env.getOrElse("GRAFT_SCALE_TSDB_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale_tsdb").toString)
     val ns = Seq(100000L, 1000000L, 10000000L)
     val dirs = ns.map(n => s"$base/n$n")
-    ns.zip(dirs).foreach { case (n, d) =>
+    ns.zip(dirs).withFilter { case (_, d) =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet"))
+    }.foreach { case (n, d) =>
       genEventsDistributed(spark, n, (n / 666).toInt.max(150), d)
     }
-    val queries = SparkEntry.queries
+    val queries = SparkEntry.queries ++ ProbeOnly
     // pre-build the ingest-maintained lakes at every scale point before
     // any timing starts (StreamQueries caches one lake per source dir,
     // so the timed runs below read the maintained tables only)
@@ -401,7 +559,21 @@ object ScaleProbe {
         s.read.parquet(s"$d/documents.parquet"), maxBucketSize = 100)),
     "p_dedup_ngram_capped" -> ((s, d) =>
       graft.pipeline.Dedup.ngramJaccard(
-        s.read.parquet(s"$d/documents.parquet"), 0.3, maxBucketSize = 100)))
+        s.read.parquet(s"$d/documents.parquet"), 0.3, maxBucketSize = 100)),
+    // q_ds_tz with a FIVE-YEAR query range (2020-2025): the generated
+    // events still span 30 days, so the fact work is identical to
+    // q_ds_tz — what grows is the driver-resolved offset-segment CASE
+    // (~11 segments → ~21 literal branches in the row+label offsets).
+    // Wall must match q_ds_tz's; divergence would mean the literal CASE
+    // chain has become a per-row cost.
+    "p_ds_tz_multiyear" -> { (s, d) =>
+      import graft.query._
+      import graft.filters.MatchAll
+      QueryEngine.run(graft.sources.TsdbViews.points(s, d),
+        TsdbQuery(MatchAll, 1577836800L, 1735689600L,
+          downsample = Some(DownsampleSpec("1d", "sum",
+            timezone = Some("America/Denver")))))
+    })
 
   private def time(f: => Long): (Double, Long) = {
     val t0 = System.nanoTime()
@@ -590,6 +762,7 @@ object ScaleProbe {
     if (args.contains("--tsdb-xl")) { mainTsdbXl(args); return }
     if (args.contains("--xl4")) { mainXl4(args); return }
     if (args.contains("--xl")) { mainXl(args); return }
+    if (args.contains("--zipf")) { mainZipf(args); return }
     val out = args.headOption.getOrElse("BENCH_SCALE.json")
     // optional name filter (args 2..n) for targeted local iteration; a
     // filtered run writes to the given out path (pass something other
