@@ -409,7 +409,12 @@ object ScaleProbe {
     // decades must track q_ds_sum; p_ds_tz_multiyear widens the range to
     // 5 years (~11 offset segments → ~21-branch literal CASE) to show
     // the codegen'd chain stays immaterial as segments accumulate
-    "q_ds_tz", "p_ds_tz_multiyear")
+    "q_ds_tz", "p_ds_tz_multiyear",
+    // round 11: the tz compositions — zone-aware fill grid (literal
+    // label array over the same one-pass grid build), tz group-by
+    // (labels feed the spatial stage unchanged), and the tz hybrid
+    // rollup∪raw split (pays rollup BUILD + both serve sides)
+    "q_ds_fill_tz", "q_groupby_tz", "q_rollup_tz_hybrid")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded

@@ -532,6 +532,20 @@ object TsdbQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // A11 × TIMEZONE (round 11): spatial group-by over a Denver
+    // local-day downsample — "per-host daily sums on the local calendar",
+    // the dashboard composition a tz user reaches first. The group-by
+    // consumes whatever bucket labels the downsample emits, so this pins
+    // that the zone labels survive the spatial stage unchanged.
+    "q_groupby_tz" -> { (s, d) =>
+      val ds = QueryEngine.downsample(prepared(s, d),
+        DownsampleSpec("1d", "sum", timezone = Some("America/Denver")), Start, End)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("host", "colo"), "sum"))
+        .select(col("host").as("tag_host"), col("colo").as("tag_colo"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
     // Group-by over a SPARSE tag (env exists on 1-in-5 users): a series
     // missing the tag joins NO group — the reference groups through the
     // meta index's tag-value search, so absent-tag series are absent
@@ -1597,6 +1611,19 @@ object TsdbQueries {
          |ds AS (
          |  SELECT metric, tag_user, tag_host, tag_colo,
          |         ts - ts % 86400 AS bucket_ts, ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
+         |FROM ds GROUP BY 1, 2, 3""".stripMargin,
+
+    // tz group-by: q_ds_tz's single-segment label arithmetic feeding
+    // q_groupby's two-stage aggregation
+    "q_groupby_tz" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host, tag_colo,
+         |         (ts - 25200) - (ts - 25200) % 86400 + 25200 AS bucket_ts,
+         |         ${rnd("sum(value)")} AS v
          |  FROM dedup WHERE ${inRange()}
          |  GROUP BY 1, 2, 3, 4, 5)
          |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
