@@ -542,6 +542,20 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // A10 × timezone from the ingest-MAINTAINED rollup (round 11): the
+    // Denver local-day serve over the streamed composite table — the
+    // deployment shape for tz dashboards (canServeTz legality + the
+    // serve-side zone CASE over stored 1h rows, no raw scan). Shares
+    // q_ds_tz's oracle verbatim.
+    "q_stream_rollup_tz" -> { (s, d) =>
+      import graft.query.DownsampleSpec
+      graft.rollup.Rollup
+        .serve(IngestJob.rollup(s, lakeFor(s, d)),
+          DownsampleSpec("1d", "sum", timezone = Some("America/Denver")), Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // A10+A14 hybrid: closed segments from the maintained rollup UNION
     // the open tail from raw points (frontier = the flush boundary).
     // The answer must equal the all-raw oracle exactly — the straddling
@@ -673,6 +687,9 @@ object StreamQueries {
          |       ${rnd("sum(value)")} AS sum_value
          |FROM dedup WHERE ${inRange()}
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // maintained-rollup tz serve == the raw tz downsample exactly
+    "q_stream_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

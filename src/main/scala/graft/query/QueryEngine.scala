@@ -371,7 +371,7 @@ object QueryEngine {
     // duplicate key (the downsample contract); under LAST_WIN a
     // duplicate would silently keep an arbitrary value instead
     require(ds.sparkSession.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
-      == "EXCEPTION",
+      .equalsIgnoreCase("EXCEPTION"),
       "denseFill requires spark.sql.mapKeyDedupPolicy=EXCEPTION " +
         "(the duplicate-bucket fail-fast contract)")
     val iv = Intervals.toSeconds(interval)
