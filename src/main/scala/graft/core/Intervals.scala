@@ -31,6 +31,72 @@ object Intervals {
 
   def isRollupInterval(s: String): Boolean = RollupVocabulary.contains(s)
 
+  /** CALENDAR interval units from the upstream duration grammar
+   *  (DateTime.parseDuration's `n` = months, `y` = years): these have no
+   *  fixed second length — a month is 28–31 days, a year 365/366 — so
+   *  they bucket on the civil calendar of the query's timezone instead
+   *  of epoch arithmetic. `toSeconds` deliberately keeps throwing on
+   *  them: any fixed-seconds consumer reaching a calendar interval is a
+   *  routing bug and should fail loudly. */
+  private val CalendarPattern = """^(\d+)(n|y)$""".r
+
+  def isCalendar(s: String): Boolean = s match {
+    case CalendarPattern(n, _) => n.toLong > 0
+    case _ => false
+  }
+
+  /** Ordered epoch boundaries of the calendar buckets covering
+   *  [start, end) in `zone`: for "<k>n" every k-th month start (local
+   *  midnight of the 1st), for "<k>y" every k-th January 1st. The grid
+   *  anchors at the epoch calendar — month index since 1970-01 ≡ 0
+   *  (mod step) — so "3n" is standard calendar quarters (Jan/Apr/Jul/
+   *  Oct) regardless of the query range, the same absolute anchoring
+   *  the fixed-interval `ts - ts % iv` floor has. The first boundary is
+   *  the bucket start AT OR BEFORE `start` (a partial leading bucket
+   *  labels at its true calendar start, the floor semantic); the last
+   *  is strictly below `end`. A local midnight erased by a DST gap
+   *  (zones that spring forward at 00:00) resolves forward by the gap,
+   *  java.time's deterministic rule. Driver-side, O(range/step) —
+   *  never a function of fact size. */
+  def calendarBoundaries(interval: String, zone: String,
+      start: Long, end: Long): Seq[Long] =
+    calendarOrdinals(interval, zone, start, end).map(_._1)
+
+  /** [[calendarBoundaries]] paired with each boundary's ABSOLUTE bucket
+   *  ordinal — the bucket's month index since 1970-01 divided by the
+   *  step, the calendar analog of the fixed path's `bucket_ts DIV iv`.
+   *  Seasonal consumers (olympic anomaly's position index) key slots on
+   *  this so a slot assignment never depends on the query range. */
+  def calendarOrdinals(interval: String, zone: String,
+      start: Long, end: Long): Seq[(Long, Long)] = {
+    require(start < end, s"empty range: [$start, $end)")
+    val (n, unit) = interval match {
+      case CalendarPattern(k, u) => (k.toInt, u)
+      case other => throw new IllegalArgumentException(s"not a calendar interval: $other")
+    }
+    require(n > 0, s"calendar interval needs a positive count: $interval")
+    val stepMonths = unit match { case "n" => n; case "y" => 12 * n }
+    val zid = java.time.ZoneId.of(zone)
+    def boundary(monthIdx: Int): Long =
+      java.time.ZonedDateTime.of(1970 + Math.floorDiv(monthIdx, 12),
+        Math.floorMod(monthIdx, 12) + 1, 1, 0, 0, 0, 0, zid).toEpochSecond
+    val local = java.time.Instant.ofEpochSecond(start).atZone(zid)
+    val mi0raw = (local.getYear - 1970) * 12 + (local.getMonthValue - 1)
+    var mi = Math.floorDiv(mi0raw, stepMonths) * stepMonths
+    // the grid anchor floors the month index, but a sub-month zone
+    // offset can still put that boundary's epoch above `start` (a ts in
+    // the last local hours of the prior bucket) — step back once
+    if (boundary(mi) > start) mi -= stepMonths
+    val buf = scala.collection.mutable.ListBuffer.empty[(Long, Long)]
+    var b = boundary(mi)
+    while (b < end) {
+      buf += b -> (mi / stepMonths).toLong
+      mi += stepMonths
+      b = boundary(mi)
+    }
+    buf.toList
+  }
+
   /** The `auto` downsample ladder: query duration → snap interval, the
    *  upstream TSDB 3.x DownsampleFactory mechanism (interval "auto"
    *  resolves against the factory's ordered duration→interval table

@@ -75,6 +75,20 @@ object RollupQueries {
         DownsampleSpec("1d", "sum", timezone = Some("America/Denver")),
         Start, End, Start + 10 * 86400 + 3600), "sum_value")
     },
+    // CALENDAR serving (round 11): Denver MONTHLY sums from the stored
+    // 1h composites — legal because every month boundary is a local
+    // midnight on a whole-hour offset, so no stored row straddles two
+    // months (Rollup.canServeCalendar). Shares q_ds_month_tz's raw-scan
+    // oracle verbatim: a stored row mis-floored across the Dec/Jan
+    // local boundary fails the hash.
+    "q_rollup_month_tz" -> { (s, d) =>
+      val pts = TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(DataStart) && col("ts") < lit(TzFillEnd))
+      val rollup = Rollup.build(pts, RollupInterval)
+      out(Rollup.downsampleRouted(pts, rollup, RollupInterval,
+        DownsampleSpec("1n", "sum", timezone = Some("America/Denver")),
+        DataStart, TzFillEnd), "sum_value")
+    },
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
@@ -103,6 +117,8 @@ object RollupQueries {
     "q_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_rollup_p95_sampled" -> TsdbQueries.oracles("q_ds_p95_sampled"),
     "q_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
+    // maintained over the extended window — the raw monthly oracle verbatim
+    "q_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
     "q_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")

@@ -164,6 +164,67 @@ object TsdbQueries {
       run(s, d, matchAllQ(DownsampleSpec("1d", "sum", timezone = Some("America/Denver")))),
       "sum_value")),
 
+    // CALENDAR interval "1n" (round 11 — upstream duration grammar `n` =
+    // months, `y` = years; no fixed second length, so buckets come from
+    // driver-enumerated civil-calendar boundaries compiled to a literal
+    // CASE, QueryEngine.calendarBucket). UTC monthly over the extended
+    // window: every row labels at JANUARY 1 — *below* the query start
+    // (Jan 5), pinning the floor-to-calendar-start semantic that no
+    // epoch arithmetic (ts - ts % 30d ≈ Jan 5 anchor) reproduces.
+    "q_ds_month" -> ((s, d) => dsOut(
+      run(s, d, TsdbQuery(MatchAll, Start, TzFillEnd,
+        downsample = Some(DownsampleSpec("1n", "sum")))), "sum_value")),
+
+    // monthly × TIMEZONE: Denver month starts at local midnight (07:00
+    // UTC). The UTC-January rows before Jan 1 07:00Z belong to Denver's
+    // DECEMBER 2023 — a month bucket the UTC path never emits, so a
+    // silently ignored zone (or an offset applied to the wrong side)
+    // fails the hash. Oracle restates the literal boundary CASE.
+    "q_ds_month_tz" -> ((s, d) => dsOut(
+      run(s, d, TsdbQuery(MatchAll, DataStart, TzFillEnd,
+        downsample = Some(DownsampleSpec("1n", "sum",
+          timezone = Some("America/Denver"))))), "sum_value")),
+
+    // "3n" = calendar QUARTERS, anchored at the epoch calendar (month
+    // index ≡ 0 mod 3 → Jan/Apr/Jul/Oct) — the same early-January rows
+    // now label at OCTOBER 1 2023 (Q4), not December 1, so the oracle
+    // hash pins the anchoring rule, not just the boundary walk.
+    "q_ds_quarter_tz" -> ((s, d) => dsOut(
+      run(s, d, TsdbQuery(MatchAll, DataStart, TzFillEnd,
+        downsample = Some(DownsampleSpec("3n", "sum",
+          timezone = Some("America/Denver"))))), "sum_value")),
+
+    // "1y": the same rows split across Denver's 2023/2024 YEAR buckets
+    "q_ds_year_tz" -> ((s, d) => dsOut(
+      run(s, d, TsdbQuery(MatchAll, DataStart, TzFillEnd,
+        downsample = Some(DownsampleSpec("1y", "sum",
+          timezone = Some("America/Denver"))))), "sum_value")),
+
+    // FILL × CALENDAR: the dense grid must enumerate the same boundary
+    // list the bucketing emits (Dec'23–Mar'24 for this range); data
+    // stops Feb 1 so the Feb and Mar Denver months are grid-only rows,
+    // zero-filled — absent (or epoch-arithmetic) grid labels fail the
+    // hash on those rows.
+    "q_fill_month_tz" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, DataStart, TzFillEnd,
+        downsample = Some(DownsampleSpec("1n", "sum",
+          timezone = Some("America/Denver"))),
+        fill = Some(FillSpec(policy = "zero")))
+      run(s, d, q)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
+    // the calendar interval arriving as client JSON — "1n" + timezone
+    // through the parser; shares q_ds_month_tz's oracle verbatim
+    "q_json_ds_month_tz" -> { (s, d) =>
+      val json = s"""{
+        "start": $DataStart, "end": $TzFillEnd,
+        "downsample": {"interval": "1n", "aggregator": "sum", "timezone": "America/Denver"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "sum_value")
+    },
+
     // A2 + A4: AVG and COUNT per interval (one pass; the avg output is
     // defined as round4(sum)/count so both engines divide bit-identical
     // doubles — raw avg() is exercised in unit tests)
@@ -1273,6 +1334,79 @@ object TsdbQueries {
     "q_ds_tz" -> dsOracle(rnd("sum(value)"), "sum_value",
       bucket = "(ts - 25200) - (ts - 25200) % 86400 + 25200"),
 
+    // calendar months restate as literal-boundary CASEs (stated as their
+    // civil datetimes): UTC Jan/Feb/Mar 1 2024 = 1704067200 / 1706745600
+    // / 1709251200. Data stops Feb 1, so the ELSE (January) carries
+    // every row — the label sits BELOW the query start by design.
+    "q_ds_month" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN ts >= 1709251200 THEN 1709251200
+         |            WHEN ts >= 1706745600 THEN 1706745600
+         |            ELSE 1704067200 END AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ts >= $Start AND ts < $TzFillEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Denver month starts at local midnight: Dec 1 2023 07:00Z =
+    // 1701414000, then 1704092400 / 1706770800 / 1709276400 (Jan/Feb/
+    // Mar 1 2024, MST −7)
+    "q_ds_month_tz" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN ts >= 1709276400 THEN 1709276400
+         |            WHEN ts >= 1706770800 THEN 1706770800
+         |            WHEN ts >= 1704092400 THEN 1704092400
+         |            ELSE 1701414000 END AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // quarters anchor Jan/Apr/Jul/Oct: Q4 2023 starts Oct 1 00:00 MDT =
+    // 1696140000 (−6h — DST), Q1 2024 at 1704092400
+    "q_ds_quarter_tz" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN ts >= 1704092400 THEN 1704092400
+         |            ELSE 1696140000 END AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // Denver years: Jan 1 2023 00:00 MST = 1672556400, Jan 1 2024 =
+    // 1704092400
+    "q_ds_year_tz" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user,
+         |       CASE WHEN ts >= 1704092400 THEN 1704092400
+         |            ELSE 1672556400 END AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the calendar fill grid: the four Denver month boundaries in range
+    // as a literal list, zero where no month aggregate exists
+    "q_fill_month_tz" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user,
+         |         CASE WHEN ts >= 1709276400 THEN 1709276400
+         |              WHEN ts >= 1706770800 THEN 1706770800
+         |              WHEN ts >= 1704092400 THEN 1704092400
+         |              ELSE 1701414000 END AS bucket_ts,
+         |         ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
+         |  GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest([1701414000, 1704092400, 1706770800, 1709276400]) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts)
+         |SELECT metric, tag_user, bucket_ts, COALESCE(v, 0.0) AS sum_value
+         |FROM grid""".stripMargin,
+
     "q_ds_avg" ->
       s"""WITH $pointsCtes
          |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
@@ -2015,6 +2149,7 @@ object TsdbQueries {
     "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
+    "q_json_ds_month_tz" -> oraclesBase("q_ds_month_tz"),
     "q_json_relative_time" -> oraclesBase("q_ds_sum"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),

@@ -251,6 +251,27 @@ object QueryEngine {
     }
   }
 
+  /** CALENDAR bucket label for `tsCol`: the greatest enumerated calendar
+   *  boundary at or below the row's epoch — months ("<k>n") and years
+   *  ("<k>y") have no fixed second length, so the boundaries come from
+   *  [[Intervals.calendarBoundaries]] (civil calendar of `zone`,
+   *  epoch-anchored multiples) resolved ONCE on the driver and compiled
+   *  to a literal CASE chain, the same posture as [[tzBucket]]: pure
+   *  per-row integer compares on executors, no calendar lookup in the
+   *  hot path. Branch count is O(range months / step) — a property of
+   *  the query RANGE, never of fact size (a 10-year monthly query is
+   *  120 branches; codegen handles that comfortably). DST transitions
+   *  need no per-segment handling here: any transition inside a bucket
+   *  is strictly interior (boundaries are the local midnights
+   *  themselves), so the boundary list already IS the label set. */
+  def calendarBucket(tsCol: Column, interval: String, zone: String,
+      start: Long, end: Long): Column = {
+    val bs = Intervals.calendarBoundaries(interval, zone, start, end)
+    bs.tail.foldLeft(lit(bs.head): Column) {
+      case (acc, b) => when(tsCol >= lit(b), lit(b)).otherwise(acc)
+    }
+  }
+
   def tzBucket(tsCol: Column, zone: String, iv: Long, start: Long, end: Long): Column = {
     val segs = Intervals.zoneOffsets(zone, start, end)
     val local = tsCol + tzOffsetAt(tsCol, zone, start, end)
@@ -267,8 +288,18 @@ object QueryEngine {
     // the caller also set runAll — without this, `ts - ts % -1` would
     // silently produce per-point buckets.
     val runAll = spec.runAll || spec.interval == "0all"
+    val calendar = !runAll && Intervals.isCalendar(spec.interval)
+    // calendar buckets (months/years) have no fixed second length, so
+    // the reporting average's expected-dps-per-interval divisor is
+    // undefined — reject instead of dividing by an arbitrary constant
+    require(!calendar || spec.reportingInterval.isEmpty,
+      "reporting average needs a fixed-length interval; calendar buckets " +
+        s"(${spec.interval}) vary in length")
     val bucket: Column =
       if (runAll) lit(start)
+      else if (calendar)
+        calendarBucket(col("ts"), spec.interval,
+          spec.timezone.getOrElse("UTC"), start, end)
       else {
         val iv = Intervals.toSeconds(spec.interval)
         spec.timezone match {
@@ -276,7 +307,14 @@ object QueryEngine {
           case Some(zone) => tzBucket(col("ts"), zone, iv, start, end)
         }
       }
-    val intervalSec = if (runAll) end - start else Intervals.toSeconds(spec.interval)
+    // calendar buckets pass 0 — no registered aggregator consumes
+    // intervalSec (the one builtin consumer, reporting avg, is rejected
+    // above), and a future interval-dependent plugin dividing by it
+    // surfaces as ±Infinity rather than a plausible wrong number
+    val intervalSec =
+      if (runAll) end - start
+      else if (calendar) 0L
+      else Intervals.toSeconds(spec.interval)
     val repSec = spec.reportingInterval.map(Intervals.toSeconds)
 
     val prepared = points
@@ -374,8 +412,6 @@ object QueryEngine {
       .equalsIgnoreCase("EXCEPTION"),
       "denseFill requires spark.sql.mapKeyDedupPolicy=EXCEPTION " +
         "(the duplicate-bucket fail-fast contract)")
-    val iv = Intervals.toSeconds(interval)
-    val alignedStart = start - start % iv
     val filler: Column = fill match {
       case "nan" => lit(Double.NaN)
       case "null" => lit(null).cast("double")
@@ -401,10 +437,20 @@ object QueryEngine {
     // (Intervals.tzGridLabels) and ships as one literal array —
     // O(|buckets|) driver work and literal size, independent of fact
     // scale, exactly like the epoch `sequence` it replaces
-    val seq0 = timezone match {
-      case None => sequence(lit(alignedStart), lit(end - 1), lit(iv))
-      case Some(zone) => typedLit(Intervals.tzGridLabels(zone, iv, start, end))
-    }
+    // a CALENDAR interval's grid is the driver-enumerated boundary list
+    // itself (months/years have no fixed length — same label set the
+    // calendarBucket CASE emits, zone-aware by construction)
+    val seq0 =
+      if (Intervals.isCalendar(interval))
+        typedLit(Intervals.calendarBoundaries(interval,
+          timezone.getOrElse("UTC"), start, end))
+      else {
+        val iv = Intervals.toSeconds(interval)
+        timezone match {
+          case None => sequence(lit(start - start % iv), lit(end - 1), lit(iv))
+          case Some(zone) => typedLit(Intervals.tzGridLabels(zone, iv, start, end))
+        }
+      }
     val grid = ds
       .groupBy(col("series_id"), col("metric"), to_json(col("tags")).as("__tj"))
       .agg(map_from_entries(collect_list(struct(col("bucket_ts"), col("value"))))
@@ -581,23 +627,39 @@ object QueryEngine {
           graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
             a.resolvedThreshold, a.resolvedMinHistory)
         case "olympic" =>
-          val ivSec = q.downsample.map(d => Intervals.toSeconds(d.interval)).get
+          val dspec = q.downsample.get
           // the seasonal position indexes buckets on the clock the
           // buckets were CUT on: epoch buckets by (bucket_ts DIV iv),
           // tz buckets on the LOCAL clock — the label is the epoch
           // instant of its own local start, so label + offset-at-label
           // recovers the local bucket start exactly, and a post-DST
           // hourly bucket keeps its local hour-of-day slot (a raw epoch
-          // index would shift every slot by the transition delta)
-          val pos = q.downsample.flatMap(_.timezone) match {
-            case None => expr(s"(bucket_ts DIV $ivSec) % ${a.period}")
-            case Some(zone) =>
-              val localBucket = col("bucket_ts") +
-                tzOffsetAt(col("bucket_ts"), zone, q.start, q.end).cast("long")
-              // local bucket starts are exact iv-multiples on the local
-              // clock, so the division is exact
-              (localBucket / lit(ivSec)).cast("long") % lit(a.period)
-          }
+          // index would shift every slot by the transition delta);
+          // CALENDAR buckets by the boundary's absolute ordinal (month
+          // index / step, Intervals.calendarOrdinals — period 12 over
+          // "1n" is month-of-year seasonality), compiled to a literal
+          // label→slot CASE like the bucketing itself
+          val pos =
+            if (Intervals.isCalendar(dspec.interval)) {
+              val ords = Intervals.calendarOrdinals(dspec.interval,
+                dspec.timezone.getOrElse("UTC"), q.start, q.end)
+              ords.tail.foldLeft(lit(Math.floorMod(ords.head._2, a.period)): Column) {
+                case (acc, (b, o)) =>
+                  when(col("bucket_ts") === lit(b),
+                    lit(Math.floorMod(o, a.period))).otherwise(acc)
+              }
+            } else {
+              val ivSec = Intervals.toSeconds(dspec.interval)
+              dspec.timezone match {
+                case None => expr(s"(bucket_ts DIV $ivSec) % ${a.period}")
+                case Some(zone) =>
+                  val localBucket = col("bucket_ts") +
+                    tzOffsetAt(col("bucket_ts"), zone, q.start, q.end).cast("long")
+                  // local bucket starts are exact iv-multiples on the local
+                  // clock, so the division is exact
+                  (localBucket / lit(ivSec)).cast("long") % lit(a.period)
+              }
+            }
           graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
             pos, a.resolvedThreshold, a.resolvedMinHistory)
         case other => throw new IllegalArgumentException(s"unknown anomaly model: $other")

@@ -81,6 +81,10 @@ object Rollup {
       // rollup boundary — not knowable from the spec alone)
       spec.timezone.isEmpty &&
       StoredAggs.contains(spec.agg) &&
+      // calendar intervals route through the range-aware
+      // [[canServeCalendar]] (boundary alignment isn't knowable from
+      // the spec alone) — and toSeconds would throw on them
+      !Intervals.isCalendar(spec.interval) &&
       Intervals.toSeconds(spec.interval) % rSec == 0
   }
 
@@ -105,6 +109,30 @@ object Rollup {
         segs.forall { case (_, off) => Math.floorMod(off.toLong, rSec) == 0L } &&
           segs.tail.forall { case (t, _) => t % rSec == 0 }
       }
+  }
+
+  /** Range-aware serving test for CALENDAR intervals (months/years):
+   *  legal when the spec is otherwise servable AND every calendar
+   *  boundary in range lands on a rollup-row boundary (plus aligned
+   *  query edges) — then no stored row straddles two calendar buckets,
+   *  so labeling rollup rows by their own bucket_ts equals point-level
+   *  labeling exactly. Month starts are local midnights, so against a
+   *  1h rollup this is the whole-hour-offset test in calendar clothing
+   *  (Denver serves; Kolkata +5:30 needs the 30m rollup) — but testing
+   *  the enumerated boundaries directly also covers sub-interval DST
+   *  quirks for free. Unlike [[canServeTz]], transitions INSIDE a
+   *  bucket need no alignment: both paths floor to the same boundary
+   *  list, and no boundary moves. */
+  def canServeCalendar(spec: DownsampleSpec, rollupInterval: String,
+      start: Long, end: Long): Boolean = {
+    val rSec = Intervals.toSeconds(rollupInterval)
+    Intervals.isCalendar(spec.interval) &&
+      !spec.runAll && spec.reportingInterval.isEmpty && !spec.infectiousNan &&
+      StoredAggs.contains(spec.agg) &&
+      start % rSec == 0 && end % rSec == 0 &&
+      Intervals.calendarBoundaries(spec.interval,
+        spec.timezone.getOrElse("UTC"), start, end)
+        .forall(b => Math.floorMod(b, rSec) == 0L)
   }
 
   /** Stored-SAMPLE companion to the composite rollup: the deterministic
@@ -163,11 +191,18 @@ object Rollup {
    *  lies wholly inside one local bucket and on one offset segment, so
    *  row-start labeling equals point-level labeling. */
   def serve(rollup: DataFrame, spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
-    val iv = Intervals.toSeconds(spec.interval)
-    val bucket = (spec.timezone match {
-      case Some(zone) =>
-        graft.query.QueryEngine.tzBucket(col("bucket_ts"), zone, iv, start, end)
-      case None => col("bucket_ts") - col("bucket_ts") % lit(iv)
+    val bucket = (if (Intervals.isCalendar(spec.interval))
+      // legal only under [[canServeCalendar]]: every boundary on a
+      // rollup-row edge, so row-start labeling == point-level labeling
+      graft.query.QueryEngine.calendarBucket(col("bucket_ts"), spec.interval,
+        spec.timezone.getOrElse("UTC"), start, end)
+    else {
+      val iv = Intervals.toSeconds(spec.interval)
+      spec.timezone match {
+        case Some(zone) =>
+          graft.query.QueryEngine.tzBucket(col("bucket_ts"), zone, iv, start, end)
+        case None => col("bucket_ts") - col("bucket_ts") % lit(iv)
+      }
     }).as("__bucket")
     val agg: Column = spec.agg match {
       case "sum" | "zimsum" => sum(col("sum"))
@@ -234,6 +269,25 @@ object Rollup {
         .filter(col("segment_start") >= lit(seg)) // partition pruning
         .filter(col("ts") >= lit(from) && col("ts") < lit(end))
       QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
+    }
+    // A CALENDAR downsample splits on a calendar boundary — labels are
+    // absolute (the civil calendar), so the raw tail's labels agree with
+    // the served head's without any alignment bookkeeping. The sub-range
+    // boundary set is a subset of the full range's, so the sub-range
+    // legality check succeeds exactly when the full-range one would.
+    if (Intervals.isCalendar(spec.interval)) {
+      val zone = spec.timezone.getOrElse("UTC")
+      if (rollupUntil >= end)
+        return if (canServeCalendar(spec, rollupInterval, start, end))
+          serve(rollup, spec, start, end)
+        else raw(start)
+      val clamped = math.min(math.max(rollupUntil, start), end)
+      val frontier = Intervals
+        .calendarBoundaries(spec.interval, zone, start, end)
+        .takeWhile(_ <= clamped).lastOption.getOrElse(start)
+      return if (frontier > start && canServeCalendar(spec, rollupInterval, start, frontier))
+        serve(rollup, spec, start, frontier).unionByName(raw(frontier))
+      else raw(start)
     }
     val qSec = Intervals.toSeconds(spec.interval)
     // A timezone'd downsample splits on a tz bucket LABEL — the only

@@ -1,0 +1,96 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Calendar interval grammar + boundary enumeration (months/years have
+ *  no fixed second length — upstream duration grammar units `n`/`y`).
+ *  Epoch literals below are stated as their civil datetimes so the
+ *  expectations are auditable against any calendar. */
+class CalendarIntervalsSpec extends AnyFunSuite {
+
+  test("grammar: n/y are calendar, fixed units are not, toSeconds stays loud") {
+    assert(Intervals.isCalendar("1n"))
+    assert(Intervals.isCalendar("3n"))
+    assert(Intervals.isCalendar("1y"))
+    assert(!Intervals.isCalendar("1d"))
+    assert(!Intervals.isCalendar("1w"))
+    assert(!Intervals.isCalendar("0n"), "zero-count is not a bucket width")
+    assert(!Intervals.isCalendar("auto"))
+    assert(!Intervals.isCalendar("0all"))
+    // any fixed-seconds consumer reaching a calendar interval is a
+    // routing bug — toSeconds must keep throwing
+    intercept[IllegalArgumentException](Intervals.toSeconds("1n"))
+    intercept[IllegalArgumentException](Intervals.toSeconds("1y"))
+  }
+
+  test("UTC monthly boundaries: floor-to-calendar start, leap February") {
+    // [Jan 5, Mar 15) 2024 UTC: first boundary is Jan 1 (AT OR BEFORE
+    // start — the partial leading bucket labels at its calendar start)
+    val bs = Intervals.calendarBoundaries("1n", "UTC", 1704412800L, 1710460800L)
+    assert(bs === Seq(1704067200L, 1706745600L, 1709251200L)) // Jan/Feb/Mar 1
+    // 2024 is a leap year: the Feb bucket is exactly 29 days
+    assert(bs(2) - bs(1) === 29L * 86400)
+    assert(bs(1) - bs(0) === 31L * 86400)
+  }
+
+  test("Denver monthly boundaries sit at local midnight across the DST change") {
+    // [Jan 1 2024 00:00Z, Apr 20 2024Z): Jan 1 00:00Z is Dec 31 17:00
+    // Denver, so the floor boundary is Dec 1 2023; Jan–Mar boundaries
+    // at 07:00Z (MST −7), April at 06:00Z (MDT −6 after Mar 10)
+    val bs = Intervals.calendarBoundaries(
+      "1n", "America/Denver", 1704067200L, 1713571200L)
+    assert(bs === Seq(
+      1701414000L, // 2023-12-01 00:00 MST
+      1704092400L, // 2024-01-01 00:00 MST
+      1706770800L, // 2024-02-01 00:00 MST
+      1709276400L, // 2024-03-01 00:00 MST
+      1711951200L  // 2024-04-01 00:00 MDT (−6h: the DST change moved midnight)
+    ))
+  }
+
+  test("quarters anchor at the epoch calendar, not the query range") {
+    // "3n" starting mid-November 2023 must floor to OCTOBER 1 (month
+    // index 645 ≡ 0 mod 3 ends the Oct/Nov/Dec quarter), not November
+    val bs = Intervals.calendarBoundaries(
+      "3n", "America/Denver", 1700000000L, 1706770800L)
+    assert(bs === Seq(
+      1696140000L, // 2023-10-01 00:00 MDT
+      1704092400L  // 2024-01-01 00:00 MST
+    ))
+  }
+
+  test("years: a UTC instant in local 2023 floors to the 2023 boundary") {
+    // Jan 1 2024 00:00Z is still 2023 in Denver
+    val bs = Intervals.calendarBoundaries(
+      "1y", "America/Denver", 1704067200L, 1706140800L)
+    assert(bs === Seq(
+      1672556400L, // 2023-01-01 00:00 MST
+      1704092400L  // 2024-01-01 00:00 MST
+    ))
+  }
+
+  test("ordinals are absolute (month index / step), range-independent") {
+    // Jan 2024 is month index 648 since 1970-01 → quarter ordinal 216;
+    // Oct 2023 (645) → 215 — whatever range the query asked for
+    val o1 = Intervals.calendarOrdinals("3n", "UTC", 1704412800L, 1706140800L)
+    assert(o1 === Seq(1704067200L -> 216L))
+    val o2 = Intervals.calendarOrdinals("3n", "America/Denver",
+      1700000000L, 1706770800L)
+    assert(o2.map(_._2) === Seq(215L, 216L))
+    // monthly ordinals step by 1
+    val o3 = Intervals.calendarOrdinals("1n", "UTC", 1704412800L, 1710460800L)
+    assert(o3.map(_._2) === Seq(648L, 649L, 650L))
+  }
+
+  test("boundary invariants: first <= start < second (when any), last < end") {
+    for (zone <- Seq("UTC", "America/Denver", "Asia/Kolkata");
+         iv <- Seq("1n", "2n", "3n", "1y")) {
+      val start = 1704412800L; val end = 1720000000L
+      val bs = Intervals.calendarBoundaries(iv, zone, start, end)
+      assert(bs.head <= start, s"$zone $iv head")
+      assert(bs.tail.headOption.forall(_ > start), s"$zone $iv second")
+      assert(bs.last < end, s"$zone $iv last")
+      assert(bs === bs.sorted && bs.distinct == bs, s"$zone $iv ordered")
+    }
+  }
+}
