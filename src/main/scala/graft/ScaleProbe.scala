@@ -414,7 +414,13 @@ object ScaleProbe {
     // label array over the same one-pass grid build), tz group-by
     // (labels feed the spatial stage unchanged), and the tz hybrid
     // rollup∪raw split (pays rollup BUILD + both serve sides)
-    "q_ds_fill_tz", "q_groupby_tz", "q_rollup_tz_hybrid")
+    "q_ds_fill_tz", "q_groupby_tz", "q_rollup_tz_hybrid",
+    // round 11: CALENDAR buckets — same plan shape as q_ds_tz with the
+    // boundary CASE in place of the offset CASE; p_ds_month_multiyear
+    // widens to 5 years (~60 monthly boundaries → a 60-branch literal
+    // CASE) to show the chain stays immaterial as boundaries accumulate;
+    // the rollup row pays build + the calendar serve
+    "q_ds_month_tz", "p_ds_month_multiyear", "q_rollup_month_tz")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded
@@ -577,6 +583,17 @@ object ScaleProbe {
       QueryEngine.run(graft.sources.TsdbViews.points(s, d),
         TsdbQuery(MatchAll, 1577836800L, 1735689600L,
           downsample = Some(DownsampleSpec("1d", "sum",
+            timezone = Some("America/Denver")))))
+    },
+    // q_ds_month_tz over the same FIVE-YEAR range: fact work identical
+    // (the events span 30 days); what grows is the literal boundary
+    // CASE (60 monthly boundaries). Wall must match q_ds_month_tz's.
+    "p_ds_month_multiyear" -> { (s, d) =>
+      import graft.query._
+      import graft.filters.MatchAll
+      QueryEngine.run(graft.sources.TsdbViews.points(s, d),
+        TsdbQuery(MatchAll, 1577836800L, 1735689600L,
+          downsample = Some(DownsampleSpec("1n", "sum",
             timezone = Some("America/Denver")))))
     })
 
