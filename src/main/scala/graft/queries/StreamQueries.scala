@@ -556,6 +556,23 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // A10 × CALENDAR from the ingest-MAINTAINED rollup (round 11): the
+    // Denver MONTHLY serve over the streamed composite — month starts
+    // are whole-hour local midnights here, so every stored 1h row lies
+    // inside one month (canServeCalendar) and the serve-side boundary
+    // CASE reproduces point-level labels. The early-January rows must
+    // surface as the December-2023 bucket from STORED rows; shares
+    // q_ds_month_tz's raw-scan oracle verbatim.
+    "q_stream_rollup_month_tz" -> { (s, d) =>
+      import graft.query.DownsampleSpec
+      graft.rollup.Rollup
+        .serve(IngestJob.rollup(s, lakeFor(s, d)),
+          DownsampleSpec("1n", "sum", timezone = Some("America/Denver")),
+          OracleCommon.DataStart, OracleCommon.TzFillEnd)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // A10+A14 hybrid: closed segments from the maintained rollup UNION
     // the open tail from raw points (frontier = the flush boundary).
     // The answer must equal the all-raw oracle exactly — the straddling
@@ -690,6 +707,9 @@ object StreamQueries {
 
     // maintained-rollup tz serve == the raw tz downsample exactly
     "q_stream_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
+
+    // maintained-rollup CALENDAR serve == the raw monthly downsample
+    "q_stream_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

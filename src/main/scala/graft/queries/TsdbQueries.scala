@@ -607,6 +607,22 @@ object TsdbQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // spatial aggregation over CALENDAR buckets: per-series Denver
+    // monthly sums feed the cross-series stage unchanged (labels are
+    // opaque epochs to the spatial agg) — the early-January rows roll
+    // into a December-2023 group row the UTC path never emits
+    "q_groupby_month_tz" -> { (s, d) =>
+      val pts0 = QueryEngine.dedupe(pts(s, d)
+        .filter(col("ts") >= lit(DataStart) && col("ts") < lit(TzFillEnd)))
+      val ds = QueryEngine.downsample(pts0,
+        DownsampleSpec("1n", "sum", timezone = Some("America/Denver")),
+        DataStart, TzFillEnd)
+        .withColumn("value", round(col("value"), 4))
+      QueryEngine.groupBySpatial(ds, GroupBySpec(Seq("host", "colo"), "sum"))
+        .select(col("host").as("tag_host"), col("colo").as("tag_colo"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
     // Group-by over a SPARSE tag (env exists on 1-in-5 users): a series
     // missing the tag joins NO group — the reference groups through the
     // meta index's tag-value search, so absent-tag series are absent
@@ -1759,6 +1775,22 @@ object TsdbQueries {
          |         (ts - 25200) - (ts - 25200) % 86400 + 25200 AS bucket_ts,
          |         ${rnd("sum(value)")} AS v
          |  FROM dedup WHERE ${inRange()}
+         |  GROUP BY 1, 2, 3, 4, 5)
+         |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
+         |FROM ds GROUP BY 1, 2, 3""".stripMargin,
+
+    // calendar group-by: the monthly boundary CASE feeds the same
+    // two-stage restatement
+    "q_groupby_month_tz" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host, tag_colo,
+         |         CASE WHEN ts >= 1709276400 THEN 1709276400
+         |              WHEN ts >= 1706770800 THEN 1706770800
+         |              WHEN ts >= 1704092400 THEN 1704092400
+         |              ELSE 1701414000 END AS bucket_ts,
+         |         ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
          |  GROUP BY 1, 2, 3, 4, 5)
          |SELECT tag_host, tag_colo, bucket_ts, ${rnd("sum(v)")} AS value
          |FROM ds GROUP BY 1, 2, 3""".stripMargin,
