@@ -70,6 +70,21 @@ object MetaQueriesSuite {
       MetaQueries.cardinalitySketch(dim(s, d), MatchAll, ident, k = 8)
     },
 
+    // COUNT-MIN heavy-hitter estimation (round 11 — the frequency
+    // companion to the KMV cardinality sketch): point-occurrence
+    // frequency per user from a 4×512 cell grid, reported for the
+    // top-16 exact keys with the exact count beside the estimate (the
+    // minhashEval estimator-quality discipline). 750 keys into 512
+    // cells ⇒ real collisions: some rows overcount, none undercount —
+    // both engines replay the identical md5 cell walk, so the hash
+    // pins the estimator, not just the exact side.
+    "q_meta_cms_users" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      graft.operators.CountMin.report(
+        TsdbViews.points(s, d), col("tags")("user"), depth = 4, width = 512, k = 16)
+        .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
+    },
+
     // META via the query-JSON front end (the reference's
     // MetaQueryBuilderTSDBExt.fromTSDBQueryFilter path,
     // MetaQueryBuilderTSDBExt.java:58-66): the SAME selection as
@@ -179,7 +194,29 @@ object MetaQueriesSuite {
          |       CASE WHEN count(*) < 8 THEN CAST(count(*) AS DOUBLE)
          |            ELSE round(7 * 268435456.0 / max(h), 4) END AS est_series
          |FROM ranked WHERE rn <= 8
-         |GROUP BY metric ORDER BY metric LIMIT ${MetaQueries.SizeLimit}""".stripMargin
+         |GROUP BY metric ORDER BY metric LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    // the count-min grid restated cell by cell: same md5 row hashes,
+    // same width, min over the key's 4 cells (0 where untouched)
+    "q_meta_cms_users" ->
+      s"""WITH ${OracleCommon.pointsCtes},
+         |counts AS (SELECT tag_user, count(*) AS exact_n FROM points GROUP BY 1),
+         |top AS (SELECT * FROM counts ORDER BY exact_n DESC, tag_user LIMIT 16),
+         |drows AS (SELECT unnest([0, 1, 2, 3]) AS i),
+         |cells AS (
+         |  SELECT i,
+         |         ('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || tag_user), 1, 7))::BIGINT
+         |           % 512 AS j,
+         |         count(*) AS cnt
+         |  FROM points CROSS JOIN drows GROUP BY 1, 2),
+         |est AS (
+         |  SELECT t.tag_user, min(coalesce(c.cnt, 0)) AS est_n
+         |  FROM top t CROSS JOIN drows d
+         |  LEFT JOIN cells c ON c.i = d.i
+         |    AND c.j = ('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || t.tag_user), 1, 7))::BIGINT % 512
+         |  GROUP BY 1)
+         |SELECT t.tag_user, t.exact_n, e.est_n
+         |FROM top t JOIN est e ON e.tag_user = t.tag_user""".stripMargin
   ) ++ Map(
     // JSON front-end replay: same selection, same oracle — a parser
     // divergence shows up as a hash mismatch

@@ -52,7 +52,10 @@ object StreamQueries {
       // unit-tested and oracle-checked (q_stream_admission) separately
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
-        rollupInterval = Some(RollupInterval))
+        rollupInterval = Some(RollupInterval),
+        // maintained count-min cells over the user tag (A15 sketch
+        // family): per-batch partials, merged at read
+        cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       // post-ingest maintenance, as a production shutdown would: complete
       // the close-gated rollup over the final open tail, then consolidate
@@ -556,6 +559,24 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // A15 sketch family, STREAMED (round 11): heavy-hitter frequency
+    // estimates from the ingest-MAINTAINED count-min cells — per-batch
+    // partial d×w grids merged by cell-wise sum at read, which equals
+    // the one-shot batch sketch EXACTLY (cells are sums). The exact
+    // side here is the evaluation harness (reads the lake); production
+    // keeps only the ≤ d·w cells. Shares q_meta_cms_users' oracle
+    // verbatim — a maintained cell off by one count fails the hash.
+    "q_stream_cms_users" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      val exact = IngestJob.points(s, cfg)
+        .select(col("tags")("user").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy(col("exact_n").desc, col("key").asc).limit(16)
+      graft.operators.CountMin
+        .reportAgainst(IngestJob.cmsCells(s, cfg), top, depth = 4, width = 512)
+        .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
+    },
+
     // A10 × CALENDAR from the ingest-MAINTAINED rollup (round 11): the
     // Denver MONTHLY serve over the streamed composite — month starts
     // are whole-hour local midnights here, so every stored 1h row lies
@@ -710,6 +731,9 @@ object StreamQueries {
 
     // maintained-rollup CALENDAR serve == the raw monthly downsample
     "q_stream_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
+
+    // maintained count-min cells == the one-shot batch sketch
+    "q_stream_cms_users" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

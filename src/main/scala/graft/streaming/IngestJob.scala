@@ -105,12 +105,21 @@ object IngestJob {
       rollupInterval: Option[String] = None,
       nowSec: Option[() => Long] = None,
       admissionSampleMod: Option[Int] = None,
-      rollupLatenessSec: Long = 0)
+      rollupLatenessSec: Long = 0,
+      cms: Option[CmsConfig] = None)
+
+  /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
+   *  expression against the admitted point rows): each micro-batch
+   *  appends its partial d×w cell counts; cells are sums, so the
+   *  read-side merge equals the one-shot batch sketch exactly
+   *  ([[graft.operators.CountMin]]). */
+  final case class CmsConfig(keyExpr: String, depth: Int = 4, width: Int = 512)
 
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
   def rollupPath(cfg: Config): String = s"${cfg.lakeDir}/rollup"
+  def cmsPath(cfg: Config): String = s"${cfg.lakeDir}/cms"
 
   /** Per-batch ingest accounting (the reference logs dropped-point
    *  counters at admission; we surface them to the caller). */
@@ -190,6 +199,12 @@ object IngestJob {
         .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
         .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
         .write.mode("append").parquet(latestLogPath(cfg))
+      // per-batch PARTIAL count-min cells (≤ d·w rows per batch — the
+      // mergeable-summary contract; the read sums cells, never rescans)
+      cfg.cms.foreach { c =>
+        graft.operators.CountMin.sketch(admitted, expr(c.keyExpr), c.depth, c.width)
+          .write.mode("append").parquet(cmsPath(cfg))
+      }
       cfg.rollupInterval.foreach { iv =>
         // control-flow collect, not a data loop: a micro-batch touches a
         // handful of 2h windows (cached input, O(segments-per-batch) ids)
@@ -265,6 +280,11 @@ object IngestJob {
    *  segment-partitioned. Feed to [[graft.rollup.Rollup.serve]]. */
   def rollup(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(rollupPath(cfg))
+
+  /** The maintained count–min sketch: micro-batch partials merged by
+   *  cell-wise sum — identical to the one-shot batch sketch. */
+  def cmsCells(spark: SparkSession, cfg: Config): DataFrame =
+    graft.operators.CountMin.merge(spark.read.parquet(cmsPath(cfg)))
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log
