@@ -420,13 +420,18 @@ object ScaleProbe {
     // widens to 5 years (~60 monthly boundaries → a 60-branch literal
     // CASE) to show the chain stays immaterial as boundaries accumulate;
     // the rollup row pays build + the calendar serve
-    "q_ds_month_tz", "p_ds_month_multiyear", "q_rollup_month_tz")
+    "q_ds_month_tz", "p_ds_month_multiyear", "q_rollup_month_tz",
+    // round 11: count-min build+report (fact scan → d·w-bounded
+    // exchange + a TakeOrdered top-k; must track the plain fact-agg
+    // family) and the maintained-cells read (cell-sum of per-batch
+    // partials — dim-scale work, like the other maintained reads)
+    "q_meta_cms_users", "q_stream_cms_users")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded
    *  from timing — the probe measures the production read. */
   private val TsdbXlMaintained: Set[String] =
-    Set("q_stream_series_dim", "q_stream_latest")
+    Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */
@@ -612,6 +617,9 @@ object ScaleProbe {
    *  contract oracle paths (brute ANN, cap-off near-dup) are excluded —
    *  their scaling regime is documented, not claimed linear. */
   private val XlProbed: Seq[String] = Seq(
+    // round 11: token-frequency count-min — fact-linear token explode
+    // into a bounded cell grid + a vocab-sized exact evaluation side
+    "q_text_cms_tokens",
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_simhash",
     "q_dedup_simhash_capped", "p_dedup_minhash_capped", "p_dedup_embed_capped",
     "q_dedup_spans", "q_dedup_span_removal",

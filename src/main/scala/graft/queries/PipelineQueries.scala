@@ -171,6 +171,20 @@ object PipelineQueries {
   private def annQueryPred = col("vec_id") % 25 === 0 && col("vec_id") < 1000
 
   val defs: Map[String, Q] = Map(
+    // token-frequency heavy hitters via the count-min sketch (round 11
+    // — the corpus-side use of graft.operators.CountMin): the Zipf
+    // head without a vocabulary-sized exact aggregate. A deliberately
+    // narrow 4×16 grid over this corpus' ~31-token vocabulary forces
+    // real collisions, so the report's est_n column pins the estimator
+    // (min over 4 cells, never below exact_n) against the oracle's
+    // identical cell walk.
+    "q_text_cms_tokens" -> { (s, d) =>
+      val toks = docs(s, d)
+        .select(explode(graft.pipeline.TextAnalysis.tokens(col("text"))).as("tk"))
+      graft.operators.CountMin.report(toks, col("tk"), depth = 4, width = 16, k = 20)
+        .select(col("key").as("token"), col("exact_n"), col("est_n"))
+    },
+
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
     // incremental (snapshot-over-snapshot) dedup: the doc_id%3 "new
     // crawl" anti-joined against the doc_id%2 "reference corpus" —
@@ -777,6 +791,28 @@ object PipelineQueries {
        |FROM pairs GROUP BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the 4×16 count-min grid cell by cell (md5 row hashes, min of the
+    // token's cells), top-20 tokens by exact count
+    "q_text_cms_tokens" ->
+      raw"""WITH toks AS (
+           |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tk
+           |  FROM documents),
+           |counts AS (SELECT tk, count(*) AS exact_n FROM toks GROUP BY 1),
+           |top AS (SELECT * FROM counts ORDER BY exact_n DESC, tk LIMIT 20),
+           |drows AS (SELECT unnest([0, 1, 2, 3]) AS i),
+           |cells AS (
+           |  SELECT i, ${bh(s"CAST(i AS VARCHAR) || '|' || tk")} % 16 AS j,
+           |         count(*) AS cnt
+           |  FROM toks CROSS JOIN drows GROUP BY 1, 2),
+           |est AS (
+           |  SELECT t.tk, min(coalesce(c.cnt, 0)) AS est_n
+           |  FROM top t CROSS JOIN drows d
+           |  LEFT JOIN cells c ON c.i = d.i
+           |    AND c.j = ${bh(s"CAST(d.i AS VARCHAR) || '|' || t.tk")} % 16
+           |  GROUP BY 1)
+           |SELECT t.tk AS token, t.exact_n, e.est_n
+           |FROM top t JOIN est e ON e.tk = t.tk""".stripMargin,
+
     "q_dedup_exact" ->
       raw"""SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_hash,
            |       min(doc_id) AS canonical_id, count(*) AS n_copies
