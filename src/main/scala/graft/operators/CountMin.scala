@@ -92,4 +92,24 @@ object CountMin {
       .join(top, "key")
       .select(col("key"), col("exact_n"), col("est_n"))
       .orderBy(col("exact_n").desc, col("key").asc)
+
+  /** Dimension planner (the bandingPlan discipline — pick d×w from the
+   *  target guarantee analytically, not folklore): for overcount
+   *  tolerance ε·N and failure probability δ, the canonical sizing is
+   *  w = ⌈e/ε⌉ and d = ⌈ln(1/δ)⌉ (Cormode & Muthukrishnan 2005, Thm 1).
+   *  One row per stream-size decade with the absolute overcount bound
+   *  and the cell budget — closed-form, no data scan. */
+  def plan(spark: org.apache.spark.sql.SparkSession,
+      eps: Double = 0.001, delta: Double = 0.01): DataFrame = {
+    require(eps > 0 && eps < 1, s"eps in (0,1): $eps")
+    require(delta > 0 && delta < 1, s"delta in (0,1): $delta")
+    val w = math.ceil(math.E / eps).toLong
+    val d = math.ceil(math.log(1.0 / delta)).toLong
+    spark.range(6, 12) // 10^6 .. 10^11 items
+      .select(
+        pow(lit(10.0), col("id")).cast("long").as("n_items"),
+        lit(d).as("depth"), lit(w).as("width"), lit(d * w).as("cells"),
+        round(lit(eps) * pow(lit(10.0), col("id")), 4).as("max_overcount"),
+        round(lit(1.0 - delta), 4).as("confidence"))
+  }
 }

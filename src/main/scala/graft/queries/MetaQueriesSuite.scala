@@ -85,6 +85,10 @@ object MetaQueriesSuite {
         .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
     },
 
+    // the CM dimension planner: d×w from (ε, δ) analytically — constant
+    // work, no data scan (the bandingPlan discipline)
+    "q_meta_cms_plan" -> ((s, _) => graft.operators.CountMin.plan(s)),
+
     // META via the query-JSON front end (the reference's
     // MetaQueryBuilderTSDBExt.fromTSDBQueryFilter path,
     // MetaQueryBuilderTSDBExt.java:58-66): the SAME selection as
@@ -216,7 +220,18 @@ object MetaQueriesSuite {
          |    AND c.j = ('0x' || substr(md5(CAST(d.i AS VARCHAR) || '|' || t.tag_user), 1, 7))::BIGINT % 512
          |  GROUP BY 1)
          |SELECT t.tag_user, t.exact_n, e.est_n
-         |FROM top t JOIN est e ON e.tag_user = t.tag_user""".stripMargin
+         |FROM top t JOIN est e ON e.tag_user = t.tag_user""".stripMargin,
+
+    // w = ceil(e/eps), d = ceil(ln(1/delta)) at eps=0.001, delta=0.01
+    "q_meta_cms_plan" ->
+      s"""SELECT CAST(power(10.0, i) AS BIGINT) AS n_items,
+         |       CAST(ceil(ln(1.0/0.01)) AS BIGINT) AS depth,
+         |       CAST(ceil(exp(1.0)/0.001) AS BIGINT) AS width,
+         |       CAST(ceil(ln(1.0/0.01)) AS BIGINT)
+         |         * CAST(ceil(exp(1.0)/0.001) AS BIGINT) AS cells,
+         |       round(0.001 * power(10.0, i), 4) AS max_overcount,
+         |       round(0.99, 4) AS confidence
+         |FROM range(6, 12) AS t(i)""".stripMargin
   ) ++ Map(
     // JSON front-end replay: same selection, same oracle — a parser
     // divergence shows up as a hash mismatch

@@ -132,6 +132,30 @@ object TsdbQueries {
     // A1: downsample SUM (zimsum is the NaN-skipping alias — same result here)
     "q_ds_sum" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "sum"))), "sum_value")),
 
+    // the SAME query as ANSI SQL text over the registered views
+    // (round 11 — SqlViews): Catalyst inlines the view, so this
+    // compiles to the DataFrame path's plan; the SQL states the
+    // engine contracts explicitly (LWW max-seq winner, NaN-as-missing)
+    // and shares q_ds_sum's oracle verbatim — a SQL phrasing that
+    // drifts from the engine semantics by one row fails the hash.
+    "q_sql_ds_sum" -> { (s, d) =>
+      graft.sources.SqlViews.register(s, d)
+      s.sql(
+        s"""WITH dedup AS (
+           |  SELECT * FROM (
+           |    SELECT metric, tags, ts, value,
+           |           row_number() OVER (PARTITION BY series_id, ts
+           |                              ORDER BY seq DESC) AS __rn
+           |    FROM graft_points
+           |    WHERE ts >= $Start AND ts < $End)
+           |  WHERE __rn = 1)
+           |SELECT metric, tags['user'] AS tag_user,
+           |       ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM dedup GROUP BY 1, 2, 3""".stripMargin)
+    },
+
     // `auto` downsample interval (the upstream DownsampleFactory
     // mechanism: "auto" resolves against a duration→interval ladder
     // before the node plans). This 20-day range resolves to "1d" on the
@@ -2178,6 +2202,7 @@ object TsdbQueries {
     "q_json_chain_not" -> oraclesBase("q_filter_chain_not"),
     "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
+    "q_sql_ds_sum" -> oraclesBase("q_ds_sum"),
     "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
