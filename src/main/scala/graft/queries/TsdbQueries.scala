@@ -597,6 +597,24 @@ object TsdbQueries {
           round(col("value"), 4).as("value"))
     },
 
+    // the full composition over CALENDAR buckets: filter → 1w shift →
+    // dedupe → rate → Denver MONTHLY avg → spatial host sum. Every
+    // stage upstream of the bucket CASE is the q_full_pipeline plan;
+    // the shifted February rows land in a third month bucket, so the
+    // boundary walk is exercised under rate-rewritten timestamps too.
+    "q_full_pipeline_month" -> { (s, d) =>
+      val f = Chain.and(
+        MetricLiteral(Seq("click", "purchase")), TagLiteral("colo", Seq("sjc")))
+      run(s, d, TsdbQuery(f, DataStart, TzFillEnd,
+        rate = Some(RateSpec()),
+        downsample = Some(DownsampleSpec("1n", "avg",
+          timezone = Some("America/Denver"))),
+        groupBy = Some(GroupBySpec(Seq("host"), "sum")),
+        shift = Some("1w")))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("value"))
+    },
+
     // W5: time shift — evaluate one week back, map timestamps forward
     "q_timeshift" -> ((s, d) =>
       dsOut(
@@ -1766,6 +1784,32 @@ object TsdbQueries {
          |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
          |ds AS (
          |  SELECT metric, tag_user, tag_host, ts - ts % 86400 AS bucket_ts, avg(r) AS a
+         |  FROM rated WHERE r IS NOT NULL
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT tag_host, bucket_ts, ${rnd("sum(a)")} AS value
+         |FROM ds GROUP BY 1, 2""".stripMargin,
+
+    // the monthly-composition restatement: identical stages with the
+    // Denver boundary CASE over the SHIFTED timestamps
+    "q_full_pipeline_month" ->
+      s"""WITH $pointsCtes,
+         |rng AS (
+         |  SELECT metric, tag_user, tag_host, ts + 604800 AS ts, value
+         |  FROM dedup
+         |  WHERE ts >= ${DataStart - 604800} AND ts < ${TzFillEnd - 604800}
+         |    AND metric IN ('click', 'purchase') AND tag_colo = 'sjc'),
+         |rated AS (
+         |  SELECT metric, tag_user, tag_host, ts,
+         |         (value - lag(value) OVER w) / CAST(ts - lag(ts) OVER w AS DOUBLE) AS r
+         |  FROM rng
+         |  WINDOW w AS (PARTITION BY metric, tag_user ORDER BY ts)),
+         |ds AS (
+         |  SELECT metric, tag_user, tag_host,
+         |         CASE WHEN ts >= 1709276400 THEN 1709276400
+         |              WHEN ts >= 1706770800 THEN 1706770800
+         |              WHEN ts >= 1704092400 THEN 1704092400
+         |              ELSE 1701414000 END AS bucket_ts,
+         |         avg(r) AS a
          |  FROM rated WHERE r IS NOT NULL
          |  GROUP BY 1, 2, 3, 4)
          |SELECT tag_host, bucket_ts, ${rnd("sum(a)")} AS value
