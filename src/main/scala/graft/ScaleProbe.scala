@@ -618,8 +618,10 @@ object ScaleProbe {
    *  their scaling regime is documented, not claimed linear. */
   private val XlProbed: Seq[String] = Seq(
     // round 11: token-frequency count-min — fact-linear token explode
-    // into a bounded cell grid + a vocab-sized exact evaluation side
-    "q_text_cms_tokens",
+    // into a bounded cell grid + a vocab-sized exact evaluation side —
+    // and the truncation-recall ablation (|dims|+1 bounded-query corpus
+    // scans; must track the brute/recall family's linearity)
+    "q_text_cms_tokens", "q_ann_trunc_recall",
     "q_dedup_exact", "q_dedup_incremental", "q_dedup_simhash",
     "q_dedup_simhash_capped", "p_dedup_minhash_capped", "p_dedup_embed_capped",
     "q_dedup_spans", "q_dedup_span_removal",

@@ -558,6 +558,57 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Truncation-recall ablation (the Matryoshka-representation
+   *  evaluation, Kusupati et al. 2022): recall@k of brute-force search
+   *  over PREFIX-truncated embeddings against the full-dimension exact
+   *  baseline — the measurement a deployment runs before storing
+   *  shorter vectors (truncating a well-trained MRL embedding should
+   *  cost little recall; truncating an ordinary one costs a lot —
+   *  either way, measure, don't guess). One output row per
+   *  (trunc_dim, query) with the exact-integer hit count, the
+   *  recallAtK determinism discipline (4-decimal similarity, vec_id
+   *  tiebreak).
+   *
+   *  Scale posture: same bounded-query contract as [[recallAtK]] — the
+   *  query batch is broadcast, so each ablation dim costs one corpus
+   *  scan with a |sample|-wide ranking window, |dims| scans total;
+   *  nothing is quadratic in corpus size. */
+  def truncatedRecallAtK(emb: DataFrame, queryPred: Column, k: Int,
+      dims: Seq[Int]): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d > 0 && d <= Dim),
+      s"ablation dims must be in (0, $Dim]: $dims")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val exact = bruteForceTopK(emb, queryPred, k).select(col("q_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    val perDim = dims.map { dm =>
+      val queries = emb.filter(queryPred)
+        .select(col("vec_id").as("q_id"),
+          slice(asDouble(col("embedding")), 1, dm).as("q_vec"))
+      val corpus = emb.select(col("vec_id"),
+        slice(asDouble(col("embedding")), 1, dm).as("vec"))
+      corpus.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("sim", round(cosine(col("q_vec"), col("vec")), 4))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select(lit(dm).as("trunc_dim"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionByName _)
+    val hits = perDim
+      .join(exact.withColumnRenamed("q_id", "__eq")
+          .withColumnRenamed("vec_id", "__ev"),
+        col("q_id") === col("__eq") && col("vec_id") === col("__ev"), "left_semi")
+      .groupBy(col("trunc_dim"), col("q_id")).agg(count(lit(1)).as("n_hit"))
+    val totals = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    totals
+      .crossJoin(broadcast(dims.toDF("trunc_dim")))
+      .join(hits, Seq("trunc_dim", "q_id"), "left")
+      .select(col("trunc_dim"), col("q_id"), col("n_exact"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_exact"), 4)
+          .as("recall"))
+  }
+
   // ------------------------------------------------------ product quantization
 
   /** PQ codebooks: the vector space splits into `m` equal subspaces and

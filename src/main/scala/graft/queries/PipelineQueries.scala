@@ -520,6 +520,12 @@ object PipelineQueries {
       Similarity.recallAtK(emb(s, d),
         Similarity.hashSampledCentroids(emb(s, d), IvfK),
         annQueryPred, 3, nprobe = 2)),
+    // truncation-recall ablation (round 11 — the Matryoshka-style
+    // dimension sweep): recall@3 of brute-force search over the first
+    // 8/16/32 of 64 dims vs the full-dim baseline, per (dim, query) —
+    // the storage-savings measurement behind shipping shorter vectors
+    "q_ann_trunc_recall" -> ((s, d) =>
+      Similarity.truncatedRecallAtK(emb(s, d), annQueryPred, 3, Seq(8, 16, 32))),
     // mean-pooled class prototypes: one centroid per label
     "q_ann_label_centroids" -> ((s, d) =>
       Similarity.centroidsBy(emb(s, d), col("label"))),
@@ -1800,6 +1806,39 @@ object PipelineQueries {
          |SELECT q_id, n_exact, coalesce(n_hit, 0) AS n_hit,
          |       ${rnd("CAST(coalesce(n_hit, 0) AS DOUBLE) / n_exact")} AS recall
          |FROM tot LEFT JOIN hits USING (q_id)""".stripMargin,
+
+    // the truncation sweep: top-3 on list_slice(v, 1, dm) per ablation
+    // dim vs the full-dim exact top-3
+    "q_ann_trunc_recall" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qsel AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE $annQPred),
+         |bt AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM (SELECT q_id, vec_id, ${rnd(cosSql("qv", "v"))} AS sim
+         |          FROM qsel, e WHERE vec_id != q_id))
+         |  WHERE rank <= 3),
+         |dims AS (SELECT unnest([8, 16, 32]) AS trunc_dim),
+         |tr AS (
+         |  SELECT trunc_dim, q_id, vec_id FROM (
+         |    SELECT trunc_dim, q_id, vec_id,
+         |           row_number() OVER (PARTITION BY trunc_dim, q_id
+         |                              ORDER BY sim DESC, vec_id ASC) AS rank
+         |    FROM (SELECT d.trunc_dim, q.q_id, e.vec_id,
+         |                 ${rnd(cosSql("list_slice(q.qv, 1, d.trunc_dim)",
+                                        "list_slice(e.v, 1, d.trunc_dim)"))} AS sim
+         |          FROM qsel q CROSS JOIN dims d CROSS JOIN e
+         |          WHERE e.vec_id != q.q_id))
+         |  WHERE rank <= 3),
+         |hits AS (SELECT t.trunc_dim, t.q_id, CAST(count(*) AS BIGINT) AS n_hit
+         |         FROM tr t JOIN bt b ON b.q_id = t.q_id AND b.vec_id = t.vec_id
+         |         GROUP BY 1, 2),
+         |tot AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact FROM bt GROUP BY 1)
+         |SELECT d.trunc_dim, t.q_id, t.n_exact, coalesce(h.n_hit, 0) AS n_hit,
+         |       ${rnd("CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_exact")} AS recall
+         |FROM tot t CROSS JOIN dims d
+         |LEFT JOIN hits h ON h.trunc_dim = d.trunc_dim AND h.q_id = t.q_id""".stripMargin,
 
     "q_ann_pq_codes" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
