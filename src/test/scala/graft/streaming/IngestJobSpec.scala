@@ -295,6 +295,37 @@ class IngestJobSpec extends AnyFunSuite {
       expect.select("series_id", "ts", "value").collect().toSet)
   }
 
+  test("maintained count-min cells across micro-batches equal the one-shot sketch") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 32)))
+    val now = 100000L
+    // two genuinely different batches with overlapping users
+    val b1 = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (1 to 40).map(i => (i.toLong, now + i, "m", i.toDouble)): _*))
+    val b2 = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (41 to 90).map(i => (i.toLong, now + i, "m", i.toDouble)): _*))
+    IngestJob.processBatch(b1, cfg)
+    IngestJob.processBatch(b2, cfg)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("i").cast("long"), col("j").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val maintained = cellMap(IngestJob.cmsCells(spark, cfg))
+    val oneShot = cellMap(graft.operators.CountMin.sketch(
+      b1.unionByName(b2), expr("tags['user']"), 4, 32))
+    assert(maintained === oneShot)
+    // and the estimate over the maintained cells never undercounts
+    val exact = IngestJob.points(spark, cfg)
+      .groupBy(expr("tags['user']").as("key")).agg(count(lit(1)).as("exact_n"))
+    val rep = graft.operators.CountMin
+      .reportAgainst(IngestJob.cmsCells(spark, cfg), exact, 4, 32)
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+  }
+
   test("data-gen source streams synthetic points through the same pipeline (S1 DATA_GEN)") {
     val spark = TestSpark.spark
     val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
