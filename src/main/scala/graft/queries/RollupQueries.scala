@@ -89,6 +89,17 @@ object RollupQueries {
         DownsampleSpec("1n", "sum", timezone = Some("America/Denver")),
         DataStart, TzFillEnd), "sum_value")
     },
+    // quarters ("3n") through the same serve: the epoch-calendar
+    // anchoring (Oct 1 2023 label for the early-January rows) must
+    // survive the stored-row path; q_ds_quarter_tz's oracle verbatim
+    "q_rollup_quarter_tz" -> { (s, d) =>
+      val pts = TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(DataStart) && col("ts") < lit(TzFillEnd))
+      val rollup = Rollup.build(pts, RollupInterval)
+      out(Rollup.downsampleRouted(pts, rollup, RollupInterval,
+        DownsampleSpec("3n", "sum", timezone = Some("America/Denver")),
+        DataStart, TzFillEnd), "sum_value")
+    },
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
@@ -119,6 +130,7 @@ object RollupQueries {
     "q_rollup_tz" -> TsdbQueries.oracles("q_ds_tz"),
     // maintained over the extended window — the raw monthly oracle verbatim
     "q_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
+    "q_rollup_quarter_tz" -> TsdbQueries.oracles("q_ds_quarter_tz"),
     "q_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")

@@ -249,6 +249,30 @@ object TsdbQueries {
       dsOut(run(s, d, TsdbJson.parseQuery(json)), "sum_value")
     },
 
+    // the multi-month count through the parser ("3n" quarters) — the
+    // n>1 anchoring is parser-reachable too; q_ds_quarter_tz verbatim
+    "q_json_ds_quarter_tz" -> { (s, d) =>
+      val json = s"""{
+        "start": $DataStart, "end": $TzFillEnd,
+        "downsample": {"interval": "3n", "aggregator": "sum", "timezone": "America/Denver"}
+      }"""
+      dsOut(run(s, d, TsdbJson.parseQuery(json)), "sum_value")
+    },
+
+    // FILL × CALENDAR with a REAL-value policy: prefer_previous over
+    // the monthly Denver grid — data stops Feb 1, so the empty Feb and
+    // Mar buckets carry January's value forward (grid labels AND the
+    // neighbour walk both run on the boundary list)
+    "q_fill_month_prev_tz" -> { (s, d) =>
+      val q = TsdbQuery(MatchAll, DataStart, TzFillEnd,
+        downsample = Some(DownsampleSpec("1n", "sum",
+          timezone = Some("America/Denver"))),
+        fill = Some(FillSpec(policy = "null", real = Some("prefer_previous"))))
+      run(s, d, q)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // A2 + A4: AVG and COUNT per interval (one pass; the avg output is
     // defined as round4(sum)/count so both engines divide bit-identical
     // doubles — raw avg() is exercised in unit tests)
@@ -1442,6 +1466,34 @@ object TsdbQueries {
          |FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
          |GROUP BY 1, 2, 3""".stripMargin,
 
+    // prefer_previous over the monthly grid: previous real value, else
+    // next, else NULL — the q_ds_fill_tz window pattern on the
+    // boundary-list grid
+    "q_fill_month_prev_tz" ->
+      s"""WITH $pointsCtes,
+         |agg AS (
+         |  SELECT metric, tag_user,
+         |         CASE WHEN ts >= 1709276400 THEN 1709276400
+         |              WHEN ts >= 1706770800 THEN 1706770800
+         |              WHEN ts >= 1704092400 THEN 1704092400
+         |              ELSE 1701414000 END AS bucket_ts,
+         |         ${rnd("sum(value)")} AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < $TzFillEnd
+         |  GROUP BY 1, 2, 3),
+         |series AS (SELECT DISTINCT metric, tag_user FROM agg),
+         |b AS (SELECT unnest([1701414000, 1704092400, 1706770800, 1709276400]) AS bucket_ts),
+         |grid AS (
+         |  SELECT s.metric, s.tag_user, b.bucket_ts, a.v
+         |  FROM series s CROSS JOIN b
+         |  LEFT JOIN agg a ON a.metric = s.metric AND a.tag_user = s.tag_user
+         |                 AND a.bucket_ts = b.bucket_ts)
+         |SELECT metric, tag_user, bucket_ts, ${rnd(
+             "COALESCE(v, last_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), " +
+               "first_value(v IGNORE NULLS) OVER (PARTITION BY metric, tag_user " +
+               "ORDER BY bucket_ts ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))")} AS sum_value
+         |FROM grid""".stripMargin,
+
     // the calendar fill grid: the four Denver month boundaries in range
     // as a literal list, zero where no month aggregate exists
     "q_fill_month_tz" ->
@@ -2251,6 +2303,7 @@ object TsdbQueries {
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
     "q_json_ds_month_tz" -> oraclesBase("q_ds_month_tz"),
+    "q_json_ds_quarter_tz" -> oraclesBase("q_ds_quarter_tz"),
     "q_json_relative_time" -> oraclesBase("q_ds_sum"),
     "q_json_explicit" -> oraclesBase("q_filter_explicit"),
     "q_json_rate_counter" -> oraclesBase("q_rate_counter"),
