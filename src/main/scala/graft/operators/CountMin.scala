@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
  * εN (ε = e/w) with probability 1−δ (δ = e^−d).
  *
  * Where this fits the engine: the reference's meta/top-frequency
- * answers walk an exact inverted index (events-lucene
+ * answers walk an exact inverted index (core meta
  * NewDocStore.java:883-1090); the exact batch equivalent is a
  * fact-sized groupBy — a full shuffle keyed by a possibly-huge key
  * domain. The sketch is the bounded summary: whatever the key

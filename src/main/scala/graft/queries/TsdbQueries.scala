@@ -132,14 +132,15 @@ object TsdbQueries {
     // A1: downsample SUM (zimsum is the NaN-skipping alias — same result here)
     "q_ds_sum" -> ((s, d) => dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "sum"))), "sum_value")),
 
-    // the SAME query as ANSI SQL text over the registered views
-    // (round 11 — SqlViews): Catalyst inlines the view, so this
-    // compiles to the DataFrame path's plan; the SQL states the
-    // engine contracts explicitly (LWW max-seq winner, NaN-as-missing)
-    // and shares q_ds_sum's oracle verbatim — a SQL phrasing that
-    // drifts from the engine semantics by one row fails the hash.
+    // the SAME query as ANSI SQL text over the facade's registered
+    // views (round 11 — Graft.registerViews, previously un-oracled):
+    // Catalyst inlines the view, so this compiles to the DataFrame
+    // path's plan; the SQL states the engine contracts explicitly
+    // (LWW max-seq winner, NaN-as-missing) and shares q_ds_sum's
+    // oracle verbatim — a SQL phrasing that drifts from the engine
+    // semantics by one row fails the hash.
     "q_sql_ds_sum" -> { (s, d) =>
-      graft.sources.SqlViews.register(s, d)
+      graft.Graft.registerViews(s, d)
       s.sql(
         s"""WITH dedup AS (
            |  SELECT * FROM (
