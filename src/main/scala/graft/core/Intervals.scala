@@ -38,10 +38,15 @@ object Intervals {
    *  of epoch arithmetic. `toSeconds` deliberately keeps throwing on
    *  them: any fixed-seconds consumer reaching a calendar interval is a
    *  routing bug and should fail loudly. */
-  private val CalendarPattern = """^(\d+)(n|y)$""".r
+  /** Count capped at 5 digits by the pattern (no Long overflow on
+   *  parse) and at [[MaxCalendarCount]] by validation — 12000 months =
+   *  1000 years, far beyond any real query range, and it bounds the
+   *  compiled CASE chain. */
+  private val CalendarPattern = """^(\d{1,5})(n|y)$""".r
+  val MaxCalendarCount = 12000L
 
   def isCalendar(s: String): Boolean = s match {
-    case CalendarPattern(n, _) => n.toLong > 0
+    case CalendarPattern(n, _) => n.toLong > 0 && n.toLong <= MaxCalendarCount
     case _ => false
   }
 
@@ -71,10 +76,11 @@ object Intervals {
       start: Long, end: Long): Seq[(Long, Long)] = {
     require(start < end, s"empty range: [$start, $end)")
     val (n, unit) = interval match {
-      case CalendarPattern(k, u) => (k.toInt, u)
+      case CalendarPattern(k, u) => (k.toInt, u) // pattern caps digits — no overflow
       case other => throw new IllegalArgumentException(s"not a calendar interval: $other")
     }
-    require(n > 0, s"calendar interval needs a positive count: $interval")
+    require(n > 0 && n <= MaxCalendarCount,
+      s"calendar interval count out of range (1..$MaxCalendarCount): $interval")
     val stepMonths = unit match { case "n" => n; case "y" => 12 * n }
     val zid = java.time.ZoneId.of(zone)
     def boundary(monthIdx: Int): Long =

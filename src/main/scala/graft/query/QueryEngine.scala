@@ -275,7 +275,12 @@ object QueryEngine {
   def tzBucket(tsCol: Column, zone: String, iv: Long, start: Long, end: Long): Column = {
     val segs = Intervals.zoneOffsets(zone, start, end)
     val local = tsCol + tzOffsetAt(tsCol, zone, start, end)
-    val localBucket = local - (local % lit(iv))
+    // pmod, not %: the LOCAL clock goes negative for epoch-adjacent ts
+    // in west-of-UTC zones (ts < |offset|), where sign-following `%`
+    // would label the point into a FUTURE bucket and disagree with the
+    // true-floor grid tzGridLabels enumerates; pmod == % for every
+    // positive local, so post-1970 labels are unchanged
+    val localBucket = local - pmod(local, lit(iv))
     val labelOff = segs.tail.foldLeft(lit(segs.head._2): Column) {
       case (acc, (t, o)) =>
         when(localBucket >= lit(t + o), lit(o)).otherwise(acc)

@@ -51,7 +51,7 @@ object Rollup {
     require(Intervals.isRollupInterval(interval),
       s"not a storable rollup interval: $interval (allowed: ${Intervals.RollupVocabulary.toSeq.sorted.mkString(",")})")
     val iv = Intervals.toSeconds(interval)
-    val deduped = QueryEngine.dedupe(points)
+    val deduped = QueryEngine.dedupeConfigured(points)
     val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))
     deduped
       .withColumn("__v", v)
@@ -150,7 +150,7 @@ object Rollup {
       s"not a storable rollup interval: $interval")
     require(mod >= 1, "mod must be >= 1")
     val iv = Intervals.toSeconds(interval)
-    QueryEngine.dedupe(points)
+    QueryEngine.dedupeConfigured(points)
       .filter(pmod(call_function("md5prefix28", col("ts").cast("string")),
         lit(mod)) === 0)
       .select(col("series_id"), col("metric"), col("tags"),
@@ -268,7 +268,7 @@ object Rollup {
       val pts = points
         .filter(col("segment_start") >= lit(seg)) // partition pruning
         .filter(col("ts") >= lit(from) && col("ts") < lit(end))
-      QueryEngine.downsample(QueryEngine.dedupe(pts), spec, from, end)
+      QueryEngine.downsample(QueryEngine.dedupeConfigured(pts), spec, from, end)
     }
     // A CALENDAR downsample splits on a calendar boundary — labels are
     // absolute (the civil calendar), so the raw tail's labels agree with

@@ -73,6 +73,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * a micro-batch appends rows with the same (ts, seq), which every
  * reader's LWW fold collapses, and re-runs the idempotent per-segment
  * rollup flush — tested in IngestJobSpec ("replaying a micro-batch").
+ * The maintained count-min cells are the one SUM-folded artifact, so
+ * they get replay tolerance differently: each batch's partial grid
+ * lands in its own batch_id partition via dynamic overwrite, and a
+ * replay rewrites that partition instead of double-counting.
  */
 object IngestJob {
 
@@ -133,7 +137,8 @@ object IngestJob {
    *  Returns admission stats, computed via `observe()` on the write pass
    *  (no dedicated count jobs). */
   def processBatch(batch: DataFrame, cfg: Config,
-      sink: Option[graft.sinks.PointsSink] = None): BatchStats = {
+      sink: Option[graft.sinks.PointsSink] = None,
+      batchId: Long = -1L): BatchStats = {
     // One stats pass: the admission median (deterministic,
     // oracle-replayable: exact by default, or the exact median of the
     // md5-seeded 1/m sample for huge batches — Config.admissionSampleMod),
@@ -200,10 +205,24 @@ object IngestJob {
         .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
         .write.mode("append").parquet(latestLogPath(cfg))
       // per-batch PARTIAL count-min cells (≤ d·w rows per batch — the
-      // mergeable-summary contract; the read sums cells, never rescans)
+      // mergeable-summary contract; the read sums cells, never rescans).
+      // Cell counts are SUMS, so unlike the fold-idempotent logs a blind
+      // append would double-count a foreachBatch REPLAY (at-least-once):
+      // with a real batchId each partial lands in its own partition via
+      // dynamic overwrite — replaying a batch rewrites the same
+      // partition, keeping merged cells == one-shot sketch exactly. A
+      // direct caller without a batchId (batchId < 0) appends and owns
+      // its own replay semantics.
       cfg.cms.foreach { c =>
-        graft.operators.CountMin.sketch(admitted, expr(c.keyExpr), c.depth, c.width)
-          .write.mode("append").parquet(cmsPath(cfg))
+        val cells = graft.operators.CountMin
+          .sketch(admitted, expr(c.keyExpr), c.depth, c.width)
+        if (batchId >= 0)
+          cells.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cmsPath(cfg))
+        else cells.write.mode("append").parquet(cmsPath(cfg))
       }
       cfg.rollupInterval.foreach { iv =>
         // control-flow collect, not a data loop: a micro-batch touches a
@@ -245,7 +264,7 @@ object IngestJob {
     val stream = spark.readStream.schema(schema).parquet(sourceDir)
     val writer = TsdbViews.pointsFromEvents(stream).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch((b: DataFrame, _: Long) => { processBatch(b, cfg); () })
+      .foreachBatch((b: DataFrame, bid: Long) => { processBatch(b, cfg, batchId = bid); () })
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
@@ -267,7 +286,7 @@ object IngestJob {
       .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("ts")))
     points.writeStream
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch((b: DataFrame, _: Long) => { processBatch(b, cfg); () })
+      .foreachBatch((b: DataFrame, bid: Long) => { processBatch(b, cfg, batchId = bid); () })
       .start()
   }
 

@@ -21,6 +21,13 @@ class CalendarIntervalsSpec extends AnyFunSuite {
     // routing bug — toSeconds must keep throwing
     intercept[IllegalArgumentException](Intervals.toSeconds("1n"))
     intercept[IllegalArgumentException](Intervals.toSeconds("1y"))
+    // counts are digit-capped (no Long overflow on parse) and bounded
+    // at 1000 years — a runaway count can't compile a runaway CASE
+    assert(!Intervals.isCalendar("999999999999999999999n"))
+    assert(!Intervals.isCalendar("99999n"), "over MaxCalendarCount")
+    assert(Intervals.isCalendar("12000n"))
+    intercept[IllegalArgumentException](
+      Intervals.calendarBoundaries("99999y", "UTC", 0L, 1L))
   }
 
   test("UTC monthly boundaries: floor-to-calendar start, leap February") {

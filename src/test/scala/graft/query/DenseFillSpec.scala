@@ -177,6 +177,20 @@ class DenseFillSpec extends AnyFunSuite {
     val emitted = QueryEngine.downsample(pts, spec, nov3, nov3 + 25 * 3600)
       .select("bucket_ts").collect().map(_.getLong(0)).toSet
     assert(emitted === fb.toSet)
+    // epoch-adjacent: west-of-UTC locals go NEGATIVE for ts < |offset|;
+    // tzBucket floors with pmod (true floor), so the point at epoch
+    // 1000 (local −24200 MST) labels into the local day STARTING
+    // Dec 31 1969 (−61200 = −86400 + 25200) — the label the grid
+    // enumerates — instead of a future bucket as sign-following `%`
+    // would produce. Grid and bucketing must agree here too.
+    val earlyGrid = Intervals.tzGridLabels("America/Denver", 86400, 0L, 2 * 86400)
+    assert(earlyGrid === Seq(-61200L, 25200L, 111600L))
+    val earlyPts = Fixtures.series("m", tagset, (1000L, 1.0), (50000L, 2.0))
+    val earlyOut = QueryEngine.downsample(earlyPts,
+      DownsampleSpec("1d", "sum", timezone = Some("America/Denver")), 0L, 2 * 86400)
+      .select("bucket_ts", "value").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(earlyOut === Map(-61200L -> 1.0, 25200L -> 2.0))
   }
 
   test("fill composes with a timezone-aligned downsample: zone-aware grid through run()") {

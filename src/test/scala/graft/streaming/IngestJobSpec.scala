@@ -307,8 +307,8 @@ class IngestJobSpec extends AnyFunSuite {
       (1 to 40).map(i => (i.toLong, now + i, "m", i.toDouble)): _*))
     val b2 = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
       (41 to 90).map(i => (i.toLong, now + i, "m", i.toDouble)): _*))
-    IngestJob.processBatch(b1, cfg)
-    IngestJob.processBatch(b2, cfg)
+    IngestJob.processBatch(b1, cfg, batchId = 0L)
+    IngestJob.processBatch(b2, cfg, batchId = 1L)
     def cellMap(df: org.apache.spark.sql.DataFrame) = df
       .select(col("i").cast("long"), col("j").cast("long"), col("cnt").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
@@ -316,8 +316,17 @@ class IngestJobSpec extends AnyFunSuite {
     val oneShot = cellMap(graft.operators.CountMin.sketch(
       b1.unionByName(b2), expr("tags['user']"), 4, 32))
     assert(maintained === oneShot)
-    // and the estimate over the maintained cells never undercounts
-    val exact = IngestJob.points(spark, cfg)
+    // foreachBatch is at-least-once: REPLAYING a batch must rewrite its
+    // own cms partition, not double-count its cells (the points side is
+    // covered by the LWW fold; sums need the dynamic-overwrite path)
+    IngestJob.processBatch(b2, cfg, batchId = 1L)
+    assert(cellMap(IngestJob.cmsCells(spark, cfg)) === oneShot,
+      "replayed batch must not change the merged sketch")
+    // and the estimate over the maintained cells never undercounts.
+    // Exact side from the LOGICAL batches: the replayed append below
+    // leaves duplicate rows in the points lake that only the readers'
+    // LWW fold collapses — a raw lake count would double-count b2.
+    val exact = b1.unionByName(b2)
       .groupBy(expr("tags['user']").as("key")).agg(count(lit(1)).as("exact_n"))
     val rep = graft.operators.CountMin
       .reportAgainst(IngestJob.cmsCells(spark, cfg), exact, 4, 32)
