@@ -89,6 +89,31 @@ class CalendarIntervalsSpec extends AnyFunSuite {
     assert(o3.map(_._2) === Seq(648L, 649L, 650L))
   }
 
+  test("property: boundaries tile every range — each instant has exactly one floor") {
+    // across zones (incl. a half-hour offset and a southern-hemisphere
+    // DST) × intervals × range anchors: the boundary list is strictly
+    // increasing, covers start from below, and for sampled instants the
+    // floor (greatest boundary <= t) exists, is unique, and is stable
+    // when the probe re-derives it from a WIDER range — i.e. labels are
+    // absolute, never a function of the query window
+    val zones = Seq("UTC", "America/Denver", "Asia/Kolkata", "Australia/Sydney")
+    val anchors = Seq(1577836800L /* 2020 */, 1704067200L /* 2024 */,
+      946684800L /* 2000 */)
+    for (zone <- zones; iv <- Seq("1n", "2n", "3n", "1y"); a <- anchors) {
+      val (start, end) = (a + 1234567, a + 1234567 + 500L * 86400)
+      val bs = Intervals.calendarBoundaries(iv, zone, start, end)
+      assert(bs.zip(bs.tail).forall { case (x, y) => x < y }, s"$zone $iv $a asc")
+      assert(bs.head <= start && bs.last < end, s"$zone $iv $a cover")
+      val wide = Intervals.calendarBoundaries(iv, zone, start - 400L * 86400, end)
+      for (t <- Seq(start, start + 86400 * 37, (start + end) / 2, end - 1)) {
+        val floorNarrow = bs.filter(_ <= t).last
+        val floorWide = wide.filter(_ <= t).last
+        assert(floorNarrow === floorWide,
+          s"$zone $iv $a: floor of $t depends on the query window")
+      }
+    }
+  }
+
   test("boundary invariants: first <= start < second (when any), last < end") {
     for (zone <- Seq("UTC", "America/Denver", "Asia/Kolkata");
          iv <- Seq("1n", "2n", "3n", "1y")) {
