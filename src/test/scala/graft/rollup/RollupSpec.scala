@@ -281,4 +281,33 @@ class RollupSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(!plan.contains("sumsq"), s"rollup columns leaked into the raw plan:\n$plan")
   }
+
+  test("dedupe strategy covers every rollup dedupe site, winners identical") {
+    // overwrite at ts=600 (seq order) so a dedupe that misses it diverges;
+    // the strategy switch must reach build, buildSample, AND the hybrid
+    // raw tail — not just QueryEngine.run
+    val spark = graft.TestSpark.spark
+    val dup = graft.Fixtures.points(
+      ("m", tagset, 0L, 1.0, 0L), ("m", tagset, 600L, 3.0, 1L),
+      ("m", tagset, 600L, 9.0, 2L), // LWW winner
+      ("m", tagset, 3600L, 10.0, 3L), ("m", tagset, 4200L, 2.0, 4L))
+    def snap[A](f: => Array[A]): Array[A] = f
+    def runAll(): (Set[String], Set[String], Set[String]) = {
+      val b = Rollup.build(dup, "1h").collect()
+        .map(r => s"${r.getAs[Long]("bucket_ts")}:${r.getAs[Double]("sum")}:${r.getAs[Double]("last")}").toSet
+      val s = Rollup.buildSample(dup, "1h", mod = 1).collect()
+        .map(r => s"${r.getAs[Long]("ts")}:${r.getAs[Double]("value")}").toSet
+      val h = Rollup.downsampleHybrid(dup, Rollup.build(dup, "1h"), "1h",
+          graft.query.DownsampleSpec("1h", "sum"), 0L, 7200L, rollupUntil = 3600L)
+        .collect().map(r => s"${r.getAs[Long]("bucket_ts")}:${r.getAs[Double]("value")}").toSet
+      (b, s, h)
+    }
+    val window = runAll()
+    // bucket 0: LWW drops the overwritten 3.0, keeps 1.0 + 9.0
+    assert(window._1.contains("0:10.0:9.0"), s"LWW sum/last: ${window._1}")
+    try {
+      spark.conf.set("spark.graft.dedupe.strategy", "hashagg")
+      assert(runAll() === window, "hashagg strategy must be bit-identical at every site")
+    } finally spark.conf.unset("spark.graft.dedupe.strategy")
+  }
 }
