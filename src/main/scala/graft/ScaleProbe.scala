@@ -425,13 +425,31 @@ object ScaleProbe {
     // exchange + a TakeOrdered top-k; must track the plain fact-agg
     // family) and the maintained-cells read (cell-sum of per-batch
     // partials — dim-scale work, like the other maintained reads)
-    "q_meta_cms_users", "q_stream_cms_users")
+    "q_meta_cms_users", "q_stream_cms_users",
+    // round 11: the DDSketch family — quantile build+walk (fact scan →
+    // buckets-bounded exchange + a summary-sized window walk; must
+    // track the fact-agg family), the exact-beside-estimate eval (pays
+    // BOTH the sketch and an exact sort-based percentile by
+    // construction), and the maintained-buckets read (bucket-sum of
+    // per-batch partials — summary-scale, like the other maintained
+    // reads)
+    "q_dds_quantiles", "q_dds_eval", "q_stream_dds_q",
+    // round 11: MAD robust anomaly — input is the |series|×|buckets|
+    // aggregated frame; two bounded groupBys + two equi-joins, so its
+    // decades must track q_anomaly_zscore's aggregated-scale shape
+    "q_anomaly_mad",
+    // round 11: KMV set algebra over the series dim — the bottom-k
+    // WindowGroupLimit bounds the exchange at k rows per metric per
+    // partition; the exact-side join is the eval harness (dim-sized
+    // aggregate, same scale as q_meta_basic)
+    "q_meta_kmv_setops")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded
    *  from timing — the probe measures the production read. */
   private val TsdbXlMaintained: Set[String] =
-    Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users")
+    Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users",
+      "q_stream_dds_q")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */

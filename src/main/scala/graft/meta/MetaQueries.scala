@@ -161,6 +161,54 @@ object MetaQueries {
       .limit(SizeLimit)
   }
 
+  /** KMV SET ALGEBRA (Beyer et al. 2007, "On synopses for distinct
+   *  value estimation under multiset operations"): union cardinality,
+   *  intersection cardinality, and Jaccard for TWO filter predicates
+   *  from one bottom-k sketch over their union — the sketch-family
+   *  answer to "how many series match A AND B / A OR B" without a
+   *  distinct-count over either set.
+   *
+   *  Estimators: with the union's bottom-k hashes S (|S| = n ≤ k,
+   *  threshold h_k = max S), U ≈ (k−1)·2^28/h_k (the [[
+   *  cardinalitySketch]] estimator) and, because S is a uniform sample
+   *  of A∪B, the intersection fraction ρ = |{h∈S : h∈A ∧ h∈B}|/n
+   *  estimates Jaccard directly; |A∩B| ≈ ρ·U. Below saturation
+   *  (n < k) the sketch IS the union and both estimates are exact.
+   *
+   *  Determinism: rows order by (hash, identity) — the identity
+   *  tiebreak makes the selected bottom-k set total-ordered, so both
+   *  engines pick the same k rows even on a 28-bit hash collision.
+   *  Plan shape: the row_number ≤ k filter triggers WindowGroupLimit
+   *  (≤ k rows per metric forwarded per map partition), the same
+   *  bounded-exchange contract as cardinalitySketch. */
+  def sketchSetOps(dim: DataFrame, fA: SeriesFilter, fB: SeriesFilter,
+      identity: Column, k: Int = 64): DataFrame = {
+    require(k >= 2, s"KMV sketch needs k >= 2, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("metric")).orderBy(col("__h").asc, col("__id").asc)
+    dim.filter(pred(fA) || pred(fB))
+      .select(col("metric"), identity.as("__id"),
+        call_function("md5prefix28", identity).as("__h"),
+        coalesce(pred(fA), lit(false)).as("__a"),
+        coalesce(pred(fB), lit(false)).as("__b"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .groupBy(col("metric"))
+      .agg(count(lit(1)).as("sketch_n"), max(col("__h")).as("__hk"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("__ki"))
+      .withColumn("union_est",
+        when(col("sketch_n") < k, col("sketch_n").cast("double"))
+          .otherwise(round(lit((k - 1).toDouble * 268435456.0) / col("__hk"), 4)))
+      .withColumn("inter_est",
+        round(col("__ki") * col("union_est") / col("sketch_n"), 4))
+      .withColumn("jaccard_est",
+        round(col("__ki").cast("double") / col("sketch_n"), 4))
+      .select(col("metric"), col("sketch_n"), col("union_est"),
+        col("inter_est"), col("jaccard_est"))
+      .orderBy(col("metric"))
+      .limit(SizeLimit)
+  }
+
   /** TIMESERIES: the matching series themselves (metric + tags),
    *  deterministically ordered and capped. */
   def timeseries(dim: DataFrame, f: SeriesFilter, limit: Int = SizeLimit): DataFrame =

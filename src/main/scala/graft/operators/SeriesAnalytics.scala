@@ -190,6 +190,53 @@ object SeriesAnalytics {
       .withColumn("anomaly", coalesce(abs(col("zscore")) >= lit(threshold), lit(false)))
   }
 
+  /** MAD-based ROBUST anomaly scoring (Rousseeuw & Croux 1993 — the
+   *  median-absolute-deviation detector; the robust sibling of
+   *  [[zscore]] and the retrospective sibling of [[olympic]]): each
+   *  bucket is scored against its (series, seasonal-slot) cohort's
+   *  MEDIAN, scaled by 1.4826·MAD (the consistency constant that makes
+   *  MAD estimate σ under normality), and flagged when
+   *  |robust_z| ≥ `threshold`.
+   *
+   *  Why it earns its place beside zscore: a single large outlier
+   *  inflates the mean AND the stddev it is scored against, so the
+   *  plain z-score can fail to flag the very point that caused the
+   *  inflation (masked outlier). Median and MAD have a 50% breakdown
+   *  point — the spec pins a cohort whose spike zscore misses and
+   *  robust_z flags. Unlike the causal expanding-history zscore this
+   *  is a RETROSPECTIVE detector (cohort statistics over the whole
+   *  queried range), the backfill/audit shape.
+   *
+   *  Slots with MAD = 0 (at least half the cohort sits exactly on the
+   *  median) emit null robust_z and never flag — a constant cohort has
+   *  no scale to score against.
+   *
+   *  Plan shape: two bounded groupBys (|series| × |slots| groups) and
+   *  two equi-joins back on (keys, slot) — no global sort, no window
+   *  over the fact, fact-sized rows pass each exchange once.
+   *  Replayability: median and MAD are exact interpolated percentiles
+   *  over identical doubles in both engines; robust_z snaps to 6
+   *  decimals (the rate convention) BEFORE the threshold compare. */
+  def robustZscore(ds: DataFrame, keys: Seq[String], positionCol: Column,
+      threshold: Double = 3.0): DataFrame = {
+    val withSlot = ds.withColumn("__slot", positionCol)
+    val grp = keys.map(col) :+ col("__slot")
+    val joinCols = keys :+ "__slot"
+    val med = withSlot.groupBy(grp: _*)
+      .agg(percentile(col("value"), lit(0.5)).as("__med"))
+    val dev = withSlot.join(med, joinCols)
+      .withColumn("__adev", abs(col("value") - col("__med")))
+    val mad = dev.groupBy(grp: _*)
+      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+    dev.join(mad, joinCols)
+      .withColumn("baseline", round(col("__med"), 4))
+      .withColumn("robust_z", when(col("__mad") > 0,
+        round((col("value") - col("__med")) / (lit(1.4826) * col("__mad")), 6)))
+      .withColumn("anomaly",
+        coalesce(abs(col("robust_z")) >= lit(threshold), lit(false)))
+      .drop("__slot", "__med", "__adev", "__mad")
+  }
+
   /** Cross-query binary expression (the upstream TSDB 3.x expression
    *  node): join two aggregated result sets on their common series keys
    *  + bucket and combine the values arithmetically. The join is the

@@ -89,6 +89,39 @@ object MetaQueriesSuite {
     // work, no data scan (the bandingPlan discipline)
     "q_meta_cms_plan" -> ((s, _) => graft.operators.CountMin.plan(s)),
 
+    // the DDSketch dimension planner: bucket budget from the relative-
+    // error target α analytically — γ and the twelve-decade bucket
+    // count (the same closed-form, no-scan discipline)
+    "q_meta_dds_plan" -> ((s, _) => graft.operators.QuantileSketch.plan(s)),
+
+    // KMV SET ALGEBRA (round 11): union/intersection cardinality and
+    // Jaccard for two tag predicates (colo=den, env=prod — a real overlap:
+    // every tenth user carries both) from ONE bottom-32 union sketch,
+    // with the exact counts joined beside the estimates (the cms-report
+    // estimator-quality discipline). k=32 < series-per-metric at both
+    // gate scales, so the ESTIMATOR branch (not the exact fallback)
+    // carries the hash.
+    "q_meta_kmv_setops" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val fA = TagLiteral("colo", Seq("den"))
+      val fB = TagLiteral("env", Seq("prod"))
+      val ident = concat_ws("|", col("metric"), col("tags")("user"),
+        col("tags")("host"), col("tags")("colo"),
+        coalesce(col("tags")("env"), lit("")))
+      val dimDf = dim(s, d)
+      def p(f: SeriesFilter) =
+        coalesce(SeriesFilter.compile(f, col("metric"), col("tags")), lit(false))
+      val exact = dimDf
+        .select(col("metric"), p(fA).as("__a"), p(fB).as("__b"))
+        .filter(col("__a") || col("__b"))
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("exact_inter"))
+      MetaQueries.sketchSetOps(dimDf, fA, fB, ident, k = 32)
+        .join(exact, "metric")
+        .orderBy(col("metric"))
+    },
+
     // META via the query-JSON front end (the reference's
     // MetaQueryBuilderTSDBExt.fromTSDBQueryFilter path,
     // MetaQueryBuilderTSDBExt.java:58-66): the SAME selection as
@@ -231,7 +264,60 @@ object MetaQueriesSuite {
          |         * CAST(ceil(exp(1.0)/0.001) AS BIGINT) AS cells,
          |       round(0.001 * power(10.0, i), 4) AS max_overcount,
          |       round(0.99, 4) AS confidence
-         |FROM range(6, 12) AS t(i)""".stripMargin
+         |FROM range(6, 12) AS t(i)""".stripMargin,
+
+    // gamma = (1+a)/(1-a); buckets spanning 1e-3..1e9 = ceil(ln 1e12 /
+    // ln gamma) + 2 (zero bucket + boundary ceil); 16 B per bucket
+    "q_meta_dds_plan" ->
+      s"""SELECT alpha,
+         |       ${OracleCommon.rnd("(1.0 + alpha) / (1.0 - alpha)", 6)} AS gamma,
+         |       CAST(ceil(ln(1e12) / ln((1.0 + alpha) / (1.0 - alpha))) AS BIGINT) + 2
+         |         AS buckets_12dec,
+         |       (CAST(ceil(ln(1e12) / ln((1.0 + alpha) / (1.0 - alpha))) AS BIGINT) + 2) * 16
+         |         AS sketch_bytes
+         |FROM (SELECT unnest([0.005, 0.01, 0.02, 0.05, 0.1]::DOUBLE[]) AS alpha)
+         |ORDER BY alpha""".stripMargin,
+
+    // the KMV set-ops walk restated: same identity hash, same
+    // (hash, identity) total order, same bottom-32 union sketch, same
+    // rho-scaled intersection estimator, exact counts beside
+    "q_meta_kmv_setops" ->
+      s"""WITH $seriesCte,
+         |flagged AS (
+         |  SELECT metric,
+         |         metric || '|' || tag_user || '|' || tag_host || '|' || tag_colo
+         |           || '|' || coalesce(tag_env, '') AS ident,
+         |         coalesce(tag_colo = 'den', FALSE) AS a,
+         |         coalesce(tag_env = 'prod', FALSE) AS b
+         |  FROM series
+         |  WHERE tag_colo = 'den' OR tag_env = 'prod'),
+         |hashed AS (
+         |  SELECT metric, a, b, ident,
+         |         ('0x' || substr(md5(ident), 1, 7))::BIGINT AS h
+         |  FROM flagged),
+         |ranked AS (
+         |  SELECT metric, a, b, h,
+         |         row_number() OVER (PARTITION BY metric ORDER BY h, ident) AS rn
+         |  FROM hashed),
+         |agg AS (
+         |  SELECT metric, count(*) AS sketch_n, max(h) AS hk,
+         |         sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS ki
+         |  FROM ranked WHERE rn <= 32 GROUP BY 1),
+         |est AS (
+         |  SELECT metric, sketch_n, ki,
+         |         CASE WHEN sketch_n < 32 THEN CAST(sketch_n AS DOUBLE)
+         |              ELSE ${OracleCommon.rnd("31 * 268435456.0 / hk")} END AS union_est
+         |  FROM agg),
+         |exact AS (
+         |  SELECT metric, count(*) AS exact_union,
+         |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS exact_inter
+         |  FROM flagged GROUP BY 1)
+         |SELECT e.metric, e.sketch_n, e.union_est,
+         |       ${OracleCommon.rnd("e.ki * e.union_est / e.sketch_n")} AS inter_est,
+         |       ${OracleCommon.rnd("CAST(e.ki AS DOUBLE) / e.sketch_n")} AS jaccard_est,
+         |       x.exact_union, x.exact_inter
+         |FROM est e JOIN exact x USING (metric)
+         |ORDER BY e.metric LIMIT ${MetaQueries.SizeLimit}""".stripMargin
   ) ++ Map(
     // JSON front-end replay: same selection, same oracle — a parser
     // divergence shows up as a hash mismatch

@@ -55,7 +55,11 @@ object StreamQueries {
         rollupInterval = Some(RollupInterval),
         // maintained count-min cells over the user tag (A15 sketch
         // family): per-batch partials, merged at read
-        cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)))
+        cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
+        // maintained DDSketch quantile buckets per metric (A15 sketch
+        // family): per-batch partials, merged at read — same α as the
+        // batch query so the streamed read shares its oracle verbatim
+        dds = Some(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       // post-ingest maintenance, as a production shutdown would: complete
       // the close-gated rollup over the final open tail, then consolidate
@@ -577,6 +581,19 @@ object StreamQueries {
         .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
     },
 
+    // A15 sketch family, STREAMED (round 11): per-metric quantile
+    // estimates from the ingest-MAINTAINED DDSketch buckets — per-batch
+    // partial (key, sgn, idx, cnt) rows merged by count sum at read,
+    // which equals the one-shot batch sketch EXACTLY (bucket counts are
+    // sums). Shares q_dds_quantiles' oracle verbatim — a maintained
+    // bucket off by one count fails the hash.
+    "q_stream_dds_q" -> { (s, d) =>
+      graft.operators.QuantileSketch
+        .quantiles(IngestJob.ddsBuckets(s, lakeFor(s, d)),
+          Seq(0.5, 0.9, 0.99), TsdbQueries.DdsAlpha)
+        .select(col("key").as("metric"), col("q"), col("est_v"))
+    },
+
     // A10 × CALENDAR from the ingest-MAINTAINED rollup (round 11): the
     // Denver MONTHLY serve over the streamed composite — month starts
     // are whole-hour local midnights here, so every stored 1h row lies
@@ -734,6 +751,7 @@ object StreamQueries {
 
     // maintained count-min cells == the one-shot batch sketch
     "q_stream_cms_users" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
+    "q_stream_dds_q" -> TsdbQueries.oracles("q_dds_quantiles"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

@@ -28,6 +28,38 @@ object TsdbQueries {
     QueryEngine.dedupe(
       pts(s, dir).filter(col("ts") >= lit(Start) && col("ts") < lit(End)))
 
+  /** DDSketch accuracy target shared by the batch quantile query, its
+   *  streamed restatement, and the ingest maintenance config — one α so
+   *  the streamed read can share the batch oracle verbatim. */
+  val DdsAlpha: Double = 0.02
+
+  /** DuckDB restatement of the DDSketch bucket relation at accuracy α
+   *  (graft.operators.QuantileSketch cell for cell): the ceil(ln/ln γ)
+   *  bucketing over the three sign stores, the sgn-then-sgn·idx walk
+   *  order, and per-metric totals. γ is the Scala-computed double
+   *  embedded at shortest-repr precision, so both engines divide and
+   *  exponentiate by the identical IEEE value. */
+  private def ddsCtes(alpha: Double): String = {
+    val g = graft.operators.QuantileSketch.gamma(alpha)
+    s"""vals AS (SELECT metric, value AS v FROM points WHERE value IS NOT NULL),
+       |b AS (SELECT metric,
+       |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
+       |        CASE WHEN v = 0 THEN 0
+       |             ELSE CAST(ceil(ln(abs(v)) / ln($g)) AS BIGINT) END AS idx,
+       |        count(*) AS cnt
+       |      FROM vals GROUP BY 1, 2, 3),
+       |c AS (SELECT metric, sgn, idx, cnt,
+       |        sum(cnt) OVER (PARTITION BY metric ORDER BY sgn, sgn * idx) AS cum
+       |      FROM b),
+       |n AS (SELECT metric, sum(cnt) AS n FROM b GROUP BY 1)""".stripMargin
+  }
+
+  /** The bucket γ-midpoint restated (QuantileSketch.midpoint). */
+  private def ddsEst(alpha: Double): String = {
+    val g = graft.operators.QuantileSketch.gamma(alpha)
+    s"CASE WHEN sgn = 0 THEN 0.0 ELSE sgn * 2.0 * power($g, idx) / ${g + 1.0} END"
+  }
+
   /** The synthetic histogram bucketing shared by the bucket-quantile
    *  family: event values bin into fixed-bound latency buckets whose
    *  counts are stored one metric per bucket, bounds in the metric name
@@ -335,6 +367,32 @@ object TsdbQueries {
         percentile(when(pmod(call_function("md5prefix28", ts.cast("string")),
           lit(4)) === 0, v), lit(0.95)))
       dsOut(run(s, d, matchAllQ(DownsampleSpec("1d", "p95_sampled"))), "p95_sampled")
+    },
+
+    // A7/A15 SKETCH PATH (round 11, completes the sketch family —
+    // KMV cardinality, count-min frequency, DDSketch QUANTILES): per-
+    // metric quantile estimates from the mergeable relative-error
+    // bucket relation (Masson et al. 2019). The bucket build collapses
+    // to ≤ metrics × ~2·log_γ(range) rows before the exchange and the
+    // walk windows over that summary — nothing fact-sized passes the
+    // shuffle. The oracle restates the identical ceil(ln/ln γ)
+    // bucketing, walk order, and rank convention cell for cell.
+    "q_dds_quantiles" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      QuantileSketch.quantiles(
+        QuantileSketch.sketch(pts(s, d), col("metric"), col("value"), DdsAlpha),
+        Seq(0.5, 0.9, 0.99), DdsAlpha)
+        .select(col("key").as("metric"), col("q"), col("est_v"))
+    },
+
+    // DDSketch estimator-quality report (the minhashEval / cms-report
+    // discipline): exact interpolated p90 beside the sketch estimate at
+    // a deliberately coarse α = 5% so the geometric-bucket gap is real
+    // and the hash pins the ESTIMATOR, not just the exact side.
+    "q_dds_eval" -> { (s, d) =>
+      graft.operators.QuantileSketch
+        .report(pts(s, d), col("metric"), col("value"), q = 0.9, alpha = 0.05)
+        .select(col("key").as("metric"), col("q"), col("exact_v"), col("est_v"))
     },
 
     // A8: runAll — single interval spanning the whole query range
@@ -1207,6 +1265,25 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
     },
 
+    // MAD ROBUST ANOMALY (round 11 — the robust member of the anomaly
+    // family beside causal zscore and olympic): per-user daily counts
+    // scored against their weekday cohort's median, scaled by
+    // 1.4826·MAD. Retrospective (whole-range cohort statistics) — the
+    // backfill/audit detector shape; a masked outlier the inflated
+    // stddev lets through is exactly what this flags (spec-pinned in
+    // SeriesAnalyticsSpec).
+    "q_anomaly_mad" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val ds = run(s, d, TsdbQuery(MatchAll, DataStart, fullEnd,
+        downsample = Some(DownsampleSpec("1d", "count")),
+        groupBy = Some(GroupBySpec(Seq("user"), "sum"))))
+        .withColumn("value", round(col("value"), 4))
+      graft.operators.SeriesAnalytics.robustZscore(ds, Seq("user"),
+        expr("(bucket_ts DIV 86400) % 7"))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("robust_z"), col("anomaly"))
+    },
+
     // OLYMPIC × TIMEZONE (round 11 — the second half of the tz
     // composition gap): Denver local-day counts with weekly seasonal
     // indexing on the LOCAL clock. The full run() pipeline — tz
@@ -1554,6 +1631,34 @@ object TsdbQueries {
       rnd("quantile_cont(value, 0.95) FILTER (WHERE " +
         "('0x' || substr(md5(CAST(ts AS VARCHAR)), 1, 7))::BIGINT % 4 = 0)"),
       "p95_sampled"),
+
+    // DDSketch quantiles: the sketch walk restated end to end — a
+    // bucket index off by one, a walk-order divergence, or a rank
+    // convention slip all fail the hash
+    "q_dds_quantiles" ->
+      s"""WITH $pointsCtes,
+         |${ddsCtes(DdsAlpha)},
+         |qs AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q),
+         |sel AS (SELECT c.metric, qs.q, min_by(${ddsEst(DdsAlpha)}, cum) AS est
+         |        FROM c JOIN n USING (metric) CROSS JOIN qs
+         |        WHERE cum > floor(qs.q * (n.n - 1))
+         |        GROUP BY 1, 2)
+         |SELECT metric, q, ${rnd("est")} AS est_v FROM sel""".stripMargin,
+
+    // DDSketch estimator quality: exact interpolated p90 beside the
+    // α = 5% sketch estimate, per metric
+    "q_dds_eval" ->
+      s"""WITH $pointsCtes,
+         |${ddsCtes(0.05)},
+         |qs AS (SELECT 0.9::DOUBLE AS q),
+         |sel AS (SELECT c.metric, qs.q, min_by(${ddsEst(0.05)}, cum) AS est
+         |        FROM c JOIN n USING (metric) CROSS JOIN qs
+         |        WHERE cum > floor(qs.q * (n.n - 1))
+         |        GROUP BY 1, 2),
+         |exact AS (SELECT metric, ${rnd("quantile_cont(v, 0.9)")} AS exact_v
+         |          FROM vals GROUP BY 1)
+         |SELECT sel.metric, sel.q, exact.exact_v, ${rnd("est")} AS est_v
+         |FROM sel JOIN exact USING (metric)""".stripMargin,
 
     "q_ds_runall" -> dsOracle(
       rnd(s"${rnd("sum(value)")} / CAST(count(value) AS DOUBLE)"), "avg_value",
@@ -2289,7 +2394,37 @@ object TsdbQueries {
          |  FROM base)
          |SELECT tag_user, bucket_ts, v AS cnt, baseline, deviation,
          |       COALESCE(deviation >= 0.5, false) AS anomaly
-         |FROM dev""".stripMargin
+         |FROM dev""".stripMargin,
+
+    // MAD robust anomaly: exact interpolated median + MAD per weekday
+    // cohort, 1.4826 consistency scale, 6-decimal snap before the
+    // threshold compare — the identical two-pass in both engines
+    "q_anomaly_mad" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user, ts - ts % 86400 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < ${DataStart + 31L * 86400}
+         |  GROUP BY 1, 2),
+         |slotted AS (SELECT *, (bucket_ts // 86400) % 7 AS slot FROM ds),
+         |med AS (
+         |  SELECT tag_user, slot, quantile_cont(v, 0.5) AS med
+         |  FROM slotted GROUP BY 1, 2),
+         |dev AS (
+         |  SELECT s.tag_user, s.bucket_ts, s.slot, s.v, m.med,
+         |         abs(s.v - m.med) AS adev
+         |  FROM slotted s JOIN med m USING (tag_user, slot)),
+         |mad AS (
+         |  SELECT tag_user, slot, quantile_cont(adev, 0.5) AS mad
+         |  FROM dev GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.tag_user, d.bucket_ts, d.v, ${rnd("d.med")} AS baseline,
+         |         CASE WHEN a.mad > 0
+         |              THEN ${rnd("(d.v - d.med) / (1.4826 * a.mad)", 6)} END AS robust_z
+         |  FROM dev d JOIN mad a USING (tag_user, slot))
+         |SELECT tag_user, bucket_ts, v AS cnt, baseline, robust_z,
+         |       COALESCE(abs(robust_z) >= 3.0, false) AS anomaly
+         |FROM scored""".stripMargin
   )
 
   // JSON front-end replays: selections are identical to the direct-ADT

@@ -110,7 +110,8 @@ object IngestJob {
       nowSec: Option[() => Long] = None,
       admissionSampleMod: Option[Int] = None,
       rollupLatenessSec: Long = 0,
-      cms: Option[CmsConfig] = None)
+      cms: Option[CmsConfig] = None,
+      dds: Option[DdsConfig] = None)
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
    *  expression against the admitted point rows): each micro-batch
@@ -119,11 +120,20 @@ object IngestJob {
    *  ([[graft.operators.CountMin]]). */
   final case class CmsConfig(keyExpr: String, depth: Int = 4, width: Int = 512)
 
+  /** Ingest-maintained DDSketch quantile buckets, keyed by `keyExpr`
+   *  over `valueExpr`: each micro-batch appends its partial (key, sgn,
+   *  idx, cnt) bucket rows; bucket counts are sums, so the read-side
+   *  merge equals the one-shot batch sketch exactly
+   *  ([[graft.operators.QuantileSketch]]). */
+  final case class DdsConfig(keyExpr: String, valueExpr: String = "value",
+      alpha: Double = 0.02)
+
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
   def rollupPath(cfg: Config): String = s"${cfg.lakeDir}/rollup"
   def cmsPath(cfg: Config): String = s"${cfg.lakeDir}/cms"
+  def ddsPath(cfg: Config): String = s"${cfg.lakeDir}/dds"
 
   /** Per-batch ingest accounting (the reference logs dropped-point
    *  counters at admission; we surface them to the caller). */
@@ -224,6 +234,19 @@ object IngestJob {
             .parquet(cmsPath(cfg))
         else cells.write.mode("append").parquet(cmsPath(cfg))
       }
+      // per-batch PARTIAL DDSketch quantile buckets — the same
+      // counts-are-sums replay discipline as the count-min cells above
+      cfg.dds.foreach { c =>
+        val buckets = graft.operators.QuantileSketch
+          .sketch(admitted, expr(c.keyExpr), expr(c.valueExpr), c.alpha)
+        if (batchId >= 0)
+          buckets.withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(ddsPath(cfg))
+        else buckets.write.mode("append").parquet(ddsPath(cfg))
+      }
       cfg.rollupInterval.foreach { iv =>
         // control-flow collect, not a data loop: a micro-batch touches a
         // handful of 2h windows (cached input, O(segments-per-batch) ids)
@@ -304,6 +327,12 @@ object IngestJob {
    *  cell-wise sum — identical to the one-shot batch sketch. */
   def cmsCells(spark: SparkSession, cfg: Config): DataFrame =
     graft.operators.CountMin.merge(spark.read.parquet(cmsPath(cfg)))
+
+  /** The maintained DDSketch bucket relation: micro-batch partials
+   *  merged by (key, sgn, idx) count sum — identical to the one-shot
+   *  batch sketch. Feed to [[graft.operators.QuantileSketch.quantiles]]. */
+  def ddsBuckets(spark: SparkSession, cfg: Config): DataFrame =
+    graft.operators.QuantileSketch.merge(spark.read.parquet(ddsPath(cfg)))
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log

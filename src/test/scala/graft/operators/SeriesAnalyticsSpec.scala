@@ -137,6 +137,57 @@ class SeriesAnalyticsSpec extends AnyFunSuite {
     assert(out(("b", 40L)) === ((None, false)))
   }
 
+  test("robustZscore flags the masked outlier a retrospective stddev detector misses") {
+    val s = spark
+    import s.implicits._
+    val vals = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 100.0)
+    val ds = vals.zipWithIndex.map { case (v, i) => ("a", (i + 1) * 10L, v) }
+      .toDF("series", "bucket_ts", "value")
+    // the masking premise: the spike inflates the cohort stddev so its own
+    // plain z stays under 3 — mean 25, sd ~36.8, z(100) ~ 2.04
+    val mean = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / (vals.size - 1))
+    assert(math.abs(100.0 - mean) / sd < 3.0, "premise: plain z must miss the spike")
+    val out = SeriesAnalytics.robustZscore(ds, Seq("series"), lit(0))
+      .collect().map(r => r.getDouble(2) ->
+        ((if (r.isNullAt(4)) None else Some(r.getDouble(4))), r.getBoolean(5))).toMap
+    // med 10.5, mad 1.5 → rz(100) = 89.5/(1.4826*1.5) ≈ 40.2 → flagged
+    val (rzOpt, flagged) = out(100.0)
+    assert(flagged && math.abs(rzOpt.get - 89.5 / (1.4826 * 1.5)) < 1e-4)
+    // the in-cohort values stay unflagged: rz(8) = -2.5/2.2239 ≈ -1.12
+    assert(out(8.0) === ((Some(BigDecimal(-2.5 / (1.4826 * 1.5))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble), false)))
+    assert(!out(12.0)._2)
+  }
+
+  test("robustZscore: a zero-MAD cohort emits null scores and never flags") {
+    val s = spark
+    import s.implicits._
+    val ds = Seq(5.0, 5.0, 5.0, 9.0).zipWithIndex
+      .map { case (v, i) => ("a", (i + 1) * 10L, v) }
+      .toDF("series", "bucket_ts", "value")
+    // med 5, adev [0,0,0,4] → mad 0: no scale to score against
+    val out = SeriesAnalytics.robustZscore(ds, Seq("series"), lit(0)).collect()
+    assert(out.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+  }
+
+  test("robustZscore: the seasonal position splits cohorts — same value, different verdicts") {
+    val s = spark
+    import s.implicits._
+    // slot 0 cohort is tight around 10 (50 is anomalous there);
+    // slot 1 cohort is spread 40..60 (50 is its median)
+    val rows = Seq(9.0, 10.0, 10.0, 11.0, 50.0).zipWithIndex.map {
+      case (v, i) => ("a", i * 20L, v) } ++
+      Seq(40.0, 45.0, 50.0, 55.0, 60.0).zipWithIndex.map {
+        case (v, i) => ("a", i * 20L + 10L, v) }
+    val ds = rows.toDF("series", "bucket_ts", "value")
+    val out = SeriesAnalytics.robustZscore(ds, Seq("series"),
+      (col("bucket_ts") / 10) % 2)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)) -> r.getBoolean(5)).toMap
+    assert(out((80L, 50.0)), "50 in the tight slot-0 cohort must flag")
+    assert(!out((50L, 50.0)), "50 is the median of the spread slot-1 cohort")
+  }
+
   test("summarize: one row per series with the requested summary columns; first/last by bucket order") {
     val out = SeriesAnalytics.summarize(agg, Seq("series"),
       Seq("avg", "sum", "min", "max", "count", "first", "last"))
