@@ -434,6 +434,10 @@ object ScaleProbe {
     // per-batch partials — summary-scale, like the other maintained
     // reads)
     "q_dds_quantiles", "q_dds_eval", "q_stream_dds_q",
+    // the dashboard grain: per-(metric, day) p99 — build is the same
+    // fact scan with more (still summary-bounded) groups; the streamed
+    // read serves from the maintained per-day store
+    "q_dds_daily", "q_stream_dds_daily",
     // round 11: MAD robust anomaly — input is the |series|×|buckets|
     // aggregated frame; two bounded groupBys + two equi-joins, so its
     // decades must track q_anomaly_zscore's aggregated-scale shape
@@ -449,7 +453,7 @@ object ScaleProbe {
    *  from timing — the probe measures the production read. */
   private val TsdbXlMaintained: Set[String] =
     Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users",
-      "q_stream_dds_q")
+      "q_stream_dds_q", "q_stream_dds_daily")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */

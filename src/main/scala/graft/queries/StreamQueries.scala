@@ -56,10 +56,15 @@ object StreamQueries {
         // maintained count-min cells over the user tag (A15 sketch
         // family): per-batch partials, merged at read
         cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
-        // maintained DDSketch quantile buckets per metric (A15 sketch
-        // family): per-batch partials, merged at read — same α as the
-        // batch query so the streamed read shares its oracle verbatim
-        dds = Some(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)))
+        // maintained DDSketch quantile buckets at TWO grains (A15
+        // sketch family): per metric, and per metric×day — the
+        // p99-dashboard serving grain. Same α as the batch queries so
+        // both streamed reads share their batch oracles verbatim.
+        dds = Seq(
+          IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha),
+          IngestJob.DdsConfig(
+            "concat_ws('#', metric, cast(ts - ts % 86400 as string))",
+            "value", TsdbQueries.DdsAlpha, name = "dds_daily")))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       // post-ingest maintenance, as a production shutdown would: complete
       // the close-gated rollup over the final open tail, then consolidate
@@ -594,6 +599,19 @@ object StreamQueries {
         .select(col("key").as("metric"), col("q"), col("est_v"))
     },
 
+    // the DASHBOARD serving grain from the maintained store: p99 per
+    // (metric, day) read from STORED per-batch bucket partials at the
+    // metric×day key — raw points never rescanned. Shares q_dds_daily's
+    // raw-scan oracle verbatim.
+    "q_stream_dds_daily" -> { (s, d) =>
+      graft.operators.QuantileSketch
+        .quantiles(IngestJob.ddsBuckets(s, lakeFor(s, d), "dds_daily"),
+          Seq(0.99), TsdbQueries.DdsAlpha)
+        .select(split(col("key"), "#").getItem(0).as("metric"),
+          split(col("key"), "#").getItem(1).cast("long").as("bucket_ts"),
+          col("est_v").as("p99_est"))
+    },
+
     // A10 × CALENDAR from the ingest-MAINTAINED rollup (round 11): the
     // Denver MONTHLY serve over the streamed composite — month starts
     // are whole-hour local midnights here, so every stored 1h row lies
@@ -752,6 +770,7 @@ object StreamQueries {
     // maintained count-min cells == the one-shot batch sketch
     "q_stream_cms_users" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
     "q_stream_dds_q" -> TsdbQueries.oracles("q_dds_quantiles"),
+    "q_stream_dds_daily" -> TsdbQueries.oracles("q_dds_daily"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

@@ -385,6 +385,24 @@ object TsdbQueries {
         .select(col("key").as("metric"), col("q"), col("est_v"))
     },
 
+    // DDSketch at the DASHBOARD grain: p99 per (metric, day) from
+    // per-day bucket relations — the shape a latency dashboard serves
+    // at 100 TB (and what the ingest maintains: q_stream_dds_daily
+    // reads the same answer from STORED per-batch partials). The
+    // composite key is a string concat so the sketch API stays
+    // single-keyed; the walk partitions per (metric, day).
+    "q_dds_daily" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      val buckets = QuantileSketch.sketch(pts(s, d),
+        concat_ws("#", col("metric"),
+          (col("ts") - col("ts") % 86400).cast("string")),
+        col("value"), DdsAlpha)
+      QuantileSketch.quantiles(buckets, Seq(0.99), DdsAlpha)
+        .select(split(col("key"), "#").getItem(0).as("metric"),
+          split(col("key"), "#").getItem(1).cast("long").as("bucket_ts"),
+          col("est_v").as("p99_est"))
+    },
+
     // DDSketch estimator-quality report (the minhashEval / cms-report
     // discipline): exact interpolated p90 beside the sketch estimate at
     // a deliberately coarse α = 5% so the geometric-bucket gap is real
@@ -1644,6 +1662,31 @@ object TsdbQueries {
          |        WHERE cum > floor(qs.q * (n.n - 1))
          |        GROUP BY 1, 2)
          |SELECT metric, q, ${rnd("est")} AS est_v FROM sel""".stripMargin,
+
+    // the per-(metric, day) sketch walk: same bucketing, same walk,
+    // partitioned by the dashboard grain
+    "q_dds_daily" -> {
+      val g = graft.operators.QuantileSketch.gamma(DdsAlpha)
+      s"""WITH $pointsCtes,
+         |vals AS (SELECT metric, ts - ts % 86400 AS bucket_ts, value AS v
+         |         FROM points WHERE value IS NOT NULL),
+         |b AS (SELECT metric, bucket_ts,
+         |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
+         |        CASE WHEN v = 0 THEN 0
+         |             ELSE CAST(ceil(ln(abs(v)) / ln($g)) AS BIGINT) END AS idx,
+         |        count(*) AS cnt
+         |      FROM vals GROUP BY 1, 2, 3, 4),
+         |c AS (SELECT metric, bucket_ts, sgn, idx, cnt,
+         |        sum(cnt) OVER (PARTITION BY metric, bucket_ts
+         |                       ORDER BY sgn, sgn * idx) AS cum
+         |      FROM b),
+         |n AS (SELECT metric, bucket_ts, sum(cnt) AS n FROM b GROUP BY 1, 2),
+         |sel AS (SELECT c.metric, c.bucket_ts, min_by(${ddsEst(DdsAlpha)}, cum) AS est
+         |        FROM c JOIN n USING (metric, bucket_ts)
+         |        WHERE cum > floor(0.99 * (n.n - 1))
+         |        GROUP BY 1, 2)
+         |SELECT metric, bucket_ts, ${rnd("est")} AS p99_est FROM sel""".stripMargin
+    },
 
     // DDSketch estimator quality: exact interpolated p90 beside the
     // α = 5% sketch estimate, per metric

@@ -111,7 +111,7 @@ object IngestJob {
       admissionSampleMod: Option[Int] = None,
       rollupLatenessSec: Long = 0,
       cms: Option[CmsConfig] = None,
-      dds: Option[DdsConfig] = None)
+      dds: Seq[DdsConfig] = Nil)
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
    *  expression against the admitted point rows): each micro-batch
@@ -124,16 +124,19 @@ object IngestJob {
    *  over `valueExpr`: each micro-batch appends its partial (key, sgn,
    *  idx, cnt) bucket rows; bucket counts are sums, so the read-side
    *  merge equals the one-shot batch sketch exactly
-   *  ([[graft.operators.QuantileSketch]]). */
+   *  ([[graft.operators.QuantileSketch]]). A Config may maintain
+   *  several sketches at different key grains (e.g. per metric AND per
+   *  metric×day — the p99-dashboard serving grain); `name` keys each
+   *  one's lake path. */
   final case class DdsConfig(keyExpr: String, valueExpr: String = "value",
-      alpha: Double = 0.02)
+      alpha: Double = 0.02, name: String = "dds")
 
   def pointsPath(cfg: Config): String = s"${cfg.lakeDir}/points"
   def seriesLogPath(cfg: Config): String = s"${cfg.lakeDir}/series_log"
   def latestLogPath(cfg: Config): String = s"${cfg.lakeDir}/latest_log"
   def rollupPath(cfg: Config): String = s"${cfg.lakeDir}/rollup"
   def cmsPath(cfg: Config): String = s"${cfg.lakeDir}/cms"
-  def ddsPath(cfg: Config): String = s"${cfg.lakeDir}/dds"
+  def ddsPath(cfg: Config, name: String = "dds"): String = s"${cfg.lakeDir}/$name"
 
   /** Per-batch ingest accounting (the reference logs dropped-point
    *  counters at admission; we surface them to the caller). */
@@ -244,8 +247,8 @@ object IngestJob {
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
-            .parquet(ddsPath(cfg))
-        else buckets.write.mode("append").parquet(ddsPath(cfg))
+            .parquet(ddsPath(cfg, c.name))
+        else buckets.write.mode("append").parquet(ddsPath(cfg, c.name))
       }
       cfg.rollupInterval.foreach { iv =>
         // control-flow collect, not a data loop: a micro-batch touches a
@@ -331,8 +334,8 @@ object IngestJob {
   /** The maintained DDSketch bucket relation: micro-batch partials
    *  merged by (key, sgn, idx) count sum — identical to the one-shot
    *  batch sketch. Feed to [[graft.operators.QuantileSketch.quantiles]]. */
-  def ddsBuckets(spark: SparkSession, cfg: Config): DataFrame =
-    graft.operators.QuantileSketch.merge(spark.read.parquet(ddsPath(cfg)))
+  def ddsBuckets(spark: SparkSession, cfg: Config, name: String = "dds"): DataFrame =
+    graft.operators.QuantileSketch.merge(spark.read.parquet(ddsPath(cfg, name)))
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log

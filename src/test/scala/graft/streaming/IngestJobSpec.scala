@@ -335,6 +335,42 @@ class IngestJobSpec extends AnyFunSuite {
     rep.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
   }
 
+  test("maintained DDSketch buckets: two grains, replay-safe, merge equals one-shot") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_dds").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      dds = Seq(
+        IngestJob.DdsConfig("metric", "value", 0.02),
+        IngestJob.DdsConfig("concat_ws('#', metric, cast(ts - ts % 86400 as string))",
+          "value", 0.02, name = "dds_daily")))
+    val now = 100000L
+    val b1 = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (1 to 40).map(i => (i.toLong, now + i * 3000, "m", i * 1.5)): _*))
+    val b2 = graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (41 to 90).map(i => (i.toLong, now + i * 3000, "m", i * 1.5)): _*))
+    IngestJob.processBatch(b1, cfg, batchId = 0L)
+    IngestJob.processBatch(b2, cfg, batchId = 1L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("sgn").cast("int"), col("idx").cast("long"),
+        col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val all = b1.unionByName(b2)
+    // per-metric grain
+    assert(rows(IngestJob.ddsBuckets(spark, cfg)) ===
+      rows(graft.operators.QuantileSketch.sketch(all, col("metric"), col("value"), 0.02)))
+    // per metric×day grain — and the two stores are independent
+    val daily = rows(IngestJob.ddsBuckets(spark, cfg, "dds_daily"))
+    assert(daily === rows(graft.operators.QuantileSketch.sketch(all,
+      expr("concat_ws('#', metric, cast(ts - ts % 86400 as string))"),
+      col("value"), 0.02)))
+    assert(daily.keys.map(_._1).toSet.size > 1, "multiple day keys expected")
+    // replay safety: re-processing batch 1 rewrites its partition in BOTH stores
+    IngestJob.processBatch(b2, cfg, batchId = 1L)
+    assert(rows(IngestJob.ddsBuckets(spark, cfg, "dds_daily")) === daily,
+      "replayed batch must not change the merged buckets")
+  }
+
   test("data-gen source streams synthetic points through the same pipeline (S1 DATA_GEN)") {
     val spark = TestSpark.spark
     val base = java.nio.file.Files.createTempDirectory("graft_gen").toString
