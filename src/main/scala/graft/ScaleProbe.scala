@@ -438,15 +438,21 @@ object ScaleProbe {
     // fact scan with more (still summary-bounded) groups; the streamed
     // read serves from the maintained per-day store
     "q_dds_daily", "q_stream_dds_daily",
-    // round 11: MAD robust anomaly — input is the |series|×|buckets|
-    // aggregated frame; two bounded groupBys + two equi-joins, so its
-    // decades must track q_anomaly_zscore's aggregated-scale shape
-    "q_anomaly_mad",
+    // round 11: MAD robust anomaly — two whole-partition window
+    // aggregates over one (series, slot) partitioning; its decades must
+    // track q_anomaly_zscore's shape (p_anomaly_mad_joins is the
+    // rejected join-back formulation, kept for the interleaved A/B)
+    "q_anomaly_mad", "p_anomaly_mad_joins",
+    // round 11: the transition matrix — one per-entity window (the
+    // sessionize shape) + a |types|²-keyed count; must track
+    // q_events_sessions
+    "q_events_transitions",
     // round 11: KMV set algebra over the series dim — the bottom-k
     // WindowGroupLimit bounds the exchange at k rows per metric per
-    // partition; the exact-side join is the eval harness (dim-sized
-    // aggregate, same scale as q_meta_basic)
-    "q_meta_kmv_setops")
+    // partition; the gate row pays TWO fact-sized dim builds (sketch +
+    // exact eval side), so the production-path row beside it isolates
+    // the single-build cost
+    "q_meta_kmv_setops", "p_kmv_setops_prod")
 
   /** The rows whose source is the streaming-ingest-maintained lake: the
    *  one-time ingest is a BUILD step (like corpus generation), excluded
@@ -588,6 +594,46 @@ object ScaleProbe {
         .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
       QueryEngine.downsample(QueryEngine.dedupeAgg(p),
         DownsampleSpec("1d", "sum"), Start, End)
+    },
+    // A/B: q_anomaly_mad with the groupBy + join-back formulation the
+    // operator FIRST shipped as — it references the aggregated lineage
+    // three times, so the fact-sized downsample pipeline upstream
+    // re-evaluates per reference; the shipped two-window form
+    // materializes it once (SeriesAnalytics.robustZscore scaladoc)
+    "p_anomaly_mad_joins" -> { (s, d) =>
+      import graft.query._
+      import org.apache.spark.sql.functions._
+      val Start = graft.queries.OracleCommon.DataStart
+      val End = Start + 31L * 86400
+      val ds = QueryEngine.run(graft.sources.TsdbViews.points(s, d),
+        TsdbQuery(graft.filters.MatchAll, Start, End,
+          downsample = Some(DownsampleSpec("1d", "count")),
+          groupBy = Some(GroupBySpec(Seq("user"), "sum"))))
+        .withColumn("value", round(col("value"), 4))
+        .withColumn("__slot", expr("(bucket_ts DIV 86400) % 7"))
+      val med = ds.groupBy(col("user"), col("__slot"))
+        .agg(percentile(col("value"), lit(0.5)).as("__med"))
+      val dev = ds.join(med, Seq("user", "__slot"))
+        .withColumn("__adev", abs(col("value") - col("__med")))
+      val mad = dev.groupBy(col("user"), col("__slot"))
+        .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
+      dev.join(mad, Seq("user", "__slot"))
+        .withColumn("robust_z", when(col("__mad") > 0,
+          round((col("value") - col("__med")) / (lit(1.4826) * col("__mad")), 6)))
+    },
+    // the PRODUCTION KMV set-ops path alone: one series-dim build, one
+    // bottom-k walk — q_meta_kmv_setops' gate row additionally joins
+    // the exact-count side (a second fact-sized dim build, the eval
+    // harness), which is what its in-sweep decades measure
+    "p_kmv_setops_prod" -> { (s, d) =>
+      import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+      val ident = concat_ws("|", col("metric"), col("tags")("user"),
+        col("tags")("host"), col("tags")("colo"),
+        coalesce(col("tags")("env"), lit("")))
+      graft.meta.MetaQueries.sketchSetOps(
+        graft.sources.TsdbViews.seriesDim(graft.sources.TsdbViews.points(s, d)),
+        graft.filters.TagLiteral("colo", Seq("den")),
+        graft.filters.TagLiteral("env", Seq("prod")), ident, k = 32)
     },
     "p_dedup_embed_capped" -> ((s, d) =>
       graft.pipeline.Similarity.nearDuplicateEdgesCapped(

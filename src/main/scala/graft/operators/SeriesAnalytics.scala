@@ -211,24 +211,27 @@ object SeriesAnalytics {
    *  median) emit null robust_z and never flag — a constant cohort has
    *  no scale to score against.
    *
-   *  Plan shape: two bounded groupBys (|series| × |slots| groups) and
-   *  two equi-joins back on (keys, slot) — no global sort, no window
-   *  over the fact, fact-sized rows pass each exchange once.
+   *  Plan shape: TWO whole-partition window aggregates over the SAME
+   *  (keys, slot) partitioning — one exchange, one sort, and the
+   *  upstream (often a fact-sized downsample pipeline) evaluates
+   *  exactly once BY CONSTRUCTION. The operator first shipped as
+   *  groupBy + join-back, which references the aggregated lineage
+   *  three times; Spark's exchange reuse recovers part of that, but
+   *  the interleaved same-JVM A/B (ScaleProbe p_anomaly_mad_joins)
+   *  still reads 3.12 / 3.99 / 18.13 s for the join form vs
+   *  2.00 / 2.72 / 15.49 s for this window form across 100k/1M/10M
+   *  events — faster at every decade, and single-pass whatever the
+   *  optimizer does.
    *  Replayability: median and MAD are exact interpolated percentiles
    *  over identical doubles in both engines; robust_z snaps to 6
    *  decimals (the rate convention) BEFORE the threshold compare. */
   def robustZscore(ds: DataFrame, keys: Seq[String], positionCol: Column,
       threshold: Double = 3.0): DataFrame = {
-    val withSlot = ds.withColumn("__slot", positionCol)
-    val grp = keys.map(col) :+ col("__slot")
-    val joinCols = keys :+ "__slot"
-    val med = withSlot.groupBy(grp: _*)
-      .agg(percentile(col("value"), lit(0.5)).as("__med"))
-    val dev = withSlot.join(med, joinCols)
+    val w = Window.partitionBy((keys.map(col) :+ col("__slot")): _*)
+    ds.withColumn("__slot", positionCol)
+      .withColumn("__med", percentile(col("value"), lit(0.5)).over(w))
       .withColumn("__adev", abs(col("value") - col("__med")))
-    val mad = dev.groupBy(grp: _*)
-      .agg(percentile(col("__adev"), lit(0.5)).as("__mad"))
-    dev.join(mad, joinCols)
+      .withColumn("__mad", percentile(col("__adev"), lit(0.5)).over(w))
       .withColumn("baseline", round(col("__med"), 4))
       .withColumn("robust_z", when(col("__mad") > 0,
         round((col("value") - col("__med")) / (lit(1.4826) * col("__mad")), 6)))

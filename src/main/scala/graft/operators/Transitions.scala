@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-type transition matrix: first-order Markov statistics over
+ * per-entity event streams — for each ordered pair (prev, next), how
+ * often next immediately follows prev within one entity's stream, and
+ * the conditional probability P(next | prev). The behavioral-analytics
+ * sibling of [[Sessions]] / [[Funnel]] / [[Retention]]: funnels test
+ * ONE hypothesized path; the transition matrix surfaces ALL observed
+ * paths (where users actually go after a view), which is how the
+ * funnel hypothesis gets chosen in the first place.
+ *
+ * Determinism: events order by (ts, tiebreak) within an entity — the
+ * tiebreak (ingest sequence) totally orders same-second events, so
+ * both engines chain identical pairs (the Sessions ordering
+ * discipline).
+ *
+ * Plan shape at 100 TB: one window partitioned per entity (the
+ * sessionize shape — a per-key sort, never a global one), one
+ * partial+final count over |event types|² keys, and the conditional
+ * division windows over that ≤ |types|² aggregated relation. Nothing
+ * fact-sized shuffles twice.
+ */
+object Transitions {
+
+  /** (prev_type, next_type, n, p) — n immediate successions, p the
+   *  row-conditional probability (rounded 4, the engine convention). */
+  def matrix(events: DataFrame, key: Column, eventType: Column, ts: Column,
+      tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts").asc, col("__tb").asc)
+    events
+      .select(key.as("__k"), eventType.as("__t"), ts.as("__ts"), tiebreak.as("__tb"))
+      .withColumn("__prev", lag(col("__t"), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("prev_type"), col("__t").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", round(
+        col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
+  }
+}

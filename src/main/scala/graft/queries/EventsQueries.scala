@@ -139,6 +139,19 @@ object EventsQueries {
         .withColumnRenamed("key", "user_id")
     },
 
+    // Event-type transition matrix (round 11 — the behavioral sibling
+    // of sessions/funnel/retention): for each ordered (prev, next)
+    // pair, how often next immediately follows prev within one user's
+    // (ts, event_id)-ordered stream, with P(next | prev). The funnel
+    // tests ONE path; this surfaces all of them.
+    "q_events_transitions" -> { (s, d) =>
+      val ev = graft.sources.TsdbViews.table(s, d, "events")
+      graft.operators.Transitions.matrix(ev,
+        col("user_id"), col("event_type"),
+        graft.sources.TsdbViews.toEpochSeconds(ev, "ts"), col("event_id"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
     // Cohort retention: users cohorted by first-event epoch-day; each
     // (cohort_day, day_k) cell counts distinct users active exactly k
     // days later (k=0 is the cohort size).
@@ -394,6 +407,24 @@ object EventsQueries {
          |FROM p""".stripMargin,
 
     "q_events_sessions" -> sessionsOracle,
+
+    // the identical (ts, event_id) total order chains the same pairs;
+    // the conditional divides over the aggregated |types|^2 relation
+    "q_events_transitions" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         |         event_id
+         |  FROM events),
+         |seq AS (
+         |  SELECT user_id, event_type,
+         |         lag(event_type) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev
+         |  FROM ev),
+         |pairs AS (
+         |  SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |       ${OracleCommon.rnd("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+         |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
 
     "q_events_retention" ->
       s"""WITH ev AS (

@@ -1352,6 +1352,22 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("deviation"), col("anomaly"))
     },
 
+    // the MAD model through the parsed pipeline: the engine's clock-
+    // aware seasonal position for UTC/1d is (bucket_ts DIV 86400) % 7 —
+    // exactly the direct query's expression, so the oracle is shared
+    "q_json_anomaly_mad" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val json = s"""{
+        "start": $DataStart, "end": $fullEnd,
+        "downsample": {"interval": "1d", "aggregator": "count"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "anomaly": {"model": "mad", "period": 7}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("robust_z"), col("anomaly"))
+    },
+
     // Multi-source expression graph from ONE client JSON document (the
     // upstream semantic-query shape): two named subqueries (error and
     // click per-user daily sums) joined by the expression node "e / c".
@@ -2503,6 +2519,7 @@ object TsdbQueries {
     "q_json_bucket_quantile_cum" -> oraclesBase("q_bucket_quantile"),
     "q_json_anomaly" -> oraclesBase("q_anomaly_zscore"),
     "q_json_anomaly_olympic" -> oraclesBase("q_anomaly_olympic"),
+    "q_json_anomaly_mad" -> oraclesBase("q_anomaly_mad"),
 
     // olympic over Denver local-day buckets: tz bucket arithmetic from
     // q_ds_tz + the LOCAL day number ((bucket_ts − 25200) // 86400) as

@@ -631,7 +631,7 @@ object QueryEngine {
         case "zscore" =>
           graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
             a.resolvedThreshold, a.resolvedMinHistory)
-        case "olympic" =>
+        case model @ ("olympic" | "mad") =>
           val dspec = q.downsample.get
           // the seasonal position indexes buckets on the clock the
           // buckets were CUT on: epoch buckets by (bucket_ts DIV iv),
@@ -665,8 +665,16 @@ object QueryEngine {
                   (localBucket / lit(ivSec)).cast("long") % lit(a.period)
               }
             }
-          graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
-            pos, a.resolvedThreshold, a.resolvedMinHistory)
+          // `mad` scores against the slot cohort's median/MAD (robust,
+          // retrospective); `olympic` against the trimmed mean of the
+          // slot's EARLIER occurrences (causal). Both index seasonal
+          // slots on the identical clock-aware position above.
+          if (model == "mad")
+            graft.operators.SeriesAnalytics.robustZscore(in, seriesKeys, pos,
+              a.resolvedThreshold)
+          else
+            graft.operators.SeriesAnalytics.olympic(in, seriesKeys.map(col),
+              pos, a.resolvedThreshold, a.resolvedMinHistory)
         case other => throw new IllegalArgumentException(s"unknown anomaly model: $other")
       }
     }.getOrElse(df)

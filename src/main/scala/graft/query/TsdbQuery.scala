@@ -134,8 +134,11 @@ final case class SummarizerSpec(aggs: Seq[String])
  *  deterministically): `zscore` scores each bucket against its own
  *  series' expanding earlier history; `olympic` against the trimmed
  *  mean of earlier same-seasonal-position buckets (`period` positions
- *  over the bucket index). Input values snap to 4 decimals entering
- *  the node (the engine's replayable-FP discipline). */
+ *  over the bucket index); `mad` against the WHOLE seasonal cohort's
+ *  median scaled by 1.4826·MAD (robust, retrospective —
+ *  [[graft.operators.SeriesAnalytics.robustZscore]]). Input values
+ *  snap to 4 decimals entering the node (the engine's replayable-FP
+ *  discipline). */
 final case class AnomalySpec(
     model: String = "zscore", threshold: Double = Double.NaN,
     minHistory: Int = 0, period: Int = 7) {

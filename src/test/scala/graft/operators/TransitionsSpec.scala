@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transition-matrix invariants: per-entity chaining, conditional rows
+ *  summing to 1, and the tiebreak total order on same-second events. */
+class TransitionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(rows: Seq[(Long, String, Long, Long)]) =
+    Transitions.matrix(rows.toDF("u", "t", "ts", "seq"),
+      col("u"), col("t"), col("ts"), col("seq"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("pairs chain within each entity; conditionals normalize per prev row") {
+    // user 1: A B A C ; user 2: A B  → A→B ×2, B→A ×1, A→C ×1
+    val m = run(Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L), (1L, "C", 40L, 4L),
+      (2L, "A", 10L, 5L), (2L, "B", 20L, 6L)))
+    assert(m(("A", "B")) === ((2L, 0.6667)))
+    assert(m(("A", "C")) === ((1L, 0.3333)))
+    assert(m(("B", "A")) === ((1L, 1.0)))
+    assert(m.size === 3, "no cross-user pair may appear")
+  }
+
+  test("same-second events order by the tiebreak, not arrival") {
+    // both at ts=10: seq decides B precedes C
+    val m = run(Seq(
+      (1L, "A", 5L, 1L), (1L, "B", 10L, 2L), (1L, "C", 10L, 3L)))
+    assert(m.keySet === Set(("A", "B"), ("B", "C")))
+  }
+
+  test("a single-event entity contributes no pairs") {
+    val m = run(Seq((1L, "A", 5L, 1L)))
+    assert(m.isEmpty)
+  }
+}
