@@ -1368,6 +1368,26 @@ object TsdbQueries {
           col("value").as("cnt"), col("baseline"), col("robust_z"), col("anomaly"))
     },
 
+    // MAD × TIMEZONE through the parsed pipeline: Denver local-day
+    // buckets with the weekly slot indexed on the LOCAL clock (the
+    // engine's shared clock-aware position — January is one MST
+    // segment, so the oracle restates the constant −25200 arithmetic
+    // in both the bucket and the slot). Regrouped buckets AND a
+    // shifted seasonal slot each fail the hash.
+    "q_anomaly_mad_tz" -> { (s, d) =>
+      val fullEnd = DataStart + 31L * 86400
+      val json = s"""{
+        "start": $DataStart, "end": $fullEnd,
+        "downsample": {"interval": "1d", "aggregator": "count",
+                       "timezone": "America/Denver"},
+        "groupBy": {"tagKeys": ["user"], "aggregator": "sum"},
+        "anomaly": {"model": "mad", "period": 7}
+      }"""
+      run(s, d, TsdbJson.parseQuery(json))
+        .select(col("user").as("tag_user"), col("bucket_ts"),
+          col("value").as("cnt"), col("baseline"), col("robust_z"), col("anomaly"))
+    },
+
     // Multi-source expression graph from ONE client JSON document (the
     // upstream semantic-query shape): two named subqueries (error and
     // click per-user daily sums) joined by the expression node "e / c".
@@ -2551,5 +2571,36 @@ object TsdbQueries {
          |  FROM base)
          |SELECT tag_user, bucket_ts, v AS cnt, baseline, deviation,
          |       COALESCE(deviation >= 0.5, false) AS anomaly
-         |FROM dev""".stripMargin)
+         |FROM dev""".stripMargin,
+
+    // MAD over Denver local-day buckets: same −25200 bucket/slot
+    // arithmetic as olympic_tz, same median/MAD two-pass as the UTC mad
+    "q_anomaly_mad_tz" ->
+      s"""WITH $pointsCtes,
+         |ds AS (
+         |  SELECT tag_user,
+         |         (ts - 25200) - (ts - 25200) % 86400 + 25200 AS bucket_ts,
+         |         CAST(count(value) AS DOUBLE) AS v
+         |  FROM dedup WHERE ts >= $DataStart AND ts < ${DataStart + 31L * 86400}
+         |  GROUP BY 1, 2),
+         |slotted AS (
+         |  SELECT *, ((bucket_ts - 25200) // 86400) % 7 AS slot FROM ds),
+         |med AS (
+         |  SELECT tag_user, slot, quantile_cont(v, 0.5) AS med
+         |  FROM slotted GROUP BY 1, 2),
+         |dev AS (
+         |  SELECT s.tag_user, s.bucket_ts, s.slot, s.v, m.med,
+         |         abs(s.v - m.med) AS adev
+         |  FROM slotted s JOIN med m USING (tag_user, slot)),
+         |mad AS (
+         |  SELECT tag_user, slot, quantile_cont(adev, 0.5) AS mad
+         |  FROM dev GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT d.tag_user, d.bucket_ts, d.v, ${rnd("d.med")} AS baseline,
+         |         CASE WHEN a.mad > 0
+         |              THEN ${rnd("(d.v - d.med) / (1.4826 * a.mad)", 6)} END AS robust_z
+         |  FROM dev d JOIN mad a USING (tag_user, slot))
+         |SELECT tag_user, bucket_ts, v AS cnt, baseline, robust_z,
+         |       COALESCE(abs(robust_z) >= 3.0, false) AS anomaly
+         |FROM scored""".stripMargin)
 }
