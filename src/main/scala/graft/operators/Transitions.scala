@@ -32,13 +32,21 @@ object Transitions {
   def matrix(events: DataFrame, key: Column, eventType: Column, ts: Column,
       tiebreak: Column): DataFrame = {
     val w = Window.partitionBy(col("__k")).orderBy(col("__ts").asc, col("__tb").asc)
-    events
+    fromPairs(events
       .select(key.as("__k"), eventType.as("__t"), ts.as("__ts"), tiebreak.as("__tb"))
       .withColumn("__prev", lag(col("__t"), 1).over(w))
       .filter(col("__prev").isNotNull)
-      .groupBy(col("__prev").as("prev_type"), col("__t").as("next_type"))
+      .select(col("__prev").as("prev_type"), col("__t").as("next_type")))
+  }
+
+  /** The aggregation stage alone, over a (prev_type, next_type) pair
+   *  relation — shared by the batch lag chain above and the finalized
+   *  output of [[graft.streaming.StreamOps.transitionsStream]], so the
+   *  two paths can share one oracle. */
+  def fromPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p", round(
         col("n") / sum(col("n")).over(Window.partitionBy(col("prev_type"))), 4))
-  }
 }

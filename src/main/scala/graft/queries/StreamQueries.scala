@@ -227,6 +227,8 @@ object StreamQueries {
 
   private val timediffRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
+  private val transRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   private val ewmaRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** True streamed EWMA per source dir per JVM: the range-filtered point
@@ -335,6 +337,41 @@ object StreamQueries {
       s.table(name).filter(col("series_id") =!= Long.MinValue)
     })
 
+  /** Event-type transitions as a pure stream — the [[streamedRate]]
+   *  protocol (MemoryStream input + sentinel watermark close) over the
+   *  per-entity (ts, seq)-ordered pair machine
+   *  ([[graft.streaming.StreamOps.transitionsStream]]); finalized
+   *  pairs aggregate through the SAME Transitions.fromPairs stage as
+   *  the batch lag chain, so q_events_transitions' oracle is shared
+   *  verbatim. */
+  private def streamedTransitions(s: SparkSession, d: String): DataFrame =
+    transRuns.getOrElseUpdate(d, {
+      import s.implicits._
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val evTab = graft.sources.TsdbViews.table(s, d, "events")
+      val rows = evTab.select(
+          col("user_id").as("k"), col("event_type").as("t"),
+          graft.sources.TsdbViews.toEpochSeconds(evTab, "ts").as("ts"),
+          col("event_id").as("seq"))
+        .as[graft.streaming.TransRow].collect().toSeq
+      val maxTs = rows.iterator.map(_.ts).max
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.streaming.TransRow]
+      val name = "trans_stream_" + java.lang.Long.toHexString(
+        graft.functions.Md5Prefix28.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
+      val q = graft.streaming.StreamOps.transitionsStream(input.toDF())
+        .writeStream.format("memory").queryName(name).outputMode("append").start()
+      try {
+        def sentinel(ts: Long) =
+          graft.streaming.TransRow(Long.MinValue, "__sentinel", ts, 0L)
+        input.addData(rows: _*); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter(col("k") =!= Long.MinValue)
+    })
+
   /** The TimeDifference node as a pure stream — the [[streamedRate]]
    *  protocol verbatim (same sentinel close, same chained state
    *  machine), the scalar swapped for the per-point gap in minutes.
@@ -418,6 +455,16 @@ object StreamQueries {
       streamedRate(s, d)
         .select(col("metric"), col("tags")("user").as("tag_user"), col("ts"),
           round(col("value"), 6).as("rate"))),
+
+    // Event-type transitions as a pure stream (round 11): the per-
+    // entity (ts, seq)-ordered pair machine finalizes against the
+    // watermark; the aggregation stage is literally the batch
+    // operator's fromPairs, so the oracle is shared verbatim — a
+    // mis-chained or dropped pair fails the hash
+    "q_stream_transitions" -> ((s, d) =>
+      graft.operators.Transitions.fromPairs(
+        streamedTransitions(s, d).select(col("prev_type"), col("next_type")))
+        .orderBy(col("prev_type"), col("next_type"))),
 
     // The TimeDifference node as a pure stream: same chained state
     // machine as q_stream_rate, gap-in-minutes scalar — surfaces
@@ -771,6 +818,7 @@ object StreamQueries {
     "q_stream_cms_users" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
     "q_stream_dds_q" -> TsdbQueries.oracles("q_dds_quantiles"),
     "q_stream_dds_daily" -> TsdbQueries.oracles("q_dds_daily"),
+    "q_stream_transitions" -> EventsQueries.oracles("q_events_transitions"),
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

@@ -51,6 +51,20 @@ final case class EwmaPoint(
 /** Per-series last-write state carried across micro-batches. */
 final case class LatestState(last_ts: Long, last_seq: Long, last_value: Double)
 
+/** An event row as [[StreamOps.transitionsStream]] consumes it:
+ *  entity key, event type, epoch-second ts, ingest-sequence tiebreak. */
+final case class TransRow(k: Long, t: String, ts: Long, seq: Long)
+
+/** Per-entity transition state: the not-yet-finalized (ts, seq, type)
+ *  buffer plus the last FINALIZED event the next pair chains from. */
+final case class TransStreamState(
+    pending: Vector[(Long, Long, String)],
+    lastType: String, lastTs: Long, lastSeq: Long, hasLast: Boolean)
+
+/** One emitted transition: `next_type` immediately followed
+ *  `prev_type` within entity `k`'s stream, finalized at `ts`. */
+final case class TransPair(k: Long, prev_type: String, next_type: String, ts: Long)
+
 /** The updated latest row a batch emits for a series. */
 final case class LatestUpdate(
     series_id: Long, metric: String, tags: Map[String, String],
@@ -384,5 +398,56 @@ object StreamOps {
         from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
         unix_timestamp(col("window.start")).as("bucket_ts"),
         col("sum"), col("cnt"), col("min"), col("max"), col("last"), col("sumsq"))
+  }
+
+  /** Streaming event-type transitions: the stateful twin of
+   *  [[graft.operators.Transitions.matrix]]'s pair-chaining stage. One
+   *  `flatMapGroupsWithState` keyed by entity buffers not-yet-finalized
+   *  (ts, seq, type) events; when the watermark passes a timestamp, its
+   *  events finalize in (ts, seq) order and each emits a
+   *  (prev_type → next_type) pair chained from the last FINALIZED
+   *  event — the exact order the batch lag window walks, so finalized
+   *  pairs are identical to the batch chain over the same events
+   *  (q_stream_transitions shares the batch oracle through
+   *  [[graft.operators.Transitions.fromPairs]]).
+   *
+   *  Unlike the chained-delta machine this buffer is NOT LWW-keyed by
+   *  timestamp: distinct same-second events are distinct steps (the
+   *  seq tiebreak orders them), so the buffer is a vector. State per
+   *  entity = open events inside the watermark delay + ONE (ts, seq,
+   *  type) triple; stragglers at or below the finalized frontier drop
+   *  (they would re-chain emitted pairs) — the [[rateStream]] posture. */
+  def transitionsStream(events: DataFrame,
+      watermarkDelay: String = "1 hour"): Dataset[TransPair] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("k"), col("t"), col("ts"), col("seq"))
+      .withColumn("event_time", timestamp_seconds(col("ts")))
+      .withWatermark("event_time", watermarkDelay)
+      .as[TransRow]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[TransStreamState, TransPair](
+        org.apache.spark.sql.streaming.OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (k, rows, state) =>
+          val wmSec = state.getCurrentWatermarkMs() / 1000
+          var st = state.getOption.getOrElse(
+            TransStreamState(Vector.empty, "", 0L, 0L, hasLast = false))
+          rows.foreach { r =>
+            val afterFrontier = !st.hasLast ||
+              r.ts > st.lastTs || (r.ts == st.lastTs && r.seq > st.lastSeq)
+            if (afterFrontier)
+              st = st.copy(pending = st.pending :+ ((r.ts, r.seq, r.t)))
+          }
+          val (ready, rest) = st.pending.partition(_._1 <= wmSec)
+          val out = Vector.newBuilder[TransPair]
+          ready.sortBy(e => (e._1, e._2)).foreach { case (ts, seq, t) =>
+            if (st.hasLast) out += TransPair(k, st.lastType, t, ts)
+            st = st.copy(lastType = t, lastTs = ts, lastSeq = seq, hasLast = true)
+          }
+          state.update(st.copy(pending = rest))
+          if (rest.nonEmpty) state.setTimeoutTimestamp(rest.iterator.map(_._1).min * 1000)
+          out.result().iterator
+      }
   }
 }

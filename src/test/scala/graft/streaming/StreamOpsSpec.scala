@@ -65,6 +65,36 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS rate_stream") }
   }
 
+  test("transitionsStream: same-second steps chain by seq; cross-batch chaining; stragglers drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TransRow]
+    val q = StreamOps.transitionsStream(input.toDF(), watermarkDelay = "10 seconds")
+      .writeStream.format("memory").queryName("trans_stream").outputMode("append").start()
+    try {
+      // out-of-order arrival; B and C share ts=20 and must chain by seq
+      input.addData(TransRow(1, "C", 20, 3), TransRow(1, "A", 10, 1),
+        TransRow(1, "B", 20, 2))
+      q.processAllAvailable()
+      input.addData(TransRow(1, "D", 300, 6)); q.processAllAvailable()
+      // a straggler behind the finalized frontier (ts=15 < 20) must drop
+      input.addData(TransRow(1, "X", 15, 9)); q.processAllAvailable()
+      input.addData(TransRow(1, "E", 600, 7)); q.processAllAvailable()
+      val got = spark.table("trans_stream")
+        .select("prev_type", "next_type").as[(String, String)].collect().toSet
+      assert(got === Set(("A", "B"), ("B", "C"), ("C", "D")),
+        s"chain A->B->C (seq order at ts=20) ->D; straggler X dropped: $got")
+      // batch restatement over the same (non-straggler) events agrees
+      val batch = graft.operators.Transitions.matrix(
+        Seq((1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "C", 20L, 3L),
+          (1L, "D", 300L, 6L)).toDF("u", "t", "ts", "seq"),
+        col("u"), col("t"), col("ts"), col("seq"))
+        .select("prev_type", "next_type").as[(String, String)].collect().toSet
+      assert(batch === got)
+    } finally { q.stop(); spark.sql("DROP TABLE IF EXISTS trans_stream") }
+  }
+
   test("ewmaStream: finalized buckets equal the batch movingAverage; LWW dedupe; stragglers drop") {
     val spark = TestSpark.spark
     import spark.implicits._
