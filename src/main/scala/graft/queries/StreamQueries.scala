@@ -646,6 +646,24 @@ object StreamQueries {
         .select(col("key").as("metric"), col("q"), col("est_v"))
     },
 
+    // RANGE-served percentile from the maintained daily store (the
+    // dashboard zoom): day sketches inside [Start, End) re-aggregate by
+    // metric — bucket indices don't depend on the grouping key, so the
+    // merged day sketches equal a direct sketch over the range EXACTLY
+    // (the rollup-routing argument, for percentiles). The oracle is an
+    // independent raw scan restricted to the same day-aligned range.
+    "q_stream_dds_range" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      val days = IngestJob.ddsBuckets(s, lakeFor(s, d), "dds_daily")
+        .withColumn("metric", split(col("key"), "#").getItem(0))
+        .withColumn("day", split(col("key"), "#").getItem(1).cast("long"))
+        .filter(col("day") >= lit(Start) && col("day") < lit(End))
+        .select(col("metric").as("key"), col("sgn"), col("idx"), col("cnt"))
+      QuantileSketch
+        .quantiles(QuantileSketch.merge(days), Seq(0.99), TsdbQueries.DdsAlpha)
+        .select(col("key").as("metric"), col("q"), col("est_v"))
+    },
+
     // the DASHBOARD serving grain from the maintained store: p99 per
     // (metric, day) read from STORED per-batch bucket partials at the
     // metric×day key — raw points never rescanned. Shares q_dds_daily's
@@ -819,6 +837,19 @@ object StreamQueries {
     "q_stream_dds_q" -> TsdbQueries.oracles("q_dds_quantiles"),
     "q_stream_dds_daily" -> TsdbQueries.oracles("q_dds_daily"),
     "q_stream_transitions" -> EventsQueries.oracles("q_events_transitions"),
+    // the range-served percentile's oracle: an INDEPENDENT raw scan
+    // restricted to the same day-aligned range, per-metric walk
+    "q_stream_dds_range" ->
+      s"""WITH ${OracleCommon.pointsCtes},
+         |${TsdbQueries.ddsCtes(TsdbQueries.DdsAlpha,
+              s" AND ts >= $Start AND ts < $End")},
+         |qs AS (SELECT 0.99::DOUBLE AS q),
+         |sel AS (SELECT c.metric, qs.q,
+         |          min_by(${TsdbQueries.ddsEst(TsdbQueries.DdsAlpha)}, cum) AS est
+         |        FROM c JOIN n USING (metric) CROSS JOIN qs
+         |        WHERE cum > floor(qs.q * (n.n - 1))
+         |        GROUP BY 1, 2)
+         |SELECT metric, q, ${OracleCommon.rnd("est")} AS est_v FROM sel""".stripMargin,
 
     // the batch restatement of the watermark-finalized streaming
     // composite: every 1h window over the LWW-deduped points

@@ -39,9 +39,10 @@ object TsdbQueries {
    *  order, and per-metric totals. γ is the Scala-computed double
    *  embedded at shortest-repr precision, so both engines divide and
    *  exponentiate by the identical IEEE value. */
-  private def ddsCtes(alpha: Double): String = {
+  private[queries] def ddsCtes(alpha: Double, extraWhere: String = ""): String = {
     val g = graft.operators.QuantileSketch.gamma(alpha)
-    s"""vals AS (SELECT metric, value AS v FROM points WHERE value IS NOT NULL),
+    s"""vals AS (SELECT metric, value AS v FROM points
+       |         WHERE value IS NOT NULL$extraWhere),
        |b AS (SELECT metric,
        |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
        |        CASE WHEN v = 0 THEN 0
@@ -55,7 +56,7 @@ object TsdbQueries {
   }
 
   /** The bucket γ-midpoint restated (QuantileSketch.midpoint). */
-  private def ddsEst(alpha: Double): String = {
+  private[queries] def ddsEst(alpha: Double): String = {
     val g = graft.operators.QuantileSketch.gamma(alpha)
     s"CASE WHEN sgn = 0 THEN 0.0 ELSE sgn * 2.0 * power($g, idx) / ${g + 1.0} END"
   }
