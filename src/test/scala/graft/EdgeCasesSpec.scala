@@ -180,6 +180,40 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(rep.head.getAs[Long]("n_selected") === 0L)
   }
 
+  test("round-11 operator validation: bad sketch/anomaly parameters throw, not corrupt") {
+    import spark.implicits._
+    import graft.operators.QuantileSketch
+    val df = Seq(1.0, 2.0).toDF("v").withColumn("k", lit("m"))
+    // alpha outside (0,1) is a planning error on both build and walk
+    assertThrows[IllegalArgumentException](QuantileSketch.sketch(df, col("k"), col("v"), 0.0))
+    assertThrows[IllegalArgumentException](QuantileSketch.sketch(df, col("k"), col("v"), 1.0))
+    val b = QuantileSketch.sketch(df, col("k"), col("v"), 0.02)
+    // quantiles must sit in [0, 1): q = 1 has no rank under the floor convention
+    assertThrows[IllegalArgumentException](QuantileSketch.quantiles(b, Seq(1.0), 0.02))
+    assertThrows[IllegalArgumentException](QuantileSketch.quantiles(b, Seq.empty, 0.02))
+    // KMV set ops need a real sketch budget
+    assertThrows[IllegalArgumentException](graft.meta.MetaQueries.sketchSetOps(
+      df.withColumn("metric", lit("m")).withColumn("tags", map(lit("a"), lit("b"))),
+      graft.filters.MatchAll, graft.filters.MatchAll, lit("x"), k = 1))
+    // unknown anomaly model still throws through run()'s dispatch
+    val pts = Fixtures.series("m", tagset, (0L, 1.0), (60L, 2.0))
+    assertThrows[IllegalArgumentException](QueryEngine.run(pts,
+      TsdbQuery(graft.filters.MatchAll, 0, 3600,
+        downsample = Some(DownsampleSpec("1m", "count")),
+        anomaly = Some(AnomalySpec(model = "prophet")))))
+  }
+
+  test("transition matrix and DDSketch survive empty inputs") {
+    import spark.implicits._
+    val noEvents = Seq.empty[(Long, String, Long, Long)].toDF("u", "t", "ts", "seq")
+    assert(graft.operators.Transitions.matrix(noEvents,
+      col("u"), col("t"), col("ts"), col("seq")).count() === 0)
+    val noVals = Seq.empty[(String, Double)].toDF("k", "v")
+    val b = graft.operators.QuantileSketch.sketch(noVals, col("k"), col("v"), 0.02)
+    assert(b.count() === 0)
+    assert(graft.operators.QuantileSketch.quantiles(b, Seq(0.5), 0.02).count() === 0)
+  }
+
   test("pipeline operators on a one-token document") {
     import spark.implicits._
     val one = Seq((7L, "word")).toDF("doc_id", "text")
