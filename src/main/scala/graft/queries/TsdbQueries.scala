@@ -414,6 +414,39 @@ object TsdbQueries {
         .select(col("key").as("metric"), col("q"), col("exact_v"), col("est_v"))
     },
 
+    // The sketch walk as PLAIN SQL over the facade's views (the
+    // q_sql_ds_sum discipline): a SQL user can state the whole DDSketch
+    // contract — three sign stores, γ-bucketing, walk order, rank
+    // convention — as one query; Catalyst gives it the same plan family
+    // as the DataFrame path. Shares q_dds_quantiles' oracle verbatim.
+    "q_sql_dds_quantiles" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      val g = graft.operators.QuantileSketch.gamma(DdsAlpha)
+      s.sql(
+        s"""WITH vals AS (
+           |  SELECT metric, value AS v FROM graft_points
+           |  WHERE value IS NOT NULL AND NOT isnan(value)),
+           |b AS (SELECT metric,
+           |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
+           |        CASE WHEN v = 0 THEN 0L
+           |             ELSE CAST(ceil(ln(abs(v)) / ln(${g}D)) AS BIGINT) END AS idx,
+           |        count(*) AS cnt
+           |      FROM vals GROUP BY 1, 2, 3),
+           |c AS (SELECT metric, sgn, idx, cnt,
+           |        sum(cnt) OVER (PARTITION BY metric ORDER BY sgn, sgn * idx) AS cum
+           |      FROM b),
+           |t AS (SELECT metric, sum(cnt) AS total FROM b GROUP BY 1),
+           |qs AS (SELECT explode(array(0.5D, 0.9D, 0.99D)) AS q),
+           |sel AS (SELECT c.metric, qs.q,
+           |          min_by(CASE WHEN sgn = 0 THEN 0.0D
+           |                      ELSE sgn * 2.0D * power(${g}D, idx) / ${g + 1.0}D
+           |                 END, cum) AS est
+           |        FROM c JOIN t USING (metric) CROSS JOIN qs
+           |        WHERE cum > floor(q * (total - 1))
+           |        GROUP BY 1, 2)
+           |SELECT metric, q, round(est, 4) AS est_v FROM sel""".stripMargin)
+    },
+
     // A8: runAll — single interval spanning the whole query range
     "q_ds_runall" -> { (s, d) =>
       QueryEngine.downsampleMulti(prepared(s, d), "0all", Start, End,
@@ -2515,6 +2548,7 @@ object TsdbQueries {
     "q_json_ds_dev" -> oraclesBase("q_ds_dev"),
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_sql_ds_sum" -> oraclesBase("q_ds_sum"),
+    "q_sql_dds_quantiles" -> oraclesBase("q_dds_quantiles"),
     "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
