@@ -437,7 +437,7 @@ object ScaleProbe {
     // the dashboard grain: per-(metric, day) p99 — build is the same
     // fact scan with more (still summary-bounded) groups; the streamed
     // read serves from the maintained per-day store
-    "q_dds_daily", "q_stream_dds_daily",
+    "q_dds_daily", "q_stream_dds_daily", "q_stream_dds_range",
     // round 11: MAD robust anomaly — two whole-partition window
     // aggregates over one (series, slot) partitioning; its decades must
     // track q_anomaly_zscore's shape (p_anomaly_mad_joins is the
@@ -459,7 +459,7 @@ object ScaleProbe {
    *  from timing — the probe measures the production read. */
   private val TsdbXlMaintained: Set[String] =
     Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users",
-      "q_stream_dds_q", "q_stream_dds_daily")
+      "q_stream_dds_q", "q_stream_dds_daily", "q_stream_dds_range")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */

@@ -99,8 +99,14 @@ object QuantileSketch {
   /** Estimate the given quantiles per key from a bucket relation:
    *  (key, q, est_v). Rank convention: r = ⌊q·(n−1)⌋ zero-based; the
    *  estimate is the midpoint of the first bucket (in walk order)
-   *  whose cumulative count exceeds r. The window partitions by key
-   *  and the totals broadcast — everything here is summary-sized. */
+   *  whose cumulative count exceeds r.
+   *
+   *  The per-key total comes from a SECOND window over the SAME key
+   *  partitioning (whole-partition frame), not a groupBy joined back —
+   *  a join would reference the bucket lineage twice and re-evaluate
+   *  the fact-sized build upstream (the robustZscore lesson; the first
+   *  cut of this walk carried two parquet scans in its plan). One
+   *  exchange, one sort, everything after the build summary-sized. */
   def quantiles(buckets: DataFrame, qs: Seq[Double], alpha: Double): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q < 1), s"quantiles in [0,1): $qs")
     val g = gamma(alpha)
@@ -108,11 +114,11 @@ object QuantileSketch {
     import spark.implicits._
     val walk = Window.partitionBy(col("key"))
       .orderBy(col("sgn").asc, (col("sgn") * col("idx")).asc)
-    val totals = buckets.groupBy(col("key")).agg(sum(col("cnt")).as("n"))
+    val whole = Window.partitionBy(col("key"))
     buckets
       .withColumn("cum", sum(col("cnt")).over(walk))
+      .withColumn("n", sum(col("cnt")).over(whole))
       .withColumn("est", midpoint(g))
-      .join(broadcast(totals), "key")
       .crossJoin(broadcast(qs.toDF("q")))
       .filter(col("cum") > floor(col("q") * (col("n") - 1)))
       .groupBy(col("key"), col("q"))
