@@ -372,6 +372,59 @@ object TextAnalysis {
           .as("avg_logprob2"))
   }
 
+  /** PMI collocations (Church & Hanks 1990, "Word association norms,
+   *  mutual information, and lexicography"): the top-k adjacent word
+   *  pairs by pointwise mutual information,
+   *  pmi(w₁,w₂) = ln( p(w₁,w₂) / (p(w₁)·p(w₂)) ), with all three
+   *  probabilities taken over the HEAD-RESTRICTED bigram event space
+   *  (marginals and total from the restricted bigram table itself, so
+   *  the score is self-consistent and the oracle can restate it
+   *  exactly). The mixing/embedding-diagnostics companion to the
+   *  bigram LM: the LM scores documents under corpus statistics; PMI
+   *  surfaces the statistics themselves (collocations, multi-word
+   *  expressions, domain jargon).
+   *
+   *  Production posture: PMI is noise on rare words, so the event
+   *  space restricts to pairs whose BOTH words rank in the top
+   *  `headVocab` unigrams (two broadcast semi-joins — fact-side
+   *  filters, the bounded-statistics mode of [[bigramLogProb]]) and to
+   *  pairs seen ≥ `minCount` times. That bounds the bigram TYPE
+   *  relation at headVocab² (sparse in practice), which makes the
+   *  marginal windows and the single-partition total window summary-
+   *  sized — at larger corpora shrink headVocab, not minCount. Like
+   *  bigramLogProb, one stats pass builds the head and one scoring
+   *  pass restricts — two fact scans total, nothing fact-sized
+   *  shuffles on a pair key. */
+  def pmi(docs: DataFrame, minCount: Long = 5, k: Int = 50,
+      headVocab: Int = 2048): DataFrame = {
+    require(minCount >= 1 && k >= 1 && headVocab >= 1,
+      s"bad pmi parameters: minCount=$minCount k=$k headVocab=$headVocab")
+    val head = tokenTable(docs)
+      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tk").asc).limit(headVocab)
+      .select(col("tk"))
+    val pairs = docs
+      .select(explode(ngramStructs(col("text"), 2)).as("g"))
+      .select(col("g.w0").as("w1"), col("g.w1").as("w2"))
+      .join(broadcast(head.withColumnRenamed("tk", "w1")), Seq("w1"), "left_semi")
+      .join(broadcast(head.withColumnRenamed("tk", "w2")), Seq("w2"), "left_semi")
+    val w1m = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
+    val w2m = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    pairs
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .withColumn("c1", sum(col("n_pair")).over(w1m))
+      .withColumn("c2", sum(col("n_pair")).over(w2m))
+      .withColumn("n_total", sum(col("n_pair")).over(all))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("pmi", round(log(
+        col("n_pair").cast("double") * col("n_total") /
+          (col("c1").cast("double") * col("c2"))), 6))
+      .select(col("w1"), col("w2"), col("n_pair"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
+
   def corpusLogProb(docs: DataFrame, hotVocab: Int = 1024): DataFrame = {
     val tk = tokenTable(docs)
     val dc = tk.groupBy(col("doc_id"), col("tk")).agg(count(lit(1)).as("c"))

@@ -387,6 +387,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"),
           round(col("avg_logprob2"), 4).as("avg_logprob2"))
     },
+    // PMI collocations (round 11): top adjacent pairs by pointwise
+    // mutual information over the head-restricted bigram event space —
+    // the statistics the bigram LM scores under, surfaced directly
+    // (collocation / multi-word-expression mining). headVocab covers
+    // this testdata's whole vocabulary, so the restriction is
+    // exercised structurally while every pair stays in-model;
+    // minCount = 5 makes the cut discriminating.
+    "q_text_pmi" -> ((s, d) =>
+      TextAnalysis.pmi(docs(s, d), minCount = 5, k = 40, headVocab = 2048)),
+
     // Okapi BM25 retrieval: a BOUNDED query batch (every 211th document
     // under id 10550 — ≤ 50 queries at any corpus size, the annQPred
     // convention) retrieves its 5 best lexical matches. Declared
@@ -1355,6 +1365,28 @@ object PipelineQueries {
          |       ${rnd("sum(ln(CAST(cb AS DOUBLE) / CAST(cnt1 AS DOUBLE))) / CAST(count(*) AS DOUBLE)")} AS avg_logprob2
          |FROM pairs JOIN st USING (w1, w2)
          |GROUP BY doc_id""".stripMargin,
+
+    // the PMI walk restated: same head restriction, same restricted-
+    // space marginals, same (rounded-pmi, w1, w2) cut order
+    "q_text_pmi" ->
+      s"""WITH $toksCte,
+         |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+         |pairs AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM b),
+         |cnts AS (SELECT unnest(t) AS tk FROM toks),
+         |head AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM cnts GROUP BY 1)
+         |         ORDER BY cnt DESC, tk ASC LIMIT 2048),
+         |r AS (SELECT w1, w2 FROM pairs
+         |      WHERE w1 IN (SELECT tk FROM head) AND w2 IN (SELECT tk FROM head)),
+         |bg AS (SELECT w1, w2, count(*) AS n_pair FROM r GROUP BY 1, 2),
+         |m AS (SELECT w1, w2, n_pair,
+         |        sum(n_pair) OVER (PARTITION BY w1) AS c1,
+         |        sum(n_pair) OVER (PARTITION BY w2) AS c2,
+         |        sum(n_pair) OVER () AS n_total
+         |      FROM bg)
+         |SELECT w1, w2, n_pair,
+         |       ${rnd("ln(CAST(n_pair AS DOUBLE) * n_total / (CAST(c1 AS DOUBLE) * c2))", 6)} AS pmi
+         |FROM m WHERE n_pair >= 5
+         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40""".stripMargin,
 
     "q_text_stats" ->
       raw"""WITH $toksCte
