@@ -560,6 +560,10 @@ object ScaleProbe {
     "q_pipeline_sample_weighted",
     "q_text_stats", "q_text_quality", "q_text_langid", "q_text_repetition",
     "q_text_logprob", "q_text_bigram_lm", "q_text_keywords", "q_text_fingerprint", "q_text_pii",
+    // round 11: PMI — one unigram-head pass + one restricted bigram agg;
+    // everything after the agg is head²-bounded, so decades must track
+    // the bigram-LM stats side
+    "q_text_pmi",
     "q_ann_brute", "q_ann_buckets", "q_ann_lsh", "q_ann_multiprobe",
     "q_ann_ivf", "q_ann_ivf_probe", "q_ann_kmeans", "q_ann_quantize",
     "q_ann_label_centroids", "q_ann_pq_codes", "q_ann_pq", "q_ann_ivfpq",
@@ -697,7 +701,8 @@ object ScaleProbe {
     "q_pipeline_budget_domain", "q_pipeline_split", "q_pipeline_shuffle",
     "q_pipeline_quality_buckets", "q_pipeline_sample_temperature",
     "q_pipeline_topk_domain",
-    "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_dedup_near_incremental",
+    "q_text_langid", "q_text_pii", "q_text_bigram_lm", "q_text_pmi",
+    "q_dedup_near_incremental",
     "q_text_bm25", "q_pipeline_novelty", "q_pipeline_dsir", "q_pipeline_gopher",
     "q_ann_ivf_probe", "q_ann_cluster_cap", "q_ann_ivfpq", "q_ann_ivfpq_residual",
     "q_text_oov", "q_pipeline_mix", "q_ann_rerank",
