@@ -399,20 +399,62 @@ object TextAnalysis {
       headVocab: Int = 2048): DataFrame = {
     require(minCount >= 1 && k >= 1 && headVocab >= 1,
       s"bad pmi parameters: minCount=$minCount k=$k headVocab=$headVocab")
-    val head = tokenTable(docs)
-      .groupBy(col("tk")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("tk").asc).limit(headVocab)
-      .select(col("tk"))
+    val head = headOf(unigramCounts(docs), headVocab)
     val pairs = docs
       .select(explode(ngramStructs(col("text"), 2)).as("g"))
       .select(col("g.w0").as("w1"), col("g.w1").as("w2"))
       .join(broadcast(head.withColumnRenamed("tk", "w1")), Seq("w1"), "left_semi")
       .join(broadcast(head.withColumnRenamed("tk", "w2")), Seq("w2"), "left_semi")
+    pmiWalk(pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair")),
+      minCount, k)
+  }
+
+  /** Per-corpus unigram counts (counts ADD — the maintainable side of
+   *  the pmi head; the empty-token class is kept so the event space
+   *  matches [[tokenTable]] exactly). */
+  def unigramCounts(docs: DataFrame): DataFrame =
+    tokenTable(docs).groupBy(col("tk")).agg(count(lit(1)).as("__c"))
+
+  /** Adjacent-pair counts (counts ADD — the maintainable pmi store;
+   *  bigrams never span documents, so per-micro-batch partials sum to
+   *  the corpus counts exactly). */
+  def bigramCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(ngramStructs(col("text"), 2)).as("g"))
+      .select(col("g.w0").as("w1"), col("g.w1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c"))
+
+  /** As [[pmi]], over precomputed count tables (the serving path for
+   *  ingest-maintained counts, the unigramDriftFromCounts discipline).
+   *  Restricting the summed TYPE table equals restricting pairs before
+   *  counting — counted-then-filtered == filtered-then-counted for
+   *  exact counts — so this hash-matches [[pmi]] over the same corpus
+   *  (spec-pinned), while the read never touches a document. */
+  def pmiFromCounts(uni: DataFrame, bg: DataFrame, minCount: Long = 5,
+      k: Int = 50, headVocab: Int = 2048): DataFrame = {
+    require(minCount >= 1 && k >= 1 && headVocab >= 1,
+      s"bad pmi parameters: minCount=$minCount k=$k headVocab=$headVocab")
+    val head = headOf(uni, headVocab)
+    val restricted = bg
+      .groupBy(col("w1"), col("w2")).agg(sum(col("__c")).as("n_pair"))
+      .join(broadcast(head.withColumnRenamed("tk", "w1")), Seq("w1"), "left_semi")
+      .join(broadcast(head.withColumnRenamed("tk", "w2")), Seq("w2"), "left_semi")
+    pmiWalk(restricted, minCount, k)
+  }
+
+  /** Top-H unigrams from a (tk, __c) count table (partials welcome). */
+  private def headOf(uni: DataFrame, headVocab: Int): DataFrame =
+    uni.groupBy(col("tk")).agg(sum(col("__c")).as("cnt"))
+      .orderBy(col("cnt").desc, col("tk").asc).limit(headVocab)
+      .select(col("tk"))
+
+  /** The shared scoring walk over a head-restricted (w1, w2, n_pair)
+   *  type relation — marginals and total by window (summary-sized by
+   *  the head restriction), then the rounded-pmi top-k cut. */
+  private def pmiWalk(bg: DataFrame, minCount: Long, k: Int): DataFrame = {
     val w1m = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val w2m = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val all = org.apache.spark.sql.expressions.Window.partitionBy()
-    pairs
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    bg
       .withColumn("c1", sum(col("n_pair")).over(w1m))
       .withColumn("c2", sum(col("n_pair")).over(w2m))
       .withColumn("n_total", sum(col("n_pair")).over(all))

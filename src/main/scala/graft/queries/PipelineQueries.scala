@@ -136,6 +136,22 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** One ingest-MAINTAINED pair-counts log per sf dir
+   *  ([[graft.streaming.DocIngest.runPairCounts]]): unigram AND
+   *  adjacent-pair partials per micro-batch; counts add, so the summed
+   *  logs serve PMI exactly — q_stream_pmi shares q_text_pmi's oracle. */
+  private val pairLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pairCountsLake(s: SparkSession, d: String): String =
+    pairLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_paircounts")
+      val all = s.read.parquet(s"$d/documents.parquet")
+      all.repartition(3).write.parquet(s"$base/src")
+      graft.streaming.DocIngest.runPairCounts(s, s"$base/src",
+        s"$base/lake", s"$base/ckpt", all.schema,
+        maxFilesPerTrigger = Some(1)).awaitTermination()
+      s"$base/lake"
+    })
+
   /** One streamed DECONTAM lake per sf dir: the odd-doc_id half streams
    *  through scrub → gate → reference-bloom decontam → dedup
    *  ([[graft.streaming.DocIngest.runPipelineDecontam]]) against the
@@ -397,6 +413,18 @@ object PipelineQueries {
     "q_text_pmi" -> ((s, d) =>
       TextAnalysis.pmi(docs(s, d), minCount = 5, k = 40, headVocab = 2048)),
 
+    // the same collocations served from INGEST-MAINTAINED unigram +
+    // pair counts: micro-batches append partials, counts add, and
+    // restricting the summed type table equals restricting pairs
+    // before counting — q_text_pmi's oracle verbatim, with no document
+    // ever re-read
+    "q_stream_pmi" -> { (s, d) =>
+      val lake = pairCountsLake(s, d)
+      TextAnalysis.pmiFromCounts(
+        s.read.parquet(s"$lake/uni"), s.read.parquet(s"$lake/bg"),
+        minCount = 5, k = 40, headVocab = 2048)
+    },
+
     // Okapi BM25 retrieval: a BOUNDED query batch (every 211th document
     // under id 10550 — ≤ 50 queries at any corpus size, the annQPred
     // convention) retrieves its 5 best lexical matches. Declared
@@ -602,6 +630,28 @@ object PipelineQueries {
 
   private val toksCte: String =
     raw"toks AS (SELECT doc_id, lang, text, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents)"
+
+  /** The PMI walk restated independently — shared by the direct query
+   *  and its ingest-maintained-counts restatement. */
+  private lazy val pmiOracle: String =
+    s"""WITH $toksCte,
+       |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
+       |pairs AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM b),
+       |cnts AS (SELECT unnest(t) AS tk FROM toks),
+       |head AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM cnts GROUP BY 1)
+       |         ORDER BY cnt DESC, tk ASC LIMIT 2048),
+       |r AS (SELECT w1, w2 FROM pairs
+       |      WHERE w1 IN (SELECT tk FROM head) AND w2 IN (SELECT tk FROM head)),
+       |bg AS (SELECT w1, w2, count(*) AS n_pair FROM r GROUP BY 1, 2),
+       |m AS (SELECT w1, w2, n_pair,
+       |        sum(n_pair) OVER (PARTITION BY w1) AS c1,
+       |        sum(n_pair) OVER (PARTITION BY w2) AS c2,
+       |        sum(n_pair) OVER () AS n_total
+       |      FROM bg)
+       |SELECT w1, w2, n_pair,
+       |       ${OracleCommon.rnd("ln(CAST(n_pair AS DOUBLE) * n_total / (CAST(c1 AS DOUBLE) * c2))", 6)} AS pmi
+       |FROM m WHERE n_pair >= 5
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40""".stripMargin
 
   private val shCte: String =
     "sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t)-1), " +
@@ -1368,25 +1418,10 @@ object PipelineQueries {
 
     // the PMI walk restated: same head restriction, same restricted-
     // space marginals, same (rounded-pmi, w1, w2) cut order
-    "q_text_pmi" ->
-      s"""WITH $toksCte,
-         |b AS (SELECT doc_id, unnest(range(1, len(t))) AS i, t FROM toks WHERE len(t) >= 2),
-         |pairs AS (SELECT t[i] AS w1, t[i+1] AS w2 FROM b),
-         |cnts AS (SELECT unnest(t) AS tk FROM toks),
-         |head AS (SELECT tk FROM (SELECT tk, count(*) AS cnt FROM cnts GROUP BY 1)
-         |         ORDER BY cnt DESC, tk ASC LIMIT 2048),
-         |r AS (SELECT w1, w2 FROM pairs
-         |      WHERE w1 IN (SELECT tk FROM head) AND w2 IN (SELECT tk FROM head)),
-         |bg AS (SELECT w1, w2, count(*) AS n_pair FROM r GROUP BY 1, 2),
-         |m AS (SELECT w1, w2, n_pair,
-         |        sum(n_pair) OVER (PARTITION BY w1) AS c1,
-         |        sum(n_pair) OVER (PARTITION BY w2) AS c2,
-         |        sum(n_pair) OVER () AS n_total
-         |      FROM bg)
-         |SELECT w1, w2, n_pair,
-         |       ${rnd("ln(CAST(n_pair AS DOUBLE) * n_total / (CAST(c1 AS DOUBLE) * c2))", 6)} AS pmi
-         |FROM m WHERE n_pair >= 5
-         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 40""".stripMargin,
+    "q_text_pmi" -> pmiOracle,
+    // the ingest-maintained restatement (summed unigram + pair count
+    // logs) must be indistinguishable, whatever the micro-batch split
+    "q_stream_pmi" -> pmiOracle,
 
     "q_text_stats" ->
       raw"""WITH $toksCte

@@ -214,4 +214,32 @@ object DocIngest {
       .trigger(Trigger.AvailableNow())
       .start()
   }
+
+  /** Ingest-maintained PMI statistics: each micro-batch appends its
+   *  partial unigram and adjacent-pair counts (bigrams never span
+   *  documents, so per-batch partials sum to the corpus counts
+   *  exactly); the read side serves collocations through
+   *  [[graft.pipeline.TextAnalysis.pmiFromCounts]] without ever
+   *  re-reading a document — the runTokenCounts/drift contract
+   *  extended to pair statistics. Per-batch dirs keep the replay-safe
+   *  overwrite-by-path posture. */
+  def runPairCounts(spark: SparkSession, srcDir: String, outDir: String,
+      ckptDir: String, schema: StructType,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    reader.parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", ckptDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.pipeline.TextAnalysis.unigramCounts(batch)
+          .write.mode("overwrite").parquet(s"$outDir/uni/batch_id=$batchId")
+        graft.pipeline.TextAnalysis.bigramCounts(batch)
+          .write.mode("overwrite").parquet(s"$outDir/bg/batch_id=$batchId")
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

@@ -16,6 +16,38 @@ class TextAnalysisSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text")
   }
 
+  test("pmiFromCounts over split partials equals pmi over the whole corpus") {
+    val docs = corpus(
+      1L -> "big data big data big model",
+      2L -> "big data small model big data",
+      3L -> "small data big model small rock",
+      4L -> "rock and roll and rock and roll")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    val direct = rows(TextAnalysis.pmi(docs, minCount = 2, k = 10, headVocab = 16))
+    assert(direct.nonEmpty)
+    // "big data" co-occurs far above chance: it must outrank "big model"
+    val ranked = direct.map(t => (t._1, t._2))
+    assert(ranked.indexOf(("big", "data")) >= 0)
+    assert(ranked.indexOf(("rock", "and")) >= 0 || ranked.indexOf(("and", "rock")) >= 0)
+    // two micro-batch partials, summed at read — identical output
+    val (a, b) = (docs.filter(col("doc_id") <= 2), docs.filter(col("doc_id") > 2))
+    val served = rows(TextAnalysis.pmiFromCounts(
+      TextAnalysis.unigramCounts(a).unionByName(TextAnalysis.unigramCounts(b)),
+      TextAnalysis.bigramCounts(a).unionByName(TextAnalysis.bigramCounts(b)),
+      minCount = 2, k = 10, headVocab = 16))
+    assert(served === direct)
+    // the head restriction binds identically on both paths
+    val directH = rows(TextAnalysis.pmi(docs, minCount = 1, k = 20, headVocab = 3))
+    val servedH = rows(TextAnalysis.pmiFromCounts(
+      TextAnalysis.unigramCounts(docs), TextAnalysis.bigramCounts(docs),
+      minCount = 1, k = 20, headVocab = 3))
+    assert(servedH === directH)
+    assert(directH.size < direct.size || directH.forall(t =>
+      Set(t._1, t._2).subsetOf(Set("big", "data", "and"))),
+      "a 3-word head must restrict the pair space")
+  }
+
   test("redactPii: sequential scrub, per-class counts, stable fingerprint") {
     val docs = corpus(
       1L -> "contact a.b+x@mail-host.co.uk or admin@ex.io now",
