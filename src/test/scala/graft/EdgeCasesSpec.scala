@@ -203,6 +203,21 @@ class EdgeCasesSpec extends AnyFunSuite {
         anomaly = Some(AnomalySpec(model = "prophet")))))
   }
 
+  test("pmi parameter validation and empty-corpus behavior") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException](TextAnalysis.pmi(docs, minCount = 0))
+    assertThrows[IllegalArgumentException](TextAnalysis.pmi(docs, k = 0))
+    assertThrows[IllegalArgumentException](TextAnalysis.pmi(docs, headVocab = 0))
+    assertThrows[IllegalArgumentException](TextAnalysis.pmiFromCounts(
+      TextAnalysis.unigramCounts(docs), TextAnalysis.bigramCounts(docs), k = 0))
+    val none = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextAnalysis.pmi(none).count() === 0)
+    assert(TextAnalysis.pmiFromCounts(
+      TextAnalysis.unigramCounts(none), TextAnalysis.bigramCounts(none)).count() === 0)
+  }
+
   test("transition matrix and DDSketch survive empty inputs") {
     import spark.implicits._
     val noEvents = Seq.empty[(Long, String, Long, Long)].toDF("u", "t", "ts", "seq")
