@@ -152,6 +152,10 @@ object IngestJob {
   def processBatch(batch: DataFrame, cfg: Config,
       sink: Option[graft.sinks.PointsSink] = None,
       batchId: Long = -1L): BatchStats = {
+    // two sketches sharing one name would silently interleave partials
+    // in one lake path — a config error, not a merge
+    require(cfg.dds.map(_.name).distinct.size == cfg.dds.size,
+      s"duplicate DdsConfig names: ${cfg.dds.map(_.name)}")
     // One stats pass: the admission median (deterministic,
     // oracle-replayable: exact by default, or the exact median of the
     // md5-seeded 1/m sample for huge batches — Config.admissionSampleMod),
