@@ -70,13 +70,17 @@ object QuantileSketch {
   }
 
   /** Build the bucket relation: one (key, sgn, idx, cnt) row per
-   *  non-empty bucket per key. Null and NaN values are skipped (the
-   *  engine's NaN-as-missing contract); v = 0 lands in the exact zero
-   *  bucket rather than at −∞ in log space. */
+   *  non-empty bucket per key. Null, NaN, AND infinite values are
+   *  skipped (NaN per the engine's NaN-as-missing contract; ±∞ has no
+   *  finite log-space bucket — Spark would saturate the ceil while the
+   *  oracle's BIGINT cast errors, so the class is excluded from the
+   *  event space outright); v = 0 lands in the exact zero bucket
+   *  rather than at −∞ in log space. */
   def sketch(df: DataFrame, key: Column, value: Column, alpha: Double): DataFrame = {
     val g = gamma(alpha)
     df.select(key.cast("string").as("key"), value.cast("double").as("__v"))
-      .filter(col("key").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
+      .filter(col("key").isNotNull && col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") =!= Double.PositiveInfinity && col("__v") =!= Double.NegativeInfinity)
       .select(col("key"),
         when(col("__v") > 0, lit(1)).when(col("__v") < 0, lit(-1)).otherwise(lit(0)).as("sgn"),
         when(col("__v") === 0, lit(0L))

@@ -62,8 +62,7 @@ object StreamQueries {
         // both streamed reads share their batch oracles verbatim.
         dds = Seq(
           IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha),
-          IngestJob.DdsConfig(
-            "concat_ws('#', metric, cast(ts - ts % 86400 as string))",
+          IngestJob.DdsConfig(TsdbQueries.DdsDailyKeyExpr,
             "value", TsdbQueries.DdsAlpha, name = "dds_daily")))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       // post-ingest maintenance, as a production shutdown would: complete
@@ -655,8 +654,8 @@ object StreamQueries {
     "q_stream_dds_range" -> { (s, d) =>
       import graft.operators.QuantileSketch
       val days = IngestJob.ddsBuckets(s, lakeFor(s, d), "dds_daily")
-        .withColumn("metric", split(col("key"), "#").getItem(0))
-        .withColumn("day", split(col("key"), "#").getItem(1).cast("long"))
+        .withColumn("metric", TsdbQueries.ddsKeyPart(0))
+        .withColumn("day", TsdbQueries.ddsKeyPart(1).cast("long"))
         .filter(col("day") >= lit(Start) && col("day") < lit(End))
         .select(col("metric").as("key"), col("sgn"), col("idx"), col("cnt"))
       QuantileSketch
@@ -669,12 +668,9 @@ object StreamQueries {
     // metric×day key — raw points never rescanned. Shares q_dds_daily's
     // raw-scan oracle verbatim.
     "q_stream_dds_daily" -> { (s, d) =>
-      graft.operators.QuantileSketch
+      TsdbQueries.ddsDailyDecode(graft.operators.QuantileSketch
         .quantiles(IngestJob.ddsBuckets(s, lakeFor(s, d), "dds_daily"),
-          Seq(0.99), TsdbQueries.DdsAlpha)
-        .select(split(col("key"), "#").getItem(0).as("metric"),
-          split(col("key"), "#").getItem(1).cast("long").as("bucket_ts"),
-          col("est_v").as("p99_est"))
+          Seq(0.99), TsdbQueries.DdsAlpha))
     },
 
     // A10 × CALENDAR from the ingest-MAINTAINED rollup (round 11): the

@@ -33,6 +33,23 @@ object TsdbQueries {
    *  the streamed read can share the batch oracle verbatim. */
   val DdsAlpha: Double = 0.02
 
+  /** The metric#day composite-key contract of the daily DDS grain —
+   *  the ONE holder of the '#' separator shared by the ingest keyExpr
+   *  (StreamQueries' DdsConfig), the batch build, and every serving
+   *  decode. Metric names must not contain '#' (event types never do). */
+  val DdsDailyKeyExpr: String =
+    "concat_ws('#', metric, cast(ts - ts % 86400 as string))"
+
+  /** Part `i` of a composite dds key (0 = metric, 1 = day epoch). */
+  private[queries] def ddsKeyPart(i: Int): org.apache.spark.sql.Column =
+    split(col("key"), "#").getItem(i)
+
+  /** Serving decode of a per-day walk's output back to columns. */
+  private[queries] def ddsDailyDecode(df: DataFrame): DataFrame =
+    df.select(ddsKeyPart(0).as("metric"),
+      ddsKeyPart(1).cast("long").as("bucket_ts"),
+      col("est_v").as("p99_est"))
+
   /** DuckDB restatement of the DDSketch bucket relation at accuracy α
    *  (graft.operators.QuantileSketch cell for cell): the ceil(ln/ln γ)
    *  bucketing over the three sign stores, the sgn-then-sgn·idx walk
@@ -42,7 +59,7 @@ object TsdbQueries {
   private[queries] def ddsCtes(alpha: Double, extraWhere: String = ""): String = {
     val g = graft.operators.QuantileSketch.gamma(alpha)
     s"""vals AS (SELECT metric, value AS v FROM points
-       |         WHERE value IS NOT NULL$extraWhere),
+       |         WHERE value IS NOT NULL AND isfinite(value)$extraWhere),
        |b AS (SELECT metric,
        |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
        |        CASE WHEN v = 0 THEN 0
@@ -395,13 +412,8 @@ object TsdbQueries {
     "q_dds_daily" -> { (s, d) =>
       import graft.operators.QuantileSketch
       val buckets = QuantileSketch.sketch(pts(s, d),
-        concat_ws("#", col("metric"),
-          (col("ts") - col("ts") % 86400).cast("string")),
-        col("value"), DdsAlpha)
-      QuantileSketch.quantiles(buckets, Seq(0.99), DdsAlpha)
-        .select(split(col("key"), "#").getItem(0).as("metric"),
-          split(col("key"), "#").getItem(1).cast("long").as("bucket_ts"),
-          col("est_v").as("p99_est"))
+        expr(DdsDailyKeyExpr), col("value"), DdsAlpha)
+      ddsDailyDecode(QuantileSketch.quantiles(buckets, Seq(0.99), DdsAlpha))
     },
 
     // DDSketch estimator-quality report (the minhashEval / cms-report
@@ -425,7 +437,8 @@ object TsdbQueries {
       s.sql(
         s"""WITH vals AS (
            |  SELECT metric, value AS v FROM graft_points
-           |  WHERE value IS NOT NULL AND NOT isnan(value)),
+           |  WHERE value IS NOT NULL AND NOT isnan(value)
+           |    AND abs(value) != double('Infinity')),
            |b AS (SELECT metric,
            |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
            |        CASE WHEN v = 0 THEN 0L
@@ -1739,7 +1752,7 @@ object TsdbQueries {
       val g = graft.operators.QuantileSketch.gamma(DdsAlpha)
       s"""WITH $pointsCtes,
          |vals AS (SELECT metric, ts - ts % 86400 AS bucket_ts, value AS v
-         |         FROM points WHERE value IS NOT NULL),
+         |         FROM points WHERE value IS NOT NULL AND isfinite(value)),
          |b AS (SELECT metric, bucket_ts,
          |        CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sgn,
          |        CASE WHEN v = 0 THEN 0

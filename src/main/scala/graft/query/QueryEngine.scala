@@ -632,6 +632,9 @@ object QueryEngine {
           graft.operators.SeriesAnalytics.zscore(in, seriesKeys.map(col),
             a.resolvedThreshold, a.resolvedMinHistory)
         case model @ ("olympic" | "mad") =>
+          require(q.downsample.isDefined,
+            s"anomaly model '$model' needs a downsample: the seasonal " +
+              "position indexes the downsample's buckets")
           val dspec = q.downsample.get
           // the seasonal position indexes buckets on the clock the
           // buckets were CUT on: epoch buckets by (bucket_ts DIV iv),

@@ -138,6 +138,10 @@ object IngestJob {
   def cmsPath(cfg: Config): String = s"${cfg.lakeDir}/cms"
   def ddsPath(cfg: Config, name: String = "dds"): String = s"${cfg.lakeDir}/$name"
 
+  /** Lake store names a [[DdsConfig.name]] must not shadow. */
+  val ReservedStores: Set[String] =
+    Set("points", "series_log", "latest_log", "rollup", "cms")
+
   /** Per-batch ingest accounting (the reference logs dropped-point
    *  counters at admission; we surface them to the caller). */
   final case class BatchStats(total: Long, admitted: Long, highWaterMark: Long) {
@@ -153,9 +157,13 @@ object IngestJob {
       sink: Option[graft.sinks.PointsSink] = None,
       batchId: Long = -1L): BatchStats = {
     // two sketches sharing one name would silently interleave partials
-    // in one lake path — a config error, not a merge
+    // in one lake path, and a name matching a RESERVED store (points,
+    // cms, ...) would corrupt that store — config errors, not merges
     require(cfg.dds.map(_.name).distinct.size == cfg.dds.size,
       s"duplicate DdsConfig names: ${cfg.dds.map(_.name)}")
+    require(cfg.dds.forall(c => !ReservedStores(c.name)),
+      s"DdsConfig name collides with a reserved lake store: " +
+        s"${cfg.dds.map(_.name).filter(ReservedStores)} (reserved: $ReservedStores)")
     // One stats pass: the admission median (deterministic,
     // oracle-replayable: exact by default, or the exact median of the
     // md5-seeded 1/m sample for huge batches — Config.admissionSampleMod),

@@ -369,6 +369,12 @@ class IngestJobSpec extends AnyFunSuite {
     IngestJob.processBatch(b2, cfg, batchId = 1L)
     assert(rows(IngestJob.ddsBuckets(spark, cfg, "dds_daily")) === daily,
       "replayed batch must not change the merged buckets")
+    // name collisions are config errors: among sketches, and against
+    // reserved lake stores
+    assertThrows[IllegalArgumentException](IngestJob.processBatch(b1,
+      cfg.copy(dds = Seq(IngestJob.DdsConfig("metric"), IngestJob.DdsConfig("metric")))))
+    assertThrows[IllegalArgumentException](IngestJob.processBatch(b1,
+      cfg.copy(dds = Seq(IngestJob.DdsConfig("metric", name = "cms")))))
   }
 
   test("data-gen source streams synthetic points through the same pipeline (S1 DATA_GEN)") {
