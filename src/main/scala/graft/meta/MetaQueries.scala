@@ -149,6 +149,11 @@ object MetaQueries {
       .partitionBy(col("metric")).orderBy(col("__h").asc)
     dim.filter(pred(f))
       .select(col("metric"), call_function("md5prefix28", identity).as("__h"))
+      // a NULL identity has no defined hash rank (Spark sorts NULLS
+      // FIRST ascending, DuckDB NULLS LAST — engine-divergent); callers
+      // must coalesce nullable components (concat_ws does), and any
+      // null that slips through is excluded from the sketched set
+      .filter(col("__h").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(col("metric"))
@@ -180,7 +185,16 @@ object MetaQueries {
    *  engines pick the same k rows even on a 28-bit hash collision.
    *  Plan shape: the row_number ≤ k filter triggers WindowGroupLimit
    *  (≤ k rows per metric forwarded per map partition), the same
-   *  bounded-exchange contract as cardinalitySketch. */
+   *  bounded-exchange contract as cardinalitySketch.
+   *
+   *  PRECONDITION: the identity expression must be non-null for every
+   *  row it should sketch — coalesce every nullable tag component (as
+   *  the gate queries do for `env`; `concat_ws` alone also never
+   *  yields NULL but silently SKIPS null parts, which can alias two
+   *  distinct identities). A NULL identity has no engine-agreed hash
+   *  rank (Spark orders NULLS FIRST ascending, DuckDB NULLS LAST), so
+   *  null identities are excluded from the sketched set here rather
+   *  than left to diverge. */
   def sketchSetOps(dim: DataFrame, fA: SeriesFilter, fB: SeriesFilter,
       identity: Column, k: Int = 64): DataFrame = {
     require(k >= 2, s"KMV sketch needs k >= 2, got $k")
@@ -191,6 +205,7 @@ object MetaQueries {
         call_function("md5prefix28", identity).as("__h"),
         coalesce(pred(fA), lit(false)).as("__a"),
         coalesce(pred(fB), lit(false)).as("__b"))
+      .filter(col("__id").isNotNull)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= k)
       .groupBy(col("metric"))

@@ -132,12 +132,16 @@ object QuantileSketch {
   /** Estimator-quality report (the minhashEval / count-min `report`
    *  discipline): per key, the EXACT quantile beside the sketch
    *  estimate. The exact side is the evaluation harness — a
-   *  deployment keeps only the buckets. */
+   *  deployment keeps only the buckets. Both sides share ONE event
+   *  space: the exact column excludes null/NaN AND ±∞ exactly like
+   *  [[sketch]] (an infinity kept on only one side would make the
+   *  exact quantile and the estimate describe different populations). */
   def report(df: DataFrame, key: Column, value: Column, q: Double,
       alpha: Double): DataFrame = {
     val exact = df
       .select(key.cast("string").as("key"), value.cast("double").as("__v"))
-      .filter(col("key").isNotNull && col("__v").isNotNull && !isnan(col("__v")))
+      .filter(col("key").isNotNull && col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") =!= Double.PositiveInfinity && col("__v") =!= Double.NegativeInfinity)
       .groupBy(col("key"))
       .agg(round(percentile(col("__v"), lit(q)), 4).as("exact_v"))
     quantiles(sketch(df, key, value, alpha), Seq(q), alpha)

@@ -78,6 +78,30 @@ object EventsQueries {
         .select("event_id", "namespace", "source", "title", "start_ts", "end_ts", "ongoing")
     },
 
+    // the SAME search as plain ANSI SQL over the facade's graft_events
+    // view (round 12 — the q_sql_ds_sum discipline for the events
+    // side): day-index selection, the start/end/ongoing range clause,
+    // and the multi-term multi-field text match all stated as SQL
+    // text; shares q_events_search's oracle verbatim, so any SQL
+    // phrasing that diverges from EventsEngine's predicate by one
+    // event fails the hash.
+    "q_sql_events_search" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      val fields = EventsModel.SearchFields
+      def term(re: String) =
+        fields.map(f => s"lower($f) RLIKE '$re'").mkString("(", " OR ", ")")
+      s.sql(
+        s"""SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
+           |FROM graft_events
+           |WHERE day >= date_format(to_timestamp(${Start - EventsEngine.MaxEventSpanSec}),
+           |                         'yyyy-MM-dd')
+           |  AND day <= date_format(to_timestamp(${End - 1}), 'yyyy-MM-dd')
+           |  AND ((start_ts >= $Start AND start_ts < $End)
+           |       OR (end_ts >= $Start AND end_ts < $End) OR ongoing)
+           |  AND namespace = 'error'
+           |  AND ${term("by")} AND ${term("user")} AND ${term("1.*")}""".stripMargin)
+    },
+
     // the SAME search arriving as a client events-query JSON document
     // (TsdbJson.parseEventsQuery); shares q_events_search's oracle
     "q_json_events_search" -> { (s, d) =>
@@ -149,6 +173,24 @@ object EventsQueries {
       graft.operators.Transitions.matrix(ev,
         col("user_id"), col("event_type"),
         graft.sources.TsdbViews.toEpochSeconds(ev, "ts"), col("event_id"))
+        .orderBy(col("prev_type"), col("next_type"))
+    },
+
+    // the HEAD-RESTRICTED transition matrix (round 12 — the cardinality
+    // guard for high-cardinality type domains): the top-3 types by
+    // count keep their labels, the other two collapse to `__other`
+    // BEFORE the lag chain, so the matrix is (3+1)² bounded whatever
+    // the domain. 3 < |event types| = 5 here, so the __other bucket is
+    // structurally exercised and the oracle must replay the identical
+    // (count desc, type asc) head cut and PRE-chain remap — a cap
+    // applied after pairing (the wrong order) changes counts and fails
+    // the hash.
+    "q_events_transitions_capped" -> { (s, d) =>
+      val ev = graft.sources.TsdbViews.table(s, d, "events")
+      graft.operators.Transitions.matrix(ev,
+        col("user_id"), col("event_type"),
+        graft.sources.TsdbViews.toEpochSeconds(ev, "ts"), col("event_id"),
+        maxTypes = Some(3))
         .orderBy(col("prev_type"), col("next_type"))
     },
 
@@ -369,6 +411,12 @@ object EventsQueries {
          |SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
          |FROM docs WHERE ${inRange("error")} ${textClause(Seq("by", "user", "1*"))}""".stripMargin,
 
+    // ANSI-SQL facade replay: identical selection, shared restatement
+    "q_sql_events_search" ->
+      s"""WITH $docsCte
+         |SELECT event_id, namespace, source, title, start_ts, end_ts, ongoing
+         |FROM docs WHERE ${inRange("error")} ${textClause(Seq("by", "user", "1*"))}""".stripMargin,
+
     "q_events_range_ns" ->
       s"""WITH $docsCte
          |SELECT event_id, start_ts, end_ts, ongoing, priority
@@ -421,6 +469,32 @@ object EventsQueries {
          |  FROM ev),
          |pairs AS (
          |  SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+         |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
+         |SELECT prev_type, next_type, n,
+         |       ${OracleCommon.rnd("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p
+         |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
+
+    // head-restriction replay: top-3 types by (count DESC, type ASC),
+    // tail remapped to '__other' BEFORE the lag chain
+    "q_events_transitions_capped" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         |         event_id
+         |  FROM events),
+         |hd AS (
+         |  SELECT event_type FROM ev GROUP BY 1
+         |  ORDER BY count(*) DESC, event_type ASC LIMIT 3),
+         |m AS (
+         |  SELECT user_id, s, event_id,
+         |         CASE WHEN event_type IN (SELECT event_type FROM hd)
+         |              THEN event_type ELSE '__other' END AS t
+         |  FROM ev),
+         |seq AS (
+         |  SELECT user_id, t,
+         |         lag(t) OVER (PARTITION BY user_id ORDER BY s, event_id) AS prev
+         |  FROM m),
+         |pairs AS (
+         |  SELECT prev AS prev_type, t AS next_type, count(*) AS n
          |  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2)
          |SELECT prev_type, next_type, n,
          |       ${OracleCommon.rnd("CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type)")} AS p

@@ -230,111 +230,85 @@ object StreamQueries {
 
   private val ewmaRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** True streamed EWMA per source dir per JVM: the range-filtered point
-   *  stream flows through [[graft.streaming.StreamOps.ewmaStream]]
-   *  (stateful per-series daily-bucket finalization + trailing weighted
-   *  mean); sentinel batches two days past the data close every bucket.
-   *  The batch q_ds_ewma oracle is shared verbatim: the streamed node
-   *  must replay the batch lag-chain bit-for-bit. */
-  private def streamedEwma(s: SparkSession, d: String): DataFrame =
-    ewmaRuns.getOrElseUpdate(d, {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pts = graft.sources.TsdbViews.points(s, d)
-        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
-        .select(col("series_id"), col("metric"), col("tags"),
-          col("ts"), col("value"), col("seq"))
-        .as[graft.streaming.PointRow].collect().toSeq
-      val maxTs = pts.iterator.map(_.ts).max
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.PointRow]
-      val name = "ewma_stream_" + java.lang.Long.toHexString(
-        graft.functions.Md5Prefix28.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
-      val q = graft.streaming.StreamOps.ewmaStream(input.toDF(), samples = 4, alpha = 0.5)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try {
-        def sentinel(ts: Long) = graft.streaming.PointRow(
-          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
-        input.addData(pts: _*); q.processAllAvailable()
-        // watermark lags one batch: two sentinel batches two days out
-        // close every real daily bucket
-        input.addData(sentinel(maxTs + 2 * 86400)); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 4 * 86400)); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name).filter(col("series_id") =!= Long.MinValue)
-    })
-
   private val movavgRuns = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  /** The equal-weight (simple) MA mode as a stream — the streamedEwma
-   *  protocol with `exponential = false`; shares q_ds_movavg_simple's
-   *  batch oracle verbatim. */
-  private def streamedMovavgSimple(s: SparkSession, d: String): DataFrame =
-    movavgRuns.getOrElseUpdate(d, {
+  /** ONE MemoryStream replay protocol for every point-keyed stateful
+   *  stream twin (round-12 consolidation of five copy-paste blocks):
+   *  the (optionally range-filtered) point rows arrive as one batch,
+   *  flow through `node`, and two far-future sentinel batches push the
+   *  one-batch-lagged watermark past every real point/window so
+   *  everything finalizes — then the memory sink is read back with the
+   *  sentinel series dropped. Sentinels key on Long.MinValue + a
+   *  reserved metric name: unambiguous against any real series
+   *  (testdata ids are xxh64 outputs; a collision with MinValue AND
+   *  the reserved metric is impossible by construction).
+   *
+   *  `sentinelGapSec` must exceed the node's watermark-relevant span
+   *  (window length + delay): daily-bucket nodes pass 2 days, point
+   *  nodes 2 h. One run per (source dir, cache) per JVM; `post` shapes
+   *  the frame that gets cached (e.g. lwwWindows' projection+persist).
+   *
+   *  This harness feeds the TRUE stateful streaming operators — a real
+   *  deployment reads Kafka, not a collect; the collect exists so the
+   *  gate can replay the exact driver table through the stream. */
+  private def replayThroughStream(s: SparkSession, d: String,
+      cache: scala.collection.concurrent.TrieMap[String, DataFrame],
+      namePrefix: String, node: DataFrame => org.apache.spark.sql.Dataset[_],
+      sentinelGapSec: Long,
+      rangeFilter: Boolean = true,
+      post: DataFrame => DataFrame = identity): DataFrame =
+    cache.getOrElseUpdate(d, {
       import s.implicits._
       implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pts = graft.sources.TsdbViews.points(s, d)
-        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+      val src0 = graft.sources.TsdbViews.points(s, d)
+      val src = if (rangeFilter)
+        src0.filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
+      else src0
+      val pts = src
         .select(col("series_id"), col("metric"), col("tags"),
           col("ts"), col("value"), col("seq"))
         .as[graft.streaming.PointRow].collect().toSeq
       val maxTs = pts.iterator.map(_.ts).max
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[graft.streaming.PointRow]
-      val name = "movavg_stream_" + java.lang.Long.toHexString(
+      val name = namePrefix + "_" + java.lang.Long.toHexString(
         graft.functions.Md5Prefix28.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(d)))
-      val q = graft.streaming.StreamOps.ewmaStream(input.toDF(), samples = 4,
-          exponential = false)
+      val q = node(input.toDF())
         .writeStream.format("memory").queryName(name).outputMode("append").start()
       try {
         def sentinel(ts: Long) = graft.streaming.PointRow(
           Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
         input.addData(pts: _*); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 2 * 86400)); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 4 * 86400)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + sentinelGapSec)); q.processAllAvailable()
+        input.addData(sentinel(maxTs + 2 * sentinelGapSec)); q.processAllAvailable()
       } finally q.stop()
-      s.table(name).filter(col("series_id") =!= Long.MinValue)
+      post(s.table(name).filter(col("series_id") =!= Long.MinValue))
     })
 
-  /** True streamed rate per source dir per JVM: the range-filtered point
-   *  stream flows through [[graft.streaming.StreamOps.rateStream]]
-   *  (stateful per-series delta chains, LWW on resends); two sentinel
-   *  batches push the one-batch-lagged watermark past every real point
-   *  so all deltas finalize — the lwwWindows protocol. The batch q_rate
-   *  oracle is shared verbatim: the streamed derivative must replay the
-   *  batch column math bit-for-bit. */
+  /** True streamed EWMA: [[graft.streaming.StreamOps.ewmaStream]]
+   *  (stateful per-series daily-bucket finalization + trailing weighted
+   *  mean); 2-day sentinel gaps close every daily bucket. Shares
+   *  q_ds_ewma's batch oracle verbatim. */
+  private def streamedEwma(s: SparkSession, d: String): DataFrame =
+    replayThroughStream(s, d, ewmaRuns, "ewma_stream",
+      graft.streaming.StreamOps.ewmaStream(_, samples = 4, alpha = 0.5),
+      sentinelGapSec = 2 * 86400)
+
+  /** The equal-weight (simple) MA mode as the same stream — shares
+   *  q_ds_movavg_simple's batch oracle verbatim. */
+  private def streamedMovavgSimple(s: SparkSession, d: String): DataFrame =
+    replayThroughStream(s, d, movavgRuns, "movavg_stream",
+      graft.streaming.StreamOps.ewmaStream(_, samples = 4, exponential = false),
+      sentinelGapSec = 2 * 86400)
+
+  /** True streamed rate: [[graft.streaming.StreamOps.rateStream]]
+   *  (stateful per-series delta chains, LWW on resends). The batch
+   *  q_rate oracle is shared verbatim: the streamed derivative must
+   *  replay the batch column math bit-for-bit. */
   private def streamedRate(s: SparkSession, d: String): DataFrame =
-    rateRuns.getOrElseUpdate(d, {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pts = graft.sources.TsdbViews.points(s, d)
-        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
-        .select(col("series_id"), col("metric"), col("tags"),
-          col("ts"), col("value"), col("seq"))
-        .as[graft.streaming.PointRow].collect().toSeq
-      val maxTs = pts.iterator.map(_.ts).max
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.PointRow]
-      val name = "rate_stream_" + java.lang.Long.toHexString(
-        graft.functions.Md5Prefix28.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
-      val q = graft.streaming.StreamOps.rateStream(input.toDF())
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try {
-        // Long.MinValue + a reserved metric name: unambiguous against
-        // any real series (testdata ids are xxh64 outputs; a collision
-        // with MinValue AND the reserved metric is impossible by
-        // construction)
-        def sentinel(ts: Long) = graft.streaming.PointRow(
-          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
-        input.addData(pts: _*); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name).filter(col("series_id") =!= Long.MinValue)
-    })
+    replayThroughStream(s, d, rateRuns, "rate_stream",
+      graft.streaming.StreamOps.rateStream(_), sentinelGapSec = 7200)
 
   /** Event-type transitions as a pure stream — the [[streamedRate]]
    *  protocol (MemoryStream input + sentinel watermark close) over the
@@ -376,69 +350,21 @@ object StreamQueries {
    *  machine), the scalar swapped for the per-point gap in minutes.
    *  Shares q_ds_timediff's batch oracle. */
   private def streamedTimediff(s: SparkSession, d: String): DataFrame =
-    timediffRuns.getOrElseUpdate(d, {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pts = graft.sources.TsdbViews.points(s, d)
-        .filter(col("ts") >= lit(OracleCommon.Start) && col("ts") < lit(OracleCommon.End))
-        .select(col("series_id"), col("metric"), col("tags"),
-          col("ts"), col("value"), col("seq"))
-        .as[graft.streaming.PointRow].collect().toSeq
-      val maxTs = pts.iterator.map(_.ts).max
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.PointRow]
-      val name = "timediff_stream_" + java.lang.Long.toHexString(
-        graft.functions.Md5Prefix28.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
-      val q = graft.streaming.StreamOps.timeDifferenceStream(input.toDF(), 60L)
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try {
-        def sentinel(ts: Long) = graft.streaming.PointRow(
-          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
-        input.addData(pts: _*); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name).filter(col("series_id") =!= Long.MinValue)
-    })
+    replayThroughStream(s, d, timediffRuns, "timediff_stream",
+      graft.streaming.StreamOps.timeDifferenceStream(_, 60L), sentinelGapSec = 7200)
 
+  /** The watermark-finalized streaming 1h composite over the WHOLE
+   *  table (no range filter — every window closes via the 2h sentinel
+   *  gaps: wm after sentinel #1 = maxTs + 2h − 30m covers all ends). */
   private def lwwWindows(s: SparkSession, d: String): DataFrame =
-    lwwRuns.getOrElseUpdate(d, {
-      import s.implicits._
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val pts = graft.sources.TsdbViews.points(s, d)
-        .select(col("series_id"), col("metric"), col("tags"),
-          col("ts"), col("value"), col("seq"))
-        .as[graft.streaming.PointRow].collect().toSeq
-      val maxTs = pts.iterator.map(_.ts).max
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[graft.streaming.PointRow]
-      val name = "lww_win_" + java.lang.Long.toHexString(
-        graft.functions.Md5Prefix28.hash(
-          org.apache.spark.unsafe.types.UTF8String.fromString(d)))
-      val q = graft.streaming.StreamOps
-        .windowedDownsampleLww(input.toDF(), "1h", "30 minutes")
-        .writeStream.format("memory").queryName(name).outputMode("append").start()
-      try {
-        // Long.MinValue + a reserved metric name: unambiguous against
-        // any real series (testdata ids are xxh64 outputs; a collision
-        // with MinValue AND the reserved metric is impossible by
-        // construction)
-        def sentinel(ts: Long) = graft.streaming.PointRow(
-          Long.MinValue, "__sentinel", Map("user" -> "-1"), ts, 0.0, 0L)
-        input.addData(pts: _*); q.processAllAvailable()
-        // watermark lags one batch: two sentinel batches close every
-        // real window (wm after #1 = maxTs + 2h - 30m covers all ends)
-        input.addData(sentinel(maxTs + 7200)); q.processAllAvailable()
-        input.addData(sentinel(maxTs + 14400)); q.processAllAvailable()
-      } finally q.stop()
-      s.table(name).filter(col("series_id") =!= Long.MinValue)
-        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+    replayThroughStream(s, d, lwwRuns, "lww_win",
+      graft.streaming.StreamOps.windowedDownsampleLww(_, "1h", "30 minutes"),
+      sentinelGapSec = 7200, rangeFilter = false,
+      post = _.select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("sum"), 4).as("sum_value"), col("cnt"),
           round(col("min"), 4).as("min_value"), round(col("max"), 4).as("max_value"),
           round(col("last"), 4).as("last_value"))
-        .persist()
-    })
+        .persist())
 
   val defs: Map[String, Q] = Map(
     // the PURE-streaming A10 composite (R3 last-write-wins included):

@@ -207,6 +207,65 @@ object TsdbQueries {
            |FROM dedup GROUP BY 1, 2, 3""".stripMargin)
     },
 
+    // The TWO-STAGE group-by as plain SQL over the facade views
+    // (round 12 — the SQL-access breadth item: a SQL user's first
+    // queries are group-by, rate, and events search). States the
+    // engine's two-stage contract explicitly — per-SERIES temporal
+    // buckets rounded to 4 decimals BEFORE the cross-series sum (the
+    // one mid-pipeline rounding point both engines share) — and
+    // shares q_groupby's oracle verbatim; collapsing the stages into
+    // one flat GROUP BY host, colo would round differently and fail
+    // the hash.
+    "q_sql_groupby" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      s.sql(
+        s"""WITH dedup AS (
+           |  SELECT * FROM (
+           |    SELECT series_id, tags, ts, value,
+           |           row_number() OVER (PARTITION BY series_id, ts
+           |                              ORDER BY seq DESC) AS __rn
+           |    FROM graft_points
+           |    WHERE ts >= $Start AND ts < $End)
+           |  WHERE __rn = 1),
+           |ds AS (
+           |  SELECT series_id, tags['host'] AS tag_host, tags['colo'] AS tag_colo,
+           |         ts - ts % 86400 AS bucket_ts,
+           |         round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                        ELSE value END), 4) AS v
+           |  FROM dedup GROUP BY 1, 2, 3, 4)
+           |SELECT tag_host, tag_colo, bucket_ts, round(sum(v), 4) AS value
+           |FROM ds GROUP BY 1, 2, 3""".stripMargin)
+    },
+
+    // The rate derivative as plain SQL over the facade views (round
+    // 12): LWW dedupe, per-series lag chain, Δv/Δt with the first
+    // point dropped — q_rate's oracle verbatim. The NULL-rate filter
+    // restates the engine's NaN-as-missing contract (a NaN endpoint
+    // yields a NULL rate, which run() drops).
+    "q_sql_rate" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      s.sql(
+        s"""WITH dedup AS (
+           |  SELECT * FROM (
+           |    SELECT series_id, metric, tags, ts,
+           |           CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                ELSE value END AS value,
+           |           row_number() OVER (PARTITION BY series_id, ts
+           |                              ORDER BY seq DESC) AS __rn
+           |    FROM graft_points
+           |    WHERE ts >= $Start AND ts < $End)
+           |  WHERE __rn = 1),
+           |laged AS (
+           |  SELECT metric, tags['user'] AS tag_user, ts,
+           |         (value - lag(value) OVER w)
+           |           / CAST(ts - lag(ts) OVER w AS DOUBLE) AS r,
+           |         lag(ts) OVER w AS pt
+           |  FROM dedup
+           |  WINDOW w AS (PARTITION BY series_id ORDER BY ts))
+           |SELECT metric, tag_user, ts, round(r, 6) AS rate
+           |FROM laged WHERE pt IS NOT NULL AND r IS NOT NULL""".stripMargin)
+    },
+
     // `auto` downsample interval (the upstream DownsampleFactory
     // mechanism: "auto" resolves against a duration→interval ladder
     // before the node plans). This 20-day range resolves to "1d" on the
@@ -2562,6 +2621,8 @@ object TsdbQueries {
     "q_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_sql_ds_sum" -> oraclesBase("q_ds_sum"),
     "q_sql_dds_quantiles" -> oraclesBase("q_dds_quantiles"),
+    "q_sql_groupby" -> oraclesBase("q_groupby"),
+    "q_sql_rate" -> oraclesBase("q_rate"),
     "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),

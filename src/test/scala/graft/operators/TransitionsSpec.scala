@@ -39,4 +39,46 @@ class TransitionsSpec extends AnyFunSuite {
     val m = run(Seq((1L, "A", 5L, 1L)))
     assert(m.isEmpty)
   }
+
+  private def runCapped(rows: Seq[(Long, String, Long, Long)], h: Int) =
+    Transitions.matrix(rows.toDF("u", "t", "ts", "seq"),
+      col("u"), col("t"), col("ts"), col("seq"), maxTypes = Some(h))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+
+  test("maxTypes buckets tail types to __other BEFORE chaining") {
+    // counts: A×3, B×2, C×1, D×1 → head(2) = {A, B}; C and D collapse.
+    // user 1: A C A D B A → with remap: A __other A __other B A
+    val rows = Seq(
+      (1L, "A", 10L, 1L), (1L, "C", 20L, 2L), (1L, "A", 30L, 3L),
+      (1L, "D", 40L, 4L), (1L, "B", 50L, 5L), (1L, "A", 60L, 6L))
+    val m = runCapped(rows, 2)
+    assert(m === Map(
+      ("A", Transitions.OtherType) -> 2L,
+      (Transitions.OtherType, "A") -> 1L,
+      (Transitions.OtherType, "B") -> 1L,
+      ("B", "A") -> 1L))
+    // the matrix label domain is bounded by head + __other
+    val labels = m.keySet.flatMap(k => Set(k._1, k._2))
+    assert(labels.subsetOf(Set("A", "B", Transitions.OtherType)))
+  }
+
+  test("head ties break on the type string (count desc, type asc)") {
+    // B and C tie at 1; head(2) with A×2 keeps {A, B} (B < C)
+    val rows = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L), (1L, "C", 40L, 4L))
+    val m = runCapped(rows, 2)
+    assert(m.keySet === Set(("A", "B"), ("B", "A"), ("A", Transitions.OtherType)))
+  }
+
+  test("a non-binding cap is the identity") {
+    val rows = Seq(
+      (1L, "A", 10L, 1L), (1L, "B", 20L, 2L), (1L, "A", 30L, 3L))
+    assert(runCapped(rows, 5) === run(rows).view.mapValues(_._1).toMap)
+  }
+
+  test("maxTypes < 1 is rejected") {
+    intercept[IllegalArgumentException](runCapped(Seq((1L, "A", 5L, 1L)), 0))
+  }
 }
