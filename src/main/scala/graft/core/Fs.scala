@@ -40,6 +40,17 @@ object Fs {
       .map(_.getPath)
   }
 
+  /** Recursive directory copy (FileUtil.copy semantics: a non-existent
+   *  `dst` becomes the copy itself). Harness/test use — production
+   *  compaction rewrites in place. */
+  def copyDir(conf: Configuration, src: String, dst: String): Unit = {
+    val s = new Path(src)
+    val d = new Path(dst)
+    if (!org.apache.hadoop.fs.FileUtil.copy(
+        s.getFileSystem(conf), s, d.getFileSystem(conf), d, false, conf))
+      throw new java.io.IOException(s"copy $src -> $dst failed")
+  }
+
   /** Race-safe rewrite swap for a directory other writers may append to
    *  concurrently: move the staged replacement files INTO `liveDir`
    *  (Spark part-file names are task-UUID-unique, so no collisions), then

@@ -152,6 +152,26 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** The pair-counts lake COMPACTED (round 12): a copy of the 3-batch
+   *  store with the closed batch partitions folded to one snapshot
+   *  ([[graft.streaming.StoreCompaction.compactCounts]] — counts are
+   *  sums, so fold-then-sum == sum); q_stream_pmi_compacted reads it
+   *  against q_text_pmi's oracle verbatim, so a compaction that loses
+   *  or double-counts one pair fails the hash. The copy keeps the
+   *  uncompacted read (q_stream_pmi) exercised in the same gate run. */
+  private val pairCompactLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pairCountsCompactedLake(s: SparkSession, d: String): String =
+    pairCompactLakes.getOrElseUpdate(d, {
+      val src = pairCountsLake(s, d)
+      val base = java.nio.file.Files.createTempDirectory("graft_paircomp").toString
+      val conf = s.sessionState.newHadoopConf()
+      graft.core.Fs.copyDir(conf, s"$src/uni", s"$base/uni")
+      graft.core.Fs.copyDir(conf, s"$src/bg", s"$base/bg")
+      graft.streaming.StoreCompaction.compactCounts(s, s"$base/uni", Seq("tk"))
+      graft.streaming.StoreCompaction.compactCounts(s, s"$base/bg", Seq("w1", "w2"))
+      base
+    })
+
   /** One streamed DECONTAM lake per sf dir: the odd-doc_id half streams
    *  through scrub → gate → reference-bloom decontam → dedup
    *  ([[graft.streaming.DocIngest.runPipelineDecontam]]) against the
@@ -420,6 +440,16 @@ object PipelineQueries {
     // ever re-read
     "q_stream_pmi" -> { (s, d) =>
       val lake = pairCountsLake(s, d)
+      TextAnalysis.pmiFromCounts(
+        s.read.parquet(s"$lake/uni"), s.read.parquet(s"$lake/bg"),
+        minCount = 5, k = 40, headVocab = 2048)
+    },
+
+    // the same serve from the COMPACTED pair-counts store (round 12):
+    // closed batch partials folded to one snapshot partition, the open
+    // batch left in place — still q_text_pmi's oracle verbatim
+    "q_stream_pmi_compacted" -> { (s, d) =>
+      val lake = pairCountsCompactedLake(s, d)
       TextAnalysis.pmiFromCounts(
         s.read.parquet(s"$lake/uni"), s.read.parquet(s"$lake/bg"),
         minCount = 5, k = 40, headVocab = 2048)
@@ -1422,6 +1452,7 @@ object PipelineQueries {
     // the ingest-maintained restatement (summed unigram + pair count
     // logs) must be indistinguishable, whatever the micro-batch split
     "q_stream_pmi" -> pmiOracle,
+    "q_stream_pmi_compacted" -> pmiOracle,
 
     "q_text_stats" ->
       raw"""WITH $toksCte

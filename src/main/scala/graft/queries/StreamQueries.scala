@@ -166,6 +166,30 @@ object StreamQueries {
    *  inside the admitted window, so the purge visibly removes rows. */
   private val PurgeCutoff = OracleCommon.Start + 5 * 86400
 
+  /** MULTI-BATCH sketch lake, then COMPACTED (round 12): the source is
+   *  split into four micro-batches (maxFilesPerTrigger = 1) so the
+   *  maintained cms/dds stores accumulate several closed batch_id
+   *  partitions — the 1-min-cadence production shape in miniature —
+   *  and [[graft.streaming.StoreCompaction.compactSketches]] folds the
+   *  closed ones into a snapshot partition. The queries below read the
+   *  compacted stores against the SAME one-shot batch oracles: a
+   *  compaction that loses, duplicates, or mis-sums one cell fails the
+   *  hash. */
+  private def sketchCompactedLakeFor(s: SparkSession, d: String): IngestJob.Config =
+    lakes.getOrElseUpdate(s"$d#sketchcompact", {
+      val base = java.nio.file.Files.createTempDirectory("graft_sketchcomp")
+      s.read.parquet(s"$d/events.parquet").repartition(4)
+        .write.parquet(s"$base/src")
+      val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+        retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+        cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
+        dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)))
+      IngestJob.run(s, s"$base/src", cfg, maxFilesPerTrigger = Some(1))
+        .awaitTermination()
+      graft.streaming.StoreCompaction.compactSketches(s, cfg)
+      cfg
+    })
+
   /** The mapGroupsWithState latest path (A18, third engine for the same
    *  semantics): stream → stateful latest → update-mode memory sink,
    *  snapshotted to parquet once per source dir. One file ⇒ one batch ⇒
@@ -558,6 +582,30 @@ object StreamQueries {
         .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
     },
 
+    // the COMPACTED maintained count-min store (round 12): four
+    // micro-batch partials folded to a snapshot partition + the one
+    // open batch; the merged read must still equal the one-shot batch
+    // sketch EXACTLY — q_meta_cms_users' oracle verbatim
+    "q_stream_cms_compacted" -> { (s, d) =>
+      val cfg = sketchCompactedLakeFor(s, d)
+      val exact = IngestJob.points(s, cfg)
+        .select(col("tags")("user").as("key"))
+        .groupBy(col("key")).agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy(col("exact_n").desc, col("key").asc).limit(16)
+      graft.operators.CountMin
+        .reportAgainst(IngestJob.cmsCells(s, cfg), top, depth = 4, width = 512)
+        .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
+    },
+
+    // the COMPACTED maintained DDSketch store (round 12): same fold,
+    // same contract — q_dds_quantiles' oracle verbatim
+    "q_stream_dds_compacted" -> { (s, d) =>
+      graft.operators.QuantileSketch
+        .quantiles(IngestJob.ddsBuckets(s, sketchCompactedLakeFor(s, d)),
+          Seq(0.5, 0.9, 0.99), TsdbQueries.DdsAlpha)
+        .select(col("key").as("metric"), col("q"), col("est_v"))
+    },
+
     // A15 sketch family, STREAMED (round 11): per-metric quantile
     // estimates from the ingest-MAINTAINED DDSketch buckets — per-batch
     // partial (key, sgn, idx, cnt) rows merged by count sum at read,
@@ -757,6 +805,9 @@ object StreamQueries {
     // maintained count-min cells == the one-shot batch sketch
     "q_stream_cms_users" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
     "q_stream_dds_q" -> TsdbQueries.oracles("q_dds_quantiles"),
+    // COMPACTED stores: fold-then-merge == merge == one-shot batch
+    "q_stream_cms_compacted" -> MetaQueriesSuite.oracles("q_meta_cms_users"),
+    "q_stream_dds_compacted" -> TsdbQueries.oracles("q_dds_quantiles"),
     "q_stream_dds_daily" -> TsdbQueries.oracles("q_dds_daily"),
     "q_stream_transitions" -> EventsQueries.oracles("q_events_transitions"),
     // the range-served percentile's oracle: an INDEPENDENT raw scan

@@ -295,11 +295,18 @@ object IngestJob {
     } finally admitted.unpersist()
   }
 
-  /** Start the stream over a directory of events parquet files. */
+  /** Start the stream over a directory of events parquet files.
+   *  `maxFilesPerTrigger` bounds each micro-batch to that many source
+   *  files — the probe/test knob for driving a controlled batch COUNT
+   *  through the maintained stores. */
   def run(spark: SparkSession, sourceDir: String, cfg: Config,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(sourceDir).schema
-    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    val stream = reader.parquet(sourceDir)
     val writer = TsdbViews.pointsFromEvents(stream).writeStream
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch((b: DataFrame, bid: Long) => { processBatch(b, cfg, batchId = bid); () })
