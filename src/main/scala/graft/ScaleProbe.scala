@@ -421,6 +421,11 @@ object ScaleProbe {
     // CASE) to show the chain stays immaterial as boundaries accumulate;
     // the rollup row pays build + the calendar serve
     "q_ds_month_tz", "p_ds_month_multiyear", "q_rollup_month_tz",
+    // round 12: the monthly-grid zone-aware fill — q_ds_fill_tz's grid
+    // plan over q_ds_month_tz's calendar labels (the driver-enumerated
+    // label array is months-sized, smaller than the hourly tz grid's),
+    // so its decades must track q_ds_fill_tz
+    "q_fill_month_tz",
     // round 11: count-min build+report (fact scan → d·w-bounded
     // exchange + a TakeOrdered top-k; must track the plain fact-agg
     // family) and the maintained-cells read (cell-sum of per-batch
@@ -863,7 +868,148 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Batch-COUNT axis mode (`--batches`, writes BENCH_SCALE_BATCH.json):
+   *  the one scale axis the TSDB/ZIPF rows never vary. DATA is held
+   *  constant (sf0.1: 100k events, 5k docs) while the number of
+   *  micro-batches the ingest-maintained count stores accumulate spans
+   *  one decade (10 vs 100 `batch_id=N` partitions — 100 batches ≈ 1.7 h
+   *  of a 1-min production trigger cadence). For each store the probe
+   *  measures the merged production read UNCOMPACTED at both points
+   *  (cost grows with partition/file count: the listing + small-file
+   *  open tax the per-batch-partial design pays), then runs
+   *  [[graft.streaming.StoreCompaction]] and re-measures (expected flat
+   *  and decade-independent: ≤ 2 partitions remain regardless of batch
+   *  count), plus the compaction pass itself (bounded: a sum-by-key
+   *  rewrite of summary-sized relations). Stores probed: count-min
+   *  cells, DDSketch buckets at BOTH grains (per-metric + per-metric×day
+   *  — the q_stream_dds_daily serving config), and the PMI unigram+pair
+   *  count stores (the DocIngest shape; the drift token-count store
+   *  shares it and already has its own 100-batch flat-read row in
+   *  BENCH_SCALE_ZIPF). Ingest builds are timed once per point (no warm
+   *  run) — their ratios carry streaming variance, noted in the
+   *  artifact. `GRAFT_BATCH_SF_DIR` overrides the source sf dir. */
+  private def mainBatches(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--batches")
+    val out = rest.headOption.getOrElse("BENCH_SCALE_BATCH.json")
+    val only = rest.drop(1).toSet
+    def on(n: String) = only.isEmpty || only.contains(n)
+    val spark = graft.core.GraftSession.builder().appName("graft-scale-probe-batches").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val sf = sys.env.getOrElse("GRAFT_BATCH_SF_DIR", "/root/testdata/sf0.1")
+    val bs = Seq(10, 100)
+
+    val results = new scala.collection.mutable.LinkedHashMap[String, (Seq[Double], Seq[Long])]
+    def record(name: String, measured: Seq[(Double, Long)]): Unit = {
+      results(name) = (measured.map(_._1), measured.map(_._2))
+      val (s2, r2) = (measured.map(_._1), measured.map(_._2))
+      val ratio = s2(1) / math.max(s2(0), 1e-9)
+      println(f"$name%-32s ${s2.map(x => f"$x%8.2f").mkString(" ")}s ratio=$ratio%6.2f rows=${r2.mkString("/")}")
+    }
+    // the read rows are the axis evidence: warm once, then time (the
+    // zipf-mode convention; listing + open cost is what's measured and
+    // it re-pays on every read — only JVM/codegen warmup is absorbed)
+    def readRow[C](name: String, mk: C => DataFrame, points: Seq[C]): Unit =
+      if (on(name)) {
+        points.foreach(c => mk(c).count()) // warm
+        record(name, points.map(c => time(mk(c).count())))
+      }
+
+    import graft.streaming.{DocIngest, IngestJob, StoreCompaction}
+    import graft.queries.TsdbQueries
+
+    // 1. the IngestJob-maintained sketch stores over the events table
+    if (only.isEmpty || only.exists(n => n.contains("cms") || n.contains("dds") || n.contains("sketch"))) {
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val built = bs.map { b =>
+        val base = java.nio.file.Files.createTempDirectory(s"graft_batch_sk$b").toString
+        events.repartition(b).write.parquet(s"$base/src")
+        val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+          retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+          cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
+          dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha),
+            IngestJob.DdsConfig(TsdbQueries.DdsDailyKeyExpr, "value",
+              TsdbQueries.DdsAlpha, name = "dds_daily")))
+        val ing = time {
+          IngestJob.run(spark, s"$base/src", cfg, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+          spark.read.parquet(IngestJob.cmsPath(cfg)).count()
+        }
+        (cfg, ing)
+      }
+      record("p_batch_sketch_ingest", built.map(_._2))
+      val cfgs = built.map(_._1)
+      def cmsRead(c: IngestJob.Config) = IngestJob.cmsCells(spark, c)
+      def ddsRead(c: IngestJob.Config) = graft.operators.QuantileSketch
+        .quantiles(IngestJob.ddsBuckets(spark, c), Seq(0.5, 0.9, 0.99), TsdbQueries.DdsAlpha)
+      def dailyRead(c: IngestJob.Config) = graft.operators.QuantileSketch
+        .quantiles(IngestJob.ddsBuckets(spark, c, "dds_daily"), Seq(0.99), TsdbQueries.DdsAlpha)
+      readRow("p_batch_cms_read", cmsRead, cfgs)
+      readRow("p_batch_dds_read", ddsRead, cfgs)
+      readRow("p_batch_dds_daily_read", dailyRead, cfgs)
+      if (on("p_batch_compact_sketches"))
+        record("p_batch_compact_sketches", cfgs.map { c =>
+          time { StoreCompaction.compactSketches(spark, c)
+            spark.read.parquet(IngestJob.cmsPath(c)).count() }
+        })
+      else cfgs.foreach(c => StoreCompaction.compactSketches(spark, c))
+      readRow("p_batch_cms_read_compacted", cmsRead, cfgs)
+      readRow("p_batch_dds_read_compacted", ddsRead, cfgs)
+      readRow("p_batch_dds_daily_read_compacted", dailyRead, cfgs)
+    }
+
+    // 2. the DocIngest-maintained PMI unigram+pair count stores
+    if (only.isEmpty || only.exists(_.contains("pmi"))) {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val built = bs.map { b =>
+        val base = java.nio.file.Files.createTempDirectory(s"graft_batch_pmi$b").toString
+        docs.repartition(b).write.parquet(s"$base/src")
+        val ing = time {
+          DocIngest.runPairCounts(spark, s"$base/src", s"$base/lake",
+            s"$base/ckpt", docs.schema, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+          spark.read.parquet(s"$base/lake/bg").count()
+        }
+        (s"$base/lake", ing)
+      }
+      record("p_batch_pmi_ingest", built.map(_._2))
+      val lakes = built.map(_._1)
+      def pmiRead(lake: String) = graft.pipeline.TextAnalysis.pmiFromCounts(
+        spark.read.parquet(s"$lake/uni"), spark.read.parquet(s"$lake/bg"),
+        minCount = 5, k = 40, headVocab = 2048)
+      readRow("p_batch_pmi_read", pmiRead, lakes)
+      if (on("p_batch_compact_pmi"))
+        record("p_batch_compact_pmi", lakes.map { l =>
+          time { StoreCompaction.compactCounts(spark, s"$l/uni", Seq("tk"))
+            StoreCompaction.compactCounts(spark, s"$l/bg", Seq("w1", "w2"))
+            spark.read.parquet(s"$l/bg").count() }
+        })
+      else lakes.foreach { l =>
+        StoreCompaction.compactCounts(spark, s"$l/uni", Seq("tk"))
+        StoreCompaction.compactCounts(spark, s"$l/bg", Seq("w1", "w2")): Unit
+      }
+      readRow("p_batch_pmi_read_compacted", pmiRead, lakes)
+    }
+
+    val sb = new StringBuilder
+    sb ++= "{\"batches\": [" + bs.mkString(", ") + "], \"queries\": {"
+    sb ++= results.iterator.map { case (q, (secs, rows)) =>
+      val ratio = secs(1) / math.max(secs(0), 1e-9)
+      f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "ratio": $ratio%.2f}"""
+    }.mkString(",")
+    sb ++= "\n}, \"notes\": {" +
+      "\"axis\": \"batch COUNT, data constant (sf0.1: 100k events, 5k docs) - 10 vs 100 batch_id partitions per maintained store; 100 batches = 1.7h of a 1-min production trigger\", " +
+      "\"reads\": \"merged production read per store; uncompacted cost is the per-batch-partial listing + small-file tax, compacted re-read has <= 2 partitions at either point and should be decade-FLAT\", " +
+      "\"compaction\": \"StoreCompaction fold (sum-by-key rewrite of a summary-sized relation, max batch_id excluded for replay safety), timed per point\", " +
+      "\"ingest rows\": \"streaming builds timed once per point (no warm run); ratios carry ingest + per-trigger overhead variance\", " +
+      "\"drift store\": \"the DocIngest token-count store shares the PMI stores' shape; its own 100-batch flat-read row is BENCH_SCALE_ZIPF p_stream_drift_read\"}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--batches")) { mainBatches(args); return }
     if (args.contains("--tsdb-xl")) { mainTsdbXl(args); return }
     if (args.contains("--xl4")) { mainXl4(args); return }
     if (args.contains("--xl")) { mainXl(args); return }

@@ -70,6 +70,14 @@ object EventsQueries {
     EventsStore.log(s, dir)
   }
 
+  /** Force the memoized per-JVM harness builds for `d` (events store
+   *  write, streamed sessionization run) — see
+   *  [[graft.queries.StreamQueries.warmBuilds]]. */
+  def warmBuilds(s: SparkSession, d: String): Unit = {
+    docs(s, d); streamedSessions(s, d)
+    ()
+  }
+
   val defs: Map[String, Q] = Map(
     // S10+F11+F12: text search with namespace + time-range clause
     "q_events_search" -> { (s, d) =>

@@ -183,9 +183,13 @@ object StreamQueries {
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
         cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
-        dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)))
+        dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)),
+        compactEvery = Some(2)) // the IN-BAND fold runs at batch 2 (folds 0,1)
       IngestJob.run(s, s"$base/src", cfg, maxFilesPerTrigger = Some(1))
         .awaitTermination()
+      // the OFFLINE maintenance pass folds the rest (snapshot + 2 →
+      // snapshot, batch 3 stays open) — both compaction paths feed the
+      // same oracle-gated reads
       graft.streaming.StoreCompaction.compactSketches(s, cfg)
       cfg
     })
@@ -389,6 +393,21 @@ object StreamQueries {
           round(col("min"), 4).as("min_value"), round(col("max"), 4).as("max_value"),
           round(col("last"), 4).as("last_value"))
         .persist())
+
+  /** Force every memoized per-JVM harness build for `d` — the ingest
+   *  lakes and the streamed-replay runs the FIRST-touching query would
+   *  otherwise pay inside its own bench timer ([[graft.Bench]] runs this
+   *  as an untimed warm-up pass, so stream-row medians measure the
+   *  production READ and stay comparable round over round). */
+  def warmBuilds(s: SparkSession, d: String): Unit = {
+    lakeFor(s, d); hybridLakeFor(s, d); admissionLakeFor(s, d)
+    idleLakeFor(s, d); admissionApproxLakeFor(s, d)
+    sketchCompactedLakeFor(s, d); latestStateLakeFor(s, d)
+    maintenanceLakeFor(s, d)
+    streamedEwma(s, d); streamedMovavgSimple(s, d); streamedRate(s, d)
+    streamedTransitions(s, d); streamedTimediff(s, d); lwwWindows(s, d)
+    ()
+  }
 
   val defs: Map[String, Q] = Map(
     // the PURE-streaming A10 composite (R3 last-write-wins included):

@@ -199,7 +199,8 @@ object DocIngest {
    *  other maintained lake when generations accumulate. */
   def runTokenCounts(spark: SparkSession, srcDir: String, outDir: String,
       ckptDir: String, schema: StructType,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
@@ -209,6 +210,13 @@ object DocIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.pipeline.TextAnalysis.sourceTokenCounts(batch)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        // in-band maintenance, the IngestJob.Config.compactEvery posture:
+        // fold closed batch partials so the drift read's log stays bounded
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            StoreCompaction.compactCounts(batch.sparkSession, outDir,
+              Seq("source", "tk")): Unit
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())
@@ -225,7 +233,8 @@ object DocIngest {
    *  overwrite-by-path posture. */
   def runPairCounts(spark: SparkSession, srcDir: String, outDir: String,
       ckptDir: String, schema: StructType,
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      compactEvery: Option[Int] = None): StreamingQuery = {
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
@@ -237,6 +246,13 @@ object DocIngest {
           .write.mode("overwrite").parquet(s"$outDir/uni/batch_id=$batchId")
         graft.pipeline.TextAnalysis.bigramCounts(batch)
           .write.mode("overwrite").parquet(s"$outDir/bg/batch_id=$batchId")
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0) {
+            StoreCompaction.compactCounts(batch.sparkSession, s"$outDir/uni", Seq("tk"))
+            StoreCompaction.compactCounts(batch.sparkSession, s"$outDir/bg",
+              Seq("w1", "w2")): Unit
+          }
+        }
         ()
       }
       .trigger(Trigger.AvailableNow())

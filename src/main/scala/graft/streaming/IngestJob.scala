@@ -101,6 +101,10 @@ object IngestJob {
    *  an (acceptably) slightly different boundary set — deterministically. */
   /** `rollupLatenessSec`: how long after a segment's end the flush waits
    *  for stragglers before building its rollup (the close gate). */
+  /** `compactEvery`: every N committed batches, fold the closed
+   *  sketch-store batch partitions (cms cells, dds buckets) into one
+   *  snapshot partition ([[StoreCompaction]]) so merged-read cost stays
+   *  bounded as batches accumulate (~1,440/day at a 1-min trigger). */
   final case class Config(
       lakeDir: String,
       checkpointDir: String,
@@ -111,7 +115,8 @@ object IngestJob {
       admissionSampleMod: Option[Int] = None,
       rollupLatenessSec: Long = 0,
       cms: Option[CmsConfig] = None,
-      dds: Seq[DdsConfig] = Nil)
+      dds: Seq[DdsConfig] = Nil,
+      compactEvery: Option[Int] = None)
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
    *  expression against the admitted point rows): each micro-batch
@@ -261,6 +266,16 @@ object IngestJob {
             .partitionBy("batch_id")
             .parquet(ddsPath(cfg, c.name))
         else buckets.write.mode("append").parquet(ddsPath(cfg, c.name))
+      }
+      // in-band maintenance (production posture): every N committed
+      // batches, fold the closed sketch-store partials into the snapshot
+      // partition. Runs INSIDE foreachBatch, so no concurrent reader of
+      // this ingest races the swap; the fold always excludes this batch's
+      // own (max, replayable) partition, and a crash-replay of this batch
+      // re-runs the fold idempotently (the snapshot re-folds).
+      cfg.compactEvery.foreach { n =>
+        if (batchId > 0 && batchId % n == 0)
+          StoreCompaction.compactSketches(batch.sparkSession, cfg)
       }
       cfg.rollupInterval.foreach { iv =>
         // control-flow collect, not a data loop: a micro-batch touches a

@@ -56,6 +56,73 @@ class StoreCompactionSpec extends AnyFunSuite {
       .groupBy(col("tk")).count().filter(col("count") > 1).isEmpty)
   }
 
+  test("in-band auto-compaction (Config.compactEvery) folds during ingest; merged sketches unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sc_auto").toString
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 32)),
+      dds = Seq(IngestJob.DdsConfig("metric", "value", 0.02)),
+      compactEvery = Some(2))
+    def eventsDf(rows: (Long, Long, Double)*) =
+      rows.toSeq.toDF("event_id", "tsec", "value")
+        .select(col("event_id"), (col("tsec") * 1000000000L).as("ts"),
+          (col("event_id") % 150).as("user_id"), lit("m").as("event_type"),
+          col("value"), lit("{}").as("props"))
+    val now = 100000L
+    val batches = (0 until 5).map { bid =>
+      graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+        (1 to 20).map(i => ((bid * 20 + i).toLong, now + bid * 20 + i,
+          (bid * 20 + i).toDouble)): _*))
+    }
+    batches.zipWithIndex.foreach { case (b, bid) =>
+      IngestJob.processBatch(b, cfg, batchId = bid.toLong): Unit
+    }
+    // folds ran at batch 2 (0,1 → snapshot) and batch 4 (snapshot,2,3 →
+    // snapshot); only the snapshot and the open (replayable) batch remain
+    assert(batchIds(IngestJob.cmsPath(cfg)) === Set(StoreCompaction.SnapshotBatchId, 4L))
+    assert(batchIds(IngestJob.ddsPath(cfg)) === Set(StoreCompaction.SnapshotBatchId, 4L))
+    val all = batches.reduce(_ unionByName _)
+    val cmsMerged = IngestJob.cmsCells(spark, cfg)
+      .select(col("i").cast("long"), col("j").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cmsOneShot = graft.operators.CountMin.sketch(all, expr("tags['user']"), 4, 32)
+      .select(col("i").cast("long"), col("j").cast("long"), col("cnt").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cmsMerged === cmsOneShot)
+    def bucketMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("key"), col("sgn").cast("long"), col("idx").cast("long"),
+        col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(bucketMap(IngestJob.ddsBuckets(spark, cfg)) ===
+      bucketMap(graft.operators.QuantileSketch.sketch(all, col("metric"), col("value"), 0.02)))
+  }
+
+  test("DocIngest.runPairCounts compactEvery: in-band fold, summed counts equal batch") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sc_pair").toString
+    val docs = (1 to 50).map(i =>
+        (i.toLong, s"alpha beta gamma tok$i beta alpha", "web"))
+      .toDF("doc_id", "text", "source")
+    docs.repartition(5).write.parquet(s"$base/src")
+    DocIngest.runPairCounts(spark, s"$base/src", s"$base/lake", s"$base/ckpt",
+      docs.schema, maxFilesPerTrigger = Some(1), compactEvery = Some(2))
+      .awaitTermination()
+    // folds ran in-band at batches 2 and 4; snapshot + open batch remain
+    assert(batchIds(s"$base/lake/uni") === Set(StoreCompaction.SnapshotBatchId, 4L))
+    assert(batchIds(s"$base/lake/bg") === Set(StoreCompaction.SnapshotBatchId, 4L))
+    val uniMerged = spark.read.parquet(s"$base/lake/uni")
+      .groupBy(col("tk")).agg(sum(col("__c")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val uniBatch = graft.pipeline.TextAnalysis.unigramCounts(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniMerged === uniBatch)
+    val bgMerged = spark.read.parquet(s"$base/lake/bg")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("__c")).as("c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bgBatch = graft.pipeline.TextAnalysis.bigramCounts(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bgMerged === bgBatch)
+  }
+
   test("a store with nothing safely foldable is left untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sc3").toString + "/store"
     writeBatch(dir, 0, Seq(("a", 1L)))
