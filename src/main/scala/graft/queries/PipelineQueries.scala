@@ -136,6 +136,24 @@ object PipelineQueries {
       s"$base/lake"
     })
 
+  /** The drift count store rebuilt with IN-BAND compaction (round 12):
+   *  four micro-batches with `compactEvery = 2`, so the fold runs inside
+   *  the ingest itself ([[graft.streaming.DocIngest.runTokenCounts]]) —
+   *  q_stream_drift_compacted reads it against the same q_text_drift
+   *  oracle, pinning that mid-stream folds never lose or double-count
+   *  a (source, token) cell. */
+  private val driftCompactLakes = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def driftCountsCompactedLake(s: SparkSession, d: String): String =
+    driftCompactLakes.getOrElseUpdate(d, {
+      val base = java.nio.file.Files.createTempDirectory("graft_driftcomp")
+      val all = s.read.parquet(s"$d/documents.parquet")
+      all.repartition(4).write.parquet(s"$base/src")
+      graft.streaming.DocIngest.runTokenCounts(s, s"$base/src",
+        s"$base/lake", s"$base/ckpt", all.schema,
+        maxFilesPerTrigger = Some(1), compactEvery = Some(2)).awaitTermination()
+      s"$base/lake"
+    })
+
   /** One ingest-MAINTAINED pair-counts log per sf dir
    *  ([[graft.streaming.DocIngest.runPairCounts]]): unigram AND
    *  adjacent-pair partials per micro-batch; counts add, so the summed
@@ -213,7 +231,8 @@ object PipelineQueries {
   def warmBuilds(s: SparkSession, d: String): Unit = {
     annAssignLake(s, d); docPipelineLake(s, d); annServeLake(s, d)
     docNearDedupLake(s, d); driftCountsLake(s, d); pairCountsLake(s, d)
-    pairCountsCompactedLake(s, d); docDecontamLake(s, d)
+    pairCountsCompactedLake(s, d); driftCountsCompactedLake(s, d)
+    docDecontamLake(s, d)
     ()
   }
 
@@ -312,6 +331,14 @@ object PipelineQueries {
     // verbatim, whatever the micro-batch split
     "q_stream_drift" -> { (s, d) =>
       val counts = s.read.parquet(driftCountsLake(s, d))
+        .groupBy(col("source"), col("tk")).agg(sum(col("__c")).as("__c"))
+      TextAnalysis.unigramDriftFromCounts(counts, 24)
+    },
+    // the same serve from a store whose folds ran IN-BAND during the
+    // ingest (DocIngest compactEvery — round 12): still q_text_drift's
+    // oracle verbatim
+    "q_stream_drift_compacted" -> { (s, d) =>
+      val counts = s.read.parquet(driftCountsCompactedLake(s, d))
         .groupBy(col("source"), col("tk")).agg(sum(col("__c")).as("__c"))
       TextAnalysis.unigramDriftFromCounts(counts, 24)
     },
@@ -1641,6 +1668,8 @@ object PipelineQueries {
     // the ingest-maintained restatement must be indistinguishable,
     // whatever the micro-batch split
     "q_stream_drift" -> driftOracle,
+    // in-band-compacted count log: fold-then-sum == sum == batch recount
+    "q_stream_drift_compacted" -> driftOracle,
 
     "q_pipeline_mix" ->
       s"""WITH tg(source, p) AS (VALUES ('src0', 500), ('src1', 300), ('src2', 200)),
