@@ -183,7 +183,9 @@ object StreamQueries {
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
         cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
-        dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha)),
+        dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha),
+          IngestJob.DdsConfig(TsdbQueries.DdsDailyKeyExpr, "value",
+            TsdbQueries.DdsAlpha, name = "dds_daily")),
         compactEvery = Some(2)) // the IN-BAND fold runs at batch 2 (folds 0,1)
       IngestJob.run(s, s"$base/src", cfg, maxFilesPerTrigger = Some(1))
         .awaitTermination()
@@ -192,6 +194,27 @@ object StreamQueries {
       // same oracle-gated reads
       graft.streaming.StoreCompaction.compactSketches(s, cfg)
       cfg
+    })
+
+  /** The daily-grain DDS store RETENTION-purged (round 12): a copy of
+   *  the 4-batch compacted lake's dds_daily store with days before the
+   *  query window dropped during the fold
+   *  ([[graft.streaming.StoreCompaction.compactRetained]] — the R5
+   *  retention posture on the summary store's TIME axis).
+   *  q_stream_dds_range_purged serves the SAME day range against
+   *  q_stream_dds_range's raw-scan oracle verbatim: a purge predicate
+   *  that clips one in-range day fails the hash; the spec pins that
+   *  expired days actually left the snapshot. */
+  private val purgedDailyDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def ddsDailyPurgedDir(s: SparkSession, d: String): String =
+    purgedDailyDirs.getOrElseUpdate(d, {
+      val src = IngestJob.ddsPath(sketchCompactedLakeFor(s, d), "dds_daily")
+      val dst = java.nio.file.Files.createTempDirectory("graft_ddspurge").toString + "/dds_daily"
+      graft.core.Fs.copyDir(s.sessionState.newHadoopConf(), src, dst)
+      graft.streaming.StoreCompaction.compactRetained(s, dst,
+        TsdbQueries.ddsKeyPart(1).cast("long") >= lit(OracleCommon.Start),
+        graft.operators.QuantileSketch.merge)
+      dst
     })
 
   /** The mapGroupsWithState latest path (A18, third engine for the same
@@ -616,6 +639,20 @@ object StreamQueries {
         .select(col("key").as("tag_user"), col("exact_n"), col("est_n"))
     },
 
+    // the RETENTION-purged daily store (round 12): days before the
+    // window were dropped during the fold; the served day range must be
+    // bit-identical — q_stream_dds_range's raw-scan oracle verbatim
+    "q_stream_dds_range_purged" -> { (s, d) =>
+      import graft.operators.QuantileSketch
+      val days = QuantileSketch.merge(s.read.parquet(ddsDailyPurgedDir(s, d)))
+        .withColumn("day", TsdbQueries.ddsKeyPart(1).cast("long"))
+        .filter(col("day") >= lit(Start) && col("day") < lit(End))
+        .select(TsdbQueries.ddsKeyPart(0).as("key"), col("sgn"), col("idx"), col("cnt"))
+      QuantileSketch
+        .quantiles(QuantileSketch.merge(days), Seq(0.99), TsdbQueries.DdsAlpha)
+        .select(col("key").as("metric"), col("q"), col("est_v"))
+    },
+
     // the COMPACTED maintained DDSketch store (round 12): same fold,
     // same contract — q_dds_quantiles' oracle verbatim
     "q_stream_dds_compacted" -> { (s, d) =>
@@ -832,6 +869,20 @@ object StreamQueries {
     // the range-served percentile's oracle: an INDEPENDENT raw scan
     // restricted to the same day-aligned range, per-metric walk
     "q_stream_dds_range" ->
+      s"""WITH ${OracleCommon.pointsCtes},
+         |${TsdbQueries.ddsCtes(TsdbQueries.DdsAlpha,
+              s" AND ts >= $Start AND ts < $End")},
+         |qs AS (SELECT 0.99::DOUBLE AS q),
+         |sel AS (SELECT c.metric, qs.q,
+         |          min_by(${TsdbQueries.ddsEst(TsdbQueries.DdsAlpha)}, cum) AS est
+         |        FROM c JOIN n USING (metric) CROSS JOIN qs
+         |        WHERE cum > floor(qs.q * (n.n - 1))
+         |        GROUP BY 1, 2)
+         |SELECT metric, q, ${OracleCommon.rnd("est")} AS est_v FROM sel""".stripMargin,
+
+    // RETENTION-purged daily store: dropping out-of-window days must not
+    // move the served window — the range row's raw-scan oracle verbatim
+    "q_stream_dds_range_purged" ->
       s"""WITH ${OracleCommon.pointsCtes},
          |${TsdbQueries.ddsCtes(TsdbQueries.DdsAlpha,
               s" AND ts >= $Start AND ts < $End")},

@@ -46,16 +46,18 @@ object StoreCompaction {
    *  batch id — see the replay-safety note above) plus any previous
    *  snapshot into one `batch_id=-1` snapshot partition, using `fold`
    *  (the store's merge: cell-wise / key-wise count sum). Returns true
-   *  if a fold happened; a store with at most one closed partition and
-   *  no prior snapshot is left untouched (nothing to gain). */
+   *  if a fold happened; with fewer than `minFolded` closed partitions
+   *  the store is left untouched (a pure fold of one partition gains
+   *  nothing — but a RETAINING fold does, so [[compactRetained]] passes
+   *  minFolded = 1). */
   def compactBatchStore(spark: SparkSession, dir: String,
-      fold: DataFrame => DataFrame): Boolean = {
+      fold: DataFrame => DataFrame, minFolded: Int = 2): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
     val parts = batchDirs(conf, dir)
     if (parts.isEmpty) return false
     val maxId = parts.map(_._2).max
     val folded = parts.filter(_._2 != maxId)
-    if (folded.size <= 1) return false
+    if (folded.size < minFolded) return false
     // plan exactly the data files under the folded partitions: a new
     // batch partition appended between plan and swap is never read,
     // never deleted (the compactPoints discipline)
@@ -82,6 +84,21 @@ object StoreCompaction {
     }
     true
   }
+
+  /** Fold + RETENTION in one maintenance pass: compact the closed batch
+   *  partitions, dropping rows that fail `retain` — the points-purge
+   *  (R5) posture applied to a maintained summary store's TIME axis
+   *  (the fold above bounds the BATCH axis; without this, a day-keyed
+   *  store like the dds_daily grain grows one key set per day forever).
+   *  Expired rows in the open (max, replayable) batch partition survive
+   *  until a later pass closes it — the same tail the segment purge
+   *  leaves in the live segment. Readers that filter their served range
+   *  (e.g. the day-range percentile) are bit-identical before and after
+   *  as long as `retain` keeps every day the range can reference. */
+  def compactRetained(spark: SparkSession, dir: String,
+      retain: org.apache.spark.sql.Column,
+      fold: DataFrame => DataFrame): Boolean =
+    compactBatchStore(spark, dir, df => fold(df.filter(retain)), minFolded = 1)
 
   /** Compact every maintained sketch store of an ingest lake: the
    *  count-min cell grid and each configured DDSketch bucket store.

@@ -123,6 +123,31 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(bgMerged === bgBatch)
   }
 
+  test("compactRetained drops expired day keys from the snapshot; open batch untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc_ret").toString + "/dds_daily"
+    val day0 = 86400L * 100; val day1 = 86400L * 101; val cutoff = day1
+    def rows(day: Long, cnt: Long) = Seq(("m#" + day, 1, 5L, cnt))
+    def write(id: Long, rs: Seq[(String, Int, Long, Long)]): Unit =
+      rs.toDF("key", "sgn", "idx", "cnt").write.mode("overwrite")
+        .parquet(s"$dir/batch_id=$id")
+    write(0, rows(day0, 3) ++ rows(day1, 7)) // closed: expired + retained
+    write(1, rows(day0, 2) ++ rows(day1, 4)) // open (max): never folded
+    val retain = split(col("key"), "#").getItem(1).cast("long") >= cutoff
+    // a SINGLE closed partition still folds when retention is in play
+    assert(StoreCompaction.compactRetained(spark, dir, retain,
+      graft.operators.QuantileSketch.merge))
+    def keyCnt(path: String) = spark.read.parquet(path)
+      .groupBy(col("key")).agg(sum(col("cnt")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // snapshot: expired day gone, retained count exact
+    assert(keyCnt(s"$dir/batch_id=${StoreCompaction.SnapshotBatchId}") ===
+      Map(s"m#$day1" -> 7L))
+    // the open batch keeps its expired rows until a later pass closes it
+    assert(keyCnt(s"$dir/batch_id=1") === Map(s"m#$day0" -> 2L, s"m#$day1" -> 4L))
+    // a range read over retained days is unchanged by the purge
+    assert(keyCnt(dir).view.filterKeys(_ == s"m#$day1").toMap === Map(s"m#$day1" -> 11L))
+  }
+
   test("a store with nothing safely foldable is left untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sc3").toString + "/store"
     writeBatch(dir, 0, Seq(("a", 1L)))
