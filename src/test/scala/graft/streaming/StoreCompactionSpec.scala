@@ -148,6 +148,35 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(keyCnt(dir).view.filterKeys(_ == s"m#$day1").toMap === Map(s"m#$day1" -> 11L))
   }
 
+  test("property: folds interleaved at arbitrary points never change the merged counts") {
+    // the CorePropsSpec sampling-loop convention (plain scalacheck, no
+    // scalatestplus bridge offline)
+    import org.scalacheck.Gen
+    val keys = Vector("a", "b", "c", "d")
+    val batchGen = Gen.listOf(Gen.zip(Gen.oneOf(keys), Gen.choose(1L, 9L)))
+    val sampleGen = for {
+      n <- Gen.choose(1, 6)
+      batches <- Gen.listOfN(n, batchGen)
+      folds <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield (batches, folds)
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seed0)(_.next).take(6).foreach { seed =>
+      sampleGen.apply(Gen.Parameters.default, seed).foreach { case (batches, folds) =>
+        val dir = java.nio.file.Files.createTempDirectory("graft_sc_prop").toString + "/store"
+        batches.zipWithIndex.foreach { case (rows, id) =>
+          writeBatch(dir, id.toLong,
+            if (rows.isEmpty) Seq(("a", 0L)) else rows) // parquet needs >= 0 rows; keep schema
+          if (folds(id)) StoreCompaction.compactCounts(spark, dir, Seq("tk")): Unit
+        }
+        val expect = batches.flatten.groupBy(_._1).view
+          .mapValues(_.map(_._2).sum).toMap
+        val got = merged(dir).filter(_._2 != 0L)
+        assert(got === expect.filter(_._2 != 0L),
+          s"split=${batches.map(_.size)} folds=$folds")
+      }
+    }
+  }
+
   test("a store with nothing safely foldable is left untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sc3").toString + "/store"
     writeBatch(dir, 0, Seq(("a", 1L)))
