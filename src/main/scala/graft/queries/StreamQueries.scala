@@ -260,9 +260,12 @@ object StreamQueries {
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = AdmissionRetention, maxFutureSec = AdmissionFuture)
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
-      IngestJob.compact(s, cfg)
-      IngestJob.compactPoints(s, cfg)
-      IngestJob.purge(cfg, PurgeCutoff)
+      // the ONE-CALL composed pass (round 12): purge → log compaction →
+      // points consolidation, same primitives as before behind
+      // Maintenance.run — the reads below still owe the oracles the
+      // exact same rows
+      graft.streaming.Maintenance.run(s, cfg,
+        retentionCutoffSec = Some(PurgeCutoff)): Unit
       cfg
     })
 
