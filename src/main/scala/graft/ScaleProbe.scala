@@ -958,6 +958,32 @@ object ScaleProbe {
       readRow("p_batch_dds_daily_read_compacted", dailyRead, cfgs)
     }
 
+    // 1b. the IN-BAND maintenance overhead: the identical sketch ingest
+    // with compactEvery = 10 — what running the fold inside the hot
+    // foreachBatch path costs vs the offline-pass baseline above (the
+    // post-ingest stores are already near-folded, so the reads ride the
+    // compacted shape; the baseline's *_read_compacted rows cover them)
+    if (only.isEmpty || only.exists(_.contains("inband"))) {
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val built = bs.map { b =>
+        val base = java.nio.file.Files.createTempDirectory(s"graft_batch_ib$b").toString
+        events.repartition(b).write.parquet(s"$base/src")
+        val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+          retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+          cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
+          dds = Seq(IngestJob.DdsConfig("metric", "value", TsdbQueries.DdsAlpha),
+            IngestJob.DdsConfig(TsdbQueries.DdsDailyKeyExpr, "value",
+              TsdbQueries.DdsAlpha, name = "dds_daily")),
+          compactEvery = Some(10))
+        time {
+          IngestJob.run(spark, s"$base/src", cfg, maxFilesPerTrigger = Some(1))
+            .awaitTermination()
+          spark.read.parquet(IngestJob.cmsPath(cfg)).count()
+        }
+      }
+      record("p_batch_sketch_ingest_inband", built)
+    }
+
     // 2. the DocIngest-maintained PMI unigram+pair count stores
     if (only.isEmpty || only.exists(_.contains("pmi"))) {
       val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -1001,6 +1027,7 @@ object ScaleProbe {
       "\"axis\": \"batch COUNT, data constant (sf0.1: 100k events, 5k docs) - 10 vs 100 batch_id partitions per maintained store; 100 batches = 1.7h of a 1-min production trigger\", " +
       "\"reads\": \"merged production read per store; uncompacted cost is the per-batch-partial listing + small-file tax, compacted re-read has <= 2 partitions at either point and should be decade-FLAT\", " +
       "\"compaction\": \"StoreCompaction fold (sum-by-key rewrite of a summary-sized relation, max batch_id excluded for replay safety), timed per point\", " +
+      "\"p_batch_sketch_ingest_inband\": \"the identical sketch ingest with compactEvery=10 (the fold runs INSIDE foreachBatch every 10th batch) vs p_batch_sketch_ingest's offline-pass baseline - the in-band maintenance overhead on the hot path\", " +
       "\"ingest rows\": \"streaming builds timed once per point (no warm run); ratios carry ingest + per-trigger overhead variance\", " +
       "\"drift store\": \"the DocIngest token-count store shares the PMI stores' shape; its own 100-batch flat-read row is BENCH_SCALE_ZIPF p_stream_drift_read\"}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))

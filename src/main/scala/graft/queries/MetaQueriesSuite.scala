@@ -34,6 +34,19 @@ object MetaQueriesSuite {
     "q_meta_tag_values_limited" -> ((s, d) =>
       MetaQueries.tagValues(dim(s, d), MatchAll, "user", limit = 100)),
 
+    // TAG_VALUES as plain SQL over the facade's series-dim view (round
+    // 12, the q_sql_* discipline): the meta autocomplete a SQL user
+    // writes directly — q_meta_tag_values' oracle verbatim
+    "q_sql_meta_tag_values" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      s.sql(
+        s"""SELECT tags['host'] AS tag_value,
+           |       count(DISTINCT series_id) AS cardinality
+           |FROM graft_series_dim
+           |WHERE map_contains_key(tags, 'host')
+           |GROUP BY 1 ORDER BY tag_value LIMIT ${MetaQueries.SizeLimit}""".stripMargin)
+    },
+
     // TAG_KEYS_AND_VALUES under a metric filter
     "q_meta_keys_values" -> ((s, d) =>
       MetaQueries.tagKeysAndValues(dim(s, d), MetricLiteral(Seq("click", "error")))),
@@ -179,6 +192,12 @@ object MetaQueriesSuite {
          |SELECT * FROM k ORDER BY tag_key LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
 
     "q_meta_tag_values" ->
+      s"""WITH $seriesCte
+         |SELECT tag_host AS tag_value, count(*) AS cardinality
+         |FROM series GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,
+
+    // SQL-facade replay: the identical restatement
+    "q_sql_meta_tag_values" ->
       s"""WITH $seriesCte
          |SELECT tag_host AS tag_value, count(*) AS cardinality
          |FROM series GROUP BY 1 ORDER BY 1 LIMIT ${MetaQueries.SizeLimit}""".stripMargin,

@@ -266,6 +266,22 @@ object TsdbQueries {
            |FROM laged WHERE pt IS NOT NULL AND r IS NOT NULL""".stripMargin)
     },
 
+    // The last-value query as plain SQL over the facade views (round
+    // 12): one ranked window per series, LWW on (ts, seq) — the same
+    // winner Latest's max_by((ts, seq)) picks — and q_latest's oracle
+    // verbatim. The dashboard "current value" a SQL user writes first.
+    "q_sql_latest" -> { (s, d) =>
+      graft.Graft.registerViews(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, tags['host'] AS tag_host,
+           |       tags['colo'] AS tag_colo, ts AS last_ts,
+           |       round(value, 4) AS last_value
+           |FROM (SELECT *, row_number() OVER (PARTITION BY series_id
+           |                                   ORDER BY ts DESC, seq DESC) AS __rn
+           |      FROM graft_points)
+           |WHERE __rn = 1""".stripMargin)
+    },
+
     // `auto` downsample interval (the upstream DownsampleFactory
     // mechanism: "auto" resolves against a duration→interval ladder
     // before the node plans). This 20-day range resolves to "1d" on the
@@ -2623,6 +2639,7 @@ object TsdbQueries {
     "q_sql_dds_quantiles" -> oraclesBase("q_dds_quantiles"),
     "q_sql_groupby" -> oraclesBase("q_groupby"),
     "q_sql_rate" -> oraclesBase("q_rate"),
+    "q_sql_latest" -> oraclesBase("q_latest"),
     "q_ds_sum_hashdedup" -> oraclesBase("q_ds_sum"),
     "q_json_ds_auto" -> oraclesBase("q_ds_sum"),
     "q_json_ds_tz" -> oraclesBase("q_ds_tz"),
