@@ -429,7 +429,7 @@ object StreamQueries {
     lakeFor(s, d); hybridLakeFor(s, d); admissionLakeFor(s, d)
     idleLakeFor(s, d); admissionApproxLakeFor(s, d)
     sketchCompactedLakeFor(s, d); latestStateLakeFor(s, d)
-    maintenanceLakeFor(s, d)
+    maintenanceLakeFor(s, d); ddsDailyPurgedDir(s, d)
     streamedEwma(s, d); streamedMovavgSimple(s, d); streamedRate(s, d)
     streamedTransitions(s, d); streamedTimediff(s, d); lwwWindows(s, d)
     ()
