@@ -55,6 +55,17 @@ class ExtensionsSpec extends AnyFunSuite {
       s"derived predicate duplicated:\n$optimized")
   }
 
+  test("SQL-facade latest compiles to a pre-shuffle WindowGroupLimit top-1") {
+    val spark = TestSpark.spark
+    // the rn = 1 filter over the LWW window must trigger Catalyst's
+    // InferWindowGroupLimit: at most ONE row per series per map
+    // partition crosses the exchange (the q_sql_latest scale claim)
+    val plan = graft.SparkEntry.queries("q_sql_latest")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"pre-shuffle top-1 missing from q_sql_latest:\n$plan")
+  }
+
   test("md5prefix28 equals the portable conv(substring(md5)) form") {
     val spark = TestSpark.spark
     import spark.implicits._
