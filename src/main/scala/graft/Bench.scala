@@ -54,6 +54,7 @@ object Bench {
         graft.queries.StreamQueries.warmBuilds(spark, sfDir)
         graft.queries.PipelineQueries.warmBuilds(spark, sfDir)
         graft.queries.EventsQueries.warmBuilds(spark, sfDir)
+        graft.queries.RollupQueries.warmBuilds(spark, sfDir)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] warmBuilds failed (first-touchers will pay builds): $e")
       }

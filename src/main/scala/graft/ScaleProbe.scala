@@ -452,6 +452,13 @@ object ScaleProbe {
     // sessionize shape) + a |types|²-keyed count; must track
     // q_events_sessions
     "q_events_transitions",
+    // round 12: the TRANSPARENT SQL rollup serve — plain SQL rewritten
+    // by the RollupRouting optimizer rule to scan the persisted 1h
+    // composite (store build excluded below, like the other maintained
+    // reads). The read is store-sized (~|series|×hours rows), so its
+    // decades must stay FLAT-ish while q_ds_sum (the same SQL's raw
+    // cost) grows with the fact table — the whole point of the rule
+    "q_sql_rollup_routed",
     // round 11: KMV set algebra over the series dim — the bottom-k
     // WindowGroupLimit bounds the exchange at k rows per metric per
     // partition; the gate row pays TWO fact-sized dim builds (sketch +
@@ -464,7 +471,8 @@ object ScaleProbe {
    *  from timing — the probe measures the production read. */
   private val TsdbXlMaintained: Set[String] =
     Set("q_stream_series_dim", "q_stream_latest", "q_stream_cms_users",
-      "q_stream_dds_q", "q_stream_dds_daily", "q_stream_dds_range")
+      "q_stream_dds_q", "q_stream_dds_daily", "q_stream_dds_range",
+      "q_sql_rollup_routed")
 
   /** TSDB three-point mode: `runMain graft.ScaleProbe --tsdb-xl [out]`.
    *  Writes BENCH_SCALE_TSDB.json. */
@@ -491,7 +499,10 @@ object ScaleProbe {
     // any timing starts (StreamQueries caches one lake per source dir,
     // so the timed runs below read the maintained tables only)
     if (TsdbXlMaintained.exists(q => only.isEmpty || only.contains(q))) {
-      for (d <- dirs) queries("q_stream_series_dim")(spark, d).count()
+      for (d <- dirs) {
+        queries("q_stream_series_dim")(spark, d).count()
+        graft.queries.RollupQueries.warmBuilds(spark, d)
+      }
       spark.catalog.clearCache()
     }
     val sb = new StringBuilder

@@ -69,6 +69,10 @@ object SegmentPruning extends Rule[LogicalPlan] with PredicateHelper {
  *  (GraftSession sets it by default). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // RollupRouting first: it must see range filters before SegmentPruning
+    // adds derived segment_start conjuncts (which the rollup store does
+    // not carry — routing would bail on them)
+    ext.injectOptimizerRule(_ => RollupRouting)
     ext.injectOptimizerRule(_ => SegmentPruning)
     ext.injectFunction((
       new FunctionIdentifier("md5prefix28"),

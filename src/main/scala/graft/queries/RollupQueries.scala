@@ -20,6 +20,30 @@ object RollupQueries {
 
   private val RollupInterval = "1h"
 
+  /** Persisted 1h composite store for the TRANSPARENT SQL routing rows —
+   *  one per source dir per JVM (the ingest-maintained store analog,
+   *  here built once from batch points). Warmed by [[warmBuilds]] so the
+   *  first-touching bench row measures the read, not the build. */
+  private val stores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def storeFor(s: SparkSession, d: String): String =
+    stores.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rollup_store").toString
+      Rollup.build(TsdbViews.points(s, d), RollupInterval)
+        .write.mode("overwrite").parquet(s"$dir/rollup")
+      s"$dir/rollup"
+    })
+
+  /** Register the marked facade view `graft_points_routed`: plain SQL
+   *  aggregates over it are served from the store by the
+   *  [[graft.plans.RollupRouting]] optimizer rule when exact. */
+  private def routedView(s: SparkSession, d: String): Unit =
+    graft.plans.RollupRouting.registerView(s, TsdbViews.points(s, d),
+      s.read.parquet(storeFor(s, d)), RollupInterval, "graft_points_routed")
+
+  /** Force the memoized store build (untimed bench warm-up pass). */
+  def warmBuilds(s: SparkSession, d: String): Unit = { storeFor(s, d); () }
+
   private def routed(s: SparkSession, d: String, spec: DownsampleSpec): DataFrame = {
     val pts = TsdbViews.points(s, d)
       .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
@@ -102,6 +126,61 @@ object RollupQueries {
     },
     // 90m does not divide by 1h ⇒ the router must fall back to raw points
     "q_rollup_fallback" -> ((s, d) => out(routed(s, d, DownsampleSpec("90m", "sum")), "sum_value")),
+    // A14 FOR SQL USERS (round 12): the identical daily-sum SQL a user
+    // would write against the facade view, served from the persisted 1h
+    // composite by the RollupRouting optimizer rule — no Window, no raw
+    // scan (plan-pinned in RollupRoutingSpec). Shares q_rollup_sum's
+    // oracle verbatim: a rewrite that loses a row or mis-maps an
+    // aggregate fails the hash.
+    "q_sql_rollup_routed" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // avg through the same rewrite: the rule maps avg(clean) to
+    // Σsum/Σcnt — the reference's avg-as-sum-over-count — and shares
+    // q_rollup_avg's sum/count oracle verbatim
+    "q_sql_rollup_avg" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(avg(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS avg_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // dev through the rewrite: stddev_samp(clean) reconstructed from the
+    // stored moments (sum/cnt/sumofsquare) — q_rollup_dev's exact
+    // stddev_samp oracle, so moment error beyond round4 fails the hash
+    "q_sql_rollup_dev" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(stddev_samp(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                              ELSE value END), 4) AS dev_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // the SQL fallback: a 90m bucket is not a multiple of the stored 1h,
+    // so the rule must refuse and the query runs raw over the marked
+    // view — q_rollup_fallback's oracle verbatim
+    "q_sql_rollup_fallback" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 5400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
     // the EWMA analytic node composes over the ROLLUP-ROUTED plan: daily
     // counts served from the 1h rollup table (no raw scan), smoothed by
     // the same lag-chain — shares q_ds_ewma's raw-points oracle, so any
@@ -133,6 +212,10 @@ object RollupQueries {
     "q_rollup_quarter_tz" -> TsdbQueries.oracles("q_ds_quarter_tz"),
     "q_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
+    "q_sql_rollup_routed" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
+    "q_sql_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
+    "q_sql_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )
 }

@@ -595,6 +595,26 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // TRANSPARENT SQL over the STREAMED deployment (round 12): the marked
+    // facade view pairs the lake's raw points with the ingest-MAINTAINED
+    // rollup table, and the plain daily-sum SQL a dashboard user writes
+    // is rewritten by the RollupRouting optimizer rule to scan ONLY the
+    // maintained store — ingest maintains, SQL serves, no engine API in
+    // between. Shares q_rollup_streamed's oracle verbatim; the routing
+    // itself is plan-pinned in RollupRoutingSpec.
+    "q_sql_rollup_streamed" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      graft.plans.RollupRouting.registerView(s, IngestJob.points(s, cfg),
+        IngestJob.rollup(s, cfg), RollupInterval, "graft_points_streamed")
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_streamed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+
     // A10 × timezone from the ingest-MAINTAINED rollup (round 11): the
     // Denver local-day serve over the streamed composite table — the
     // deployment shape for tz dashboards (canServeTz legality + the
@@ -849,6 +869,15 @@ object StreamQueries {
          |HAVING max(ts) >= $End""".stripMargin,
 
     "q_rollup_streamed" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the transparent SQL serve reads the same maintained store the
+    // engine serve does — one oracle for both
+    "q_sql_rollup_streamed" ->
       s"""WITH $pointsCtes
          |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
          |       ${rnd("sum(value)")} AS sum_value

@@ -1,0 +1,203 @@
+package graft.plans
+
+import graft.TestSpark
+import graft.rollup.Rollup
+import graft.sources.TsdbViews
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transparent SQL rollup routing: the [[RollupRouting]] optimizer rule
+ *  must serve downsample-shaped aggregates over the marked facade view
+ *  from the stored composite — bit-equal (post round-4) to the raw path —
+ *  and fall back to raw, still correct, on every non-servable shape. */
+class RollupRoutingSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = TestSpark.spark
+
+  /** View pair over NaN-injected points: `v_routed` carries the marker +
+   *  a persisted rollup store; `v_raw` is the same LWW view unmarked. */
+  private lazy val env: (DataFrame, DataFrame) = {
+    val pts = TsdbViews.pointsWithNan(spark, sf)
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_route").toString
+    Rollup.build(pts, "1h").write.mode("overwrite").parquet(s"$storeDir/rollup")
+    val store = spark.read.parquet(s"$storeDir/rollup")
+    RollupRouting.registerView(spark, pts, store, "1h", "v_routed")
+    graft.query.QueryEngine.dedupeConfigured(pts).createOrReplaceTempView("v_raw")
+    (pts, store)
+  }
+  private def setup: Unit = { env; () }
+
+  private val Lo = 1704412800L // 2024-01-05, hour- and day-aligned
+  private val Hi = 1705622400L // 2024-01-19
+
+  private def sql(view: String, q: String): DataFrame =
+    spark.sql(q.replace("$V", view))
+
+  private def routed(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !plan.contains("Window") // the LWW dedupe window is gone iff served
+  }
+
+  private def assertSame(q: String, expectRouted: Boolean): Unit = {
+    setup
+    val a = sql("v_routed", q)
+    val b = sql("v_raw", q)
+    assert(routed(a) === expectRouted, s"routing mismatch for:\n$q\n${a.queryExecution}")
+    assert(!routed(b), "the unmarked view must never route")
+    val (ra, rb) = (a.collect().map(_.toString).sorted.toSeq,
+      b.collect().map(_.toString).sorted.toSeq)
+    assert(ra === rb, s"value divergence for:\n$q")
+    assert(ra.nonEmpty)
+  }
+
+  private val clean = "CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE) ELSE value END"
+
+  test("daily sum over the marked view serves from the store") {
+    assertSame(
+      s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+         |       round(sum($clean), 4) AS sum_value
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY 1, 2, 3""".stripMargin, expectRouted = true)
+  }
+
+  test("min/max/count/avg all rewrite to their stored forms") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS bucket_ts,
+         |       round(min($clean), 4) AS mn, round(max($clean), 4) AS mx,
+         |       count($clean) AS cnt, round(avg($clean), 4) AS av
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY 1, 2""".stripMargin, expectRouted = true)
+  }
+
+  test("stddev_samp rewrites to the stored-moments reconstruction") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(stddev_samp($clean), 4) AS sd
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("nanvl spelling of the clean value also serves") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum(nanvl(value, NULL)), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("series-identity predicates carry over to the store scan") {
+    assertSame(
+      s"""SELECT tags['host'] AS h, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi AND metric = 'click'
+         |  AND tags['colo'] = 'den'
+         |GROUP BY 1, 2""".stripMargin, expectRouted = true)
+  }
+
+  test("a 90m bucket (not a multiple of 1h) falls back to raw") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 5400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("an unaligned range bound falls back to raw") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= ${Lo + 60} AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("count(*) is a row count the composite cannot serve — raw") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, count(*) AS c
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("plain sum(value) keeps NaN-poisoning semantics — raw") {
+    // with NaN injected every 101st seq, a routed answer would differ:
+    // equality against the raw view proves the rule refused the rewrite
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, sum(value) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("a value predicate falls back to raw") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi AND value > 0 GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("non-aggregate uses of the view strip the marker cleanly") {
+    setup
+    val rows = spark.sql(s"SELECT * FROM v_routed WHERE ts >= $Lo LIMIT 5").collect()
+    assert(rows.length === 5)
+  }
+
+  test("two routed aggregates in one query get independent store scans") {
+    setup
+    val q =
+      s"""SELECT metric, b, s FROM (
+         |  SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |  FROM v_routed WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT metric, ts - ts % 43200 AS b, round(sum($clean), 4) AS s
+         |  FROM v_routed WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2)""".stripMargin
+    val a = spark.sql(q)
+    assert(routed(a), a.queryExecution.executedPlan.toString)
+    val b = sql("v_raw", q.replace("v_routed", "v_raw"))
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("a maintained-store flush frontier gates serving") {
+    val (pts, store) = env
+    val frontier = Lo + 7 * 86400
+    RollupRouting.registerView(spark, pts, store, "1h", "v_frontier",
+      rollupUntil = frontier)
+    def q(hi: Long) = spark.sql(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_frontier WHERE ts >= $Lo AND ts < $hi GROUP BY 1, 2""".stripMargin)
+    assert(routed(q(frontier)), "a range closed below the frontier must serve")
+    val past = q(Hi)
+    assert(!routed(past), "a range past the frontier must read raw")
+    // and an unbounded range cannot be proven covered either
+    val unbounded = spark.sql(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_frontier WHERE ts >= $Lo GROUP BY 1, 2""".stripMargin)
+    assert(!routed(unbounded))
+    // the refused paths still answer correctly
+    val raw = sql("v_raw",
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin)
+    assert(past.collect().map(_.toString).sorted.toSeq ===
+      raw.collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("the registry rows route / fall back as declared") {
+    val r = graft.SparkEntry.queries("q_sql_rollup_routed")(spark, sf)
+    assert(routed(r), r.queryExecution.executedPlan.toString)
+    val f = graft.SparkEntry.queries("q_sql_rollup_fallback")(spark, sf)
+    assert(!routed(f), "90m must run raw over the marked view")
+  }
+
+  test("the served plan reads only the store columns it needs") {
+    setup
+    val df = spark.sql(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_routed WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin)
+    assert(routed(df))
+    val plan = df.queryExecution.executedPlan.toString
+    // column pruning applies to the substituted scan: the store scan's
+    // ReadSchema carries only metric + bucket_ts + sum, not the
+    // 10-column composite, and the bucket_ts range is pushed down
+    val scanLine = plan.split("\n").find(l => l.contains("ReadSchema") && l.contains("bucket_ts"))
+    assert(scanLine.isDefined, s"no store scan in:\n$plan")
+    assert(!scanLine.get.contains("sumsq") && !scanLine.get.contains("cnt"),
+      s"unpruned store scan:\n${scanLine.get}")
+    assert(scanLine.get.contains("PushedFilters: [IsNotNull(bucket_ts)") ||
+      scanLine.get.contains("GreaterThanOrEqual(bucket_ts"),
+      s"range not pushed to the store scan:\n${scanLine.get}")
+  }
+}
