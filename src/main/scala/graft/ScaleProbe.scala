@@ -1046,7 +1046,63 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Density-axis probe for the transparent SQL rollup serve:
+   *  `runMain graft.ScaleProbe --routed-dense [out]`. The --tsdb-xl
+   *  generator scales SERIES COUNT with event count (users = n/666), so
+   *  the 1h composite there is nearly fact-sized (<1.1 points per
+   *  series-hour measured at n1M: 913k store rows for 1M events) and the
+   *  routed read can only track the raw scan — rollups compress the TIME
+   *  axis, not the series axis. This mode holds the series set FIXED
+   *  (1500 users) while events grow 1M → 10M — the metrics-get-denser
+   *  regime ingest-time rollups exist for (reference: ingest-time
+   *  DownSampler, core/.../downsample/DownSampler.java:32-56): the raw
+   *  daily-sum SQL grows with points while the routed rewrite of the
+   *  SAME SQL stays store-sized (|series| × hours, constant across the
+   *  decade). Store builds run untimed, like every maintained read in
+   *  --tsdb-xl. */
+  private def mainRoutedDense(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--routed-dense")
+    val out = rest.headOption.getOrElse("/tmp/scale_routed_dense.json")
+    val spark = graft.core.GraftSession.builder()
+      .appName("graft-scale-routed-dense").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = sys.env.getOrElse("GRAFT_SCALE_DENSE_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale_dense").toString)
+    val ns = Seq(1000000L, 10000000L)
+    val dirs = ns.map(n => s"$base/n$n")
+    ns.zip(dirs).withFilter { case (_, d) =>
+      !java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet"))
+    }.foreach { case (n, d) => genEventsDistributed(spark, n, 1500, d) }
+    for (d <- dirs) graft.queries.RollupQueries.warmBuilds(spark, d)
+    spark.catalog.clearCache()
+    val queries = SparkEntry.queries
+    val sb = new StringBuilder
+    sb ++= "{\"events\": [" + ns.mkString(", ") + "], \"users\": 1500, \"queries\": {"
+    var first = true
+    for (q <- Seq("q_ds_sum", "q_sql_rollup_routed")) {
+      queries(q)(spark, dirs.head).count() // warm (JIT + listing)
+      spark.catalog.clearCache()
+      val measured = dirs.map { d =>
+        val m = time(queries(q)(spark, d).count())
+        spark.catalog.clearCache()
+        m
+      }
+      val secs = measured.map(_._1)
+      val rows = measured.map(_._2)
+      val r10 = secs(1) / math.max(secs(0), 1e-9)
+      if (!first) sb ++= ", "
+      first = false
+      sb ++= f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "r10": $r10%.2f}"""
+      println(f"$q%-24s ${secs.map(s => f"$s%7.2f").mkString(" ")}s r10=$r10%6.2f rows=${rows.mkString("/")}")
+    }
+    sb ++= "\n}}"
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("--routed-dense")) { mainRoutedDense(args); return }
     if (args.contains("--batches")) { mainBatches(args); return }
     if (args.contains("--tsdb-xl")) { mainTsdbXl(args); return }
     if (args.contains("--xl4")) { mainXl4(args); return }

@@ -190,10 +190,14 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       cur
     }
     val conjuncts = rawConjuncts.map(normalize)
+    // ColumnPruning's generic case prunes the marker's CHILD down to what
+    // the query references (a count() wrapper needs no `value`; a
+    // groups-only distinct may not need `ts`), so these are looked up
+    // lazily — each is required only by the patterns that mention it
     val base = marker.child.output
     def baseAttr(n: String) = base.find(_.name == n)
-    val tsA = baseAttr("ts").getOrElse(return None)
-    val valueA = baseAttr("value").getOrElse(return None)
+    val tsA = baseAttr("ts")
+    val valueA = baseAttr("value")
 
     // fresh attribute ids per substitution when the store is a leaf
     // relation — two rewrites in one query must not share exprIds
@@ -212,20 +216,19 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       .flatMap(n => baseAttr(n).zip(rAttr(n)))
       .map { case (a, b) => a.exprId -> b }.toMap
 
-    def isTs(a: AttributeReference) = a.exprId == tsA.exprId
+    def isTs(a: AttributeReference) = tsA.exists(_.exprId == a.exprId)
+    def isValue(a: AttributeReference) = valueA.exists(_.exprId == a.exprId)
 
     /** `value` only in its NaN-cleaned form — the composite's event space. */
     def cleanValue(e: Expression): Boolean = e match {
       case CaseWhen(Seq((IsNaN(v: AttributeReference), nl)), Some(el: AttributeReference))
-        if v.exprId == valueA.exprId && el.exprId == valueA.exprId && isNullLiteral(nl) => true
+        if isValue(v) && el.exprId == v.exprId && isNullLiteral(nl) => true
       case NaNvl(v: AttributeReference, nl)
-        if v.exprId == valueA.exprId && isNullLiteral(nl) => true
+        if isValue(v) && isNullLiteral(nl) => true
       case _ => false
     }
 
     def rewriteAgg(ae: AggregateExpression): Option[Expression] = ae match {
-      // already rewritten (revisit during recursion into a replacement)
-      case _ if ae.references.subsetOf(rollupSet) => Some(ae)
       case AggregateExpression(fn, Complete, false, None, _) =>
         def fresh(f: AggregateFunction) = AggregateExpression(f, Complete, isDistinct = false)
         fn match {
@@ -260,10 +263,24 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     /** Substitute base→store attrs; None when anything non-servable
-     *  remains (raw ts/value/seq outside the recognized patterns). */
+     *  remains (raw ts/value/seq outside the recognized patterns). The
+     *  aggregate replacements are resolved FIRST, by node identity, so
+     *  the traversal never re-inspects a replacement's own store-side
+     *  AggregateExpressions (a reference-based "already done" test would
+     *  wrongly wave through reference-FREE aggregates like count(*)). */
     def rewriteExpr(e: Expression): Option[Expression] = {
+      val aggMap = new java.util.IdentityHashMap[AggregateExpression, Expression]
+      e.foreach {
+        case ae: AggregateExpression =>
+          rewriteAgg(ae) match {
+            case Some(x) => aggMap.put(ae, x)
+            case None => return None
+          }
+        case _ => ()
+      }
       var ok = true
       val out = e.transformDown {
+        case ae: AggregateExpression if aggMap.containsKey(ae) => aggMap.get(ae)
         case sub @ Subtract(t1: AttributeReference,
             Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
             if isTs(t1) && isTs(t2) =>
@@ -271,11 +288,6 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           // bucket_ts is already ts-floored to rSec | N, so the same
           // floor over bucket_ts lands every store row in its raw bucket
           else sub.transform { case a: AttributeReference if isTs(a) => btsA }
-        case ae: AggregateExpression =>
-          rewriteAgg(ae) match {
-            case Some(x) => x
-            case None => ok = false; ae
-          }
         case a: AttributeReference if dimSubst.contains(a.exprId) => dimSubst(a.exprId)
       }
       if (ok && out.references.subsetOf(rollupSet)) Some(out) else None

@@ -168,6 +168,32 @@ object RollupQueries {
            |WHERE ts >= $Start AND ts < $End
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // the DASHBOARD RATIO pattern through the rewrite (round 12): two
+    // metric slices of one routed CTE joined into error/click — each
+    // inlined aggregate is rewritten independently, so the whole ratio
+    // query runs as two store scans with no raw access (plan-pinned in
+    // RollupRoutingSpec). Shares q_expr_ratio's oracle verbatim,
+    // including its two-stage round-4 discipline and the zero-denominator
+    // drop.
+    "q_sql_expr_ratio" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""WITH ds AS (
+           |  SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |         round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                        ELSE value END), 4) AS v
+           |  FROM graft_points_routed
+           |  WHERE ts >= $Start AND ts < $End AND metric IN ('error', 'click')
+           |  GROUP BY 1, 2, 3),
+           |g AS (
+           |  SELECT metric, tag_user, bucket_ts, round(sum(v), 4) AS v
+           |  FROM ds GROUP BY 1, 2, 3)
+           |SELECT e.tag_user, e.bucket_ts, round(e.v / c.v, 4) AS ratio
+           |FROM (SELECT * FROM g WHERE metric = 'error') e
+           |JOIN (SELECT * FROM g WHERE metric = 'click') c
+           |  USING (tag_user, bucket_ts)
+           |WHERE c.v <> 0""".stripMargin)
+    },
     // the SQL fallback: a 90m bucket is not a multiple of the stored 1h,
     // so the rule must refuse and the query runs raw over the marked
     // view — q_rollup_fallback's oracle verbatim
@@ -215,6 +241,7 @@ object RollupQueries {
     "q_sql_rollup_routed" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_sql_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
+    "q_sql_expr_ratio" -> TsdbQueries.oracles("q_expr_ratio"),
     "q_sql_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

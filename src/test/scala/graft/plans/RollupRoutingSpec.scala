@@ -175,6 +175,38 @@ class RollupRoutingSpec extends AnyFunSuite {
       raw.collect().map(_.toString).sorted.toSeq)
   }
 
+  test("a count() wrapper over a routed aggregate still serves") {
+    // count(*) over the grouped subquery prunes `value` (and the sum)
+    // out of the marker's child entirely — the rewrite must survive the
+    // pruned shape and serve the groups-only aggregate from the store
+    // (regression: the probe's .count() measurements silently fell back
+    // raw before the lazy base-attr lookup)
+    assertSame(
+      s"""SELECT count(*) AS n FROM (
+         |  SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |  FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2)""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("parent operators above a routed aggregate are untouched") {
+    // HAVING becomes a Filter over an extra aggregate column, ORDER BY
+    // and LIMIT reference the aggregate's output attrs — all must keep
+    // resolving because the rewrite preserves every output exprId
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY 1, 2
+         |HAVING sum($clean) > 1
+         |ORDER BY s DESC, b, metric LIMIT 10""".stripMargin, expectRouted = true)
+  }
+
+  test("the ratio dashboard row routes both metric slices") {
+    val df = graft.SparkEntry.queries("q_sql_expr_ratio")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(routed(df), plan)
+    assert(!plan.contains("events.parquet"), s"raw fact scan survived:\n$plan")
+  }
+
   test("the registry rows route / fall back as declared") {
     val r = graft.SparkEntry.queries("q_sql_rollup_routed")(spark, sf)
     assert(routed(r), r.queryExecution.executedPlan.toString)
