@@ -86,6 +86,16 @@ case class RollupServable(
  * output schema (names, exprIds, types) is preserved exactly, so parent
  * operators never notice the substitution.
  *
+ * A MAINTAINED store (`rollupUntil` < ∞) additionally splits a
+ * frontier-straddling range hybrid: closed query buckets from the store
+ * UNION the open tail raw, the engine router's discipline
+ * ([[graft.rollup.Rollup.downsampleHybrid]]) at the SQL layer — a
+ * dashboard's trailing window never forfeits the store for its closed
+ * days. Results equal the raw computation up to floating-point summation
+ * ORDER (the same nondeterminism any Spark aggregation has across
+ * partitionings); the oracle rows pin equality at the engine's
+ * round-4 contract.
+ *
  * Scale: this is the difference between a SQL dashboard aggregating a
  * 100 TB fact table and the same dashboard reading a composite that is
  * ~1/3600th of it — with filter pushdown and column pruning then applying
@@ -294,10 +304,13 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     // --- filter: ts bounds must be rollup-aligned; the rest must be
-    // series-identity predicates that carry over to the store scan
+    // series-identity predicates that carry over to the store scan.
+    // `kept` holds the normalized ORIGINAL forms too — the hybrid raw
+    // branch below needs them in base-attribute space.
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
     val carried = Seq.newBuilder[Expression]
+    val kept = Seq.newBuilder[Expression]
     conjuncts.foreach {
       case GreaterThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) =>
         lo = Some(lo.fold(v)(math.max(_, v)))
@@ -310,28 +323,27 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       // null ts ⟺ null bucket_ts (the floor is null-preserving)
       case IsNotNull(t: AttributeReference) if isTs(t) =>
         carried += IsNotNull(btsA)
-      case other => carried += rewriteExpr(other).getOrElse(return None)
+        kept += IsNotNull(t)
+      case other =>
+        carried += rewriteExpr(other).getOrElse(return None)
+        kept += other
     }
     if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
     if (hi.exists(v => Math.floorMod(v, rSec) != 0L)) return None
-    // a maintained store serves only ranges wholly below its flush
-    // frontier; an unbounded query needs a complete store
-    if (marker.rollupUntil != Long.MaxValue && !hi.exists(_ <= marker.rollupUntil))
-      return None
-    val bounds =
-      lo.map(v => GreaterThanOrEqual(btsA, Literal(v)).asInstanceOf[Expression]).toSeq ++
-        hi.map(v => LessThan(btsA, Literal(v)))
 
     // --- grouping: identity columns, or exactly the ts floor pattern
-    val newGroups = agg.groupingExpressions.map(normalize).map { g =>
+    val floorNs = scala.collection.mutable.Set.empty[Long]
+    val normGroups = agg.groupingExpressions.map(normalize)
+    val newGroups = normGroups.map { g =>
       val refsTs = g.references.exists {
         case a: AttributeReference => isTs(a)
         case _ => false
       }
       val exactFloor = g match {
         case Subtract(t1: AttributeReference,
-            Remainder(t2: AttributeReference, IntegralLiteral(_), _), _) =>
-          isTs(t1) && isTs(t2)
+            Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
+            if isTs(t1) && isTs(t2) =>
+          floorNs += n; true
         case _ => false
       }
       if (refsTs && !exactFloor) return None
@@ -339,13 +351,35 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     }
 
     // --- aggregate output: preserve every name and exprId
-    val newResult = agg.aggregateExpressions.map { ne =>
-      rewriteExpr(normalize(ne)).getOrElse(return None) match {
+    val normResult = agg.aggregateExpressions.map(normalize)
+    val newResult = agg.aggregateExpressions.zip(normResult).map { case (ne, norm) =>
+      rewriteExpr(norm).getOrElse(return None) match {
         case n: NamedExpression if n.exprId == ne.exprId => n
         case other => Alias(other, ne.name)(exprId = ne.exprId)
       }
     }
 
+    // --- the flush frontier of a MAINTAINED store: a range wholly below
+    // it serves outright; a straddling range SPLITS on the largest query
+    // bucket boundary at or below it — closed buckets from the store,
+    // the open tail from raw ([[graft.rollup.Rollup.downsampleHybrid]]'s
+    // no-partial-merge discipline at the SQL layer). The split needs the
+    // bucket floor ON the grouping key (exactly one floor interval), so
+    // no group's rows land on both sides.
+    val frontierSplit: Option[Long] =
+      if (marker.rollupUntil == Long.MaxValue || hi.exists(_ <= marker.rollupUntil)) None
+      else if (floorNs.size != 1) return None // no or ambiguous bucket axis
+      else {
+        val n = floorNs.head
+        val f = marker.rollupUntil - Math.floorMod(marker.rollupUntil, n)
+        if (lo.exists(_ >= f) || f <= 0) return None // nothing closed: all raw
+        Some(f)
+      }
+    val servedHi = frontierSplit.orElse(hi)
+
+    val bounds =
+      lo.map(v => GreaterThanOrEqual(btsA, Literal(v)).asInstanceOf[Expression]).toSeq ++
+        servedHi.map(v => LessThan(btsA, Literal(v)))
     val newCond = (bounds ++ carried.result()).reduceOption(And)
     val newChild = newCond.fold(rollup)(Filter(_, rollup))
     val served = agg.copy(groupingExpressions = newGroups,
@@ -355,6 +389,27 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       served.output.zip(agg.output).forall { case (a, b) =>
         a.name == b.name && a.dataType == b.dataType && a.exprId == b.exprId
       }
-    if (sameSchema) Some(served) else None
+    if (!sameSchema) return None
+
+    frontierSplit match {
+      case None => Some(served)
+      case Some(f) =>
+        // raw tail [f, hi): the original aggregate, normalized to the
+        // marker's own attribute space, over the unrouted child. Result
+        // aliases get FRESH ids — Union takes its output from the served
+        // branch, and sibling branches must not share defining ids.
+        val ts = tsA.getOrElse(return None)
+        val rawCond = (Seq[Expression](GreaterThanOrEqual(ts, Literal(f))) ++
+          hi.map(v => LessThan(ts, Literal(v))) ++ kept.result()).reduce(And)
+        val rawResult = normResult.map {
+          case a: Alias => Alias(a.child, a.name)()
+          case n: NamedExpression => n
+        }
+        val rawAgg = Aggregate(normGroups, rawResult, Filter(rawCond, marker.child))
+        val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>
+          a.dataType == b.dataType
+        }
+        if (typesMatch) Some(Union(Seq(served, rawAgg))) else None
+    }
   }
 }

@@ -155,6 +155,43 @@ object RollupQueries {
            |WHERE ts >= $Start AND ts < $End
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // A14 HYBRID at the SQL layer (round 12): the marked view carries a
+    // store TRUNCATED at a mid-range flush frontier, so the rewrite must
+    // SPLIT — closed days served from the store UNION the open tail run
+    // raw — exactly downsampleHybrid's no-partial-merge discipline, now
+    // transparent to a SQL user whose dashboard window straddles the
+    // frontier. Shares q_rollup_sum's oracle verbatim: a split that
+    // loses, double-counts, or mis-floors the straddling day fails the
+    // hash. Plan shape (store scan + raw window in ONE plan) is pinned
+    // in RollupRoutingSpec.
+    "q_sql_rollup_hybrid" -> { (s, d) =>
+      val frontier = Start + 10 * 86400 + 3600 // mid-day, hour-aligned
+      graft.plans.RollupRouting.registerView(s, TsdbViews.points(s, d),
+        s.read.parquet(storeFor(s, d)).filter(col("bucket_ts") < frontier),
+        RollupInterval, "graft_points_routed_hybrid", rollupUntil = frontier)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed_hybrid
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // CROSS-SERIES (spatial) group-by through the rewrite: grouping by
+    // host collapses many series into one group, and the store rows
+    // still partition the same point set, so Σ(stored hourly sums) per
+    // (host, day) equals the raw sum exactly — the rule is not limited
+    // to per-series shapes. Own single-stage oracle below.
+    "q_sql_rollup_spatial" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT tags['host'] AS tag_host, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2""".stripMargin)
+    },
     // dev through the rewrite: stddev_samp(clean) reconstructed from the
     // stored moments (sum/cnt/sumofsquare) — q_rollup_dev's exact
     // stddev_samp oracle, so moment error beyond round4 fails the hash
@@ -242,6 +279,13 @@ object RollupQueries {
     "q_sql_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_sql_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_sql_expr_ratio" -> TsdbQueries.oracles("q_expr_ratio"),
+    "q_sql_rollup_hybrid" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_spatial" ->
+      s"""WITH $pointsCtes
+         |SELECT tag_host, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2""".stripMargin,
     "q_sql_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_rollup_ewma" -> TsdbQueries.oracles("q_ds_ewma")
   )

@@ -151,28 +151,71 @@ class RollupRoutingSpec extends AnyFunSuite {
       b.collect().map(_.toString).sorted.toSeq)
   }
 
-  test("a maintained-store flush frontier gates serving") {
+  test("a maintained-store flush frontier splits serving hybrid") {
     val (pts, store) = env
-    val frontier = Lo + 7 * 86400
-    RollupRouting.registerView(spark, pts, store, "1h", "v_frontier",
+    // frontier mid-DAY on an hour boundary: the split must floor to the
+    // day-7 label, not serve the partial day
+    val frontier = Lo + 7 * 86400 + 3600
+    // the store genuinely ends at the frontier — a split that reads the
+    // store past it, or raw below it, would lose or double-count rows
+    val truncated = store.filter(
+      org.apache.spark.sql.functions.col("bucket_ts") < frontier)
+    RollupRouting.registerView(spark, pts, truncated, "1h", "v_frontier",
       rollupUntil = frontier)
     def q(hi: Long) = spark.sql(
       s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
          |FROM v_frontier WHERE ts >= $Lo AND ts < $hi GROUP BY 1, 2""".stripMargin)
-    assert(routed(q(frontier)), "a range closed below the frontier must serve")
+    assert(routed(q(Lo + 7 * 86400)), "a range closed below the frontier must serve")
+    // a straddling range splits: store scan for closed days UNION a raw
+    // window tail — both shapes present in one plan
     val past = q(Hi)
-    assert(!routed(past), "a range past the frontier must read raw")
-    // and an unbounded range cannot be proven covered either
+    val plan = past.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("bucket_ts"),
+      s"hybrid split missing a side:\n$plan")
+    val rawSql =
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    assert(past.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", rawSql).collect().map(_.toString).sorted.toSeq)
+    // an UNBOUNDED tail splits too (raw side [frontier, inf))
     val unbounded = spark.sql(
       s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
          |FROM v_frontier WHERE ts >= $Lo GROUP BY 1, 2""".stripMargin)
-    assert(!routed(unbounded))
-    // the refused paths still answer correctly
-    val raw = sql("v_raw",
+    val rawUnbounded = sql("v_raw",
       s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
-         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin)
-    assert(past.collect().map(_.toString).sorted.toSeq ===
-      raw.collect().map(_.toString).sorted.toSeq)
+         |FROM $$V WHERE ts >= $Lo GROUP BY 1, 2""".stripMargin)
+    assert(unbounded.collect().map(_.toString).sorted.toSeq ===
+      rawUnbounded.collect().map(_.toString).sorted.toSeq)
+    // no bucket floor on the grouping key ⇒ groups would straddle the
+    // split ⇒ whole query reads raw
+    val noFloor = spark.sql(
+      s"""SELECT metric, round(sum($clean), 4) AS s
+         |FROM v_frontier WHERE ts >= $Lo AND ts < $Hi GROUP BY 1""".stripMargin)
+    assert(!noFloor.queryExecution.executedPlan.toString.contains("bucket_ts"))
+    assert(noFloor.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw",
+        s"""SELECT metric, round(sum($clean), 4) AS s
+           |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("cross-series (spatial) group-bys serve too — sums are associative") {
+    // grouping by host collapses many series into one group; the store
+    // rows still partition the same point set, so Σ(hourly sums) per
+    // (host, day) equals the raw sum exactly
+    assertSame(
+      s"""SELECT tags['host'] AS h, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("SELECT DISTINCT on identity columns serves from the store") {
+    // a store row exists iff a raw point exists for that (series, hour),
+    // so identity-column distincts agree exactly
+    assertSame(
+      s"""SELECT DISTINCT metric, tags['colo'] AS colo
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi""".stripMargin,
+      expectRouted = true)
   }
 
   test("a count() wrapper over a routed aggregate still serves") {
@@ -212,6 +255,10 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(routed(r), r.queryExecution.executedPlan.toString)
     val f = graft.SparkEntry.queries("q_sql_rollup_fallback")(spark, sf)
     assert(!routed(f), "90m must run raw over the marked view")
+    val h = graft.SparkEntry.queries("q_sql_rollup_hybrid")(spark, sf)
+    val hPlan = h.queryExecution.executedPlan.toString
+    assert(hPlan.contains("Window") && hPlan.contains("bucket_ts"),
+      s"registry hybrid row must carry both sides:\n$hPlan")
   }
 
   test("the served plan reads only the store columns it needs") {
