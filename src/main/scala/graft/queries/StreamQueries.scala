@@ -758,6 +758,29 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // The TRANSPARENT-SQL twin of q_rollup_hybrid (round 12): the marked
+    // view pairs the live hybrid lake's raw points with its
+    // ingest-MAINTAINED rollup table at the REAL flush frontier (the
+    // close gate left the frozen clock's segment un-rolled), and the
+    // plain daily-sum SQL a dashboard runs over [Start, End) is split by
+    // the RollupRouting rewrite — closed days from the maintained store
+    // UNION the genuine open tail raw. End-to-end production shape:
+    // ingest maintains, SQL serves, the frontier is the ingest's own.
+    // Shares q_rollup_hybrid's all-raw oracle verbatim.
+    "q_sql_rollup_hybrid_streamed" -> { (s, d) =>
+      val cfg = hybridLakeFor(s, d)
+      graft.plans.RollupRouting.registerView(s, IngestJob.points(s, cfg),
+        IngestJob.rollup(s, cfg), RollupInterval, "graft_points_hybrid_live",
+        rollupUntil = IngestJob.rollupFrontier(s, cfg))
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_hybrid_live
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+
     // S2/R2: the admitted row set under a finite retention window
     "q_stream_admission" -> { (s, d) =>
       IngestJob.points(s, admissionLakeFor(s, d))
@@ -816,6 +839,14 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     }
   )
+
+  /** Shared by the engine hybrid route and its transparent-SQL twin. */
+  private val HybridOracle: String =
+    s"""WITH $pointsCtes
+       |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+       |       ${rnd("sum(value)")} AS sum_value
+       |FROM dedup WHERE ${inRange()} AND ts <= ${HybridNowSec + HybridFutureSec}
+       |GROUP BY 1, 2, 3""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // streamed derivative replays the batch rate restatement verbatim
@@ -941,12 +972,10 @@ object StreamQueries {
 
     // the ingest clock's isEarly check capped admission at now+tolerance;
     // within that, hybrid rollup∪raw must equal the all-raw answer
-    "q_rollup_hybrid" ->
-      s"""WITH $pointsCtes
-         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
-         |       ${rnd("sum(value)")} AS sum_value
-         |FROM dedup WHERE ${inRange()} AND ts <= ${HybridNowSec + HybridFutureSec}
-         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_rollup_hybrid" -> HybridOracle,
+    // the transparent SQL twin splits on the SAME real frontier — one
+    // oracle for both routes
+    "q_sql_rollup_hybrid_streamed" -> HybridOracle,
 
     // replay of IngestJob's event-time admission: median → future cutoff
     // → robust high-water mark → (hwm - retention, hwm + tolerance]
