@@ -250,6 +250,28 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(!plan.contains("events.parquet"), s"raw fact scan survived:\n$plan")
   }
 
+  test("a non-leaf store plan used by two aggregates in one query is safe") {
+    // the truncated store is a Filter plan, not a re-instantiable leaf —
+    // two rewrites insert the SAME subtree (shared exprIds in sibling
+    // branches, the self-union shape); results must still be exact
+    val (pts, store) = env
+    val truncated = store.filter(
+      org.apache.spark.sql.functions.col("bucket_ts") < Hi)
+    RollupRouting.registerView(spark, pts, truncated, "1h", "v_nonleaf")
+    val q =
+      s"""SELECT metric, b, s FROM (
+         |  SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |  FROM v_nonleaf WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT metric, ts - ts % 43200 AS b, round(sum($clean), 4) AS s
+         |  FROM v_nonleaf WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2)""".stripMargin
+    val a = spark.sql(q)
+    assert(routed(a), a.queryExecution.executedPlan.toString)
+    val b = sql("v_raw", q.replace("v_nonleaf", "v_raw"))
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      b.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("the registry rows route / fall back as declared") {
     val r = graft.SparkEntry.queries("q_sql_rollup_routed")(spark, sf)
     assert(routed(r), r.queryExecution.executedPlan.toString)
