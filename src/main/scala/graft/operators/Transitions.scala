@@ -56,7 +56,13 @@ object Transitions {
     val typed = events
       .select(key.as("__k"), eventType.as("__t"), ts.as("__ts"), tiebreak.as("__tb"))
     val bucketed = maxTypes.fold(typed) { h =>
-      val head = typed.groupBy(col("__t")).agg(count(lit(1)).as("__n"))
+      // null types can never match the equi-join below, so letting one
+      // rank into the head would waste a slot and evict a real type —
+      // they bucket to [[OtherType]] like any tail type. (Precondition:
+      // no REAL type is literally named [[OtherType]], or it merges with
+      // the bucket — the PMI head-vocab caveat.)
+      val head = typed.filter(col("__t").isNotNull)
+        .groupBy(col("__t")).agg(count(lit(1)).as("__n"))
         .orderBy(col("__n").desc, col("__t").asc).limit(h)
         .select(col("__t"), lit(true).as("__head"))
       typed.join(broadcast(head), Seq("__t"), "left")

@@ -328,6 +328,11 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
         carried += rewriteExpr(other).getOrElse(return None)
         kept += other
     }
+    // pre-1970 instants: the store buckets with Spark's TRUNCATED `%`
+    // (bucket_ts = -3600 holds ts ∈ (-7200, -3600]), so range clipping
+    // by bucket_ts would admit out-of-range points — refuse and run raw,
+    // the same v >= 0 assumption SegmentPruning makes
+    if (lo.exists(_ < 0) || hi.exists(_ < 0)) return None
     if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
     if (hi.exists(v => Math.floorMod(v, rSec) != 0L)) return None
 
@@ -401,9 +406,14 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
         val ts = tsA.getOrElse(return None)
         val rawCond = (Seq[Expression](GreaterThanOrEqual(ts, Literal(f))) ++
           hi.map(v => LessThan(ts, Literal(v))) ++ kept.result()).reduce(And)
-        val rawResult = normResult.map {
-          case a: Alias => Alias(a.child, a.name)()
-          case n: NamedExpression => n
+        // normalize() can turn a bare view attribute into a non-named
+        // expression (a derived-table alias inlines to GetMapValue /
+        // the floor arithmetic) — re-alias those under the original
+        // output name rather than relying on the input being named
+        val rawResult = agg.aggregateExpressions.zip(normResult).map {
+          case (_, a: Alias) => Alias(a.child, a.name)()
+          case (_, n: NamedExpression) => n
+          case (ne, other) => Alias(other, ne.name)()
         }
         val rawAgg = Aggregate(normGroups, rawResult, Filter(rawCond, marker.child))
         val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>

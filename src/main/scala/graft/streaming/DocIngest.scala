@@ -201,6 +201,8 @@ object DocIngest {
       ckptDir: String, schema: StructType,
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1 when set, got $compactEvery")
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
@@ -235,6 +237,8 @@ object DocIngest {
       ckptDir: String, schema: StructType,
       maxFilesPerTrigger: Option[Int] = None,
       compactEvery: Option[Int] = None): StreamingQuery = {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1 when set, got $compactEvery")
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))

@@ -116,7 +116,10 @@ object IngestJob {
       rollupLatenessSec: Long = 0,
       cms: Option[CmsConfig] = None,
       dds: Seq[DdsConfig] = Nil,
-      compactEvery: Option[Int] = None)
+      compactEvery: Option[Int] = None) {
+    require(compactEvery.forall(_ >= 1),
+      s"compactEvery must be >= 1 when set, got $compactEvery")
+  }
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
    *  expression against the admitted point rows): each micro-batch
@@ -362,14 +365,18 @@ object IngestJob {
 
   /** The maintained count–min sketch: micro-batch partials merged by
    *  cell-wise sum — identical to the one-shot batch sketch. */
-  def cmsCells(spark: SparkSession, cfg: Config): DataFrame =
+  def cmsCells(spark: SparkSession, cfg: Config): DataFrame = {
+    StoreCompaction.recover(spark.sessionState.newHadoopConf(), cmsPath(cfg))
     graft.operators.CountMin.merge(spark.read.parquet(cmsPath(cfg)))
+  }
 
   /** The maintained DDSketch bucket relation: micro-batch partials
    *  merged by (key, sgn, idx) count sum — identical to the one-shot
    *  batch sketch. Feed to [[graft.operators.QuantileSketch.quantiles]]. */
-  def ddsBuckets(spark: SparkSession, cfg: Config, name: String = "dds"): DataFrame =
+  def ddsBuckets(spark: SparkSession, cfg: Config, name: String = "dds"): DataFrame = {
+    StoreCompaction.recover(spark.sessionState.newHadoopConf(), ddsPath(cfg, name))
     graft.operators.QuantileSketch.merge(spark.read.parquet(ddsPath(cfg, name)))
+  }
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log

@@ -24,15 +24,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * not a compaction ran in between, and the folded snapshot only ever
  * contains batches that can no longer change.
  *
- * Concurrency: run this as an offline maintenance pass (between
- * triggers, or on the closed prefix of a live store). The swap is
- * per-file (staged snapshot files move in, exactly the planned source
- * files are deleted) so a micro-batch APPENDING a new partition
- * concurrently is never touched — but a READER overlapping the brief
- * move-in/delete window could see a folded batch twice, and unlike the
- * LWW logs a counts-are-sums read does not collapse duplicates. The
- * ingest harnesses run it post-ingest, the posture of
- * [[IngestJob.compact]].
+ * Crash safety: unlike the LWW logs, a counts-are-sums read does NOT
+ * collapse duplicates, so the swap cannot tolerate a window where the
+ * folded snapshot and the source partials coexist durably. The fold
+ * therefore (a) writes the snapshot as ONE file, moved in by a single
+ * atomic rename — no partially-visible snapshot state exists — and (b)
+ * brackets the swap with a manifest (`_fold_manifest` inside the
+ * snapshot partition; the underscore prefix hides it from parquet
+ * readers): manifest committed → snapshot renamed in → sources deleted
+ * → manifest removed. [[recover]] replays an interrupted swap from the
+ * manifest — snapshot present ⇒ finish the deletes; snapshot absent ⇒
+ * abort (sources intact, nothing lost) — and runs automatically at the
+ * start of every fold and in the engine's maintained-store readers
+ * ([[IngestJob.cmsCells]]/[[IngestJob.ddsBuckets]]), so a crashed swap
+ * heals before any sum can double.
+ *
+ * Concurrency: run the fold as a maintenance pass (in-band between
+ * triggers via `compactEvery`, or offline on the closed prefix). The
+ * swap never touches a concurrently-appended new batch partition; a
+ * reader overlapping the brief rename→delete window of a LIVE fold
+ * could still see a folded batch twice — in-band folds run inside
+ * foreachBatch where the engine's own readers cannot overlap.
  */
 object StoreCompaction {
 
@@ -53,6 +65,7 @@ object StoreCompaction {
   def compactBatchStore(spark: SparkSession, dir: String,
       fold: DataFrame => DataFrame, minFolded: Int = 2): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
+    recover(conf, dir) // heal any swap a crash interrupted (see scaladoc)
     val parts = batchDirs(conf, dir)
     if (parts.isEmpty) return false
     val maxId = parts.map(_._2).max
@@ -65,24 +78,88 @@ object StoreCompaction {
     if (planned.isEmpty) return false
     val tmp = s"$dir.compact_tmp"
     // partition-dir reads don't carry batch_id (a partition column), so
-    // the folded frame has exactly the store's cell/count schema
+    // the folded frame has exactly the store's cell/count schema; ONE
+    // output file so the move-in below is a single atomic rename (the
+    // relation is summary-sized by construction)
     fold(spark.read.parquet(planned.map(_.toString): _*))
-      .write.mode("overwrite").parquet(tmp)
-    val snapDir = s"$dir/batch_id=$SnapshotBatchId"
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val snapDir = new Path(s"$dir/batch_id=$SnapshotBatchId")
+    val fs = snapDir.getFileSystem(conf)
     try {
-      graft.core.Fs.swapInFiles(conf, tmp, snapDir, planned)
-      // drop the now-empty folded partition dirs (the snapshot dir
-      // itself just received the new files and stays)
-      folded.map(_._1)
-        .filter(_.getName != s"batch_id=$SnapshotBatchId")
-        .foreach { p =>
-          if (graft.core.Fs.dataFiles(conf, p.toString).isEmpty)
-            p.getFileSystem(conf).delete(p, true): Unit
-        }
+      val staged = graft.core.Fs.dataFiles(conf, tmp) match {
+        case Seq(one) => one
+        case other => throw new java.io.IOException(
+          s"expected one staged snapshot file, found ${other.size} under $tmp")
+      }
+      if (!fs.exists(snapDir) && !fs.mkdirs(snapDir))
+        throw new java.io.IOException(s"mkdirs $snapDir failed")
+      // unique target name: the previous snapshot file is among `planned`
+      // and must coexist until the swap completes
+      val target = new Path(snapDir, s"fold-${java.util.UUID.randomUUID}.parquet")
+      // 1. commit the manifest (temp + atomic rename)
+      writeManifest(fs, manifestPath(dir), target, planned)
+      // 2. the single atomic move-in
+      if (!fs.rename(staged, target))
+        throw new java.io.IOException(s"rename $staged -> $target failed")
+      // 3. delete the folded sources, 4. drop the manifest
+      finishSwap(fs, dir, target, planned)
     } finally {
-      new Path(tmp).getFileSystem(conf).delete(new Path(tmp), true): Unit
+      fs.delete(new Path(tmp), true): Unit
     }
     true
+  }
+
+  private def manifestPath(dir: String): Path =
+    new Path(s"$dir/batch_id=$SnapshotBatchId/_fold_manifest")
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem, mf: Path,
+      target: Path, planned: Seq[Path]): Unit = {
+    val tmp = new Path(mf.getParent, "_fold_manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((target.toString +: planned.map(_.toString))
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(mf, false)
+    if (!fs.rename(tmp, mf))
+      throw new java.io.IOException(s"manifest commit $mf failed")
+  }
+
+  private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      target: Path, planned: Seq[Path]): Unit = {
+    planned.foreach { f =>
+      if (fs.exists(f) && !fs.delete(f, false))
+        throw new java.io.IOException(s"delete $f failed")
+    }
+    // drop now-empty folded partition dirs (not the snapshot's own)
+    planned.map(_.getParent).distinct
+      .filter(p => p.getName != s"batch_id=$SnapshotBatchId")
+      .foreach { p =>
+        if (fs.exists(p) && graft.core.Fs.dataFiles(fs.getConf, p.toString).isEmpty)
+          fs.delete(p, true): Unit
+      }
+    fs.delete(manifestPath(dir), false): Unit
+  }
+
+  /** Replay a swap a crash interrupted, from its committed manifest:
+   *  snapshot file present ⇒ the fold is durable, finish the source
+   *  deletes; absent ⇒ abort (sources were never removed — nothing is
+   *  lost, the next fold redoes the work). Idempotent and cheap when no
+   *  manifest exists (one existence probe); called by every fold entry
+   *  and by the engine's maintained-store readers. */
+  def recover(conf: Configuration, dir: String): Unit = {
+    val mf = manifestPath(dir)
+    val fs = mf.getFileSystem(conf)
+    if (!fs.exists(mf)) return
+    val in = fs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    lines match {
+      case targetStr :: plannedStrs =>
+        val target = new Path(targetStr)
+        if (fs.exists(target)) finishSwap(fs, dir, target, plannedStrs.map(new Path(_)))
+        else fs.delete(mf, false): Unit
+      case Nil => fs.delete(mf, false): Unit
+    }
   }
 
   /** Fold + RETENTION in one maintenance pass: compact the closed batch

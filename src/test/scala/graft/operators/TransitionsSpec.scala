@@ -78,6 +78,27 @@ class TransitionsSpec extends AnyFunSuite {
     assert(runCapped(rows, 5) === run(rows).view.mapValues(_._1).toMap)
   }
 
+  test("null types never occupy a head slot") {
+    // null×3 outranks both real types but could never match the head
+    // equi-join — the slots must go to real types, and null rows bucket
+    // to __other like any tail type
+    val rows = Seq(
+      (1L, "A", 10L, 1L), (1L, null.asInstanceOf[String], 20L, 2L),
+      (1L, null.asInstanceOf[String], 30L, 3L), (1L, "A", 40L, 4L),
+      (1L, null.asInstanceOf[String], 50L, 5L), (1L, "B", 60L, 6L),
+      (1L, "B", 70L, 7L))
+    val m = runCapped(rows, 2)
+    val labels = m.keySet.flatMap(k => Set(k._1, k._2))
+    assert(labels.subsetOf(Set("A", "B", Transitions.OtherType)))
+    // chain with remap: A __o __o A __o B B
+    assert(m === Map(
+      ("A", Transitions.OtherType) -> 2L,
+      (Transitions.OtherType, Transitions.OtherType) -> 1L,
+      (Transitions.OtherType, "A") -> 1L,
+      (Transitions.OtherType, "B") -> 1L,
+      ("B", "B") -> 1L))
+  }
+
   test("maxTypes < 1 is rejected") {
     intercept[IllegalArgumentException](runCapped(Seq((1L, "A", 5L, 1L)), 0))
   }

@@ -250,6 +250,31 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(!plan.contains("events.parquet"), s"raw fact scan survived:\n$plan")
   }
 
+  test("hybrid split survives a derived-table phrasing") {
+    // the subquery's aliases inline during normalization, so the raw
+    // branch's result expressions arrive NON-named (GetMapValue, the
+    // floor arithmetic) — the split must re-alias them, not MatchError
+    // (regression: the rule's contract is raw fallback, never failure)
+    val (pts, store) = env
+    val frontier = Lo + 7 * 86400 + 3600
+    val truncated = store.filter(
+      org.apache.spark.sql.functions.col("bucket_ts") < frontier)
+    RollupRouting.registerView(spark, pts, truncated, "1h", "v_dtbl",
+      rollupUntil = frontier)
+    def q(view: String) = spark.sql(
+      s"""SELECT u, d, round(sum(CASE WHEN isnan(v) THEN CAST(NULL AS DOUBLE)
+         |                            ELSE v END), 4) AS s
+         |FROM (SELECT tags['user'] AS u, ts - ts % 86400 AS d, ts, value AS v
+         |      FROM $view)
+         |WHERE ts >= $Lo AND ts < $Hi GROUP BY u, d""".stripMargin)
+    val a = q("v_dtbl")
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket_ts") && plan.contains("Window"),
+      s"derived-table hybrid did not split:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      q("v_raw").collect().map(_.toString).sorted.toSeq)
+  }
+
   test("a non-leaf store plan used by two aggregates in one query is safe") {
     // the truncated store is a Filter plan, not a re-instantiable leaf —
     // two rewrites insert the SAME subtree (shared exprIds in sibling

@@ -177,6 +177,52 @@ class StoreCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("crash protocol: snapshot file is single and atomic, recovery completes or aborts") {
+    val conf = spark.sessionState.newHadoopConf()
+    // (a) a completed fold leaves ONE snapshot data file and no manifest
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc_cr").toString + "/store"
+    writeBatch(dir, 0, Seq(("a", 2L), ("b", 1L)))
+    writeBatch(dir, 1, Seq(("a", 3L)))
+    writeBatch(dir, 2, Seq(("c", 1L)))
+    val before = merged(dir)
+    assert(StoreCompaction.compactCounts(spark, dir, Seq("tk")))
+    val snap = new java.io.File(s"$dir/batch_id=${StoreCompaction.SnapshotBatchId}")
+    assert(snap.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+      "snapshot must be one atomically-renamed file")
+    assert(!snap.listFiles().exists(_.getName == "_fold_manifest"))
+
+    // (b) crash AFTER the snapshot rename, BEFORE the source deletes:
+    // rebuild that state by re-creating the folded sources + a manifest
+    // naming them — recovery must finish the deletes, restoring the
+    // exact pre-crash merged counts (no double-count survives)
+    writeBatch(dir, 1, Seq(("a", 3L))) // the "undeleted" folded source
+    val snapFile = snap.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val srcFiles = new java.io.File(s"$dir/batch_id=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val mf = new java.io.File(snap, "_fold_manifest")
+    java.nio.file.Files.writeString(mf.toPath,
+      (snapFile.getAbsolutePath +: srcFiles.toSeq).mkString("\n"))
+    assert(merged(dir) != before, "precondition: the crashed state double-counts")
+    StoreCompaction.recover(conf, dir)
+    assert(merged(dir) === before, "recovery must remove the folded sources")
+    assert(!mf.exists)
+
+    // (c) crash BEFORE the snapshot rename: manifest names a target that
+    // never arrived — recovery must abort without touching sources
+    writeBatch(dir, 3, Seq(("d", 9L)))
+    val src3 = new java.io.File(s"$dir/batch_id=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    java.nio.file.Files.writeString(mf.toPath,
+      (s"${snap.getAbsolutePath}/never-arrived.parquet" +: src3.toSeq).mkString("\n"))
+    val withNew = merged(dir)
+    StoreCompaction.recover(conf, dir)
+    assert(merged(dir) === withNew, "an aborted swap must lose nothing")
+    assert(!mf.exists)
+    // and the next fold entry (which recovers first) works normally
+    assert(StoreCompaction.compactCounts(spark, dir, Seq("tk")))
+    assert(merged(dir) === withNew)
+  }
+
   test("a store with nothing safely foldable is left untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sc3").toString + "/store"
     writeBatch(dir, 0, Seq(("a", 1L)))
