@@ -338,7 +338,7 @@ object PipelineQueries {
     // ingest (DocIngest compactEvery — round 12): still q_text_drift's
     // oracle verbatim
     "q_stream_drift_compacted" -> { (s, d) =>
-      val counts = s.read.parquet(driftCountsCompactedLake(s, d))
+      val counts = graft.streaming.StoreCompaction.read(s, driftCountsCompactedLake(s, d))
         .groupBy(col("source"), col("tk")).agg(sum(col("__c")).as("__c"))
       TextAnalysis.unigramDriftFromCounts(counts, 24)
     },
@@ -489,7 +489,8 @@ object PipelineQueries {
     "q_stream_pmi_compacted" -> { (s, d) =>
       val lake = pairCountsCompactedLake(s, d)
       TextAnalysis.pmiFromCounts(
-        s.read.parquet(s"$lake/uni"), s.read.parquet(s"$lake/bg"),
+        graft.streaming.StoreCompaction.read(s, s"$lake/uni"),
+        graft.streaming.StoreCompaction.read(s, s"$lake/bg"),
         minCount = 5, k = 40, headVocab = 2048)
     },
 

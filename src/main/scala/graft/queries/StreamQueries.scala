@@ -667,7 +667,8 @@ object StreamQueries {
     // bit-identical — q_stream_dds_range's raw-scan oracle verbatim
     "q_stream_dds_range_purged" -> { (s, d) =>
       import graft.operators.QuantileSketch
-      val days = QuantileSketch.merge(s.read.parquet(ddsDailyPurgedDir(s, d)))
+      val days = QuantileSketch.merge(
+        graft.streaming.StoreCompaction.read(s, ddsDailyPurgedDir(s, d)))
         .withColumn("day", TsdbQueries.ddsKeyPart(1).cast("long"))
         .filter(col("day") >= lit(Start) && col("day") < lit(End))
         .select(TsdbQueries.ddsKeyPart(0).as("key"), col("sgn"), col("idx"), col("cnt"))

@@ -364,19 +364,18 @@ object IngestJob {
     spark.read.parquet(rollupPath(cfg))
 
   /** The maintained count–min sketch: micro-batch partials merged by
-   *  cell-wise sum — identical to the one-shot batch sketch. */
-  def cmsCells(spark: SparkSession, cfg: Config): DataFrame = {
-    StoreCompaction.recover(spark.sessionState.newHadoopConf(), cmsPath(cfg))
-    graft.operators.CountMin.merge(spark.read.parquet(cmsPath(cfg)))
-  }
+   *  cell-wise sum — identical to the one-shot batch sketch. Reads via
+   *  [[StoreCompaction.read]]: swap-crash immune, never mutates (a
+   *  crashed fold's outstanding deletes are simply excluded). */
+  def cmsCells(spark: SparkSession, cfg: Config): DataFrame =
+    graft.operators.CountMin.merge(StoreCompaction.read(spark, cmsPath(cfg)))
 
   /** The maintained DDSketch bucket relation: micro-batch partials
    *  merged by (key, sgn, idx) count sum — identical to the one-shot
-   *  batch sketch. Feed to [[graft.operators.QuantileSketch.quantiles]]. */
-  def ddsBuckets(spark: SparkSession, cfg: Config, name: String = "dds"): DataFrame = {
-    StoreCompaction.recover(spark.sessionState.newHadoopConf(), ddsPath(cfg, name))
-    graft.operators.QuantileSketch.merge(spark.read.parquet(ddsPath(cfg, name)))
-  }
+   *  batch sketch. Feed to [[graft.operators.QuantileSketch.quantiles]].
+   *  Same pure [[StoreCompaction.read]] discipline as [[cmsCells]]. */
+  def ddsBuckets(spark: SparkSession, cfg: Config, name: String = "dds"): DataFrame =
+    graft.operators.QuantileSketch.merge(StoreCompaction.read(spark, ddsPath(cfg, name)))
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log

@@ -34,17 +34,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * readers): manifest committed → snapshot renamed in → sources deleted
  * → manifest removed. [[recover]] replays an interrupted swap from the
  * manifest — snapshot present ⇒ finish the deletes; snapshot absent ⇒
- * abort (sources intact, nothing lost) — and runs automatically at the
- * start of every fold and in the engine's maintained-store readers
- * ([[IngestJob.cmsCells]]/[[IngestJob.ddsBuckets]]), so a crashed swap
- * heals before any sum can double.
+ * abort (sources intact, nothing lost) — and runs at the start of every
+ * fold, so a crashed swap heals before the next fold plans.
  *
  * Concurrency: run the fold as a maintenance pass (in-band between
  * triggers via `compactEvery`, or offline on the closed prefix). The
- * swap never touches a concurrently-appended new batch partition; a
- * reader overlapping the brief rename→delete window of a LIVE fold
- * could still see a folded batch twice — in-band folds run inside
- * foreachBatch where the engine's own readers cannot overlap.
+ * swap never touches a concurrently-appended new batch partition, and
+ * READERS go through [[read]], which consults the manifest WITHOUT
+ * mutating anything: sources named by a committed manifest whose
+ * snapshot target exists are dead (the fold is durable) and are
+ * excluded from the listing, so a reader overlapping ANY step boundary
+ * of the swap — including the rename→delete window of a live or
+ * crashed fold — reads exact counts. Manifest cleanup (including the
+ * abort of a never-durable fold) happens ONLY at fold entry; a pure
+ * read never deletes, so it can neither race a live fold's swap nor
+ * destroy the manifest the protocol depends on. [[finishSwap]] itself
+ * tolerates files another finisher already deleted, so a fold-entry
+ * recover racing the original fold's own cleanup degrades to a no-op.
+ * The one remaining exposure is filesystem-level, not protocol-level: a
+ * reader that LISTED a source file the instant before the swap deletes
+ * it fails its scan (a retryable read error, never a wrong answer) —
+ * the same snapshot-isolation limit any file listing has.
  */
 object StoreCompaction {
 
@@ -124,10 +134,30 @@ object StoreCompaction {
       throw new java.io.IOException(s"manifest commit $mf failed")
   }
 
+  /** Manifest contents: (snapshot target, planned source files), or None
+   *  when the manifest is absent/empty. Paths are re-qualified against
+   *  the filesystem so comparisons with fresh listings are exact. */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      mf: Path): Option[(Path, Seq[Path])] = {
+    if (!fs.exists(mf)) return None
+    val in = fs.open(mf)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().toList finally in.close()
+    lines match {
+      case targetStr :: plannedStrs =>
+        Some((fs.makeQualified(new Path(targetStr)),
+          plannedStrs.map(s => fs.makeQualified(new Path(s)))))
+      case Nil => None
+    }
+  }
+
+  /** Deletes are idempotent across concurrent finishers: a file another
+   *  recover/fold already removed is success, not an error — only a file
+   *  that SURVIVES a failed delete aborts. */
   private def finishSwap(fs: org.apache.hadoop.fs.FileSystem, dir: String,
       target: Path, planned: Seq[Path]): Unit = {
     planned.foreach { f =>
-      if (fs.exists(f) && !fs.delete(f, false))
+      if (!fs.delete(f, false) && fs.exists(f))
         throw new java.io.IOException(s"delete $f failed")
     }
     // drop now-empty folded partition dirs (not the snapshot's own)
@@ -144,21 +174,50 @@ object StoreCompaction {
    *  snapshot file present ⇒ the fold is durable, finish the source
    *  deletes; absent ⇒ abort (sources were never removed — nothing is
    *  lost, the next fold redoes the work). Idempotent and cheap when no
-   *  manifest exists (one existence probe); called by every fold entry
-   *  and by the engine's maintained-store readers. */
+   *  manifest exists (one existence probe). FOLD-ENTRY ONLY: the abort
+   *  branch deletes a manifest, and a reader doing that could race a
+   *  live fold between its manifest commit and its snapshot rename —
+   *  destroying the very record the crash protocol needs. Readers use
+   *  [[read]], which never mutates. */
   def recover(conf: Configuration, dir: String): Unit = {
     val mf = manifestPath(dir)
     val fs = mf.getFileSystem(conf)
-    if (!fs.exists(mf)) return
-    val in = fs.open(mf)
-    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().toList finally in.close()
-    lines match {
-      case targetStr :: plannedStrs =>
-        val target = new Path(targetStr)
-        if (fs.exists(target)) finishSwap(fs, dir, target, plannedStrs.map(new Path(_)))
+    readManifest(fs, mf) match {
+      case Some((target, planned)) =>
+        if (fs.exists(target)) finishSwap(fs, dir, target, planned)
         else fs.delete(mf, false): Unit
-      case Nil => fs.delete(mf, false): Unit
+      case None => fs.delete(mf, false): Unit
+    }
+  }
+
+  /** Pure swap-crash-immune read of a batch-partitioned count store —
+   *  what the engine's maintained-store readers
+   *  ([[IngestJob.cmsCells]]/[[IngestJob.ddsBuckets]]) go through. A
+   *  committed `_fold_manifest` whose snapshot target EXISTS marks its
+   *  planned source files dead (the fold is durable; only the deletes
+   *  are outstanding), so they are excluded from the listing; a manifest
+   *  whose target never arrived is ignored (the sources are the truth).
+   *  Either way NOTHING is deleted — reads cannot race a live fold's
+   *  swap, and every step-boundary interleaving of
+   *  manifest→rename→delete→unmanifest reads exact counts
+   *  (StoreCompactionSpec pins both windows). The no-manifest hot path
+   *  is one existence probe + a plain directory read. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val mf = manifestPath(dir)
+    val fs = mf.getFileSystem(conf)
+    val dead: Set[String] = readManifest(fs, mf) match {
+      case Some((target, planned)) if fs.exists(target) =>
+        planned.map(_.toString).toSet
+      case _ => Set.empty
+    }
+    if (dead.isEmpty) spark.read.parquet(dir)
+    else {
+      val live = batchDirs(conf, dir)
+        .flatMap(p => graft.core.Fs.dataFiles(conf, p._1.toString))
+        .map(f => fs.makeQualified(f).toString)
+        .filterNot(dead.contains)
+      spark.read.option("basePath", dir).parquet(live: _*)
     }
   }
 

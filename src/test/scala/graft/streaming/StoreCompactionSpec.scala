@@ -223,6 +223,84 @@ class StoreCompactionSpec extends AnyFunSuite {
     assert(merged(dir) === withNew)
   }
 
+  private def readVia(dir: String): Map[String, Long] =
+    StoreCompaction.read(spark, dir)
+      .groupBy(col("tk")).agg(sum(col("__c")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("a reader between the snapshot rename and the source deletes reads exact counts and mutates nothing") {
+    // the verdict-#4 window: manifest committed, snapshot renamed in,
+    // folded sources NOT yet deleted (a live fold mid-swap, or a fold
+    // that crashed there). StoreCompaction.read must treat the
+    // manifest-planned sources as dead — exact counts — and must not
+    // delete anything (a read racing the live fold's own cleanup would
+    // otherwise destroy the manifest the protocol depends on).
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc_win").toString + "/store"
+    writeBatch(dir, 0, Seq(("a", 2L), ("b", 1L)))
+    writeBatch(dir, 1, Seq(("a", 3L)))
+    writeBatch(dir, 2, Seq(("c", 1L)))
+    val before = merged(dir)
+    assert(StoreCompaction.compactCounts(spark, dir, Seq("tk")))
+    // rebuild the mid-swap state: folded source back in place + manifest
+    writeBatch(dir, 1, Seq(("a", 3L)))
+    val snap = new java.io.File(s"$dir/batch_id=${StoreCompaction.SnapshotBatchId}")
+    val snapFile = snap.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val srcFiles = new java.io.File(s"$dir/batch_id=1").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val mf = new java.io.File(snap, "_fold_manifest")
+    java.nio.file.Files.writeString(mf.toPath,
+      (snapFile.getAbsolutePath +: srcFiles.toSeq).mkString("\n"))
+    assert(merged(dir) != before, "precondition: a raw read of this state double-counts")
+    assert(readVia(dir) === before, "the read path must exclude manifest-dead sources")
+    // pure: manifest and sources untouched by the read
+    assert(mf.exists, "a read must never delete the manifest")
+    assert(srcFiles.forall(f => new java.io.File(f).exists),
+      "a read must never delete source files")
+    // the next fold entry heals the window for real
+    StoreCompaction.recover(spark.sessionState.newHadoopConf(), dir)
+    assert(merged(dir) === before)
+    assert(!mf.exists)
+  }
+
+  test("a reader with a manifest whose target never arrived reads the sources and mutates nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc_win2").toString + "/store"
+    writeBatch(dir, 0, Seq(("a", 2L)))
+    writeBatch(dir, 1, Seq(("b", 5L)))
+    val truth = merged(dir)
+    val snap = new java.io.File(s"$dir/batch_id=${StoreCompaction.SnapshotBatchId}")
+    snap.mkdirs()
+    val src = new java.io.File(s"$dir/batch_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    val mf = new java.io.File(snap, "_fold_manifest")
+    java.nio.file.Files.writeString(mf.toPath,
+      (s"${snap.getAbsolutePath}/never-arrived.parquet" +: src.toSeq).mkString("\n"))
+    // target absent ⇒ the fold never became durable ⇒ sources are truth
+    assert(readVia(dir) === truth)
+    assert(mf.exists, "a read must not abort-delete a manifest (fold-entry only)")
+    assert(src.forall(f => new java.io.File(f).exists))
+  }
+
+  test("recover tolerates planned files another finisher already removed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc_idem").toString + "/store"
+    writeBatch(dir, 0, Seq(("a", 2L)))
+    writeBatch(dir, 1, Seq(("b", 5L)))
+    writeBatch(dir, 2, Seq(("c", 1L)))
+    assert(StoreCompaction.compactCounts(spark, dir, Seq("tk")))
+    val after = merged(dir)
+    val snap = new java.io.File(s"$dir/batch_id=${StoreCompaction.SnapshotBatchId}")
+    val snapFile = snap.listFiles().filter(_.getName.endsWith(".parquet")).head
+    // a manifest whose planned sources are ALREADY gone (a concurrent
+    // finisher won the exists-then-delete race): recover must finish
+    // cleanly, not throw from a failed delete of a missing file
+    val mf = new java.io.File(snap, "_fold_manifest")
+    java.nio.file.Files.writeString(mf.toPath,
+      Seq(snapFile.getAbsolutePath, s"$dir/batch_id=0/already-gone.parquet")
+        .mkString("\n"))
+    StoreCompaction.recover(spark.sessionState.newHadoopConf(), dir)
+    assert(!mf.exists)
+    assert(merged(dir) === after)
+  }
+
   test("a store with nothing safely foldable is left untouched") {
     val dir = java.nio.file.Files.createTempDirectory("graft_sc3").toString + "/store"
     writeBatch(dir, 0, Seq(("a", 1L)))
