@@ -7,37 +7,35 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, TimestampType}
+
+/** One stored composite in a rollup ladder: the analyzed plan of a
+ *  [[graft.rollup.Rollup.build]] table (series_id, metric, tags,
+ *  bucket_ts, sum, cnt, min, max, last, sumsq) at `intervalSeconds`
+ *  granularity, complete over the facade's time domain up to `frontier`
+ *  (`Long.MaxValue` = complete store; anything lower is the ingest's
+ *  close-gated flush frontier, [[graft.streaming.IngestJob.rollupFrontier]]). */
+case class RollupStoreRef(plan: LogicalPlan, intervalSeconds: Long, frontier: Long)
 
 /**
  * Marker node for transparent rollup routing in SQL (A14 lifted into the
  * optimizer). `child` is the LWW-deduped points plan a temp view exposes;
- * `rollup` is the analyzed plan of the stored composite rollup
- * ([[graft.rollup.Rollup.build]] schema: series_id, metric, tags,
- * bucket_ts, sum, cnt, min, max, last, sumsq) covering `child`'s ENTIRE
- * time domain at `rollupSeconds` granularity — the registration contract,
- * exactly the completeness the engine-path router assumes
- * ([[graft.rollup.Rollup.downsampleRouted]]).
+ * `stores` is the rollup LADDER attached at registration — one or more
+ * stored composites (e.g. 1h + 1d), each covering `child`'s ENTIRE time
+ * domain at its own granularity up to its own flush frontier. The
+ * reference's rollup-aware read picks among stored aggregation streams
+ * the same way — interval id + aggregator bitmask per segment
+ * (GorillaDownSampledTimeSeriesEncoder.java:85-120,138-180).
  *
  * The node is a pure pass-through: unrewritten it plans as its child (the
  * [[RollupRouting]] rule strips every marker it does not serve, in the
  * same pass), so a query that cannot be served is simply the raw query.
- * `rollup` rides as a FIELD, not a child, so optimizer transforms do not
- * descend into the store plan until it is actually substituted.
- *
- * `rollupUntil` is the flush frontier for an ingest-MAINTAINED store
- * whose close-gated flush has not covered the open tail yet
- * ([[graft.streaming.IngestJob.rollupFrontier]]): the rule serves only
- * queries whose upper bound sits at or below it — the engine router's
- * closed-segments-from-rollup / open-tail-from-raw discipline
- * ([[graft.rollup.Rollup.downsampleHybrid]]), collapsed to serve-or-raw
- * at the SQL layer. `Long.MaxValue` = complete store.
+ * Store plans ride as FIELDS, not children, so optimizer transforms do
+ * not descend into them until one is actually substituted.
  */
 case class RollupServable(
     child: LogicalPlan,
-    rollup: LogicalPlan,
-    rollupSeconds: Long,
-    rollupUntil: Long = Long.MaxValue) extends UnaryNode {
+    stores: Seq[RollupStoreRef]) extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
   override protected def withNewChildInternal(newChild: LogicalPlan): RollupServable =
@@ -51,7 +49,7 @@ case class RollupServable(
  * rewrite, so plain `spark.sql` over the facade view gets A14 routing
  * transparently — the engine-path router ([[graft.rollup.Rollup]]) serves
  * programmatic queries; this rule serves the SQL front end from the SAME
- * stored composite.
+ * stored composites.
  *
  * A downsample-shaped aggregate
  *
@@ -61,32 +59,59 @@ case class RollupServable(
  * }}}
  *
  * over a [[RollupServable]]-marked view is rewritten to scan ONLY the
- * rollup store when every condition for an exact answer holds:
+ * COARSEST rollup store that can answer it exactly, when every condition
+ * for an exact answer holds:
  *
- *  - every grouping expression references only series identity columns
- *    (metric / tags / series_id) or is the epoch floor `ts - ts % N`
- *    with `N` a positive multiple of the rollup interval;
- *  - every aggregate is sum/min/max/count/avg of the NaN-cleaned value
- *    (`CASE WHEN isnan(value) THEN NULL ELSE value END`, or
- *    `nanvl(value, NULL)`) — the exact event space the stored composite
- *    was built over. sum→Σsum, min→min(min), max→max(max),
+ *  - every grouping expression references `ts` only through a recognized
+ *    BUCKETING CORE that is provably constant within each stored rollup
+ *    bucket (arbitrary deterministic wrappers around a core are fine —
+ *    a function of a per-bucket constant is a per-bucket constant):
+ *      - epoch floors, in every algebraically-equal spelling SQL users
+ *        write (the serve decision is phrasing-independent in the
+ *        reference, AerospikeBatchQueryNode.java:196-226): `ts - ts % N`,
+ *        `floor(ts / N) * N`, `cast(ts / N as long) * N`,
+ *        `(ts div N) * N` — legal when `N` is a positive multiple of the
+ *        store interval. The FP spellings are exact under the
+ *        registration contract (ts ∈ [0, 2^54): the double division's
+ *        rounding error can only cross an integer boundary when
+ *        `n*q > 2^54`, and long→double truncation equals floor for
+ *        non-negative values);
+ *      - calendar truncations — `date_trunc(unit, ·)` over
+ *        `timestamp_seconds(ts)` / `cast(ts as timestamp)`, directly
+ *        (session-zone walls) or through the standard zone idiom
+ *        `from_utc_timestamp(·, z)` (+ optional `to_utc_timestamp` /
+ *        `to_unix_timestamp` wrappers) — legal when every wall-clock
+ *        boundary instant of the truncation AND every zone transition
+ *        inside the queried range lands on a multiple of the store
+ *        interval (the [[graft.rollup.Rollup.canServeCalendar]] /
+ *        `canServeTz` test, evaluated directly on the enumerated
+ *        boundary set: Denver month starts are whole hours — a 1h store
+ *        serves; Kolkata's +05:30 puts them on half hours — refused
+ *        unless a 30m store is in the ladder);
+ *  - every aggregate is sum/min/max/count/avg/stddev_samp of the
+ *    NaN-cleaned value (`CASE WHEN isnan(value) THEN NULL ELSE value
+ *    END`, or `nanvl(value, NULL)`) — the exact event space the stored
+ *    composite was built over. sum→Σsum, min→min(min), max→max(max),
  *    count→Σcnt, avg→Σsum/Σcnt (the reference's avg-as-sum/count
- *    rewrite, core/downsample/AggregatorType.java);
- *  - every ts range bound is rollup-aligned (`a % rSec == 0`), so stored
+ *    rewrite, core/downsample/AggregatorType.java), stddev from the
+ *    stored moments (SumOfSquareAggregator.java:24);
+ *  - every ts range bound is store-aligned (`a % rSec == 0`), so stored
  *    rows clip exactly like raw points — an unaligned bound would let an
  *    edge composite row smuggle out-of-range points into the first or
  *    last bucket;
- *  - all other conjuncts reference only series identity columns (they
- *    carry over to the store scan: the composite holds per-series rows).
+ *  - all other conjuncts reference only series identity columns or ts
+ *    through a legal core (they carry over to the store scan: the
+ *    composite holds per-series rows).
  *
  * Anything else — count(*) (row count ≠ value count), plain sum(value)
  * (NaN-poisoning semantics the composite cannot reproduce), predicates
- * on value/seq, unaligned bounds — falls back by stripping the marker:
- * the query runs raw and stays correct, it just does not route. The
- * output schema (names, exprIds, types) is preserved exactly, so parent
- * operators never notice the substitution.
+ * on value/seq, unaligned bounds, non-deterministic expressions — falls
+ * back: first to the next-finer store in the ladder, then by stripping
+ * the marker so the query runs raw and stays correct. The output schema
+ * (names, exprIds, types) is preserved exactly, so parent operators
+ * never notice the substitution.
  *
- * A MAINTAINED store (`rollupUntil` < ∞) additionally splits a
+ * A MAINTAINED store (frontier < ∞) additionally splits a
  * frontier-straddling range hybrid: closed query buckets from the store
  * UNION the open tail raw, the engine router's discipline
  * ([[graft.rollup.Rollup.downsampleHybrid]]) at the SQL layer — a
@@ -98,26 +123,78 @@ case class RollupServable(
  *
  * Scale: this is the difference between a SQL dashboard aggregating a
  * 100 TB fact table and the same dashboard reading a composite that is
- * ~1/3600th of it — with filter pushdown and column pruning then applying
- * to the STORE scan for free.
+ * ~1/3600th of it — and with a ladder, a DAILY dashboard reads the 1d
+ * store (24× fewer rows again) instead of re-aggregating the 1h one —
+ * with filter pushdown and column pruning then applying to the STORE
+ * scan for free.
  */
 object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Register `viewName` as the LWW-deduped points view with the rollup
-   *  store attached for transparent serving. `rollupStore` must be the
-   *  exact composite of `points` over its whole time domain at
-   *  `rollupInterval` (the [[graft.rollup.Rollup.build]] output, e.g.
-   *  the ingest-maintained store). */
+  /** Register `viewName` as the LWW-deduped points view with one rollup
+   *  store attached for transparent serving — see [[registerLadder]] for
+   *  the full contract (this is the single-store special case). */
   def registerView(spark: SparkSession, points: DataFrame, rollupStore: DataFrame,
       rollupInterval: String, viewName: String,
-      rollupUntil: Long = Long.MaxValue): Unit = {
+      rollupUntil: Long = Long.MaxValue): Unit =
+    registerLadder(spark, points, Seq((rollupStore, rollupInterval, rollupUntil)),
+      viewName)
+
+  /** Register `viewName` as the LWW-deduped points view with a rollup
+   *  LADDER attached: `stores` is (composite, interval, frontier) per
+   *  rung, e.g. the 1h and 1d stores an ingest maintains. Queries are
+   *  served from the COARSEST rung that answers exactly (a daily
+   *  dashboard reads the 1d store; an hourly one the 1h store; a
+   *  non-dividing bucket falls to the finer rung before falling back to
+   *  raw) — the reference's per-segment interval-id dispatch
+   *  (GorillaDownSampledTimeSeriesEncoder.java:138-180).
+   *
+   *  REGISTRATION CONTRACT (not merely a bound check — violating it
+   *  diverges silently, the same `ts >= 0` assumption
+   *  [[SegmentPruning]] makes):
+   *   - each store is the exact [[graft.rollup.Rollup.build]] composite
+   *     of `points` over its whole time domain at its interval, up to
+   *     its frontier;
+   *   - `points.ts` is epoch SECONDS with ts ∈ [0, 2^54): non-negative
+   *     because the store buckets with Spark's truncated `%` (a point at
+   *     ts = -100 lands in bucket_ts = 0, so a served range scan would
+   *     include contributions the raw `ts >= 0` filter excludes), and
+   *     below 2^54 so the `floor(ts/N)*N` / `cast(ts/N as long)*N`
+   *     phrasings evaluate to the exact integer floor (see the class
+   *     doc). Any epoch-second — or even epoch-millisecond — horizon is
+   *     orders of magnitude inside both bounds.
+   *
+   *  Requires [[RollupRouting]] in the session's optimizer (install via
+   *  [[graft.core.GraftSession]] / `spark.sql.extensions =
+   *  graft.plans.GraftExtensions`) — otherwise the marker node would
+   *  survive to planning and fail with an obscure error far from the
+   *  registration site, so this refuses upfront instead. */
+  def registerLadder(spark: SparkSession, points: DataFrame,
+      stores: Seq[(DataFrame, String, Long)], viewName: String): Unit = {
+    require(stores.nonEmpty, "rollup ladder needs at least one store")
+    requireInstalled(spark)
     val deduped = graft.query.QueryEngine.dedupeConfigured(points)
     val marker = RollupServable(
       deduped.queryExecution.analyzed,
-      rollupStore.queryExecution.analyzed,
-      Intervals.toSeconds(rollupInterval),
-      rollupUntil)
+      stores.map { case (df, interval, until) =>
+        RollupStoreRef(df.queryExecution.analyzed,
+          Intervals.toSeconds(interval), until)
+      })
     GraftSqlBridge.ofRows(spark, marker).createOrReplaceTempView(viewName)
+  }
+
+  /** Probe that this session's optimizer actually carries the routing
+   *  rule: optimize a bare marker — installed ⇒ stripped; absent ⇒ it
+   *  survives and registration must fail loudly HERE, not at some later
+   *  query's planning with an unknown-node error. */
+  private def requireInstalled(spark: SparkSession): Unit = {
+    val probe = GraftSqlBridge.ofRows(spark, RollupServable(OneRowRelation(), Nil))
+      .queryExecution.optimizedPlan
+    if (probe.exists(_.isInstanceOf[RollupServable]))
+      throw new IllegalStateException(
+        "RollupRouting is not installed in this session's optimizer: build the " +
+          "session via graft.core.GraftSession (or set spark.sql.extensions=" +
+          "graft.plans.GraftExtensions) before registering a rollup-routed view — " +
+          "without the rule the marked view cannot be planned at all.")
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
@@ -174,15 +251,87 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
+  /** A foldable double operand (`86400` arrives as `cast(86400 as
+   *  double)` inside a `/`; `86400.0` as a literal). */
+  private object DoubleLiteral {
+    def unapply(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, DoubleType) => Some(v)
+      case c: Cast if c.foldable && c.dataType == DoubleType =>
+        c.eval() match {
+          case v: java.lang.Double => Some(v)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   private def isNullLiteral(e: Expression): Boolean = e match {
     case Literal(null, _) => true
     case c: Cast => isNullLiteral(c.child)
     case _ => false
   }
 
+  /** What a recognized bucketing core buckets by: a fixed epoch-anchored
+   *  width, or a civil-calendar truncation in a zone. */
+  private sealed trait BucketShape
+  private case class UniformBucket(n: Long) extends BucketShape
+  private case class CalendarBucket(unit: String, zone: String) extends BucketShape
+
+  /** date_trunc units this rule can enumerate boundaries for (SECOND and
+   *  finer truncate below any storable rollup — never servable). */
+  private val TruncUnits: Map[String, String] = Map(
+    "YEAR" -> "YEAR", "YYYY" -> "YEAR", "YY" -> "YEAR",
+    "QUARTER" -> "QUARTER",
+    "MONTH" -> "MONTH", "MON" -> "MONTH", "MM" -> "MONTH",
+    "WEEK" -> "WEEK",
+    "DAY" -> "DAY", "DD" -> "DAY",
+    "HOUR" -> "HOUR", "MINUTE" -> "MINUTE")
+
+  /** Epoch instants in (lo, hi) where `date_trunc(unit, wall-clock of
+   *  zone)` changes value: each wall-clock unit start resolved to the
+   *  timeline by the zone's rules (java.time — the same resolution
+   *  Spark's datetime expressions use). Capped so a pathological range
+   *  (minute-truncating a century) refuses instead of spinning; the cap
+   *  is driver-side work bounded by range/unit, never fact size. */
+  private def truncBoundaries(unit: String, zone: String,
+      lo: Long, hi: Long): Option[Seq[Long]] = {
+    import java.time.{DayOfWeek, Instant, LocalDateTime, ZoneId}
+    import java.time.temporal.{ChronoUnit, TemporalAdjusters}
+    val zid = try ZoneId.of(zone) catch { case _: java.time.DateTimeException => return None }
+    def floorWall(l: LocalDateTime): LocalDateTime = unit match {
+      case "YEAR" => LocalDateTime.of(l.getYear, 1, 1, 0, 0)
+      case "QUARTER" => LocalDateTime.of(l.getYear, ((l.getMonthValue - 1) / 3) * 3 + 1, 1, 0, 0)
+      case "MONTH" => LocalDateTime.of(l.getYear, l.getMonthValue, 1, 0, 0)
+      case "WEEK" => l.toLocalDate.`with`(
+        TemporalAdjusters.previousOrSame(DayOfWeek.MONDAY)).atStartOfDay
+      case "DAY" => l.toLocalDate.atStartOfDay
+      case "HOUR" => l.truncatedTo(ChronoUnit.HOURS)
+      case "MINUTE" => l.truncatedTo(ChronoUnit.MINUTES)
+    }
+    def next(l: LocalDateTime): LocalDateTime = unit match {
+      case "YEAR" => l.plusYears(1)
+      case "QUARTER" => l.plusMonths(3)
+      case "MONTH" => l.plusMonths(1)
+      case "WEEK" => l.plusWeeks(1)
+      case "DAY" => l.plusDays(1)
+      case "HOUR" => l.plusHours(1)
+      case "MINUTE" => l.plusMinutes(1)
+    }
+    var wall = floorWall(Instant.ofEpochSecond(lo).atZone(zid).toLocalDateTime)
+    val out = scala.collection.mutable.ListBuffer.empty[Long]
+    var steps = 0
+    var b = wall.atZone(zid).toEpochSecond
+    while (b < hi && steps < 200000) {
+      if (b > lo) out += b
+      wall = next(wall)
+      b = wall.atZone(zid).toEpochSecond
+      steps += 1
+    }
+    if (steps >= 200000) None else Some(out.toList)
+  }
+
   private def tryServe(agg: Aggregate): Option[LogicalPlan] = {
     val (rawConjuncts, renames, marker) = unwrap(agg.child).get
-    val rSec = marker.rollupSeconds
 
     /** Inline view-compensation / pulled-out-grouping aliases down to the
      *  marker's own attributes, so all pattern matching below sees one id
@@ -209,108 +358,85 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     val tsA = baseAttr("ts")
     val valueA = baseAttr("value")
 
-    // fresh attribute ids per substitution when the store is a leaf
-    // relation — two rewrites in one query must not share exprIds
-    val rollup = marker.rollup match {
-      case r: MultiInstanceRelation with LeafNode => r.newInstance()
-      case other => other
-    }
-    val rollupSet = AttributeSet(rollup.output)
-    def rAttr(n: String) = rollup.output.find(_.name == n)
-    val (btsA, sumA, cntA, minA, maxA, sumsqA) =
-      (rAttr("bucket_ts").getOrElse(return None), rAttr("sum").getOrElse(return None),
-        rAttr("cnt").getOrElse(return None), rAttr("min").getOrElse(return None),
-        rAttr("max").getOrElse(return None), rAttr("sumsq").getOrElse(return None))
-
-    val dimSubst: Map[ExprId, Attribute] = Seq("metric", "tags", "series_id")
-      .flatMap(n => baseAttr(n).zip(rAttr(n)))
-      .map { case (a, b) => a.exprId -> b }.toMap
-
     def isTs(a: AttributeReference) = tsA.exists(_.exprId == a.exprId)
     def isValue(a: AttributeReference) = valueA.exists(_.exprId == a.exprId)
 
-    /** `value` only in its NaN-cleaned form — the composite's event space. */
-    def cleanValue(e: Expression): Boolean = e match {
-      case CaseWhen(Seq((IsNaN(v: AttributeReference), nl)), Some(el: AttributeReference))
-        if isValue(v) && el.exprId == v.exprId && isNullLiteral(nl) => true
-      case NaNvl(v: AttributeReference, nl)
-        if isValue(v) && isNullLiteral(nl) => true
-      case _ => false
+    /** The long `ts` lifted to a timestamp — the leaf calendar cores
+     *  truncate (`timestamp_seconds(ts)` / `cast(ts as timestamp)`;
+     *  both zone-independent epoch-second reinterpretations). */
+    object TsAsTimestamp {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case c: Cast if c.dataType == TimestampType => c.child match {
+          case a: AttributeReference if isTs(a) => Some(a)
+          case _ => None
+        }
+        case SecondsToTimestamp(a: AttributeReference) if isTs(a) => Some(a)
+        case _ => None
+      }
     }
 
-    def rewriteAgg(ae: AggregateExpression): Option[Expression] = ae match {
-      case AggregateExpression(fn, Complete, false, None, _) =>
-        def fresh(f: AggregateFunction) = AggregateExpression(f, Complete, isDistinct = false)
-        fn match {
-          case s: Sum if cleanValue(s.child) => Some(fresh(Sum(sumA)))
-          case m: Min if cleanValue(m.child) => Some(fresh(Min(minA)))
-          case m: Max if cleanValue(m.child) => Some(fresh(Max(maxA)))
-          case a: Average if cleanValue(a.child) =>
-            Some(Divide(fresh(Sum(sumA)), Cast(fresh(Sum(cntA)), DoubleType)))
-          case c: Count if c.children.size == 1 && cleanValue(c.children.head) =>
-            // count(clean) is non-null; Σcnt over ≥1 store row never null
-            // either, but keep the type contract explicit
-            Some(Coalesce(Seq(fresh(Sum(cntA)), Literal(0L))))
-          case sd: StddevSamp if cleanValue(sd.child) =>
-            // sample stddev from the stored moments — the reason the
-            // reference's composite carries sumofsquare at all
-            // (core/downsample/SumOfSquareAggregator.java:24); the same
-            // reconstruction Rollup.serve uses, with greatest(0, ·)
-            // clamping the tiny negative variance FP can produce when
-            // all values are equal
-            val n = Cast(fresh(Sum(cntA)), DoubleType)
-            val s = fresh(Sum(sumA))
-            val sq = fresh(Sum(sumsqA))
-            val variance = Divide(Subtract(sq, Divide(Multiply(s, s), n)),
-              Subtract(n, Literal(1.0)))
-            Some(CaseWhen(
-              Seq((GreaterThan(n, Literal(1.0)),
-                Sqrt(Greatest(Seq(Literal(0.0), variance))))),
-              Some(Literal(null, DoubleType))))
+    /** Recognize a BUCKETING CORE: a maximal subtree whose only ts
+     *  reference factors through a provable per-bucket-constant
+     *  function. Every spelling normalizes to its mathematical shape —
+     *  the reference's serve decision is phrasing-independent
+     *  (AerospikeBatchQueryNode.java:196-226). */
+    def matchCore(e: Expression): Option[BucketShape] = e match {
+      // ts - ts % N
+      case Subtract(t1: AttributeReference,
+          Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
+          if isTs(t1) && isTs(t2) && n > 0 =>
+        Some(UniformBucket(n))
+      // floor(ts / N) * N  (exact under the ts ∈ [0, 2^54) contract)
+      case Multiply(Floor(Divide(c: Cast, DoubleLiteral(d), _)), IntegralLiteral(n), _)
+          if c.dataType == DoubleType && n > 0 && d == n.toDouble =>
+        c.child match {
+          case a: AttributeReference if isTs(a) => Some(UniformBucket(n))
           case _ => None
+        }
+      case Multiply(IntegralLiteral(n), f: Floor, _) =>
+        matchCore(Multiply(f, Literal(n))) // commuted spelling
+      // cast(ts / N as long) * N  (truncation == floor for ts >= 0)
+      case Multiply(cl: Cast, IntegralLiteral(n), _)
+          if cl.dataType == LongType && n > 0 =>
+        cl.child match {
+          case Divide(c: Cast, DoubleLiteral(d), _)
+              if c.dataType == DoubleType && d == n.toDouble =>
+            c.child match {
+              case a: AttributeReference if isTs(a) => Some(UniformBucket(n))
+              case _ => None
+            }
+          case _ => None
+        }
+      // (ts div N) * N — pure integer arithmetic, exact outright
+      case Multiply(IntegralDivide(t: AttributeReference, IntegralLiteral(n1), _),
+          IntegralLiteral(n2), _) if isTs(t) && n1 == n2 && n1 > 0 =>
+        Some(UniformBucket(n1))
+      // date_trunc(unit, wall clock): directly on ts (walls of the
+      // expression's own resolved zone — the session zone), or through
+      // the standard from_utc_timestamp idiom (walls of the idiom's
+      // zone; the outer trunc must then run on UTC walls or the shift
+      // would double-apply)
+      case TruncTimestamp(Literal(fmt, StringType), inner, tzId) if fmt != null =>
+        TruncUnits.get(fmt.toString.toUpperCase(java.util.Locale.ROOT)).flatMap { unit =>
+          inner match {
+            case TsAsTimestamp(_) => tzId.map(z => CalendarBucket(unit, z))
+            case FromUTCTimestamp(TsAsTimestamp(_), Literal(z, StringType))
+                if z != null && tzId.contains("UTC") =>
+              Some(CalendarBucket(unit, z.toString))
+            case _ => None
+          }
         }
       case _ => None
     }
 
-    /** Substitute base→store attrs; None when anything non-servable
-     *  remains (raw ts/value/seq outside the recognized patterns). The
-     *  aggregate replacements are resolved FIRST, by node identity, so
-     *  the traversal never re-inspects a replacement's own store-side
-     *  AggregateExpressions (a reference-based "already done" test would
-     *  wrongly wave through reference-FREE aggregates like count(*)). */
-    def rewriteExpr(e: Expression): Option[Expression] = {
-      val aggMap = new java.util.IdentityHashMap[AggregateExpression, Expression]
-      e.foreach {
-        case ae: AggregateExpression =>
-          rewriteAgg(ae) match {
-            case Some(x) => aggMap.put(ae, x)
-            case None => return None
-          }
-        case _ => ()
-      }
-      var ok = true
-      val out = e.transformDown {
-        case ae: AggregateExpression if aggMap.containsKey(ae) => aggMap.get(ae)
-        case sub @ Subtract(t1: AttributeReference,
-            Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
-            if isTs(t1) && isTs(t2) =>
-          if (n <= 0 || n % rSec != 0) { ok = false; sub }
-          // bucket_ts is already ts-floored to rSec | N, so the same
-          // floor over bucket_ts lands every store row in its raw bucket
-          else sub.transform { case a: AttributeReference if isTs(a) => btsA }
-        case a: AttributeReference if dimSubst.contains(a.exprId) => dimSubst(a.exprId)
-      }
-      if (ok && out.references.subsetOf(rollupSet)) Some(out) else None
-    }
-
-    // --- filter: ts bounds must be rollup-aligned; the rest must be
-    // series-identity predicates that carry over to the store scan.
-    // `kept` holds the normalized ORIGINAL forms too — the hybrid raw
-    // branch below needs them in base-attribute space.
+    // --- filter pass 1 (store-independent): ts range bounds; everything
+    // else deferred to per-store rewriting. `kept` holds the normalized
+    // ORIGINAL forms — the hybrid raw branch needs them in
+    // base-attribute space.
     var lo = Option.empty[Long]
     var hi = Option.empty[Long]
-    val carried = Seq.newBuilder[Expression]
-    val kept = Seq.newBuilder[Expression]
+    val deferred = Seq.newBuilder[Expression]
+    val keptNotNullTs = Seq.newBuilder[Expression]
     conjuncts.foreach {
       case GreaterThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) =>
         lo = Some(lo.fold(v)(math.max(_, v)))
@@ -320,106 +446,241 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
         hi = Some(hi.fold(v)(math.min(_, v)))
       case LessThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) && v < Long.MaxValue =>
         hi = Some(hi.fold(v + 1)(math.min(_, v + 1)))
-      // null ts ⟺ null bucket_ts (the floor is null-preserving)
-      case IsNotNull(t: AttributeReference) if isTs(t) =>
-        carried += IsNotNull(btsA)
-        kept += IsNotNull(t)
-      case other =>
-        carried += rewriteExpr(other).getOrElse(return None)
-        kept += other
+      // null ts ⟺ null bucket_ts (every core is null-preserving)
+      case nn @ IsNotNull(t: AttributeReference) if isTs(t) =>
+        keptNotNullTs += nn
+      case other => deferred += other
     }
     // pre-1970 instants: the store buckets with Spark's TRUNCATED `%`
     // (bucket_ts = -3600 holds ts ∈ (-7200, -3600]), so range clipping
     // by bucket_ts would admit out-of-range points — refuse and run raw,
-    // the same v >= 0 assumption SegmentPruning makes
+    // the same ts >= 0 registration contract [[registerLadder]] states
     if (lo.exists(_ < 0) || hi.exists(_ < 0)) return None
-    if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
-    if (hi.exists(v => Math.floorMod(v, rSec) != 0L)) return None
+    val deferredC = deferred.result()
+    val notNullTs = keptNotNullTs.result()
 
-    // --- grouping: identity columns, or exactly the ts floor pattern
-    val floorNs = scala.collection.mutable.Set.empty[Long]
     val normGroups = agg.groupingExpressions.map(normalize)
-    val newGroups = normGroups.map { g =>
-      val refsTs = g.references.exists {
-        case a: AttributeReference => isTs(a)
-        case _ => false
-      }
-      val exactFloor = g match {
-        case Subtract(t1: AttributeReference,
-            Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
-            if isTs(t1) && isTs(t2) =>
-          floorNs += n; true
-        case _ => false
-      }
-      if (refsTs && !exactFloor) return None
-      rewriteExpr(g).getOrElse(return None)
-    }
-
-    // --- aggregate output: preserve every name and exprId
     val normResult = agg.aggregateExpressions.map(normalize)
-    val newResult = agg.aggregateExpressions.zip(normResult).map { case (ne, norm) =>
-      rewriteExpr(norm).getOrElse(return None) match {
-        case n: NamedExpression if n.exprId == ne.exprId => n
-        case other => Alias(other, ne.name)(exprId = ne.exprId)
+
+    // bucket widths of group exprs that ARE a bare uniform core — the
+    // only shape a frontier split can key on (a wrapper could collapse
+    // distinct buckets into one group, putting rows of one group on both
+    // sides of the split)
+    val bareFloorNs: Set[Long] = normGroups.flatMap(g => matchCore(g) match {
+      case Some(UniformBucket(n)) => Some(n)
+      case _ => None
+    }).toSet
+
+    def tryServeStore(store: RollupStoreRef): Option[LogicalPlan] = {
+      val rSec = store.intervalSeconds
+      if (rSec <= 0) return None
+      if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
+      if (hi.exists(v => Math.floorMod(v, rSec) != 0L)) return None
+
+      // fresh attribute ids per substitution when the store is a leaf
+      // relation — two rewrites in one query must not share exprIds
+      val rollup = store.plan match {
+        case r: MultiInstanceRelation with LeafNode => r.newInstance()
+        case other => other
+      }
+      val rollupSet = AttributeSet(rollup.output)
+      def rAttr(n: String) = rollup.output.find(_.name == n)
+      val (btsA, sumA, cntA, minA, maxA, sumsqA) =
+        (rAttr("bucket_ts").getOrElse(return None), rAttr("sum").getOrElse(return None),
+          rAttr("cnt").getOrElse(return None), rAttr("min").getOrElse(return None),
+          rAttr("max").getOrElse(return None), rAttr("sumsq").getOrElse(return None))
+
+      val dimSubst: Map[ExprId, Attribute] = Seq("metric", "tags", "series_id")
+        .flatMap(n => baseAttr(n).zip(rAttr(n)))
+        .map { case (a, b) => a.exprId -> b }.toMap
+
+      /** Is this core constant within every `rSec` bucket the query
+       *  range touches? Uniform: exact divisibility. Calendar: every
+       *  wall-boundary instant AND every zone transition in range on
+       *  the store grid (needs finite declared bounds to enumerate). */
+      val calendarLegal = scala.collection.mutable.Map.empty[(String, String), Boolean]
+      def coreLegal(shape: BucketShape): Boolean = shape match {
+        case UniformBucket(n) => n > 0 && n % rSec == 0
+        case CalendarBucket(unit, zone) =>
+          calendarLegal.getOrElseUpdate((unit, zone), {
+            (lo, hi) match {
+              case (Some(a), Some(b)) if a < b =>
+                truncBoundaries(unit, zone, a, b).exists(
+                  _.forall(x => Math.floorMod(x, rSec) == 0L)) && {
+                  val trans = try Intervals.zoneOffsets(zone, a, b).drop(1)
+                  catch { case _: java.time.DateTimeException => return false }
+                  trans.forall { case (t, _) => Math.floorMod(t, rSec) == 0L }
+                }
+              case _ => false
+            }
+          })
+      }
+
+      /** `value` only in its NaN-cleaned form — the composite's event
+       *  space. */
+      def cleanValue(e: Expression): Boolean = e match {
+        case CaseWhen(Seq((IsNaN(v: AttributeReference), nl)), Some(el: AttributeReference))
+          if isValue(v) && el.exprId == v.exprId && isNullLiteral(nl) => true
+        case NaNvl(v: AttributeReference, nl)
+          if isValue(v) && isNullLiteral(nl) => true
+        case _ => false
+      }
+
+      def rewriteAgg(ae: AggregateExpression): Option[Expression] = ae match {
+        case AggregateExpression(fn, Complete, false, None, _) =>
+          def fresh(f: AggregateFunction) = AggregateExpression(f, Complete, isDistinct = false)
+          fn match {
+            case s: Sum if cleanValue(s.child) => Some(fresh(Sum(sumA)))
+            case m: Min if cleanValue(m.child) => Some(fresh(Min(minA)))
+            case m: Max if cleanValue(m.child) => Some(fresh(Max(maxA)))
+            case a: Average if cleanValue(a.child) =>
+              Some(Divide(fresh(Sum(sumA)), Cast(fresh(Sum(cntA)), DoubleType)))
+            case c: Count if c.children.size == 1 && cleanValue(c.children.head) =>
+              // count(clean) is non-null; Σcnt over ≥1 store row never null
+              // either, but keep the type contract explicit
+              Some(Coalesce(Seq(fresh(Sum(cntA)), Literal(0L))))
+            case sd: StddevSamp if cleanValue(sd.child) =>
+              // sample stddev from the stored moments — the reason the
+              // reference's composite carries sumofsquare at all
+              // (core/downsample/SumOfSquareAggregator.java:24); the same
+              // reconstruction Rollup.serve uses, with greatest(0, ·)
+              // clamping the tiny negative variance FP can produce when
+              // all values are equal
+              val n = Cast(fresh(Sum(cntA)), DoubleType)
+              val s = fresh(Sum(sumA))
+              val sq = fresh(Sum(sumsqA))
+              val variance = Divide(Subtract(sq, Divide(Multiply(s, s), n)),
+                Subtract(n, Literal(1.0)))
+              Some(CaseWhen(
+                Seq((GreaterThan(n, Literal(1.0)),
+                  Sqrt(Greatest(Seq(Literal(0.0), variance))))),
+                Some(Literal(null, DoubleType))))
+            case _ => None
+          }
+        case _ => None
+      }
+
+      /** Substitute base→store attrs; None when anything non-servable
+       *  remains (raw ts/value/seq outside the recognized patterns, or
+       *  any non-determinism — a per-row random around a constant core
+       *  would group store rows differently from raw points). The
+       *  aggregate replacements are resolved FIRST, by node identity, so
+       *  the traversal never re-inspects a replacement's own store-side
+       *  AggregateExpressions (a reference-based "already done" test
+       *  would wrongly wave through reference-FREE aggregates like
+       *  count(*)). Cores substitute ts→bucket_ts WITHIN their own
+       *  subtree: bucket_ts is ts floored to rSec, every legal core is
+       *  constant on those buckets, and bucket_ts is a member of its own
+       *  bucket — so core(bucket_ts) == core(ts) for every raw point the
+       *  store row folded. */
+      def rewriteExpr(e: Expression): Option[Expression] = {
+        if (!e.deterministic) return None
+        val aggMap = new java.util.IdentityHashMap[AggregateExpression, Expression]
+        e.foreach {
+          case ae: AggregateExpression =>
+            rewriteAgg(ae) match {
+              case Some(x) => aggMap.put(ae, x)
+              case None => return None
+            }
+          case _ => ()
+        }
+        var ok = true
+        val out = e.transformDown {
+          case ae: AggregateExpression if aggMap.containsKey(ae) => aggMap.get(ae)
+          case core if matchCore(core).isDefined =>
+            if (!coreLegal(matchCore(core).get)) { ok = false; core }
+            else core.transform { case a: AttributeReference if isTs(a) => btsA }
+          case a: AttributeReference if dimSubst.contains(a.exprId) => dimSubst(a.exprId)
+        }
+        if (ok && out.references.subsetOf(rollupSet)) Some(out) else None
+      }
+
+      // --- deferred conjuncts: series-identity predicates, or ts through
+      // a legal core — both carry over to the store scan
+      val carried = Seq.newBuilder[Expression]
+      deferredC.foreach { other =>
+        carried += rewriteExpr(other).getOrElse(return None)
+      }
+      notNullTs.foreach { _ => carried += IsNotNull(btsA) }
+
+      // --- grouping: every expr rewrites fully (identity columns, legal
+      // cores, deterministic wrappers of either — anything else leaves a
+      // base attr behind and refuses)
+      val newGroups = normGroups.map(g => rewriteExpr(g).getOrElse(return None))
+
+      // --- aggregate output: preserve every name and exprId
+      val newResult = agg.aggregateExpressions.zip(normResult).map { case (ne, norm) =>
+        rewriteExpr(norm).getOrElse(return None) match {
+          case n: NamedExpression if n.exprId == ne.exprId => n
+          case other => Alias(other, ne.name)(exprId = ne.exprId)
+        }
+      }
+
+      // --- the flush frontier of a MAINTAINED store: a range wholly below
+      // it serves outright; a straddling range SPLITS on the largest query
+      // bucket boundary at or below it — closed buckets from the store,
+      // the open tail from raw ([[graft.rollup.Rollup.downsampleHybrid]]'s
+      // no-partial-merge discipline at the SQL layer). The split needs a
+      // BARE uniform bucket floor on the grouping key (exactly one
+      // width), so no group's rows land on both sides.
+      val frontierSplit: Option[Long] =
+        if (store.frontier == Long.MaxValue || hi.exists(_ <= store.frontier)) None
+        else if (bareFloorNs.size != 1) return None // no or ambiguous bucket axis
+        else {
+          val n = bareFloorNs.head
+          val f = store.frontier - Math.floorMod(store.frontier, n)
+          if (lo.exists(_ >= f) || f <= 0) return None // nothing closed: all raw
+          Some(f)
+        }
+      val servedHi = frontierSplit.orElse(hi)
+
+      val bounds =
+        lo.map(v => GreaterThanOrEqual(btsA, Literal(v)).asInstanceOf[Expression]).toSeq ++
+          servedHi.map(v => LessThan(btsA, Literal(v)))
+      val newCond = (bounds ++ carried.result()).reduceOption(And)
+      val newChild = newCond.fold(rollup)(Filter(_, rollup))
+      val served = agg.copy(groupingExpressions = newGroups,
+        aggregateExpressions = newResult, child = newChild)
+      // the substitution must be invisible to parents: same schema exactly
+      val sameSchema = served.output.size == agg.output.size &&
+        served.output.zip(agg.output).forall { case (a, b) =>
+          a.name == b.name && a.dataType == b.dataType && a.exprId == b.exprId
+        }
+      if (!sameSchema) return None
+
+      frontierSplit match {
+        case None => Some(served)
+        case Some(f) =>
+          // raw tail [f, hi): the original aggregate, normalized to the
+          // marker's own attribute space, over the unrouted child. Result
+          // aliases get FRESH ids — Union takes its output from the served
+          // branch, and sibling branches must not share defining ids.
+          val ts = tsA.getOrElse(return None)
+          val keptRaw = deferredC ++ notNullTs
+          val rawCond = (Seq[Expression](GreaterThanOrEqual(ts, Literal(f))) ++
+            hi.map(v => LessThan(ts, Literal(v))) ++ keptRaw).reduce(And)
+          // normalize() can turn a bare view attribute into a non-named
+          // expression (a derived-table alias inlines to GetMapValue /
+          // the floor arithmetic) — re-alias those under the original
+          // output name rather than relying on the input being named
+          val rawResult = agg.aggregateExpressions.zip(normResult).map {
+            case (_, a: Alias) => Alias(a.child, a.name)()
+            case (_, n: NamedExpression) => n
+            case (ne, other) => Alias(other, ne.name)()
+          }
+          val rawAgg = Aggregate(normGroups, rawResult, Filter(rawCond, marker.child))
+          val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>
+            a.dataType == b.dataType
+          }
+          if (typesMatch) Some(Union(Seq(served, rawAgg))) else None
       }
     }
 
-    // --- the flush frontier of a MAINTAINED store: a range wholly below
-    // it serves outright; a straddling range SPLITS on the largest query
-    // bucket boundary at or below it — closed buckets from the store,
-    // the open tail from raw ([[graft.rollup.Rollup.downsampleHybrid]]'s
-    // no-partial-merge discipline at the SQL layer). The split needs the
-    // bucket floor ON the grouping key (exactly one floor interval), so
-    // no group's rows land on both sides.
-    val frontierSplit: Option[Long] =
-      if (marker.rollupUntil == Long.MaxValue || hi.exists(_ <= marker.rollupUntil)) None
-      else if (floorNs.size != 1) return None // no or ambiguous bucket axis
-      else {
-        val n = floorNs.head
-        val f = marker.rollupUntil - Math.floorMod(marker.rollupUntil, n)
-        if (lo.exists(_ >= f) || f <= 0) return None // nothing closed: all raw
-        Some(f)
-      }
-    val servedHi = frontierSplit.orElse(hi)
-
-    val bounds =
-      lo.map(v => GreaterThanOrEqual(btsA, Literal(v)).asInstanceOf[Expression]).toSeq ++
-        servedHi.map(v => LessThan(btsA, Literal(v)))
-    val newCond = (bounds ++ carried.result()).reduceOption(And)
-    val newChild = newCond.fold(rollup)(Filter(_, rollup))
-    val served = agg.copy(groupingExpressions = newGroups,
-      aggregateExpressions = newResult, child = newChild)
-    // the substitution must be invisible to parents: same schema exactly
-    val sameSchema = served.output.size == agg.output.size &&
-      served.output.zip(agg.output).forall { case (a, b) =>
-        a.name == b.name && a.dataType == b.dataType && a.exprId == b.exprId
-      }
-    if (!sameSchema) return None
-
-    frontierSplit match {
-      case None => Some(served)
-      case Some(f) =>
-        // raw tail [f, hi): the original aggregate, normalized to the
-        // marker's own attribute space, over the unrouted child. Result
-        // aliases get FRESH ids — Union takes its output from the served
-        // branch, and sibling branches must not share defining ids.
-        val ts = tsA.getOrElse(return None)
-        val rawCond = (Seq[Expression](GreaterThanOrEqual(ts, Literal(f))) ++
-          hi.map(v => LessThan(ts, Literal(v))) ++ kept.result()).reduce(And)
-        // normalize() can turn a bare view attribute into a non-named
-        // expression (a derived-table alias inlines to GetMapValue /
-        // the floor arithmetic) — re-alias those under the original
-        // output name rather than relying on the input being named
-        val rawResult = agg.aggregateExpressions.zip(normResult).map {
-          case (_, a: Alias) => Alias(a.child, a.name)()
-          case (_, n: NamedExpression) => n
-          case (ne, other) => Alias(other, ne.name)()
-        }
-        val rawAgg = Aggregate(normGroups, rawResult, Filter(rawCond, marker.child))
-        val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>
-          a.dataType == b.dataType
-        }
-        if (typesMatch) Some(Union(Seq(served, rawAgg))) else None
-    }
+    // --- serve from the COARSEST store that answers exactly; fall finer,
+    // then raw (strip) — the reference's per-segment interval dispatch
+    // (GorillaDownSampledTimeSeriesEncoder.java:138-180)
+    marker.stores.sortBy(-_.intervalSeconds).iterator
+      .map(tryServeStore)
+      .collectFirst { case Some(plan) => plan }
   }
 }

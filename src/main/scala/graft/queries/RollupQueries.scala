@@ -41,8 +41,30 @@ object RollupQueries {
     graft.plans.RollupRouting.registerView(s, TsdbViews.points(s, d),
       s.read.parquet(storeFor(s, d)), RollupInterval, "graft_points_routed")
 
-  /** Force the memoized store build (untimed bench warm-up pass). */
-  def warmBuilds(s: SparkSession, d: String): Unit = { storeFor(s, d); () }
+  /** Persisted 1d composite for the LADDER rows (round 13). */
+  private val dailyStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def dailyStoreFor(s: SparkSession, d: String): String =
+    dailyStores.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_rollup_1d").toString
+      Rollup.build(TsdbViews.points(s, d), "1d")
+        .write.mode("overwrite").parquet(s"$dir/rollup1d")
+      s"$dir/rollup1d"
+    })
+
+  /** Register the LADDER facade view `graft_points_ladder` (1h + 1d
+   *  stores): the rule serves each SQL query from the COARSEST rung that
+   *  answers exactly — a daily dashboard reads the 1d composite, an
+   *  hourly one the 1h (plan-asserted in RollupRoutingSpec). */
+  private def ladderView(s: SparkSession, d: String): Unit =
+    graft.plans.RollupRouting.registerLadder(s, TsdbViews.points(s, d),
+      Seq((s.read.parquet(dailyStoreFor(s, d)), "1d", Long.MaxValue),
+        (s.read.parquet(storeFor(s, d)), RollupInterval, Long.MaxValue)),
+      "graft_points_ladder")
+
+  /** Force the memoized store builds (untimed bench warm-up pass). */
+  def warmBuilds(s: SparkSession, d: String): Unit =
+    { storeFor(s, d); dailyStoreFor(s, d); () }
 
   private def routed(s: SparkSession, d: String, spec: DownsampleSpec): DataFrame = {
     val pts = TsdbViews.points(s, d)
@@ -231,6 +253,89 @@ object RollupQueries {
            |  USING (tag_user, bucket_ts)
            |WHERE c.v <> 0""".stripMargin)
     },
+    // PHRASING-INDEPENDENT routing (round 13, verdict #1): the same
+    // daily sum spelled `floor(ts/N)*N` — algebraically identical to
+    // `ts - ts % N`, and the rule now normalizes every such spelling to
+    // the same core before matching (the reference's serve decision is
+    // phrasing-independent, AerospikeBatchQueryNode.java:196-226).
+    // Shares q_rollup_sum's oracle verbatim; routing is plan-pinned in
+    // RollupRoutingSpec per phrasing.
+    "q_sql_rollup_floor_phrasing" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       floor(ts / 86400) * 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // the date_trunc spelling (UTC day walls == epoch-day floors): the
+    // rule recognizes the calendar-truncation core and proves legality
+    // by enumerating its boundary instants against the store grid —
+    // q_rollup_sum's oracle verbatim again
+    "q_sql_rollup_trunc_day" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(date_trunc('DAY', timestamp_seconds(ts))) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // CALENDAR/TZ SQL routing (round 13, verdict #2): the standard
+    // zone-truncation idiom a SQL user writes for Denver months —
+    // from_utc→trunc→to_utc→epoch — served from the stored 1h composite
+    // because every Denver month boundary AND the in-range spring-forward
+    // land on whole hours (the same legality Rollup.canServeCalendar
+    // proves on the engine path; Kolkata's +05:30 walls refuse,
+    // spec-pinned). Shares q_ds_month_tz's raw-scan oracle verbatim: a
+    // stored row mis-floored across the Dec/Jan local boundary fails the
+    // hash.
+    "q_sql_rollup_month_tz" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(to_utc_timestamp(date_trunc('MONTH',
+           |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+           |         'America/Denver')) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $DataStart AND ts < $TzFillEnd
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // LADDER routing (round 13, verdict #3): the daily dashboard over a
+    // 1h + 1d ladder serves from the COARSEST legal rung — the 1d store,
+    // 24× fewer rows than the 1h it previously re-aggregated
+    // (plan-asserted in RollupRoutingSpec: the 1d relation is scanned).
+    // q_rollup_sum's oracle verbatim.
+    "q_sql_rollup_ladder_daily" -> { (s, d) =>
+      ladderView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_ladder
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // an HOURLY bucket cannot divide the 1d rung, so the ladder falls to
+    // the finer 1h store before raw (plan-asserted) — own single-stage
+    // oracle (2-day, one-metric slice keeps the hourly result compact)
+    "q_sql_rollup_ladder_hourly" -> { (s, d) =>
+      ladderView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 3600 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_ladder
+           |WHERE ts >= $Start AND ts < ${Start + 2 * 86400} AND metric = 'click'
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
     // the SQL fallback: a 90m bucket is not a multiple of the stored 1h,
     // so the rule must refuse and the query runs raw over the marked
     // view — q_rollup_fallback's oracle verbatim
@@ -276,6 +381,20 @@ object RollupQueries {
     "q_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
     "q_rollup_fallback" -> oracle(rnd("sum(value)"), "sum_value", bucketSec = 5400),
     "q_sql_rollup_routed" -> oracle(rnd("sum(value)"), "sum_value"),
+    // phrasing twins: algebraically-identical bucket spellings share the
+    // canonical floor oracle VERBATIM — value divergence in any spelling
+    // (FP floor vs integer floor, trunc walls vs epoch floor) fails the hash
+    "q_sql_rollup_floor_phrasing" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_trunc_day" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
+    "q_sql_rollup_ladder_daily" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_ladder_hourly" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 3600 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup
+         |WHERE ts >= $Start AND ts < ${Start + 2 * 86400} AND metric = 'click'
+         |GROUP BY 1, 2, 3""".stripMargin,
     "q_sql_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_sql_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_sql_expr_ratio" -> TsdbQueries.oracles("q_expr_ratio"),

