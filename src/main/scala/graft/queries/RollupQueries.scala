@@ -308,6 +308,22 @@ object RollupQueries {
            |WHERE ts >= $DataStart AND ts < $TzFillEnd
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // the TZ-DAILY idiom (Denver local midnights): the same legality
+    // machinery, day-grain walls — q_ds_tz's raw-scan oracle verbatim,
+    // so a serve-side label one hour off fails the hash
+    "q_sql_rollup_tz_day" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(to_utc_timestamp(date_trunc('DAY',
+           |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+           |         'America/Denver')) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
     // LADDER routing (round 13, verdict #3): the daily dashboard over a
     // 1h + 1d ladder serves from the COARSEST legal rung — the 1d store,
     // 24× fewer rows than the 1h it previously re-aggregated
@@ -387,6 +403,7 @@ object RollupQueries {
     "q_sql_rollup_floor_phrasing" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_trunc_day" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
+    "q_sql_rollup_tz_day" -> TsdbQueries.oracles("q_ds_tz"),
     "q_sql_rollup_ladder_daily" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_ladder_hourly" ->
       s"""WITH $pointsCtes

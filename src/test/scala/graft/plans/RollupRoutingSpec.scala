@@ -494,6 +494,31 @@ class RollupRoutingSpec extends AnyFunSuite {
       sql("v_raw", q.replace("v_ladder_cal", "$V")).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("ladder × frontier: a truncated coarse rung still splits hybrid correctly") {
+    // the 1d rung's flush frontier lags mid-range while the 1h rung is
+    // complete: the coarsest-first walk reaches the 1d rung FIRST and
+    // serves it hybrid (closed days from 1d, tail raw) — semantically
+    // exact regardless of which rung wins, which is what this pins
+    val (pts, _) = env
+    val frontier = Lo + 7 * 86400
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_1d_tr").toString
+    Rollup.build(pts, "1d").filter(
+      org.apache.spark.sql.functions.col("bucket_ts") < frontier)
+      .write.mode("overwrite").parquet(s"$dir/rollup1d")
+    RollupRouting.registerLadder(spark, pts,
+      Seq((spark.read.parquet(s"$dir/rollup1d"), "1d", frontier),
+        (env._2, "1h", Long.MaxValue)),
+      "v_ladder_tr")
+    val q =
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder_tr WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("bucket_ts"), s"no store side in:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder_tr", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("registration refuses cleanly when the routing rule is not installed") {
     // the guard itself (requireInstalled) probes the session's optimizer
     // by optimizing a bare marker; on the graft session it must pass —
