@@ -272,9 +272,12 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   /** What a recognized bucketing core buckets by: a fixed epoch-anchored
-   *  width, or a civil-calendar truncation in a zone. */
+   *  width (seconds), the same at microsecond precision with an anchor
+   *  offset (Spark's `window()` lowering), or a civil-calendar
+   *  truncation in a zone. */
   private sealed trait BucketShape
   private case class UniformBucket(n: Long) extends BucketShape
+  private case class UniformMicrosBucket(nUs: Long, offUs: Long) extends BucketShape
   private case class CalendarBucket(unit: String, zone: String) extends BucketShape
 
   /** date_trunc units this rule can enumerate boundaries for (SECOND and
@@ -375,12 +378,55 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       }
     }
 
+    /** `ts` lifted to epoch MICROSECONDS — the long form Spark's
+     *  TimeWindowing lowering works in
+     *  (`precisetimestampconversion(timestamp_seconds(ts), ts, long)`). */
+    object PtcTsUs {
+      def unapply(e: Expression): Option[AttributeReference] = e match {
+        case PreciseTimestampConversion(TsAsTimestamp(a), TimestampType, LongType) =>
+          Some(a)
+        case _ => None
+      }
+    }
+
+    /** The analyzer's CASE-guarded floorMod over microsecond ts:
+     *  `CASE WHEN ((T-off) % n) < 0 THEN ((T-off) % n) + n
+     *   ELSE (T-off) % n END` → (ts attr, off, n). */
+    object UsFloorMod {
+      private object TsOffMod {
+        def unapply(e: Expression): Option[(AttributeReference, Long, Long)] = e match {
+          case Remainder(Subtract(PtcTsUs(a), IntegralLiteral(off), _),
+              IntegralLiteral(n), _) => Some((a, off, n))
+          case _ => None
+        }
+      }
+      def unapply(e: Expression): Option[(AttributeReference, Long, Long)] = e match {
+        case CaseWhen(Seq((LessThan(TsOffMod(a1, o1, n1), IntegralLiteral(z)),
+            Add(TsOffMod(a2, o2, n2), IntegralLiteral(n3), _))),
+            Some(TsOffMod(a3, o3, n4)))
+          if z == 0 && n1 == n2 && n2 == n3 && n3 == n4 &&
+            o1 == o2 && o2 == o3 &&
+            a1.exprId == a2.exprId && a2.exprId == a3.exprId =>
+          Some((a1, o1, n1))
+        case _ => None
+      }
+    }
+
     /** Recognize a BUCKETING CORE: a maximal subtree whose only ts
      *  reference factors through a provable per-bucket-constant
      *  function. Every spelling normalizes to its mathematical shape —
      *  the reference's serve decision is phrasing-independent
      *  (AerospikeBatchQueryNode.java:196-226). */
     def matchCore(e: Expression): Option[BucketShape] = e match {
+      // Spark's TimeWindowing lowering of a TUMBLING window() group key:
+      // T - floorMod(T - off, slide) - off in MICROSECONDS (the
+      // named_struct / knownnullable / ptc-back-to-timestamp around it
+      // are ordinary wrappers). Sliding windows lower through Expand
+      // and never reach this shape.
+      case Subtract(Subtract(PtcTsUs(a0), UsFloorMod(a, off, nUs), _),
+          IntegralLiteral(off2), _)
+          if a0.exprId == a.exprId && off == off2 && nUs > 0 =>
+        Some(UniformMicrosBucket(nUs, off))
       // ts - ts % N
       case Subtract(t1: AttributeReference,
           Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
@@ -446,8 +492,12 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
         hi = Some(hi.fold(v)(math.min(_, v)))
       case LessThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) && v < Long.MaxValue =>
         hi = Some(hi.fold(v + 1)(math.min(_, v + 1)))
-      // null ts ⟺ null bucket_ts (every core is null-preserving)
+      // null ts ⟺ null bucket_ts (every core is null-preserving); the
+      // timestamp-lifted spelling is the TimeWindowing-injected filter
+      // (`isnotnull(timestamp_seconds(ts))`), null-equivalent to ts
       case nn @ IsNotNull(t: AttributeReference) if isTs(t) =>
+        keptNotNullTs += nn
+      case nn @ IsNotNull(TsAsTimestamp(_)) =>
         keptNotNullTs += nn
       case other => deferred += other
     }
@@ -501,6 +551,11 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       val calendarLegal = scala.collection.mutable.Map.empty[(String, String), Boolean]
       def coreLegal(shape: BucketShape): Boolean = shape match {
         case UniformBucket(n) => n > 0 && n % rSec == 0
+        case UniformMicrosBucket(nUs, offUs) =>
+          // µs-grid boundaries at off + k·n must all land on whole
+          // multiples of the store interval
+          val rUs = rSec * 1000000L
+          nUs > 0 && nUs % rUs == 0 && Math.floorMod(offUs, rUs) == 0L
         case CalendarBucket(unit, zone) =>
           calendarLegal.getOrElseUpdate((unit, zone), {
             (lo, hi) match {
@@ -639,8 +694,37 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           servedHi.map(v => LessThan(btsA, Literal(v)))
       val newCond = (bounds ++ carried.result()).reduceOption(And)
       val newChild = newCond.fold(rollup)(Filter(_, rollup))
-      val served = agg.copy(groupingExpressions = newGroups,
-        aggregateExpressions = newResult, child = newChild)
+      // Pull complex grouping expressions into a Project below the
+      // aggregate (Spark's own PullOutGroupingExpressions discipline,
+      // which already ran and will not run again): grouping on plain
+      // attributes keeps later fixpoint re-runs of expression
+      // simplification (SimplifyExtractValueOps collapsing
+      // `window_struct.start` in the RESULT while the full struct stays
+      // in the grouping) from rewriting a result subtree out of
+      // semantic equality with its grouping expression — which would
+      // break physical aggregate binding with an internal error.
+      val complexDefs: Seq[(Expression, Alias)] = {
+        val seen = scala.collection.mutable.LinkedHashMap.empty[Expression, Alias]
+        newGroups.foreach { g =>
+          if (!g.isInstanceOf[Attribute])
+            seen.getOrElseUpdate(g.canonicalized, Alias(g, "_groupingexpression")()): Unit
+        }
+        seen.toSeq
+      }
+      val served = if (complexDefs.isEmpty) {
+        agg.copy(groupingExpressions = newGroups,
+          aggregateExpressions = newResult, child = newChild)
+      } else {
+        val aliasFor = complexDefs.toMap
+        val groupAttrs = newGroups.map(g =>
+          aliasFor.get(g.canonicalized).map(_.toAttribute).getOrElse(g))
+        val proj = Project(newChild.output ++ complexDefs.map(_._2), newChild)
+        val replaced = newResult.map(ne => ne.transformDown {
+          case e if aliasFor.contains(e.canonicalized) =>
+            aliasFor(e.canonicalized).toAttribute
+        }.asInstanceOf[NamedExpression])
+        Aggregate(groupAttrs, replaced, proj)
+      }
       // the substitution must be invisible to parents: same schema exactly
       val sameSchema = served.output.size == agg.output.size &&
         served.output.zip(agg.output).forall { case (a, b) =>

@@ -308,6 +308,22 @@ object RollupQueries {
            |WHERE ts >= $DataStart AND ts < $TzFillEnd
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // Spark's own window() phrasing: the analyzer lowers the tumbling
+    // window to a µs floorMod + struct (TimeWindowing); the rule
+    // recognizes that generated core too, so GROUP BY window(...) serves
+    // from the store like every other daily-floor spelling —
+    // q_rollup_sum's oracle verbatim
+    "q_sql_rollup_window" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(window.start) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY metric, tags['user'], window(timestamp_seconds(ts), '1 day')""".stripMargin)
+    },
     // the TZ-DAILY idiom (Denver local midnights): the same legality
     // machinery, day-grain walls — q_ds_tz's raw-scan oracle verbatim,
     // so a serve-side label one hour off fails the hash
@@ -404,6 +420,7 @@ object RollupQueries {
     "q_sql_rollup_trunc_day" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_month_tz" -> TsdbQueries.oracles("q_ds_month_tz"),
     "q_sql_rollup_tz_day" -> TsdbQueries.oracles("q_ds_tz"),
+    "q_sql_rollup_window" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_ladder_daily" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_ladder_hourly" ->
       s"""WITH $pointsCtes

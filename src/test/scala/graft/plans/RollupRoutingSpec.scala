@@ -375,6 +375,32 @@ class RollupRoutingSpec extends AnyFunSuite {
       expectRouted = true)
   }
 
+  test("GROUP BY window() serves — the TimeWindowing lowering is a recognized core") {
+    // tumbling window(timestamp_seconds(ts), '1 day'): the analyzer
+    // lowers it to a µs floorMod + struct + an injected
+    // isnotnull(timestamp_seconds(ts)) filter — all must route
+    assertSame(
+      s"""SELECT metric, to_unix_timestamp(window.start) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY metric, window(timestamp_seconds(ts), '1 day')""".stripMargin,
+      expectRouted = true)
+    // hour windows over the 1h store route too
+    assertSame(
+      s"""SELECT metric, window(cast(ts AS TIMESTAMP), '1 hour') AS w,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < ${Lo + 2 * 86400}
+         |GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+    // a 90-minute window cannot be assembled from 1h rows — refuse, raw
+    assertSame(
+      s"""SELECT metric, to_unix_timestamp(window.start) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY metric, window(timestamp_seconds(ts), '90 minutes')""".stripMargin,
+      expectRouted = false)
+  }
+
   // calendar/tz legality windows: one in-range month boundary (Denver
   // Jan 1 07:00Z = 1704092400) and the Kolkata counterpart at half past
   private val CalLo = 1704067200L // 2024-01-01 00:00 UTC
