@@ -27,6 +27,27 @@ object Graft {
   def query(spark: SparkSession, source: PointsSource, q: TsdbQuery): DataFrame =
     QueryEngine.run(source.points(spark), q)
 
+  /** Register the ROUTED facade view for a streamed deployment: the
+   *  ingest lake's raw points paired with its maintained rollup table at
+   *  the ingest's OWN flush frontier, so plain `spark.sql` aggregates
+   *  over `viewName` are served from the maintained store — closed
+   *  segments from rollup rows, the open tail raw — by the
+   *  [[graft.plans.RollupRouting]] optimizer rule (A14, transparent).
+   *  The production one-liner: ingest maintains, SQL serves. Requires
+   *  `cfg.rollupInterval` (the maintained composite must exist) and a
+   *  [[graft.core.GraftSession]]-built session (the rule must be
+   *  installed — registration refuses otherwise). */
+  def registerRouted(spark: SparkSession, cfg: graft.streaming.IngestJob.Config,
+      viewName: String = "graft_points_routed"): Unit = {
+    import graft.streaming.IngestJob
+    val interval = cfg.rollupInterval.getOrElse(throw new IllegalArgumentException(
+      "registerRouted needs an ingest Config with rollupInterval set — " +
+        "there is no maintained composite to route to otherwise"))
+    graft.plans.RollupRouting.registerView(spark, IngestJob.points(spark, cfg),
+      IngestJob.rollup(spark, cfg), interval, viewName,
+      rollupUntil = IngestJob.rollupFrontier(spark, cfg))
+  }
+
   /** Register every engine table as a temp view for `spark.sql` users. */
   def registerViews(spark: SparkSession, dir: String, prefix: String = "graft_"): Unit = {
     val pts = TsdbViews.points(spark, dir)

@@ -766,13 +766,13 @@ object StreamQueries {
     // plain daily-sum SQL a dashboard runs over [Start, End) is split by
     // the RollupRouting rewrite — closed days from the maintained store
     // UNION the genuine open tail raw. End-to-end production shape:
-    // ingest maintains, SQL serves, the frontier is the ingest's own.
+    // ingest maintains, SQL serves, the frontier is the ingest's own —
+    // registered through the user facade's one-liner
+    // ([[graft.Graft.registerRouted]], round 13).
     // Shares q_rollup_hybrid's all-raw oracle verbatim.
     "q_sql_rollup_hybrid_streamed" -> { (s, d) =>
       val cfg = hybridLakeFor(s, d)
-      graft.plans.RollupRouting.registerView(s, IngestJob.points(s, cfg),
-        IngestJob.rollup(s, cfg), RollupInterval, "graft_points_hybrid_live",
-        rollupUntil = IngestJob.rollupFrontier(s, cfg))
+      graft.Graft.registerRouted(s, cfg, "graft_points_hybrid_live")
       s.sql(
         s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
            |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
