@@ -1220,7 +1220,11 @@ object ScaleProbe {
     val sb = new StringBuilder
     sb ++= "{\"events\": [" + ns.mkString(", ") + "], \"users\": 1500, \"queries\": {"
     var first = true
-    for (q <- Seq("q_ds_sum", "q_sql_rollup_routed")) {
+    // raw vs the 1h-routed rewrite vs the LADDER's 1d rung: the raw scan
+    // grows with points, the 1h serve is store-sized (|series| × hours,
+    // constant), the 1d serve is 24× smaller again — the coarsest-rung
+    // dividend at any density
+    for (q <- Seq("q_ds_sum", "q_sql_rollup_routed", "q_sql_rollup_ladder_daily")) {
       queries(q)(spark, dirs.head).count() // warm (JIT + listing)
       spark.catalog.clearCache()
       val measured = dirs.map { d =>
