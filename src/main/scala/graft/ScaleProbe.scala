@@ -1241,7 +1241,10 @@ object ScaleProbe {
       sb ++= f"""\n  "$q": {"sec": [${secs.map(s => f"$s%.3f").mkString(", ")}], "rows": [${rows.mkString(", ")}], "r10": $r10%.2f, "r${math.pow(10, ns.size - 1).toLong}%d": $rLast%.2f}"""
       println(f"$q%-24s ${secs.map(s => f"$s%7.2f").mkString(" ")}s r10=$r10%6.2f rN=$rLast%6.2f rows=${rows.mkString("/")}")
     }
-    sb ++= "\n}}"
+    sb ++= "\n}, \"notes\": {" +
+      "\"axis\": \"point DENSITY: series set FIXED at 1500 users while events grow 1M -> 10M -> 100M over the same 30 days - the regime ingest-time rollups exist for (--tsdb-xl scales series WITH events, so its composite is nearly fact-sized and cannot isolate this)\", " +
+      "\"builds\": \"the 1h and 1d rollup stores are built UNTIMED (RollupQueries.warmBuilds) before measurement, like every maintained read in the other probes; rows time only the read\", " +
+      "\"queries\": \"q_ds_sum is the raw daily-sum engine path (grows with points); q_sql_rollup_routed is the IDENTICAL SQL served from the 1h composite by the RollupRouting rewrite (store-sized: |series| x hours, constant across decades); q_sql_rollup_ladder_daily serves from the 1d rung (24x smaller again)\"}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"wrote $out")
     spark.stop()

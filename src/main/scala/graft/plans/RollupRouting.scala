@@ -72,10 +72,10 @@ case class RollupServable(
  *        `floor(ts / N) * N`, `cast(ts / N as long) * N`,
  *        `(ts div N) * N` — legal when `N` is a positive multiple of the
  *        store interval. The FP spellings are exact under the
- *        registration contract (ts ∈ [0, 2^54): the double division's
- *        rounding error can only cross an integer boundary when
- *        `n*q > 2^54`, and long→double truncation equals floor for
- *        non-negative values);
+ *        registration contract (ts ∈ [0, 2^53): cast(ts as double) is
+ *        exact below 2^53, the quotient's rounding error there cannot
+ *        cross an integer boundary — a tie needs `n*q > 2^54` — and
+ *        long→double truncation equals floor for non-negative values);
  *      - calendar truncations — `date_trunc(unit, ·)` over
  *        `timestamp_seconds(ts)` / `cast(ts as timestamp)`, directly
  *        (session-zone walls) or through the standard zone idiom
@@ -154,11 +154,12 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
    *   - each store is the exact [[graft.rollup.Rollup.build]] composite
    *     of `points` over its whole time domain at its interval, up to
    *     its frontier;
-   *   - `points.ts` is epoch SECONDS with ts ∈ [0, 2^54): non-negative
+   *   - `points.ts` is epoch SECONDS with ts ∈ [0, 2^53): non-negative
    *     because the store buckets with Spark's truncated `%` (a point at
    *     ts = -100 lands in bucket_ts = 0, so a served range scan would
    *     include contributions the raw `ts >= 0` filter excludes), and
-   *     below 2^54 so the `floor(ts/N)*N` / `cast(ts/N as long)*N`
+   *     below 2^53 (where longs cast to double exactly) so the
+   *     `floor(ts/N)*N` / `cast(ts/N as long)*N`
    *     phrasings evaluate to the exact integer floor (see the class
    *     doc). Any epoch-second — or even epoch-millisecond — horizon is
    *     orders of magnitude inside both bounds.
@@ -171,6 +172,12 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
   def registerLadder(spark: SparkSession, points: DataFrame,
       stores: Seq[(DataFrame, String, Long)], viewName: String): Unit = {
     require(stores.nonEmpty, "rollup ladder needs at least one store")
+    stores.foreach { case (_, interval, _) =>
+      // refuse a permanently-dead rung (e.g. "0all" parses to -1) HERE,
+      // like the missing-rule case — not silently at every query
+      require(Intervals.toSeconds(interval) > 0,
+        s"not a positive rollup interval: $interval")
+    }
     requireInstalled(spark)
     val deduped = graft.query.QueryEngine.dedupeConfigured(points)
     val marker = RollupServable(
@@ -432,7 +439,7 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           Remainder(t2: AttributeReference, IntegralLiteral(n), _), _)
           if isTs(t1) && isTs(t2) && n > 0 =>
         Some(UniformBucket(n))
-      // floor(ts / N) * N  (exact under the ts ∈ [0, 2^54) contract)
+      // floor(ts / N) * N  (exact under the ts ∈ [0, 2^53) contract)
       case Multiply(Floor(Divide(c: Cast, DoubleLiteral(d), _)), IntegralLiteral(n), _)
           if c.dataType == DoubleType && n > 0 && d == n.toDouble =>
         c.child match {
@@ -484,13 +491,22 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     val deferred = Seq.newBuilder[Expression]
     val keptNotNullTs = Seq.newBuilder[Expression]
     conjuncts.foreach {
+      // both writing orders: `ts >= a` and the mirrored `a <= ts`
       case GreaterThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) =>
+        lo = Some(lo.fold(v)(math.max(_, v)))
+      case LessThanOrEqual(IntegralLiteral(v), t: AttributeReference) if isTs(t) =>
         lo = Some(lo.fold(v)(math.max(_, v)))
       case GreaterThan(t: AttributeReference, IntegralLiteral(v)) if isTs(t) && v < Long.MaxValue =>
         lo = Some(lo.fold(v + 1)(math.max(_, v + 1)))
+      case LessThan(IntegralLiteral(v), t: AttributeReference) if isTs(t) && v < Long.MaxValue =>
+        lo = Some(lo.fold(v + 1)(math.max(_, v + 1)))
       case LessThan(t: AttributeReference, IntegralLiteral(v)) if isTs(t) =>
         hi = Some(hi.fold(v)(math.min(_, v)))
+      case GreaterThan(IntegralLiteral(v), t: AttributeReference) if isTs(t) =>
+        hi = Some(hi.fold(v)(math.min(_, v)))
       case LessThanOrEqual(t: AttributeReference, IntegralLiteral(v)) if isTs(t) && v < Long.MaxValue =>
+        hi = Some(hi.fold(v + 1)(math.min(_, v + 1)))
+      case GreaterThanOrEqual(IntegralLiteral(v), t: AttributeReference) if isTs(t) && v < Long.MaxValue =>
         hi = Some(hi.fold(v + 1)(math.min(_, v + 1)))
       // null ts ⟺ null bucket_ts (every core is null-preserving); the
       // timestamp-lifted spelling is the TimeWindowing-injected filter

@@ -136,11 +136,15 @@ object StoreCompaction {
 
   /** Manifest contents: (snapshot target, planned source files), or None
    *  when the manifest is absent/empty. Paths are re-qualified against
-   *  the filesystem so comparisons with fresh listings are exact. */
+   *  the filesystem so comparisons with fresh listings are exact. The
+   *  exists→open pair tolerates a fold-entry recover deleting the
+   *  manifest in between (absent, not an error). */
   private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
       mf: Path): Option[(Path, Seq[Path])] = {
     if (!fs.exists(mf)) return None
-    val in = fs.open(mf)
+    val in = try fs.open(mf) catch {
+      case _: java.io.FileNotFoundException => return None
+    }
     val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
       .getLines().toList finally in.close()
     lines match {
@@ -200,25 +204,56 @@ object StoreCompaction {
    *  Either way NOTHING is deleted — reads cannot race a live fold's
    *  swap, and every step-boundary interleaving of
    *  manifest→rename→delete→unmanifest reads exact counts
-   *  (StoreCompactionSpec pins both windows). The no-manifest hot path
-   *  is one existence probe + a plain directory read. */
+   *  (StoreCompactionSpec pins both windows).
+   *
+   *  The manifest probe and Spark's file listing are not one atomic
+   *  snapshot, so the probe runs BEFORE and AFTER building the frame and
+   *  the read retries when either the manifest or the snapshot
+   *  partition's file set changed in between (a swap's rename always
+   *  adds a fresh `fold-<uuid>` file, so any rename that could have
+   *  landed mid-listing flips the seqlock). A stable bracket means no
+   *  rename overlapped the listing: the durable-fold branch excludes the
+   *  planned sources, every other state lists sources only — exact
+   *  either way. Sources deleted mid-listing fail the scan loudly (a
+   *  retryable read error, never a silent count). The no-fold hot path
+   *  is two existence probes + a plain directory read. */
   def read(spark: SparkSession, dir: String): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val mf = manifestPath(dir)
     val fs = mf.getFileSystem(conf)
-    val dead: Set[String] = readManifest(fs, mf) match {
-      case Some((target, planned)) if fs.exists(target) =>
-        planned.map(_.toString).toSet
-      case _ => Set.empty
+    def state(): (Option[(Path, Seq[Path])], Set[String]) = {
+      val m = readManifest(fs, mf)
+      val snapDir = new Path(s"$dir/batch_id=$SnapshotBatchId")
+      val snaps =
+        if (!fs.exists(snapDir)) Set.empty[String]
+        else graft.core.Fs.dataFiles(conf, snapDir.toString)
+          .map(f => fs.makeQualified(f).toString).toSet
+      (m, snaps)
     }
-    if (dead.isEmpty) spark.read.parquet(dir)
-    else {
-      val live = batchDirs(conf, dir)
-        .flatMap(p => graft.core.Fs.dataFiles(conf, p._1.toString))
-        .map(f => fs.makeQualified(f).toString)
-        .filterNot(dead.contains)
-      spark.read.option("basePath", dir).parquet(live: _*)
+    var attempts = 0
+    while (true) {
+      val before = state()
+      val dead: Set[String] = before._1 match {
+        case Some((target, planned)) if fs.exists(target) =>
+          planned.map(_.toString).toSet
+        case _ => Set.empty
+      }
+      val df =
+        if (dead.isEmpty) spark.read.parquet(dir)
+        else {
+          val live = batchDirs(conf, dir)
+            .flatMap(p => graft.core.Fs.dataFiles(conf, p._1.toString))
+            .map(f => fs.makeQualified(f).toString)
+            .filterNot(dead.contains)
+          spark.read.option("basePath", dir).parquet(live: _*)
+        }
+      if (state() == before) return df
+      attempts += 1
+      if (attempts >= 8) throw new java.io.IOException(
+        s"count store $dir is folding faster than it can be listed; " +
+          "retry the read or pause the compaction cadence")
     }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Fold + RETENTION in one maintenance pass: compact the closed batch

@@ -332,6 +332,13 @@ class RollupRoutingSpec extends AnyFunSuite {
       expectRouted = true)
   }
 
+  test("mirrored range-bound spellings serve (literal on the left)") {
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V WHERE $Lo <= ts AND ${Hi - 1} >= ts GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
+  }
+
   test("a deterministic wrapper around a core serves (from_unixtime)") {
     // g = f(floor) is a per-bucket constant for any deterministic f, so
     // the formatted-string spelling of the day bucket routes too
@@ -543,6 +550,17 @@ class RollupRoutingSpec extends AnyFunSuite {
     assert(plan.contains("bucket_ts"), s"no store side in:\n$plan")
     assert(a.collect().map(_.toString).sorted.toSeq ===
       sql("v_raw", q.replace("v_ladder_tr", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("registration refuses a rung whose interval is not positive") {
+    // "0all" parses to -1: without the upfront require the rung would
+    // be permanently dead (every query silently raw) instead of loud
+    val (pts, store) = env
+    val e = intercept[IllegalArgumentException] {
+      RollupRouting.registerLadder(spark, pts,
+        Seq((store, "0all", Long.MaxValue)), "v_dead_rung")
+    }
+    assert(e.getMessage.contains("positive rollup interval"))
   }
 
   test("registration refuses cleanly when the routing rule is not installed") {
