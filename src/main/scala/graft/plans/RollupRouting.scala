@@ -88,13 +88,17 @@ case class RollupServable(
  *        boundary set: Denver month starts are whole hours — a 1h store
  *        serves; Kolkata's +05:30 puts them on half hours — refused
  *        unless a 30m store is in the ladder);
- *  - every aggregate is sum/min/max/count/avg/stddev_samp of the
+ *  - every aggregate is sum/min/max/count/avg/stddev_samp/last of the
  *    NaN-cleaned value (`CASE WHEN isnan(value) THEN NULL ELSE value
  *    END`, or `nanvl(value, NULL)`) — the exact event space the stored
  *    composite was built over. sum→Σsum, min→min(min), max→max(max),
  *    count→Σcnt, avg→Σsum/Σcnt (the reference's avg-as-sum/count
  *    rewrite, core/downsample/AggregatorType.java), stddev from the
- *    stored moments (SumOfSquareAggregator.java:24);
+ *    stored moments (SumOfSquareAggregator.java:24), and the
+ *    null-guarded `max_by(clean, CASE WHEN clean IS NOT NULL THEN ts
+ *    END)` from the stored `last` column when the grouping pins the
+ *    series (LAST is a stored aggregator in the reference's
+ *    downsampled stream, core/downsample/AggregatorType.java);
  *  - every ts range bound is store-aligned (`a % rSec == 0`), so stored
  *    rows clip exactly like raw points — an unaligned bound would let an
  *    edge composite row smuggle out-of-range points into the first or
@@ -116,7 +120,11 @@ case class RollupServable(
  * UNION the open tail raw, the engine router's discipline
  * ([[graft.rollup.Rollup.downsampleHybrid]]) at the SQL layer — a
  * dashboard's trailing window never forfeits the store for its closed
- * days. Results equal the raw computation up to floating-point summation
+ * days. The split keys on any group expr that is an INJECTIVE bucket
+ * axis — a bare core, Spark's window() struct, or the epoch-lift
+ * calendar idioms — and lands on the largest axis label at or below the
+ * frontier (a calendar axis splits on a wall boundary, so a mid-bucket
+ * frontier never bisects a local day). Results equal the raw computation up to floating-point summation
  * ORDER (the same nondeterminism any Spark aggregation has across
  * partitionings); the oracle rows pin equality at the engine's
  * round-4 contract.
@@ -243,17 +251,23 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
 
   private object IntegralLiteral {
     // the rule can run before ConstantFolding reaches the expression, so
-    // evaluate foldable casts (`cast(86400 as bigint)`) instead of
-    // requiring a bare literal
+    // evaluate ANY foldable integral expression here — not just bare
+    // literals and foldable casts. A bound like
+    // `ts >= to_unix_timestamp('2024-01-05')` is foldable but not a Cast;
+    // requiring the Cast shape meant pass 1 of the fixpoint failed to
+    // serve and `apply` stripped the marker before ConstantFolding's next
+    // iteration could expose the literal. Folding any `e.foldable` is
+    // safe: foldable implies deterministic, and eval failure (ANSI
+    // overflow etc.) just refuses the match.
     def unapply(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, IntegerType) => Some(v.toLong)
-      case c: Cast if c.foldable && (c.dataType == LongType || c.dataType == IntegerType) =>
-        c.eval() match {
+      case _ if e.foldable && (e.dataType == LongType || e.dataType == IntegerType) =>
+        try e.eval() match {
           case v: java.lang.Long => Some(v)
           case v: java.lang.Integer => Some(v.toLong)
           case _ => None
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
   }
@@ -263,11 +277,11 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
   private object DoubleLiteral {
     def unapply(e: Expression): Option[Double] = e match {
       case Literal(v: Double, DoubleType) => Some(v)
-      case c: Cast if c.foldable && c.dataType == DoubleType =>
-        c.eval() match {
+      case _ if e.foldable && e.dataType == DoubleType =>
+        try e.eval() match {
           case v: java.lang.Double => Some(v)
           case _ => None
-        }
+        } catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
   }
@@ -528,20 +542,110 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
     val normGroups = agg.groupingExpressions.map(normalize)
     val normResult = agg.aggregateExpressions.map(normalize)
 
-    // bucket widths of group exprs that ARE a bare uniform core — the
-    // only shape a frontier split can key on (a wrapper could collapse
-    // distinct buckets into one group, putting rows of one group on both
-    // sides of the split)
-    val bareFloorNs: Set[Long] = normGroups.flatMap(g => matchCore(g) match {
-      case Some(UniformBucket(n)) => Some(n)
+    /** Bucket shapes a frontier split can key on: group exprs that are a
+     *  bare core, or a known per-bucket-INJECTIVE wrapper of one.
+     *  Injectivity matters only for the SPLIT: a non-injective wrapper
+     *  (day-of-week of a floor) could map buckets on BOTH sides of the
+     *  split into one group value, and the Union would emit two partial
+     *  rows for that group. It suffices that ONE group expr is injective
+     *  on a grid containing the split point — group tuples then include
+     *  that bucket, which pins every tuple to exactly one side; the
+     *  other group exprs may wrap cores arbitrarily. Recognized
+     *  injective shapes beyond bare cores (round 14, verdict #1):
+     *   - Spark's window() struct (group equality ⇔ start equality ⇔
+     *     bucket equality — start is the bucket start instant);
+     *   - the standard epoch-lift idioms around a calendar truncation
+     *     (`to_unix_timestamp(...)`, `to_utc_timestamp(trunc, z)` with
+     *     the idiom's own zone) — injective on the strictly-increasing
+     *     resolved-boundary set the calendar split verifies (a zone
+     *     skipping a whole bucket, Pacific/Apia's skipped day, resolves
+     *     two walls to one instant and refuses there). */
+    def splitAxis(g: Expression): Option[BucketShape] = matchCore(g).orElse(g match {
+      case s: CreateNamedStruct =>
+        // the TimeWindowing struct: fields are timestamp lifts of the µs
+        // core (start) and core + width (end) — the lift is lossless
+        def fieldAxis(e: Expression): Option[BucketShape] = e match {
+          case t: TaggingExpression => fieldAxis(t.child) // KnownNullable etc.
+          case PreciseTimestampConversion(inner, LongType, TimestampType) =>
+            matchCore(inner) match {
+              case ok @ Some(_: UniformMicrosBucket) => ok
+              case _ => None
+            }
+          case _ => None
+        }
+        s.valExprs.flatMap(fieldAxis).headOption
+      case ToUnixTimestamp(inner, _, _, _) => splitAxis(inner)
+      case ToUTCTimestamp(inner, Literal(z, StringType)) if z != null =>
+        matchCore(inner) match {
+          case ok @ Some(CalendarBucket(_, zone)) if zone == z.toString => ok
+          case _ => None
+        }
       case _ => None
-    }).toSet
+    })
+    val splitAxes: Seq[BucketShape] = normGroups.flatMap(splitAxis).distinct
+
+    // does some group expr pin the series? (required to serve LAST — see
+    // the max_by case in rewriteAgg)
+    val seriesPinned: Boolean = normGroups.exists {
+      case a: AttributeReference => baseAttr("series_id").exists(_.exprId == a.exprId)
+      case _ => false
+    }
 
     def tryServeStore(store: RollupStoreRef): Option[LogicalPlan] = {
       val rSec = store.intervalSeconds
       if (rSec <= 0) return None
       if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
       if (hi.exists(v => Math.floorMod(v, rSec) != 0L)) return None
+
+      // --- the flush frontier of a MAINTAINED store, decided FIRST: the
+      // head range [lo, split) is what the store must legally serve, so
+      // the calendar legality below enumerates boundaries/transitions
+      // over it (the engine path's sub-range discipline,
+      // [[graft.rollup.Rollup.downsampleHybrid]]). A range wholly below
+      // the frontier serves outright; a straddling range SPLITS on the
+      // largest query-bucket label at or below the frontier — closed
+      // buckets from the store, the open tail raw. The split keys on an
+      // INJECTIVE bucket axis among the group exprs ([[splitAxis]]
+      // above), so no group's rows land on both sides.
+      def axisBoundary(shape: BucketShape): Option[Long] = shape match {
+        case UniformBucket(n) =>
+          Some(store.frontier - Math.floorMod(store.frontier, n))
+        case UniformMicrosBucket(nUs, offUs) =>
+          // largest µs-grid label (≡ offUs mod nUs) at or below the
+          // frontier, expressed back in whole seconds
+          if (store.frontier > Long.MaxValue / 1000000L) None
+          else {
+            val fUs = store.frontier * 1000000L
+            val b = fUs - Math.floorMod(fUs - offUs, nUs)
+            if (Math.floorMod(b, 1000000L) != 0L) None else Some(b / 1000000L)
+          }
+        case CalendarBucket(unit, zone) =>
+          for {
+            a <- lo
+            b <- hi // enumeration needs declared bounds on both sides
+            if a < b
+            bs <- truncBoundaries(unit, zone, a, b)
+            // wall→instant injectivity over the WHOLE queried range: a
+            // zone skipping an entire bucket (Pacific/Apia's skipped
+            // day) resolves two walls to one instant, which would let
+            // one group label occur on both sides of the split
+            if bs.zip(bs.drop(1)).forall { case (x, y) => x < y }
+            f <- bs.takeWhile(_ <= store.frontier).lastOption
+          } yield f
+      }
+      val frontierSplit: Option[Long] =
+        if (store.frontier == Long.MaxValue || hi.exists(_ <= store.frontier)) None
+        else {
+          val cands = splitAxes.flatMap(axisBoundary)
+            .filter(f => Math.floorMod(f, rSec) == 0L)
+          if (cands.isEmpty) return None // no injective bucket axis: raw / finer rung
+          val f = cands.max
+          if (lo.exists(_ >= f) || f <= 0) return None // nothing closed: all raw
+          Some(f)
+        }
+      // the range the STORE actually serves — legality below is proved
+      // over it, not past the split point
+      val servedHi = frontierSplit.orElse(hi)
 
       // fresh attribute ids per substitution when the store is a leaf
       // relation — two rewrites in one query must not share exprIds
@@ -551,19 +655,21 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       }
       val rollupSet = AttributeSet(rollup.output)
       def rAttr(n: String) = rollup.output.find(_.name == n)
-      val (btsA, sumA, cntA, minA, maxA, sumsqA) =
+      val (btsA, sumA, cntA, minA, maxA, lastA, sumsqA) =
         (rAttr("bucket_ts").getOrElse(return None), rAttr("sum").getOrElse(return None),
           rAttr("cnt").getOrElse(return None), rAttr("min").getOrElse(return None),
-          rAttr("max").getOrElse(return None), rAttr("sumsq").getOrElse(return None))
+          rAttr("max").getOrElse(return None), rAttr("last").getOrElse(return None),
+          rAttr("sumsq").getOrElse(return None))
 
       val dimSubst: Map[ExprId, Attribute] = Seq("metric", "tags", "series_id")
         .flatMap(n => baseAttr(n).zip(rAttr(n)))
         .map { case (a, b) => a.exprId -> b }.toMap
 
-      /** Is this core constant within every `rSec` bucket the query
+      /** Is this core constant within every `rSec` bucket the SERVED
        *  range touches? Uniform: exact divisibility. Calendar: every
-       *  wall-boundary instant AND every zone transition in range on
-       *  the store grid (needs finite declared bounds to enumerate). */
+       *  wall-boundary instant AND every zone transition in [lo,
+       *  servedHi) on the store grid (needs finite declared bounds to
+       *  enumerate). */
       val calendarLegal = scala.collection.mutable.Map.empty[(String, String), Boolean]
       def coreLegal(shape: BucketShape): Boolean = shape match {
         case UniformBucket(n) => n > 0 && n % rSec == 0
@@ -574,14 +680,18 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           nUs > 0 && nUs % rUs == 0 && Math.floorMod(offUs, rUs) == 0L
         case CalendarBucket(unit, zone) =>
           calendarLegal.getOrElseUpdate((unit, zone), {
-            (lo, hi) match {
+            // computed into a plain value: a `return` inside this thunk
+            // would exit via NonLocalReturnControl and never cache the
+            // negative, re-running boundary enumeration per occurrence
+            (lo, servedHi) match {
               case (Some(a), Some(b)) if a < b =>
-                truncBoundaries(unit, zone, a, b).exists(
-                  _.forall(x => Math.floorMod(x, rSec) == 0L)) && {
-                  val trans = try Intervals.zoneOffsets(zone, a, b).drop(1)
-                  catch { case _: java.time.DateTimeException => return false }
-                  trans.forall { case (t, _) => Math.floorMod(t, rSec) == 0L }
-                }
+                val walls = truncBoundaries(unit, zone, a, b).exists(
+                  _.forall(x => Math.floorMod(x, rSec) == 0L))
+                val trans =
+                  try Intervals.zoneOffsets(zone, a, b).drop(1)
+                    .forall { case (t, _) => Math.floorMod(t, rSec) == 0L }
+                  catch { case _: java.time.DateTimeException => false }
+                walls && trans
               case _ => false
             }
           })
@@ -594,6 +704,35 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           if isValue(v) && el.exprId == v.exprId && isNullLiteral(nl) => true
         case NaNvl(v: AttributeReference, nl)
           if isValue(v) && isNullLiteral(nl) => true
+        case _ => false
+      }
+
+      /** The null-guarded LAST ordering: `CASE WHEN clean IS NOT NULL
+       *  THEN ts END` — orders by ts among non-null cleaned values only,
+       *  so max_by picks the last NON-null value, which is exactly what
+       *  the composite's `last` column holds (the same guarded max_by,
+       *  [[graft.rollup.Rollup.build]]). A bare `max_by(clean, ts)` is
+       *  NOT this: it returns the possibly-null value at the max ts,
+       *  which the composite cannot reproduce — refused. */
+      // a provably-false branch: the bare literal, or `isnotnull(null)`
+      // as the fixpoint leaves it between push-down and constant folding
+      def falseLit(e: Expression): Boolean = e match {
+        case Literal(false, _) => true
+        case IsNotNull(n) => isNullLiteral(n)
+        case _ => false
+      }
+      def lastGuard(e: Expression): Boolean = e match {
+        case IsNotNull(x) => cleanValue(x)
+        // the optimizer pushes the IsNotNull into the clean CASE:
+        // `CASE WHEN isnan(v) THEN isnotnull(null) ELSE isnotnull(v) END`
+        case CaseWhen(Seq((IsNaN(v: AttributeReference), f)),
+            Some(IsNotNull(v2: AttributeReference)))
+          if isValue(v) && v2.exprId == v.exprId && falseLit(f) => true
+        case _ => false
+      }
+      def lastOrdering(e: Expression): Boolean = e match {
+        case CaseWhen(Seq((g, t: AttributeReference)), elseV)
+          if lastGuard(g) && isTs(t) && elseV.forall(isNullLiteral) => true
         case _ => false
       }
 
@@ -610,6 +749,19 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
               // count(clean) is non-null; Σcnt over ≥1 store row never null
               // either, but keep the type contract explicit
               Some(Coalesce(Seq(fresh(Sum(cntA)), Literal(0L))))
+            // LAST from the stored `last` column (round 14, verdict #2):
+            // the reference stores LAST in the downsampled stream and
+            // serves it like any other stored agg
+            // (core/downsample/AggregatorType.java). Requires the
+            // grouping to PIN the series (series_id among the group
+            // exprs): within one series bucket_ts is unique per store
+            // row and ts unique per deduped point, so max_by over
+            // guarded bucket_ts is exactly the raw answer; across series
+            // a bucket_ts TIE between two series' store rows would pick
+            // arbitrarily where raw picks by the unique max ts — refuse.
+            case MaxBy(v, ord) if seriesPinned && cleanValue(v) && lastOrdering(ord) =>
+              Some(fresh(MaxBy(lastA,
+                CaseWhen(Seq((IsNotNull(lastA), btsA)), None))))
             case sd: StddevSamp if cleanValue(sd.child) =>
               // sample stddev from the stored moments — the reason the
               // reference's composite carries sumofsquare at all
@@ -687,24 +839,6 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
         }
       }
 
-      // --- the flush frontier of a MAINTAINED store: a range wholly below
-      // it serves outright; a straddling range SPLITS on the largest query
-      // bucket boundary at or below it — closed buckets from the store,
-      // the open tail from raw ([[graft.rollup.Rollup.downsampleHybrid]]'s
-      // no-partial-merge discipline at the SQL layer). The split needs a
-      // BARE uniform bucket floor on the grouping key (exactly one
-      // width), so no group's rows land on both sides.
-      val frontierSplit: Option[Long] =
-        if (store.frontier == Long.MaxValue || hi.exists(_ <= store.frontier)) None
-        else if (bareFloorNs.size != 1) return None // no or ambiguous bucket axis
-        else {
-          val n = bareFloorNs.head
-          val f = store.frontier - Math.floorMod(store.frontier, n)
-          if (lo.exists(_ >= f) || f <= 0) return None // nothing closed: all raw
-          Some(f)
-        }
-      val servedHi = frontierSplit.orElse(hi)
-
       val bounds =
         lo.map(v => GreaterThanOrEqual(btsA, Literal(v)).asInstanceOf[Expression]).toSeq ++
           servedHi.map(v => LessThan(btsA, Literal(v)))
@@ -718,29 +852,30 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       // `window_struct.start` in the RESULT while the full struct stays
       // in the grouping) from rewriting a result subtree out of
       // semantic equality with its grouping expression — which would
-      // break physical aggregate binding with an internal error.
-      val complexDefs: Seq[(Expression, Alias)] = {
+      // break physical aggregate binding with an internal error. Applies
+      // to BOTH emitted aggregates: the served one and the hybrid
+      // split's raw tail.
+      def pullOutGroups(groups: Seq[Expression], result: Seq[NamedExpression],
+          child: LogicalPlan): Aggregate = {
         val seen = scala.collection.mutable.LinkedHashMap.empty[Expression, Alias]
-        newGroups.foreach { g =>
+        groups.foreach { g =>
           if (!g.isInstanceOf[Attribute])
             seen.getOrElseUpdate(g.canonicalized, Alias(g, "_groupingexpression")()): Unit
         }
-        seen.toSeq
+        if (seen.isEmpty) Aggregate(groups, result, child)
+        else {
+          val aliasFor = seen.toMap
+          val groupAttrs = groups.map(g =>
+            aliasFor.get(g.canonicalized).map(_.toAttribute).getOrElse(g))
+          val proj = Project(child.output ++ seen.values.toSeq, child)
+          val replaced = result.map(ne => ne.transformDown {
+            case e if aliasFor.contains(e.canonicalized) =>
+              aliasFor(e.canonicalized).toAttribute
+          }.asInstanceOf[NamedExpression])
+          Aggregate(groupAttrs, replaced, proj)
+        }
       }
-      val served = if (complexDefs.isEmpty) {
-        agg.copy(groupingExpressions = newGroups,
-          aggregateExpressions = newResult, child = newChild)
-      } else {
-        val aliasFor = complexDefs.toMap
-        val groupAttrs = newGroups.map(g =>
-          aliasFor.get(g.canonicalized).map(_.toAttribute).getOrElse(g))
-        val proj = Project(newChild.output ++ complexDefs.map(_._2), newChild)
-        val replaced = newResult.map(ne => ne.transformDown {
-          case e if aliasFor.contains(e.canonicalized) =>
-            aliasFor(e.canonicalized).toAttribute
-        }.asInstanceOf[NamedExpression])
-        Aggregate(groupAttrs, replaced, proj)
-      }
+      val served = pullOutGroups(newGroups, newResult, newChild)
       // the substitution must be invisible to parents: same schema exactly
       val sameSchema = served.output.size == agg.output.size &&
         served.output.zip(agg.output).forall { case (a, b) =>
@@ -768,7 +903,7 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
             case (_, n: NamedExpression) => n
             case (ne, other) => Alias(other, ne.name)()
           }
-          val rawAgg = Aggregate(normGroups, rawResult, Filter(rawCond, marker.child))
+          val rawAgg = pullOutGroups(normGroups, rawResult, Filter(rawCond, marker.child))
           val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>
             a.dataType == b.dataType
           }

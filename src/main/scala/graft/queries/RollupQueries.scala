@@ -199,6 +199,84 @@ object RollupQueries {
            |WHERE ts >= $Start AND ts < $End
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // the HYBRID split for window() phrasing (round 14, verdict #1): the
+    // same truncated maintained store, but the dashboard groups by
+    // Spark's window() — round 13 taught the matcher the phrasing, round
+    // 14 teaches the SPLIT (the struct's start field is an injective
+    // bucket axis). Closed days from the store UNION the open tail raw;
+    // q_rollup_sum's oracle verbatim.
+    "q_sql_rollup_window_hybrid" -> { (s, d) =>
+      val frontier = Start + 10 * 86400 + 3600 // mid-day, hour-aligned
+      graft.plans.RollupRouting.registerView(s, TsdbViews.points(s, d),
+        s.read.parquet(storeFor(s, d)).filter(col("bucket_ts") < frontier),
+        RollupInterval, "graft_points_win_hybrid", rollupUntil = frontier)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(window.start) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_win_hybrid
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY metric, tags['user'], window(timestamp_seconds(ts), '1 day')""".stripMargin)
+    },
+    // the HYBRID split for the TZ idiom (round 14, verdict #1): Denver
+    // local days over a truncated maintained store — the split lands on
+    // the largest local MIDNIGHT at or below the frontier (an epoch-day
+    // split would bisect a local day; spec-pinned in RollupRoutingSpec),
+    // closed local days from stored 1h rows, the straddled day and tail
+    // raw. Shares q_ds_tz's raw-scan oracle verbatim.
+    "q_sql_rollup_tz_hybrid" -> { (s, d) =>
+      val frontier = Start + 10 * 86400 + 3600
+      graft.plans.RollupRouting.registerView(s, TsdbViews.points(s, d),
+        s.read.parquet(storeFor(s, d)).filter(col("bucket_ts") < frontier),
+        RollupInterval, "graft_points_tz_hybrid", rollupUntil = frontier)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user,
+           |       to_unix_timestamp(to_utc_timestamp(date_trunc('DAY',
+           |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+           |         'America/Denver')) AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_tz_hybrid
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // LAST through the SQL rewrite (round 14, verdict #2): the
+    // null-guarded max_by a SQL user writes for "latest value per day"
+    // is served from the stored `last` column (max_by(last, guarded
+    // bucket_ts) across store rows) — legal because the grouping pins
+    // the series. Shares q_rollup_last's arg_max oracle verbatim; the
+    // unpinned and unguarded shapes are refusal-pinned in
+    // RollupRoutingSpec.
+    "q_sql_rollup_last" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(max_by(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                         ELSE value END,
+           |                    CASE WHEN (CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                               ELSE value END) IS NOT NULL THEN ts END), 4)
+           |         AS last_value
+           |FROM graft_points_routed
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY series_id, metric, tags['user'], ts - ts % 86400""".stripMargin)
+    },
+    // FOLDABLE range bounds (round 14, verdict #4): the bound a dashboard
+    // templater writes — `ts >= to_unix_timestamp('2024-01-05')` — is
+    // foldable but neither a Literal nor a Cast; the rule folds any
+    // foldable integral bound instead of stripping the marker on the
+    // first fixpoint pass. Same day range as the canonical row, so
+    // q_rollup_sum's oracle applies verbatim.
+    "q_sql_rollup_date_bound" -> { (s, d) =>
+      routedView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_routed
+           |WHERE ts >= to_unix_timestamp('2024-01-05', 'yyyy-MM-dd') AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
     // CROSS-SERIES (spatial) group-by through the rewrite: grouping by
     // host collapses many series into one group, and the store rows
     // still partition the same point set, so Σ(stored hourly sums) per
@@ -429,6 +507,10 @@ object RollupQueries {
          |FROM dedup
          |WHERE ts >= $Start AND ts < ${Start + 2 * 86400} AND metric = 'click'
          |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sql_rollup_window_hybrid" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_tz_hybrid" -> TsdbQueries.oracles("q_ds_tz"),
+    "q_sql_rollup_last" -> oracle(rnd("arg_max(value, ts)"), "last_value"),
+    "q_sql_rollup_date_bound" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_avg" -> oracle(rnd("sum(value) / count(value)"), "avg_value"),
     "q_sql_rollup_dev" -> oracle(rnd("stddev_samp(value)"), "dev_value"),
     "q_sql_expr_ratio" -> TsdbQueries.oracles("q_expr_ratio"),

@@ -308,6 +308,21 @@ class RollupRoutingSpec extends AnyFunSuite {
       s"registry hybrid row must carry both sides:\n$hPlan")
   }
 
+  test("the round-14 registry rows route / split as declared") {
+    val wh = graft.SparkEntry.queries("q_sql_rollup_window_hybrid")(spark, sf)
+    val whPlan = wh.queryExecution.executedPlan.toString
+    assert(whPlan.contains("Window") && whPlan.contains("bucket_ts"),
+      s"window-hybrid registry row must carry both sides:\n$whPlan")
+    val tz = graft.SparkEntry.queries("q_sql_rollup_tz_hybrid")(spark, sf)
+    val tzPlan = tz.queryExecution.executedPlan.toString
+    assert(tzPlan.contains("Window") && tzPlan.contains("bucket_ts"),
+      s"tz-hybrid registry row must carry both sides:\n$tzPlan")
+    val last = graft.SparkEntry.queries("q_sql_rollup_last")(spark, sf)
+    assert(routed(last), last.queryExecution.executedPlan.toString)
+    val db = graft.SparkEntry.queries("q_sql_rollup_date_bound")(spark, sf)
+    assert(routed(db), db.queryExecution.executedPlan.toString)
+  }
+
   // ---------- round 13: phrasing-independent routing ----------
 
   test("floor(ts/N)*N serves — routing is phrasing-independent") {
@@ -575,6 +590,140 @@ class RollupRoutingSpec extends AnyFunSuite {
     RollupRouting.registerView(spark, pts, store, "1h", "v_guard_ok")
     assert(spark.sql(s"SELECT count(*) AS n FROM v_guard_ok WHERE ts >= $Lo LIMIT 1")
       .collect().head.getLong(0) > 0)
+  }
+
+  // ---------- round 14: frontier splits beyond the bare epoch floor ----------
+
+  /** Register a view whose store is truncated at `frontier`, mirroring a
+   *  live maintained lake's flush boundary. */
+  private def frontierView(name: String, frontier: Long): Unit = {
+    val (pts, store) = env
+    val truncated = store.filter(
+      org.apache.spark.sql.functions.col("bucket_ts") < frontier)
+    RollupRouting.registerView(spark, pts, truncated, "1h", name,
+      rollupUntil = frontier)
+  }
+
+  private def assertHybridEqualsRaw(q: String, view: String,
+      splitAt: Option[Long] = None): Unit = {
+    val a = spark.sql(q.replace("$V", view))
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("bucket_ts"),
+      s"hybrid split missing a side:\n$plan")
+    splitAt.foreach { f =>
+      assert(a.queryExecution.optimizedPlan.toString.contains(f.toString),
+        s"split did not land on $f:\n${a.queryExecution.optimizedPlan}")
+    }
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("a window() dashboard over a maintained store splits hybrid") {
+    // round-13 taught the matcher window(); round-14 teaches the SPLIT:
+    // the struct's start field is the µs bucket start — an injective
+    // axis, so closed days serve from the truncated store and the tail
+    // runs raw, split on the UTC day label at or below the frontier
+    frontierView("v_win_frontier", Lo + 7 * 86400 + 3600)
+    assertHybridEqualsRaw(
+      s"""SELECT metric, to_unix_timestamp(window.start) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY metric, window(timestamp_seconds(ts), '1 day')""".stripMargin,
+      "v_win_frontier", splitAt = Some(Lo + 7 * 86400))
+  }
+
+  test("the Denver DAY idiom splits hybrid on a local midnight — never mid-day") {
+    // frontier at Jan 15 01:00 UTC sits INSIDE Denver's Jan 14: the
+    // split must land on the Jan 14 local midnight (07:00 UTC), reading
+    // the straddled local day entirely raw — an epoch-day split here
+    // would bisect it
+    val frontier = Lo + 10 * 86400 + 3600
+    val denverMidnight = Lo + 9 * 86400 + 25200 // 2024-01-14 07:00 UTC
+    frontierView("v_tz_frontier", frontier)
+    assertHybridEqualsRaw(
+      s"""SELECT metric,
+         |       to_unix_timestamp(to_utc_timestamp(date_trunc('DAY',
+         |         from_utc_timestamp(timestamp_seconds(ts), 'America/Denver')),
+         |         'America/Denver')) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      "v_tz_frontier", splitAt = Some(denverMidnight))
+  }
+
+  test("date_trunc over UTC walls splits hybrid too") {
+    frontierView("v_trunc_frontier", Lo + 7 * 86400 + 3600)
+    assertHybridEqualsRaw(
+      s"""SELECT metric,
+         |       to_unix_timestamp(date_trunc('DAY', timestamp_seconds(ts))) AS b,
+         |       round(sum($clean), 4) AS s
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      "v_trunc_frontier", splitAt = Some(Lo + 7 * 86400))
+  }
+
+  test("a wrapper-only group key still refuses the split — conservative raw") {
+    // from_unixtime(floor) IS injective, but the split recognizer only
+    // trusts bare cores and the known-injective lifts; an unrecognized
+    // wrapper must refuse the split (whole query raw), never mis-split
+    frontierView("v_wrap_frontier", Lo + 7 * 86400 + 3600)
+    val q =
+      s"""SELECT metric, from_unixtime(ts - ts % 86400) AS day,
+         |       round(sum($clean), 4) AS s
+         |FROM v_wrap_frontier WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    assert(!a.queryExecution.executedPlan.toString.contains("bucket_ts"))
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw",
+        s"""SELECT metric, from_unixtime(ts - ts % 86400) AS day,
+           |       round(sum($clean), 4) AS s
+           |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin)
+        .collect().map(_.toString).sorted.toSeq)
+  }
+
+  // ---------- round 14: LAST through the SQL rewrite ----------
+
+  private val lastAgg =
+    s"max_by($clean, CASE WHEN ($clean) IS NOT NULL THEN ts END)"
+
+  test("guarded max_by serves LAST from the stored column when series-pinned") {
+    assertSame(
+      s"""SELECT series_id, metric, ts - ts % 86400 AS b,
+         |       round($lastAgg, 4) AS lv
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2, 3""".stripMargin,
+      expectRouted = true)
+  }
+
+  test("max_by without series pinning refuses — cross-series bucket ties") {
+    // grouping by metric only puts many series in one group: the store's
+    // per-(series, bucket) lasts tie on bucket_ts where raw picks by the
+    // unique max ts — must refuse and run raw
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round($lastAgg, 4) AS lv
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin,
+      expectRouted = false)
+  }
+
+  test("bare max_by(clean, ts) keeps null-at-end semantics — raw") {
+    // unguarded ordering returns the possibly-NULL value at the max ts;
+    // the stored last skips nulls — the composite cannot reproduce it
+    assertSame(
+      s"""SELECT series_id, metric, ts - ts % 86400 AS b,
+         |       round(max_by($clean, ts), 4) AS lv
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2, 3""".stripMargin,
+      expectRouted = false)
+  }
+
+  // ---------- round 14: foldable range bounds ----------
+
+  test("a literal-valued but non-literal-shaped bound routes") {
+    // to_unix_timestamp('2024-01-05') is foldable but neither a Literal
+    // nor a Cast — the bound must fold to 1704412800 and serve, not
+    // strip the marker on the first fixpoint pass
+    assertSame(
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM $$V
+         |WHERE ts >= to_unix_timestamp('2024-01-05', 'yyyy-MM-dd') AND ts < $Hi
+         |GROUP BY 1, 2""".stripMargin,
+      expectRouted = true)
   }
 
   test("the served plan reads only the store columns it needs") {
