@@ -28,24 +28,37 @@ object Graft {
     QueryEngine.run(source.points(spark), q)
 
   /** Register the ROUTED facade view for a streamed deployment: the
-   *  ingest lake's raw points paired with its maintained rollup table at
-   *  the ingest's OWN flush frontier, so plain `spark.sql` aggregates
-   *  over `viewName` are served from the maintained store — closed
-   *  segments from rollup rows, the open tail raw — by the
-   *  [[graft.plans.RollupRouting]] optimizer rule (A14, transparent).
-   *  The production one-liner: ingest maintains, SQL serves. Requires
-   *  `cfg.rollupInterval` (the maintained composite must exist) and a
-   *  [[graft.core.GraftSession]]-built session (the rule must be
-   *  installed — registration refuses otherwise). */
+   *  ingest lake's raw points paired with its maintained rollup LADDER
+   *  (every `cfg.rollupRungs` store that has closed windows, e.g. 1h +
+   *  1d), each at the ingest's OWN per-rung flush frontier, so plain
+   *  `spark.sql` aggregates over `viewName` are served from the coarsest
+   *  maintained rung that answers exactly — closed windows from rollup
+   *  rows, the open tail raw — by the [[graft.plans.RollupRouting]]
+   *  optimizer rule (A14, transparent). The production one-liner: ingest
+   *  maintains, SQL serves. Requires a maintained rung with at least one
+   *  closed window and a [[graft.core.GraftSession]]-built session (the
+   *  rule must be installed — registration refuses otherwise).
+   *
+   *  STALENESS: registration snapshots each rung's flush frontier (and,
+   *  through the plan, its file listing). On a LIVE ingest the served
+   *  prefix therefore ages: queries stay correct (the growing tail runs
+   *  raw) but drift toward raw-scan cost until re-registered. Re-call
+   *  this after each maintenance cycle — e.g. inside `foreachBatch`
+   *  right after the rollup flush, or on the dashboard's refresh tick;
+   *  it is a metadata-only operation (two file listings + a temp-view
+   *  swap, no data read), so per-trigger re-registration is cheap. */
   def registerRouted(spark: SparkSession, cfg: graft.streaming.IngestJob.Config,
       viewName: String = "graft_points_routed"): Unit = {
     import graft.streaming.IngestJob
-    val interval = cfg.rollupInterval.getOrElse(throw new IllegalArgumentException(
-      "registerRouted needs an ingest Config with rollupInterval set — " +
-        "there is no maintained composite to route to otherwise"))
-    graft.plans.RollupRouting.registerView(spark, IngestJob.points(spark, cfg),
-      IngestJob.rollup(spark, cfg), interval, viewName,
-      rollupUntil = IngestJob.rollupFrontier(spark, cfg))
+    require(cfg.rollupRungs.nonEmpty,
+      "registerRouted needs an ingest Config with rollupInterval (or a " +
+        "rollupLadder) set — there is no maintained composite to route to otherwise")
+    val ladder = IngestJob.rollupLadder(spark, cfg)
+    require(ladder.nonEmpty,
+      s"no maintained rollup rung of ${cfg.rollupRungs} has a closed window yet " +
+        "(young lake?) — nothing to route to; re-register after the first flush")
+    graft.plans.RollupRouting.registerLadder(spark, IngestJob.points(spark, cfg),
+      ladder, viewName)
   }
 
   /** Register every engine table as a temp view for `spark.sql` users. */

@@ -53,6 +53,11 @@ object StreamQueries {
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
         rollupInterval = Some(RollupInterval),
+        // the maintained LADDER (round 14): a 1d rung beside the 1h
+        // primary, each close-gated on its own window — daily dashboards
+        // read 24× fewer rows (q_stream_rollup_ladder,
+        // q_sql_rollup_ladder_streamed)
+        rollupLadder = Seq("1d"),
         // maintained count-min cells over the user tag (A15 sketch
         // family): per-batch partials, merged at read
         cms = Some(IngestJob.CmsConfig("tags['user']", depth = 4, width = 512)),
@@ -95,6 +100,11 @@ object StreamQueries {
       val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
         retentionSec = Long.MaxValue / 4, maxFutureSec = HybridFutureSec,
         rollupInterval = Some(RollupInterval),
+        // the live ladder: the 1d rung close-gates on whole DAYS, so its
+        // frontier lags the 1h rung's under the frozen mid-range clock —
+        // registerRouted attaches both and the daily SQL serves from the
+        // coarsest rung whose frontier covers each query
+        rollupLadder = Seq("1d"),
         nowSec = Some(() => HybridNowSec))
       IngestJob.run(s, srcDir.toString, cfg).awaitTermination()
       cfg
@@ -615,6 +625,58 @@ object StreamQueries {
            |GROUP BY 1, 2, 3""".stripMargin)
     },
 
+    // LADDER over the LIVE streamed lake (round 14, verdict #3): the
+    // ingest maintains 1h AND 1d rungs (each close-gated on its own
+    // window); the engine-path ladder dispatch serves this daily query
+    // from the 1d rung — 24× fewer rows than the 1h rung it previously
+    // re-aggregated (plan-asserted in IngestJobSpec). Shares
+    // q_rollup_streamed's oracle verbatim: a 1d rung that lost or
+    // double-flushed a window fails the hash.
+    "q_stream_rollup_ladder" -> { (s, d) =>
+      import graft.query.DownsampleSpec
+      val cfg = lakeFor(s, d)
+      graft.rollup.Rollup
+        .downsampleLadder(IngestJob.points(s, cfg), IngestJob.rollupLadder(s, cfg),
+          DownsampleSpec("1d", "sum"), Start, End)
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
+    // the TRANSPARENT-SQL twin over the SAME live ladder: registerRouted
+    // attaches every maintained rung and the RollupRouting rewrite picks
+    // the 1d store for the daily SQL (plan-asserted in IngestJobSpec).
+    // Same oracle verbatim.
+    "q_sql_rollup_ladder_streamed" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      graft.Graft.registerRouted(s, cfg, "graft_points_ladder_live")
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_ladder_live
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+
+    // the JSON front end through the ladder (round 14, verdict #5): a
+    // client JSON query (literal metric filter + daily sum) parsed by
+    // TsdbJson and served via Rollup.runQueryLadder — the filter applies
+    // to the RUNG scans too (composite rows carry metric/tags), so the
+    // 1d store is read pre-pruned. Own single-slice oracle.
+    "q_json_rollup_ladder" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "filter": {"type": "MetricLiteral", "metric": "click"},
+        "downsample": {"interval": "1d", "aggregator": "sum"}
+      }"""
+      graft.rollup.Rollup
+        .runQueryLadder(IngestJob.points(s, cfg), IngestJob.rollupLadder(s, cfg),
+          graft.query.TsdbJson.parseQuery(json))
+        .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // A10 × timezone from the ingest-MAINTAINED rollup (round 11): the
     // Denver local-day serve over the streamed composite table — the
     // deployment shape for tz dashboards (canServeTz legality + the
@@ -905,6 +967,30 @@ object StreamQueries {
          |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
          |       ${rnd("sum(value)")} AS sum_value
          |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    // the ladder routes (engine dispatch + SQL rewrite) read a maintained
+    // 1d rung; answers must equal the raw daily sum exactly — the
+    // q_rollup_streamed oracle verbatim for both
+    "q_stream_rollup_ladder" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+    "q_sql_rollup_ladder_streamed" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2, 3""".stripMargin,
+    // the JSON-parsed ladder route: the metric slice of the same daily
+    // sum — its own oracle, since the filter narrows the row set
+    "q_json_rollup_ladder" ->
+      s"""WITH $pointsCtes
+         |SELECT metric, tag_user, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()} AND metric = 'click'
          |GROUP BY 1, 2, 3""".stripMargin,
 
     // the transparent SQL serve reads the same maintained store the

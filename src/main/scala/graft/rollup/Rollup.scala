@@ -270,6 +270,22 @@ object Rollup {
         .filter(col("ts") >= lit(from) && col("ts") < lit(end))
       QueryEngine.downsample(QueryEngine.dedupeConfigured(pts), spec, from, end)
     }
+    servedFrontier(spec, rollupInterval, start, end, rollupUntil) match {
+      case None => raw(start)
+      case Some(f) if f >= end => serve(rollup, spec, start, end)
+      case Some(f) => serve(rollup, spec, start, f).unionByName(raw(f))
+    }
+  }
+
+  /** The head boundary a hybrid serve would use for one rung:
+   *  `Some(end)` — the rung serves [start, end) outright; `Some(f)` with
+   *  start < f < end — hybrid split at f (closed buckets from the store,
+   *  the tail raw); `None` — the rung cannot serve a nonempty head and
+   *  the query runs fully raw. Factored out of [[downsampleHybrid]] so
+   *  the ladder dispatch ([[downsampleLadder]]) picks a rung with the
+   *  EXACT predicate the serve then uses. */
+  def servedFrontier(spec: DownsampleSpec, rollupInterval: String,
+      start: Long, end: Long, rollupUntil: Long): Option[Long] = {
     // A CALENDAR downsample splits on a calendar boundary — labels are
     // absolute (the civil calendar), so the raw tail's labels agree with
     // the served head's without any alignment bookkeeping. The sub-range
@@ -277,57 +293,120 @@ object Rollup {
     // legality check succeeds exactly when the full-range one would.
     if (Intervals.isCalendar(spec.interval)) {
       val zone = spec.timezone.getOrElse("UTC")
-      if (rollupUntil >= end)
-        return if (canServeCalendar(spec, rollupInterval, start, end))
-          serve(rollup, spec, start, end)
-        else raw(start)
-      val clamped = math.min(math.max(rollupUntil, start), end)
-      val frontier = Intervals
-        .calendarBoundaries(spec.interval, zone, start, end)
-        .takeWhile(_ <= clamped).lastOption.getOrElse(start)
-      return if (frontier > start && canServeCalendar(spec, rollupInterval, start, frontier))
-        serve(rollup, spec, start, frontier).unionByName(raw(frontier))
-      else raw(start)
+      if (rollupUntil >= end) {
+        if (canServeCalendar(spec, rollupInterval, start, end)) Some(end) else None
+      } else {
+        val clamped = math.min(math.max(rollupUntil, start), end)
+        val frontier = Intervals
+          .calendarBoundaries(spec.interval, zone, start, end)
+          .takeWhile(_ <= clamped).lastOption.getOrElse(start)
+        if (frontier > start && canServeCalendar(spec, rollupInterval, start, frontier))
+          Some(frontier)
+        else None
+      }
+    } else if (spec.timezone.isDefined) {
+      // A timezone'd downsample splits on a tz bucket LABEL — the only
+      // epoch instants where neither side bisects a local bucket (labels
+      // are non-uniform: 23/25h DST days). The frontier is the largest
+      // label at or below the flush boundary; [start, frontier) must
+      // itself pass the offset/transition test (canServeTz — on a legal
+      // zone/rollup pair every label is rollup-aligned, so the sub-range
+      // check succeeds exactly when the full-range one would), and the
+      // straddling local bucket reads entirely from raw, the same
+      // no-partial-merge discipline as the epoch split below.
+      val qSec = Intervals.toSeconds(spec.interval)
+      if (rollupUntil >= end) {
+        if (canServeTz(spec, rollupInterval, start, end)) Some(end) else None
+      } else {
+        val clamped = math.min(math.max(rollupUntil, start), end)
+        val frontier = Intervals
+          .tzGridLabels(spec.timezone.get, qSec, start, end)
+          .takeWhile(_ <= clamped).lastOption.getOrElse(start)
+        if (frontier > start && canServeTz(spec, rollupInterval, start, frontier))
+          Some(frontier)
+        else None
+      }
+    } else {
+      // An interval-unaligned start cannot be served from the rollup at
+      // all: the epoch-aligned first rollup bucket would mix pre-start
+      // points into the partial first query bucket (the raw path clips by
+      // ts range; a stored composite cannot be clipped). The reference
+      // only routes aligned queries — enforce that here, not by comment.
+      val qSec = Intervals.toSeconds(spec.interval)
+      if (!canServe(spec, rollupInterval) || Math.floorMod(start, qSec) != 0L) None
+      else {
+        val clamped = math.min(math.max(rollupUntil, start), end)
+        // floor to an EPOCH-aligned query bucket (≡ start-relative now
+        // that start is aligned): serve() and downsample() both bucket by
+        // `ts - ts % qSec`, so any other split would double-emit the
+        // straddling bucket
+        val frontier = clamped - Math.floorMod(clamped, qSec)
+        if (frontier <= start) None else Some(frontier)
+      }
     }
-    val qSec = Intervals.toSeconds(spec.interval)
-    // A timezone'd downsample splits on a tz bucket LABEL — the only
-    // epoch instants where neither side bisects a local bucket (labels
-    // are non-uniform: 23/25h DST days). The frontier is the largest
-    // label at or below the flush boundary; [start, frontier) must
-    // itself pass the offset/transition test (canServeTz — on a legal
-    // zone/rollup pair every label is rollup-aligned, so the sub-range
-    // check succeeds exactly when the full-range one would), and the
-    // straddling local bucket reads entirely from raw, the same
-    // no-partial-merge discipline as the epoch split below.
-    if (spec.timezone.isDefined) {
-      if (rollupUntil >= end)
-        return if (canServeTz(spec, rollupInterval, start, end))
-          serve(rollup, spec, start, end)
-        else raw(start)
-      val clamped = math.min(math.max(rollupUntil, start), end)
-      val frontier = Intervals
-        .tzGridLabels(spec.timezone.get, qSec, start, end)
-        .takeWhile(_ <= clamped).lastOption.getOrElse(start)
-      return if (frontier > start && canServeTz(spec, rollupInterval, start, frontier))
-        serve(rollup, spec, start, frontier).unionByName(raw(frontier))
-      else raw(start)
+  }
+
+  /** Rollup-LADDER routing for the engine path (A14 × ladder, round 14):
+   *  serve the downsample from the COARSEST rung that answers a nonempty
+   *  head — fully, or hybrid-split at its own flush frontier — falling
+   *  finer, then raw. The reference's LTS stores multiple downsampled
+   *  aggregation streams per segment and dispatches per interval id
+   *  (GorillaDownSampledTimeSeriesEncoder.java:85-120,138-180); this is
+   *  the same dispatch [[graft.plans.RollupRouting.registerLadder]]
+   *  gives SQL, for programmatic callers. `rungs` is (store, interval,
+   *  frontier) per rung — [[graft.streaming.IngestJob.rollupLadder]] for
+   *  a live lake.
+   *
+   *  Scale: a daily dashboard over a 1h+1d ladder reads the 1d store —
+   *  24× fewer rows than re-aggregating the 1h rung, ~86400× fewer than
+   *  the raw fact table. */
+  def downsampleLadder(points: DataFrame, rungs: Seq[(DataFrame, String, Long)],
+      spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
+    require(rungs.nonEmpty, "rollup ladder needs at least one rung")
+    val sorted = rungs.sortBy { case (_, iv, _) => -Intervals.toSeconds(iv) }
+    sorted.find { case (_, iv, until) =>
+      servedFrontier(spec, iv, start, end, until).isDefined
+    } match {
+      case Some((store, iv, until)) =>
+        downsampleHybrid(points, store, iv, spec, start, end, until)
+      case None =>
+        // no rung serves: a frontier at `start` makes the hybrid run the
+        // raw path (ts-filtered, segment-pruned, deduped) unchanged
+        val (store, iv, _) = sorted.head
+        downsampleHybrid(points, store, iv, spec, start, end, start)
     }
-    // An interval-unaligned start cannot be served from the rollup at all:
-    // the epoch-aligned first rollup bucket would mix pre-start points
-    // into the partial first query bucket (the raw path clips by ts range;
-    // a stored composite cannot be clipped). The reference only routes
-    // aligned queries — enforce that here instead of by comment.
-    if (!canServe(spec, rollupInterval) || Math.floorMod(start, qSec.toLong) != 0L) raw(start)
+  }
+
+  /** Ladder routing for the JSON front end: a parsed [[TsdbQuery]] whose
+   *  shape is the plain filtered downsample — the only shape the
+   *  reference's rollup decision applies to
+   *  (AerospikeBatchQueryNode.java:196-226) — is served through
+   *  [[downsampleLadder]]. The query's series predicate applies to the
+   *  STORES too (composite rows carry metric + tags), so rung scans stay
+   *  pruned; any other shape (rate, shift, fill, spatial group-by,
+   *  analytics) falls back to the raw engine path unchanged. */
+  def runQueryLadder(points: DataFrame, rungs: Seq[(DataFrame, String, Long)],
+      q: graft.query.TsdbQuery): DataFrame = {
+    val plain = q.downsample.isDefined && q.rate.isEmpty &&
+      q.timeDifference.isEmpty && q.shift.isEmpty && q.fill.isEmpty &&
+      q.groupBy.isEmpty && q.slidingWindow.isEmpty && q.movingAverage.isEmpty &&
+      q.anomaly.isEmpty && q.ratio.isEmpty && q.topN.isEmpty &&
+      q.summarizer.isEmpty && q.bucketQuantile.isEmpty
+    if (!plain) QueryEngine.run(points, q)
     else {
-      val clamped = math.min(math.max(rollupUntil, start), end)
-      // floor to an EPOCH-aligned query bucket (≡ start-relative now that
-      // start is aligned): serve() and downsample() both bucket by
-      // `ts - ts % qSec`, so any other split would double-emit the
-      // straddling bucket
-      val frontier = clamped - Math.floorMod(clamped, qSec)
-      if (frontier <= start) raw(start)
-      else if (frontier >= end) serve(rollup, spec, start, end)
-      else serve(rollup, spec, start, frontier).unionByName(raw(frontier))
+      val spec0 = q.downsample.get
+      // the same one-point "auto" resolution QueryEngine.run performs
+      val spec = if (spec0.interval == "auto")
+        spec0.copy(interval = Intervals.autoInterval(q.end - q.start)) else spec0
+      val pred = graft.filters.SeriesFilter.compile(q.filter, col("metric"), col("tags"))
+      val explicitPred =
+        if (q.explicitTags)
+          graft.filters.SeriesFilter.explicitTagsPredicate(q.filter, col("tags"))
+        else lit(true)
+      val keep = pred && explicitPred
+      downsampleLadder(points.filter(keep),
+        rungs.map { case (df, iv, u) => (df.filter(keep), iv, u) },
+        spec, q.start, q.end)
     }
   }
 }

@@ -99,8 +99,18 @@ object IngestJob {
    *  q_stream_admission_approx does exactly that). The admission median
    *  only anchors the future-outlier cutoff, so a sampled median admits
    *  an (acceptably) slightly different boundary set — deterministically. */
-  /** `rollupLatenessSec`: how long after a segment's end the flush waits
-   *  for stragglers before building its rollup (the close gate). */
+  /** `rollupLatenessSec`: how long after a rollup window's end the flush
+   *  waits for stragglers before building its rollup (the close gate). */
+  /** `rollupLadder`: additional maintained rollup rungs beyond
+   *  `rollupInterval` (e.g. `Seq("1d")` on a 1h primary) — the
+   *  reference's LTS stores multiple downsampled aggregation streams per
+   *  segment and dispatches per interval
+   *  (GorillaDownSampledTimeSeriesEncoder.java:85-120,138-180). Each
+   *  rung is close-gated on its OWN window (a 1d rung flushes a day once
+   *  the high-water mark passes its end + lateness) and carries its own
+   *  flush frontier ([[rungFrontier]]); [[graft.Graft.registerRouted]]
+   *  attaches the whole ladder so a daily SQL dashboard reads the
+   *  maintained 1d rung instead of re-aggregating 24× more 1h rows. */
   /** `compactEvery`: every N committed batches, fold the closed
    *  sketch-store batch partitions (cms cells, dds buckets) into one
    *  snapshot partition ([[StoreCompaction]]) so merged-read cost stays
@@ -116,9 +126,15 @@ object IngestJob {
       rollupLatenessSec: Long = 0,
       cms: Option[CmsConfig] = None,
       dds: Seq[DdsConfig] = Nil,
-      compactEvery: Option[Int] = None) {
+      compactEvery: Option[Int] = None,
+      rollupLadder: Seq[String] = Nil) {
     require(compactEvery.forall(_ >= 1),
       s"compactEvery must be >= 1 when set, got $compactEvery")
+    /** Every maintained rung, primary first. */
+    def rollupRungs: Seq[String] = (rollupInterval.toSeq ++ rollupLadder).distinct
+    // each rung must tile cleanly with the segment layout — refuse a
+    // dead rung at construction, not silently at every batch
+    rollupRungs.foreach(iv => IngestJob.rungWindowSeconds(iv): Unit)
   }
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
@@ -146,6 +162,24 @@ object IngestJob {
   def cmsPath(cfg: Config): String = s"${cfg.lakeDir}/cms"
   def ddsPath(cfg: Config, name: String = "dds"): String = s"${cfg.lakeDir}/$name"
 
+  /** Store path for one rollup rung: the primary keeps the historical
+   *  `rollup` directory; ladder rungs get `rollup_<interval>`. */
+  def rungPath(cfg: Config, interval: String): String =
+    if (cfg.rollupInterval.contains(interval)) rollupPath(cfg)
+    else s"${cfg.lakeDir}/rollup_$interval"
+
+  /** A rung's flush/partition window: its close gate and overwrite unit.
+   *  A sub-segment rung (1h, 30m) flushes per 2h segment; a coarser rung
+   *  (1d) flushes per own bucket (which must tile whole segments). */
+  def rungWindowSeconds(interval: String): Long = {
+    val iv = Intervals.toSeconds(interval)
+    require(iv > 0, s"not a positive rollup interval: $interval")
+    require(TsdbSchema.SegmentSeconds % iv == 0 || iv % TsdbSchema.SegmentSeconds == 0,
+      s"rollup interval $interval must divide, or be a whole multiple of, " +
+        s"the ${TsdbSchema.SegmentSeconds}s segment")
+    math.max(iv, TsdbSchema.SegmentSeconds)
+  }
+
   /** Lake store names a [[DdsConfig.name]] must not shadow. */
   val ReservedStores: Set[String] =
     Set("points", "series_log", "latest_log", "rollup", "cms")
@@ -169,9 +203,10 @@ object IngestJob {
     // cms, ...) would corrupt that store — config errors, not merges
     require(cfg.dds.map(_.name).distinct.size == cfg.dds.size,
       s"duplicate DdsConfig names: ${cfg.dds.map(_.name)}")
-    require(cfg.dds.forall(c => !ReservedStores(c.name)),
+    val reserved = ReservedStores ++ cfg.rollupRungs.map(iv => s"rollup_$iv")
+    require(cfg.dds.forall(c => !reserved(c.name)),
       s"DdsConfig name collides with a reserved lake store: " +
-        s"${cfg.dds.map(_.name).filter(ReservedStores)} (reserved: $ReservedStores)")
+        s"${cfg.dds.map(_.name).filter(reserved)} (reserved: $reserved)")
     // One stats pass: the admission median (deterministic,
     // oracle-replayable: exact by default, or the exact median of the
     // md5-seeded 1/m sample for huge batches — Config.admissionSampleMod),
@@ -280,34 +315,41 @@ object IngestJob {
         if (batchId > 0 && batchId % n == 0)
           StoreCompaction.compactSketches(batch.sparkSession, cfg)
       }
-      cfg.rollupInterval.foreach { iv =>
+      if (cfg.rollupRungs.nonEmpty) {
         // control-flow collect, not a data loop: a micro-batch touches a
         // handful of 2h windows (cached input, O(segments-per-batch) ids)
         val touched = admitted.select(col("segment_start")).distinct()
           .collect().map(_.getLong(0)).toSet
-        // CLOSE GATE: flush a segment once, when the high-water mark
-        // passes its end + lateness (the reference builds rollups at
-        // flush-to-LTS time, once per segment — TSFlusherImp.java:168-430
-        // — not on every write). Flushing the live segment on every
-        // micro-batch would rewrite O(segment volume) per batch: at a
-        // 1-min cadence into a 2h segment, ~120 rewrites of the same
-        // partition. The open tail is served from raw points instead
-        // (Rollup.downsampleHybrid). Two flush triggers, both exact and
-        // idempotent:
-        //  - a closed segment touched by this batch (late straggler
+        // CLOSE GATE, per rung: flush a rung window once, when the
+        // high-water mark passes its end + lateness (the reference
+        // builds rollups at flush-to-LTS time, once per segment —
+        // TSFlusherImp.java:168-430 — not on every write). Flushing the
+        // live window on every micro-batch would rewrite O(window
+        // volume) per batch: at a 1-min cadence into a 2h segment, ~120
+        // rewrites of the same partition. The open tail is served from
+        // raw points instead (Rollup.downsampleHybrid /
+        // RollupRouting's frontier split). A coarser rung (1d) gates on
+        // its own wider window, so its frontier naturally lags the
+        // fine rung's — each query picks the coarsest rung whose
+        // frontier covers it. Two flush triggers per rung, both exact
+        // and idempotent:
+        //  - a closed window touched by this batch (late straggler
         //    inside the admission window) → recompute it;
-        //  - a closed lake segment with no rollup partition yet (it
+        //  - a closed lake window with no rung partition yet (it
         //    closed since the batch that last wrote it) → first flush.
         val anchor = now.getOrElse(hwm)
         val conf = batch.sparkSession.sessionState.newHadoopConf()
-        def closed(seg: Long): Boolean =
-          seg + TsdbSchema.SegmentSeconds + cfg.rollupLatenessSec <= anchor
-        val unflushed = {
-          val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
-          segmentDirs(conf, pointsPath(cfg)).map(_._2).filterNot(rolled).toSet
+        val lakeSegs = segmentDirs(conf, pointsPath(cfg)).map(_._2)
+        cfg.rollupRungs.foreach { iv =>
+          val w = rungWindowSeconds(iv)
+          def winOf(seg: Long): Long = seg - Math.floorMod(seg, w)
+          def closed(win: Long): Boolean =
+            win + w + cfg.rollupLatenessSec <= anchor
+          val rolled = segmentDirs(conf, rungPath(cfg, iv)).map(_._2).toSet
+          val unflushed = lakeSegs.map(winOf).filterNot(rolled).toSet
+          val due = (touched.map(winOf) ++ unflushed).filter(closed)
+          flushRung(batch.sparkSession, cfg, iv, due.toSeq.sorted)
         }
-        val due = (touched ++ unflushed).filter(closed)
-        flushRollup(batch.sparkSession, cfg, iv, due.toSeq.sorted)
       }
       BatchStats(total, obs.get("admitted").asInstanceOf[Long], hwm)
     } finally admitted.unpersist()
@@ -357,11 +399,29 @@ object IngestJob {
   def points(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(pointsPath(cfg))
 
-  /** The streaming-maintained rollup table (A10 read side): composite
-   *  sum/cnt/min/max/last/sumsq rows per (series, rollup bucket),
-   *  segment-partitioned. Feed to [[graft.rollup.Rollup.serve]]. */
+  /** The streaming-maintained PRIMARY rollup table (A10 read side):
+   *  composite sum/cnt/min/max/last/sumsq rows per (series, rollup
+   *  bucket), window-partitioned. Feed to [[graft.rollup.Rollup.serve]]. */
   def rollup(spark: SparkSession, cfg: Config): DataFrame =
     spark.read.parquet(rollupPath(cfg))
+
+  /** One rung of the maintained rollup ladder. */
+  def rollupRung(spark: SparkSession, cfg: Config, interval: String): DataFrame =
+    spark.read.parquet(rungPath(cfg, interval))
+
+  /** The maintained ladder as (store, interval, frontier) rungs — the
+   *  input shape of [[graft.rollup.Rollup.downsampleLadder]] and
+   *  [[graft.plans.RollupRouting.registerLadder]]. Rungs whose store has
+   *  no closed window yet (a young lake's 1d rung) are skipped: there is
+   *  nothing to serve from them, and their frontier would precede every
+   *  query anyway. */
+  def rollupLadder(spark: SparkSession, cfg: Config): Seq[(DataFrame, String, Long)] = {
+    val conf = spark.sessionState.newHadoopConf()
+    cfg.rollupRungs.flatMap { iv =>
+      if (segmentDirs(conf, rungPath(cfg, iv)).isEmpty) None
+      else Some((rollupRung(spark, cfg, iv), iv, rungFrontier(spark, cfg, iv)))
+    }
+  }
 
   /** The maintained count–min sketch: micro-batch partials merged by
    *  cell-wise sum — identical to the one-shot batch sketch. Reads via
@@ -407,60 +467,89 @@ object IngestJob {
     foldLatestLog(spark.read.parquet(latestLogPath(cfg)))
       .select("series_id", "metric", "tags", "last_ts", "last_value")
 
-  /** A10: flush-time rollup maintenance. Recomputes the composite rollup
-   *  (exact — over the deduped lake, not merged per-batch partials) for
-   *  the given segment windows and overwrites just those partitions
-   *  (dynamic partition overwrite). Idempotent per segment: re-flushing a
-   *  window after late data lands simply rewrites its slice. */
+  /** A10: flush-time rollup maintenance for the PRIMARY rung (kept as
+   *  the historical entry point; `segments` are 2h segment windows). */
   def flushRollup(spark: SparkSession, cfg: Config, interval: String,
-      segments: Seq[Long]): Unit = {
-    if (segments.isEmpty) return
-    require(TsdbSchema.SegmentSeconds % Intervals.toSeconds(interval) == 0,
-      s"rollup interval $interval must divide the ${TsdbSchema.SegmentSeconds}s segment")
+      segments: Seq[Long]): Unit =
+    flushRung(spark, cfg, interval, segments)
+
+  /** Flush-time maintenance for one ladder rung. Recomputes the
+   *  composite rollup (exact — over the deduped lake, not merged
+   *  per-batch partials) for the given rung WINDOWS
+   *  ([[rungWindowSeconds]]-aligned; = 2h segments for sub-segment
+   *  rungs, own buckets for coarser rungs) and overwrites just those
+   *  partitions (dynamic partition overwrite). Idempotent per window:
+   *  re-flushing after late data lands simply rewrites its slice. */
+  def flushRung(spark: SparkSession, cfg: Config, interval: String,
+      windows: Seq[Long]): Unit = {
+    if (windows.isEmpty) return
+    val w = rungWindowSeconds(interval)
+    // the covered 2h lake segments — a bounded list (12 per 1d window),
+    // kept as an isin so partition pruning is explicit in the scan
+    val segs = windows.flatMap(win => win until (win + w) by TsdbSchema.SegmentSeconds)
     val pts = points(spark, cfg)
-      .filter(col("segment_start").isin(segments: _*))
+      .filter(col("segment_start").isin(segs: _*))
     graft.rollup.Rollup.build(pts, interval)
-      .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("bucket_ts")))
-      // co-locate each segment in one task: one file per segment partition
-      // instead of (shuffle-partitions × segments) small files
+      .withColumn("segment_start", graft.core.SeriesId.segmentStart(col("bucket_ts"), w))
+      // co-locate each window in one task: one file per window partition
+      // instead of (shuffle-partitions × windows) small files
       .repartition(col("segment_start"))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("segment_start")
-      .parquet(rollupPath(cfg))
+      .parquet(rungPath(cfg, interval))
   }
 
-  /** End-of-stream / shutdown flush: build the rollup for every lake
-   *  segment that doesn't have one yet (the open tail the close gate
-   *  deliberately skipped, plus any segment that closed after its last
-   *  write). After this the rollup covers the whole lake and
-   *  [[rollupFrontier]] is +∞. */
-  def finalizeRollup(spark: SparkSession, cfg: Config): Seq[Long] =
-    cfg.rollupInterval.toSeq.flatMap { iv =>
-      val conf = spark.sessionState.newHadoopConf()
-      val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
-      val missing = segmentDirs(conf, pointsPath(cfg)).map(_._2)
-        .filterNot(rolled).sorted
-      flushRollup(spark, cfg, iv, missing)
-      missing
-    }
-
-  /** The flush frontier: every lake segment strictly below it has a
-   *  maintained rollup partition; at or above it, queries must read raw
-   *  points ([[graft.rollup.Rollup.downsampleHybrid]]'s `rollupUntil`).
-   *  Long.MaxValue when the rollup covers the whole lake. */
-  def rollupFrontier(spark: SparkSession, cfg: Config): Long = {
+  /** End-of-stream / shutdown flush: for every rung, build the rollup
+   *  for every lake window that doesn't have one yet (the open tail the
+   *  close gate deliberately skipped, plus any window that closed after
+   *  its last write). After this every rung covers the whole lake and
+   *  its [[rungFrontier]] is +∞. Returns the primary rung's flushed
+   *  windows (historical contract). */
+  def finalizeRollup(spark: SparkSession, cfg: Config): Seq[Long] = {
     val conf = spark.sessionState.newHadoopConf()
-    val rolled = segmentDirs(conf, rollupPath(cfg)).map(_._2).toSet
-    val missing = segmentDirs(conf, pointsPath(cfg)).map(_._2).filterNot(rolled)
+    val lakeSegs = segmentDirs(conf, pointsPath(cfg)).map(_._2)
+    val flushed = cfg.rollupRungs.map { iv =>
+      val w = rungWindowSeconds(iv)
+      val rolled = segmentDirs(conf, rungPath(cfg, iv)).map(_._2).toSet
+      val missing = lakeSegs.map(s => s - Math.floorMod(s, w))
+        .distinct.filterNot(rolled).sorted
+      flushRung(spark, cfg, iv, missing)
+      iv -> missing
+    }.toMap
+    cfg.rollupInterval.toSeq.flatMap(flushed.getOrElse(_, Nil))
+  }
+
+  /** The PRIMARY rung's flush frontier: every lake segment strictly
+   *  below it has a maintained rollup partition; at or above it, queries
+   *  must read raw points ([[graft.rollup.Rollup.downsampleHybrid]]'s
+   *  `rollupUntil`). Long.MaxValue when the rollup covers the whole
+   *  lake. */
+  def rollupFrontier(spark: SparkSession, cfg: Config): Long =
+    rungFrontier(spark, cfg, cfg.rollupInterval.getOrElse(
+      throw new IllegalArgumentException("no primary rollupInterval configured")))
+
+  /** One rung's flush frontier: the earliest lake window the rung has
+   *  not flushed (a coarser rung's frontier naturally lags the fine
+   *  rung's — its windows close later). */
+  def rungFrontier(spark: SparkSession, cfg: Config, interval: String): Long = {
+    val w = rungWindowSeconds(interval)
+    val conf = spark.sessionState.newHadoopConf()
+    val rolled = segmentDirs(conf, rungPath(cfg, interval)).map(_._2).toSet
+    val missing = segmentDirs(conf, pointsPath(cfg)).map(_._2)
+      .map(s => s - Math.floorMod(s, w)).distinct.filterNot(rolled)
     if (missing.isEmpty) Long.MaxValue else missing.min
   }
 
   /** R5: drop whole expired segment partitions (cheap file-level delete,
-   *  no data rewrite) from the points lake and the maintained rollup. */
+   *  no data rewrite) from the points lake and every maintained rung. */
   def purge(cfg: Config, cutoffSec: Long): Seq[Long] = {
     val conf = hadoopConf()
-    dropSegmentsBefore(conf, rollupPath(cfg), cutoffSec)
+    cfg.rollupRungs.foreach(iv =>
+      dropSegmentsBefore(conf, rungPath(cfg, iv), cutoffSec))
+    // lakes written by configs that no longer list a rung still purge
+    // the historical primary path
+    if (cfg.rollupRungs.isEmpty) dropSegmentsBefore(conf, rollupPath(cfg), cutoffSec): Unit
     dropSegmentsBefore(conf, pointsPath(cfg), cutoffSec)
   }
 

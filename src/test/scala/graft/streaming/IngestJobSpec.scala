@@ -218,6 +218,79 @@ class IngestJobSpec extends AnyFunSuite {
       (t0 + 2 * seg) -> 12.0)) // 4.0 + 8.0 from the raw open tail
   }
 
+  test("a rollup LADDER is maintained at ingest: per-rung close gates, frontiers, coarsest-rung serving (round 14)") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder").toString
+    val day = 86400L
+    val t0 = 10 * day // day- and segment-aligned
+    // frozen clock at 10:00 on day 1: every touched 2h segment is closed
+    // (1h rung fully flushed) but day 1 itself is still open — the 1d
+    // rung's frontier must LAG the 1h rung's
+    val now = t0 + day + 10 * 3600
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"), rollupLadder = Seq("1d"),
+      nowSec = Some(() => now))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0), (300L, t0 + 3600, "cpu", 2.0),
+      (450L, t0 + day + 10, "cpu", 4.0),
+      (600L, t0 + day + 21600, "cpu", 8.0))), cfg)
+    // the 1d rung holds exactly the closed day; the open day is absent
+    val rungDir = new java.io.File(IngestJob.rungPath(cfg, "1d"))
+    val parts = rungDir.listFiles().filter(_.getName.startsWith("segment_start="))
+      .map(_.getName).toSet
+    assert(parts === Set(s"segment_start=$t0"))
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === t0 + day)
+    // every lake segment is closed and flushed on the 1h rung
+    assert(IngestJob.rungFrontier(spark, cfg, "1h") === Long.MaxValue)
+    // engine-path ladder dispatch: the straddling daily range serves the
+    // closed day from the 1d rung and the open day raw
+    val ladder = IngestJob.rollupLadder(spark, cfg)
+    assert(ladder.map(_._2).toSet === Set("1h", "1d"))
+    val res = graft.rollup.Rollup.downsampleLadder(
+      IngestJob.points(spark, cfg), ladder,
+      graft.query.DownsampleSpec("1d", "sum"), t0, t0 + 2 * day)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_1d"), s"closed day must read the 1d rung:\n$plan")
+    assert(plan.contains("lake/points"), s"open day must read raw:\n$plan")
+    val byBucket = res.collect().map(r =>
+      r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap
+    assert(byBucket === Map(t0 -> 3.0, (t0 + day) -> 12.0))
+    // a fully-closed daily range reads ONLY the 1d rung
+    val closedOnly = graft.rollup.Rollup.downsampleLadder(
+      IngestJob.points(spark, cfg), ladder,
+      graft.query.DownsampleSpec("1d", "sum"), t0, t0 + day)
+    val closedPlan = closedOnly.queryExecution.executedPlan.toString
+    assert(closedPlan.contains("rollup_1d") && !closedPlan.contains("lake/points"),
+      s"closed range must serve entirely from the 1d rung:\n$closedPlan")
+    // the SQL one-liner attaches the whole ladder: the closed daily SQL
+    // serves from the 1d rung (no raw scan, no dedupe window); the
+    // straddling one splits hybrid on the 1d rung's own frontier
+    graft.Graft.registerRouted(spark, cfg, "v_live_ladder")
+    val sqlClosed = spark.sql(
+      s"""SELECT metric, ts - ts % 86400 AS b,
+         |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+         |                      ELSE value END), 4) AS s
+         |FROM v_live_ladder WHERE ts >= $t0 AND ts < ${t0 + day}
+         |GROUP BY 1, 2""".stripMargin)
+    val sqlClosedPlan = sqlClosed.queryExecution.executedPlan.toString
+    assert(sqlClosedPlan.contains("rollup_1d") && !sqlClosedPlan.contains("Window"),
+      s"closed daily SQL must read the maintained 1d rung:\n$sqlClosedPlan")
+    assert(sqlClosed.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap ===
+      Map(t0 -> 3.0))
+    val sqlStraddle = spark.sql(
+      s"""SELECT metric, ts - ts % 86400 AS b,
+         |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+         |                      ELSE value END), 4) AS s
+         |FROM v_live_ladder WHERE ts >= $t0 AND ts < ${t0 + 2 * day}
+         |GROUP BY 1, 2""".stripMargin)
+    val sqlStraddlePlan = sqlStraddle.queryExecution.executedPlan.toString
+    assert(sqlStraddlePlan.contains("rollup_1d") && sqlStraddlePlan.contains("Window"),
+      s"straddling daily SQL must split on the 1d rung's frontier:\n$sqlStraddlePlan")
+    assert(sqlStraddle.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap ===
+      Map(t0 -> 3.0, (t0 + day) -> 12.0))
+  }
+
   test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
     // foreachBatch is at-least-once on failure/restart; the lake absorbs a
     // replay because every reader resolves duplicates by (ts, seq) LWW and
