@@ -1106,9 +1106,18 @@ object ScaleProbe {
       val ratio = s2(1) / math.max(s2(0), 1e-9)
       println(f"$name%-32s ${s2.map(x => f"$x%8.2f").mkString(" ")}s ratio=$ratio%6.2f rows=${measured.map(_._2).mkString("/")}")
     }
+    /** Materialize EVERY column through a checksum aggregate: under a
+     *  bare count() column pruning can drop the cnt/__c columns from the
+     *  parquet scans and understate the byte-read side of the timing
+     *  (the round-12 lesson about count()-based probes); hashing all
+     *  columns makes the scan unprunable while returning the row count
+     *  for the rows axis. */
+    def force(df: DataFrame): Long =
+      df.select(hash(df.columns.map(col): _*).as("__h"))
+        .agg(count(lit(1)).as("__n"), sum(col("__h"))).head.getLong(0)
     def readRow(name: String, mk: String => DataFrame, dirs: Seq[String]): Unit = {
-      dirs.foreach(d => mk(d).count()) // warm (JVM/codegen only; listing re-pays)
-      record(name, dirs.map(d => time(mk(d).count())))
+      dirs.foreach(d => force(mk(d))) // warm (JVM/codegen only; listing re-pays)
+      record(name, dirs.map(d => time(force(mk(d)))))
     }
 
     val base = java.nio.file.Files.createTempDirectory("graft_batch_synth").toString
@@ -1178,6 +1187,7 @@ object ScaleProbe {
       "\"notes\": {" +
       "\"axis\": \"batch COUNT via SYNTHESIZED partials (counts-are-sums: any decomposition into non-negative summands is a valid partial history; the merged read is bit-identical by construction) - 100 vs 1000 batch_id partitions; 1000 ~ 70% of a full day at a 1-min trigger\", " +
       "\"fold rows\": \"value = surviving batch_id partitions after the fold (snapshot + open max batch = 2)\", " +
+      "\"read timing\": \"reads materialize EVERY column via a hash-checksum aggregate, so column pruning cannot drop the count columns from the scans (a bare count() understated the byte-read axis)\", " +
       "\"partials_written\": \"stores whose count mass is below batch k write no row for k, matching real batches that only write touched keys - the listing cost under test scales with the written partition count\"}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"wrote $out")
@@ -1223,8 +1233,11 @@ object ScaleProbe {
     // raw vs the 1h-routed rewrite vs the LADDER's 1d rung: the raw scan
     // grows with points, the 1h serve is store-sized (|series| × hours,
     // constant), the 1d serve is 24× smaller again — the coarsest-rung
-    // dividend at any density
-    for (q <- Seq("q_ds_sum", "q_sql_rollup_routed", "q_sql_rollup_ladder_daily")) {
+    // dividend at any density. Round 14 adds the window() and tz-idiom
+    // PHRASINGS of the same dashboard: both must ride the same flat
+    // store-sized curve (the serve decision is phrasing-independent).
+    for (q <- Seq("q_ds_sum", "q_sql_rollup_routed", "q_sql_rollup_ladder_daily",
+        "q_sql_rollup_window", "q_sql_rollup_tz_day")) {
       queries(q)(spark, dirs.head).count() // warm (JIT + listing)
       spark.catalog.clearCache()
       val measured = dirs.map { d =>
@@ -1244,7 +1257,7 @@ object ScaleProbe {
     sb ++= "\n}, \"notes\": {" +
       "\"axis\": \"point DENSITY: series set FIXED at 1500 users while events grow 1M -> 10M -> 100M over the same 30 days - the regime ingest-time rollups exist for (--tsdb-xl scales series WITH events, so its composite is nearly fact-sized and cannot isolate this)\", " +
       "\"builds\": \"the 1h and 1d rollup stores are built UNTIMED (RollupQueries.warmBuilds) before measurement, like every maintained read in the other probes; rows time only the read\", " +
-      "\"queries\": \"q_ds_sum is the raw daily-sum engine path (grows with points); q_sql_rollup_routed is the IDENTICAL SQL served from the 1h composite by the RollupRouting rewrite (store-sized: |series| x hours, constant across decades); q_sql_rollup_ladder_daily serves from the 1d rung (24x smaller again)\"}}"
+      "\"queries\": \"q_ds_sum is the raw daily-sum engine path (grows with points); q_sql_rollup_routed is the IDENTICAL SQL served from the 1h composite by the RollupRouting rewrite (store-sized: |series| x hours, constant across decades); q_sql_rollup_ladder_daily serves from the 1d rung (24x smaller again); q_sql_rollup_window and q_sql_rollup_tz_day are the window() and Denver-tz PHRASINGS of the same dashboard, served by the same rewrite (round 14: phrasing-independence at scale)\"}}"
     java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"wrote $out")
     spark.stop()
