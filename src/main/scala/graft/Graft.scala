@@ -27,6 +27,21 @@ object Graft {
   def query(spark: SparkSession, source: PointsSource, q: TsdbQuery): DataFrame =
     QueryEngine.run(source.points(spark), q)
 
+  /** Run a TSDB query against a STREAMED lake with A14 ladder routing:
+   *  a plain filtered downsample serves from the coarsest maintained
+   *  rollup rung whose flush frontier answers it (hybrid-splitting at
+   *  the frontier); every other query shape runs the raw engine path
+   *  unchanged. The JSON-front-end twin of [[registerRouted]] — same
+   *  frontier-snapshot semantics, so re-call per refresh tick on a live
+   *  lake. A lake with no flushed rung yet just runs raw. */
+  def queryRouted(spark: SparkSession, cfg: graft.streaming.IngestJob.Config,
+      q: TsdbQuery): DataFrame = {
+    val points = graft.streaming.IngestJob.points(spark, cfg)
+    val ladder = graft.streaming.IngestJob.rollupLadder(spark, cfg)
+    if (ladder.isEmpty) QueryEngine.run(points, q)
+    else graft.rollup.Rollup.runQueryLadder(points, ladder, q)
+  }
+
   /** Register the ROUTED facade view for a streamed deployment: the
    *  ingest lake's raw points paired with its maintained rollup LADDER
    *  (every `cfg.rollupRungs` store that has closed windows, e.g. 1h +

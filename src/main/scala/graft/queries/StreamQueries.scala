@@ -660,9 +660,10 @@ object StreamQueries {
 
     // the JSON front end through the ladder (round 14, verdict #5): a
     // client JSON query (literal metric filter + daily sum) parsed by
-    // TsdbJson and served via Rollup.runQueryLadder — the filter applies
-    // to the RUNG scans too (composite rows carry metric/tags), so the
-    // 1d store is read pre-pruned. Own single-slice oracle.
+    // TsdbJson and served via the Graft.queryRouted facade one-liner —
+    // the filter applies to the RUNG scans too (composite rows carry
+    // metric/tags), so the 1d store is read pre-pruned. Own
+    // single-slice oracle.
     "q_json_rollup_ladder" -> { (s, d) =>
       val cfg = lakeFor(s, d)
       val json = s"""{
@@ -670,9 +671,7 @@ object StreamQueries {
         "filter": {"type": "MetricLiteral", "metric": "click"},
         "downsample": {"interval": "1d", "aggregator": "sum"}
       }"""
-      graft.rollup.Rollup
-        .runQueryLadder(IngestJob.points(s, cfg), IngestJob.rollupLadder(s, cfg),
-          graft.query.TsdbJson.parseQuery(json))
+      graft.Graft.queryRouted(s, cfg, graft.query.TsdbJson.parseQuery(json))
         .select(col("metric"), col("tags")("user").as("tag_user"), col("bucket_ts"),
           round(col("value"), 4).as("sum_value"))
     },

@@ -660,6 +660,28 @@ class RollupRoutingSpec extends AnyFunSuite {
       "v_trunc_frontier", splitAt = Some(Lo + 7 * 86400))
   }
 
+  test("multi-aggregate + HAVING + ORDER BY survive a hybrid split") {
+    // every aggregate rewrites per-branch, each group lives in exactly
+    // one branch, and HAVING/ORDER BY reference the preserved output
+    // exprIds above the Union — the full dashboard shape over a
+    // maintained store
+    frontierView("v_multi_frontier", Lo + 7 * 86400 + 3600)
+    val q =
+      s"""SELECT metric, ts - ts % 86400 AS b,
+         |       round(sum($clean), 4) AS s, count($clean) AS c,
+         |       round(avg($clean), 4) AS a
+         |FROM $$V WHERE ts >= $Lo AND ts < $Hi
+         |GROUP BY 1, 2
+         |HAVING count($clean) > 5
+         |ORDER BY s DESC, b, metric LIMIT 50""".stripMargin
+    val a = spark.sql(q.replace("$V", "v_multi_frontier"))
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("Window") && plan.contains("bucket_ts"),
+      s"hybrid split missing a side:\n$plan")
+    assert(a.collect().map(_.toString).toSeq ===
+      sql("v_raw", q).collect().map(_.toString).toSeq) // ordered compare
+  }
+
   test("a wrapper-only group key still refuses the split — conservative raw") {
     // from_unixtime(floor) IS injective, but the split recognizer only
     // trusts bare cores and the known-injective lifts; an unrecognized
