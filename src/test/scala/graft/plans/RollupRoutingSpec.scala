@@ -516,6 +516,22 @@ class RollupRoutingSpec extends AnyFunSuite {
       sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
   }
 
+  test("ladder: stored-last serves from the coarsest rung too") {
+    // the 1d rung's `last` column is the day's last non-null value, so
+    // the guarded max_by reads 24× fewer rows than the 1h rung would
+    ladderEnv
+    val q =
+      s"""SELECT series_id, metric, ts - ts % 86400 AS b,
+         |       round(max_by($clean, CASE WHEN ($clean) IS NOT NULL THEN ts END), 4) AS lv
+         |FROM v_ladder WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2, 3""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(plan.contains("rollup1d"), s"daily last must read the 1d rung:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("ladder × calendar: Kolkata months refuse the 1h rung and serve from a 30m rung") {
     // +05:30 walls sit on half hours: illegal against 1h rows, legal
     // against 30m — the coarsest-first walk must land on the 30m store,
