@@ -132,9 +132,15 @@ object IngestJob {
       s"compactEvery must be >= 1 when set, got $compactEvery")
     /** Every maintained rung, primary first. */
     def rollupRungs: Seq[String] = (rollupInterval.toSeq ++ rollupLadder).distinct
-    // each rung must tile cleanly with the segment layout — refuse a
-    // dead rung at construction, not silently at every batch
-    rollupRungs.foreach(iv => IngestJob.rungWindowSeconds(iv): Unit)
+    // each rung must be a storable interval that tiles cleanly with the
+    // segment layout — refuse a dead rung at construction, not at the
+    // first flush (the reference's storable-interval whitelist,
+    // core/downsample/Interval.java:25-36)
+    rollupRungs.foreach { iv =>
+      require(Intervals.isRollupInterval(iv),
+        s"not a storable rollup interval: $iv (allowed: ${Intervals.RollupVocabulary.toSeq.sorted.mkString(",")})")
+      IngestJob.rungWindowSeconds(iv): Unit
+    }
   }
 
   /** Ingest-maintained count–min sketch over `keyExpr` (a SQL
