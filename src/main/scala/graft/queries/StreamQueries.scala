@@ -676,6 +676,23 @@ object StreamQueries {
           round(col("value"), 4).as("sum_value"))
     },
 
+    // the SPATIAL dashboard through the JSON ladder route (round 14):
+    // downsample served from the maintained 1d rung, then the group-by
+    // collapses series per host — applied over the served frame exactly
+    // where the raw engine applies it (sums of stored sums per (host,
+    // day) equal the raw sums). Own host-grain oracle.
+    "q_json_rollup_ladder_spatial" -> { (s, d) =>
+      val cfg = lakeFor(s, d)
+      val json = s"""{
+        "start": $Start, "end": $End,
+        "downsample": {"interval": "1d", "aggregator": "sum"},
+        "groupBy": {"tagKeys": ["host"], "aggregator": "sum"}
+      }"""
+      graft.Graft.queryRouted(s, cfg, graft.query.TsdbJson.parseQuery(json))
+        .select(col("host").as("tag_host"), col("bucket_ts"),
+          round(col("value"), 4).as("sum_value"))
+    },
+
     // A10 × timezone from the ingest-MAINTAINED rollup (round 11): the
     // Denver local-day serve over the streamed composite table — the
     // deployment shape for tz dashboards (canServeTz legality + the
@@ -983,6 +1000,14 @@ object StreamQueries {
          |       ${rnd("sum(value)")} AS sum_value
          |FROM dedup WHERE ${inRange()}
          |GROUP BY 1, 2, 3""".stripMargin,
+    // the spatial JSON ladder route: per-(host, day) sums — stored sums
+    // re-aggregated across series equal the raw host sums exactly
+    "q_json_rollup_ladder_spatial" ->
+      s"""WITH $pointsCtes
+         |SELECT tag_host, ts - ts % 86400 AS bucket_ts,
+         |       ${rnd("sum(value)")} AS sum_value
+         |FROM dedup WHERE ${inRange()}
+         |GROUP BY 1, 2""".stripMargin,
     // the JSON-parsed ladder route: the metric slice of the same daily
     // sum — its own oracle, since the filter narrows the row set
     "q_json_rollup_ladder" ->

@@ -378,18 +378,21 @@ object Rollup {
   }
 
   /** Ladder routing for the JSON front end: a parsed [[TsdbQuery]] whose
-   *  shape is the plain filtered downsample — the only shape the
-   *  reference's rollup decision applies to
-   *  (AerospikeBatchQueryNode.java:196-226) — is served through
-   *  [[downsampleLadder]]. The query's series predicate applies to the
-   *  STORES too (composite rows carry metric + tags), so rung scans stay
-   *  pruned; any other shape (rate, shift, fill, spatial group-by,
-   *  analytics) falls back to the raw engine path unchanged. */
+   *  shape is the filtered downsample, optionally under a spatial
+   *  group-by — the shapes the reference's rollup decision applies to
+   *  (AerospikeBatchQueryNode.java:196-226; the group-by node consumes
+   *  the source output, AerospikeQueryNode.java:139-146) — serves the
+   *  downsample through [[downsampleLadder]] and applies the group-by
+   *  over the served frame, exactly where [[QueryEngine.run]] applies
+   *  it. The query's series predicate applies to the STORES too
+   *  (composite rows carry metric + tags), so rung scans stay pruned;
+   *  any other shape (rate, shift, fill, analytics) falls back to the
+   *  raw engine path unchanged. */
   def runQueryLadder(points: DataFrame, rungs: Seq[(DataFrame, String, Long)],
       q: graft.query.TsdbQuery): DataFrame = {
     val plain = q.downsample.isDefined && q.rate.isEmpty &&
       q.timeDifference.isEmpty && q.shift.isEmpty && q.fill.isEmpty &&
-      q.groupBy.isEmpty && q.slidingWindow.isEmpty && q.movingAverage.isEmpty &&
+      q.slidingWindow.isEmpty && q.movingAverage.isEmpty &&
       q.anomaly.isEmpty && q.ratio.isEmpty && q.topN.isEmpty &&
       q.summarizer.isEmpty && q.bucketQuantile.isEmpty
     if (!plain) QueryEngine.run(points, q)
@@ -404,9 +407,10 @@ object Rollup {
           graft.filters.SeriesFilter.explicitTagsPredicate(q.filter, col("tags"))
         else lit(true)
       val keep = pred && explicitPred
-      downsampleLadder(points.filter(keep),
+      val ds = downsampleLadder(points.filter(keep),
         rungs.map { case (df, iv, u) => (df.filter(keep), iv, u) },
         spec, q.start, q.end)
+      q.groupBy.map(g => QueryEngine.groupBySpatial(ds, g)).getOrElse(ds)
     }
   }
 }
