@@ -291,6 +291,43 @@ class IngestJobSpec extends AnyFunSuite {
       Map(t0 -> 3.0, (t0 + day) -> 12.0))
   }
 
+  test("finalize and purge cover every ladder rung") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ladder_maint").toString
+    val day = 86400L
+    val t0 = 20 * day
+    val now = t0 + day + 3600 // inside day 1: day 1 open on the 1d rung
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"), rollupLadder = Seq("1d"),
+      nowSec = Some(() => now))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0), (300L, t0 + day + 10, "cpu", 2.0))), cfg)
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === t0 + day)
+    // shutdown finalize flushes the open day on EVERY rung
+    IngestJob.finalizeRollup(spark, cfg)
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === Long.MaxValue)
+    assert(IngestJob.rungFrontier(spark, cfg, "1h") === Long.MaxValue)
+    // retention purge drops expired windows from the lake AND both rungs
+    IngestJob.purge(cfg, t0 + day)
+    def parts(iv: String): Set[String] = {
+      val dir = new java.io.File(IngestJob.rungPath(cfg, iv))
+      Option(dir.listFiles()).map(_.map(_.getName)
+        .filter(_.startsWith("segment_start=")).toSet).getOrElse(Set.empty)
+    }
+    assert(parts("1d") === Set(s"segment_start=${t0 + day}"))
+    assert(!parts("1h").contains(s"segment_start=$t0"))
+    assert(IngestJob.points(spark, cfg).select("ts").collect()
+      .map(_.getLong(0)).toSet === Set(t0 + day + 10))
+    // the surviving rung still serves the surviving day exactly
+    val served = graft.rollup.Rollup.downsampleLadder(
+      IngestJob.points(spark, cfg), IngestJob.rollupLadder(spark, cfg),
+      graft.query.DownsampleSpec("1d", "sum"), t0 + day, t0 + 2 * day)
+    assert(served.collect().map(r =>
+      r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap ===
+      Map((t0 + day) -> 2.0))
+  }
+
   test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
     // foreachBatch is at-least-once on failure/restart; the lake absorbs a
     // replay because every reader resolves duplicates by (ts, seq) LWW and
