@@ -591,7 +591,11 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
-    def tryServeStore(store: RollupStoreRef): Option[LogicalPlan] = {
+    /** Attempt to serve the aggregate from one store. Returns the plan
+     *  plus how far the store's served head reaches: the hybrid split
+     *  point, or Long.MaxValue when the store serves the whole declared
+     *  range — the dispatch ranks candidates by it. */
+    def tryServeStore(store: RollupStoreRef): Option[(LogicalPlan, Long)] = {
       val rSec = store.intervalSeconds
       if (rSec <= 0) return None
       if (lo.exists(v => Math.floorMod(v, rSec) != 0L)) return None
@@ -884,7 +888,7 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
       if (!sameSchema) return None
 
       frontierSplit match {
-        case None => Some(served)
+        case None => Some((served, Long.MaxValue))
         case Some(f) =>
           // raw tail [f, hi): the original aggregate, normalized to the
           // marker's own attribute space, over the unrouted child. Result
@@ -907,15 +911,20 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
           val typesMatch = rawAgg.output.zip(served.output).forall { case (a, b) =>
             a.dataType == b.dataType
           }
-          if (typesMatch) Some(Union(Seq(served, rawAgg))) else None
+          if (typesMatch) Some((Union(Seq(served, rawAgg)), f)) else None
       }
     }
 
-    // --- serve from the COARSEST store that answers exactly; fall finer,
-    // then raw (strip) — the reference's per-segment interval dispatch
+    // --- serve from the store whose served head reaches FURTHEST
+    // (round-15 ADVICE: a coarse rung's close-gated flush frontier
+    // always lags a finer one's, so first-coarsest-with-any-head could
+    // serve day 1 from the 1d rung and scan the whole open day raw
+    // while a fully-flushed 1h rung covers both days from its store);
+    // tie-break coarser — candidates iterate coarsest-first and maxBy
+    // keeps the first of equal maxima. None ⇒ raw (strip) — the
+    // reference's per-segment interval dispatch
     // (GorillaDownSampledTimeSeriesEncoder.java:138-180)
-    marker.stores.sortBy(-_.intervalSeconds).iterator
-      .map(tryServeStore)
-      .collectFirst { case Some(plan) => plan }
+    val cands = marker.stores.sortBy(-_.intervalSeconds).flatMap(tryServeStore)
+    if (cands.isEmpty) None else Some(cands.maxBy(_._2)._1)
   }
 }

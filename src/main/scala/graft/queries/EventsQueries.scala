@@ -73,10 +73,14 @@ object EventsQueries {
   /** Force the memoized per-JVM harness builds for `d` (events store
    *  write, streamed sessionization run) — see
    *  [[graft.queries.StreamQueries.warmBuilds]]. */
-  def warmBuilds(s: SparkSession, d: String): Unit = {
-    docs(s, d); streamedSessions(s, d)
-    ()
-  }
+  def warmBuilds(s: SparkSession, d: String): Unit =
+    warmBuildTasks(s, d).foreach(_._2())
+
+  /** Independent named build tasks for [[graft.Bench]]'s parallel
+   *  warm-up pool — see [[graft.queries.StreamQueries.warmBuildTasks]]. */
+  def warmBuildTasks(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "events_store" -> (() => { docs(s, d); () }),
+    "events_sessions" -> (() => { streamedSessions(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // S10+F11+F12: text search with namespace + time-range clause

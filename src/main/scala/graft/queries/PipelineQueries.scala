@@ -228,13 +228,22 @@ object PipelineQueries {
    *  embedding lakes) — see [[graft.queries.StreamQueries.warmBuilds]];
    *  [[graft.Bench]] runs these untimed so first-toucher rows measure
    *  the read, not the build. */
-  def warmBuilds(s: SparkSession, d: String): Unit = {
-    annAssignLake(s, d); docPipelineLake(s, d); annServeLake(s, d)
-    docNearDedupLake(s, d); driftCountsLake(s, d); pairCountsLake(s, d)
-    pairCountsCompactedLake(s, d); driftCountsCompactedLake(s, d)
-    docDecontamLake(s, d)
-    ()
-  }
+  def warmBuilds(s: SparkSession, d: String): Unit =
+    warmBuildTasks(s, d).foreach(_._2())
+
+  /** Independent named build tasks for [[graft.Bench]]'s parallel
+   *  warm-up pool — see [[graft.queries.StreamQueries.warmBuildTasks]].
+   *  The pair-counts compaction copies the pair lake, so the two stay
+   *  one sequenced task. */
+  def warmBuildTasks(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "pipe_pair+paircomp" -> (() => { pairCountsLake(s, d); pairCountsCompactedLake(s, d); () }),
+    "pipe_driftcomp" -> (() => { driftCountsCompactedLake(s, d); () }),
+    "pipe_ann_assign" -> (() => { annAssignLake(s, d); () }),
+    "pipe_doc" -> (() => { docPipelineLake(s, d); () }),
+    "pipe_ann_serve" -> (() => { annServeLake(s, d); () }),
+    "pipe_neardedup" -> (() => { docNearDedupLake(s, d); () }),
+    "pipe_drift" -> (() => { driftCountsLake(s, d); () }),
+    "pipe_decontam" -> (() => { docDecontamLake(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // token-frequency heavy hitters via the count-min sketch (round 11

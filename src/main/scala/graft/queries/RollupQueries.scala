@@ -62,9 +62,28 @@ object RollupQueries {
         (s.read.parquet(storeFor(s, d)), RollupInterval, Long.MaxValue)),
       "graft_points_ladder")
 
+  /** A LAGGING-ladder facade (round 15): the 1d rung's flush frontier
+   *  stops mid-range while the 1h rung is fully flushed. The dispatch
+   *  must serve the whole range from the FRESHER 1h rung — the
+   *  first-coarsest-with-any-head walk of rounds 13-14 served the head
+   *  from the 1d store and re-scanned the entire open tail raw. */
+  private val MidFrontier = Start + 10 * 86400L
+
+  private def ladderLagView(s: SparkSession, d: String): Unit =
+    graft.plans.RollupRouting.registerLadder(s, TsdbViews.points(s, d),
+      Seq((s.read.parquet(dailyStoreFor(s, d)), "1d", MidFrontier),
+        (s.read.parquet(storeFor(s, d)), RollupInterval, Long.MaxValue)),
+      "graft_points_ladder_lag")
+
   /** Force the memoized store builds (untimed bench warm-up pass). */
   def warmBuilds(s: SparkSession, d: String): Unit =
-    { storeFor(s, d); dailyStoreFor(s, d); () }
+    warmBuildTasks(s, d).foreach(_._2())
+
+  /** Independent named build tasks for [[graft.Bench]]'s parallel
+   *  warm-up pool — see [[graft.queries.StreamQueries.warmBuildTasks]]. */
+  def warmBuildTasks(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
+    "rollup_1h_store" -> (() => { storeFor(s, d); () }),
+    "rollup_1d_store" -> (() => { dailyStoreFor(s, d); () }))
 
   private def routed(s: SparkSession, d: String, spec: DownsampleSpec): DataFrame = {
     val pts = TsdbViews.points(s, d)
@@ -446,6 +465,32 @@ object RollupQueries {
            |WHERE ts >= $Start AND ts < ${Start + 2 * 86400} AND metric = 'click'
            |GROUP BY 1, 2, 3""".stripMargin)
     },
+    // round-15 rung choice: over the LAGGING ladder (1d frontier stops
+    // mid-range, 1h fully flushed) the dispatch serves the whole range
+    // from the fresher 1h rung — no hybrid split, no raw scan of the
+    // tail (plan-asserted in RollupRoutingSpec). q_rollup_sum's oracle
+    // verbatim, so a mis-ranked rung that re-scans raw still has to be
+    // value-identical — and the plan pin catches it being raw at all.
+    "q_sql_rollup_ladder_fresh" -> { (s, d) =>
+      ladderLagView(s, d)
+      s.sql(
+        s"""SELECT metric, tags['user'] AS tag_user, ts - ts % 86400 AS bucket_ts,
+           |       round(sum(CASE WHEN isnan(value) THEN CAST(NULL AS DOUBLE)
+           |                      ELSE value END), 4) AS sum_value
+           |FROM graft_points_ladder_lag
+           |WHERE ts >= $Start AND ts < $End
+           |GROUP BY 1, 2, 3""".stripMargin)
+    },
+    // the engine-path twin: downsampleLadder over the same lagging rung
+    // set picks the 1h rung by served-frontier rank — shared oracle
+    "q_rollup_ladder_fresh" -> { (s, d) =>
+      val pts = TsdbViews.points(s, d)
+        .filter(col("ts") >= lit(Start) && col("ts") < lit(End))
+      out(graft.rollup.Rollup.downsampleLadder(pts,
+        Seq((s.read.parquet(dailyStoreFor(s, d)), "1d", MidFrontier),
+          (s.read.parquet(storeFor(s, d)), RollupInterval, Long.MaxValue)),
+        DownsampleSpec("1d", "sum"), Start, End), "sum_value")
+    },
     // the SQL fallback: a 90m bucket is not a multiple of the stored 1h,
     // so the rule must refuse and the query runs raw over the marked
     // view — q_rollup_fallback's oracle verbatim
@@ -500,6 +545,8 @@ object RollupQueries {
     "q_sql_rollup_tz_day" -> TsdbQueries.oracles("q_ds_tz"),
     "q_sql_rollup_window" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_ladder_daily" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_sql_rollup_ladder_fresh" -> oracle(rnd("sum(value)"), "sum_value"),
+    "q_rollup_ladder_fresh" -> oracle(rnd("sum(value)"), "sum_value"),
     "q_sql_rollup_ladder_hourly" ->
       s"""WITH $pointsCtes
          |SELECT metric, tag_user, ts - ts % 3600 AS bucket_ts,

@@ -364,16 +364,26 @@ object Rollup {
       spec: DownsampleSpec, start: Long, end: Long): DataFrame = {
     require(rungs.nonEmpty, "rollup ladder needs at least one rung")
     val sorted = rungs.sortBy { case (_, iv, _) => -Intervals.toSeconds(iv) }
-    sorted.find { case (_, iv, until) =>
-      servedFrontier(spec, iv, start, end, until).isDefined
-    } match {
-      case Some((store, iv, until)) =>
-        downsampleHybrid(points, store, iv, spec, start, end, until)
-      case None =>
-        // no rung serves: a frontier at `start` makes the hybrid run the
-        // raw path (ts-filtered, segment-pruned, deduped) unchanged
-        val (store, iv, _) = sorted.head
-        downsampleHybrid(points, store, iv, spec, start, end, start)
+    // Rung choice (round-15 ADVICE): pick the rung whose served head
+    // reaches FURTHEST, not the first coarsest with any nonempty head —
+    // a coarse rung's close-gated frontier always lags a finer one's
+    // (wider windows close later), so coarsest-first served day 1 of a
+    // 2-day dashboard from the 1d rung and scanned the ENTIRE open day
+    // raw while a fully-flushed 1h rung could serve both days from its
+    // store. Tie-break coarser (fewer store rows to re-aggregate):
+    // candidates iterate coarsest-first and maxBy keeps the first of
+    // equal maxima.
+    val served = sorted.flatMap { case r @ (_, iv, until) =>
+      servedFrontier(spec, iv, start, end, until).map(f => (r, f))
+    }
+    if (served.isEmpty) {
+      // no rung serves: a frontier at `start` makes the hybrid run the
+      // raw path (ts-filtered, segment-pruned, deduped) unchanged
+      val (store, iv, _) = sorted.head
+      downsampleHybrid(points, store, iv, spec, start, end, start)
+    } else {
+      val ((store, iv, until), _) = served.maxBy(_._2)
+      downsampleHybrid(points, store, iv, spec, start, end, until)
     }
   }
 

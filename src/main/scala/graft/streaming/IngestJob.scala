@@ -530,10 +530,20 @@ object IngestJob {
    *  below it has a maintained rollup partition; at or above it, queries
    *  must read raw points ([[graft.rollup.Rollup.downsampleHybrid]]'s
    *  `rollupUntil`). Long.MaxValue when the rollup covers the whole
-   *  lake. */
+   *  lake. A LADDER-ONLY config (`rollupLadder` set, no primary
+   *  `rollupInterval` — representable since round 14) degrades to the
+   *  coarsest configured rung's frontier instead of throwing (round-15
+   *  ADVICE): the coarsest rung's close-gated windows are the widest,
+   *  so its frontier is the most conservative answer any rung gives —
+   *  a caller treating it as "the" frontier never over-trusts a store.
+   *  Only a config with NO maintained rung at all still refuses: there
+   *  is no store for the frontier to describe. */
   def rollupFrontier(spark: SparkSession, cfg: Config): Long =
-    rungFrontier(spark, cfg, cfg.rollupInterval.getOrElse(
-      throw new IllegalArgumentException("no primary rollupInterval configured")))
+    cfg.rollupInterval.orElse(
+        cfg.rollupRungs.sortBy(iv => -graft.core.Intervals.toSeconds(iv)).headOption)
+      .map(rungFrontier(spark, cfg, _))
+      .getOrElse(throw new IllegalArgumentException(
+        "no maintained rollup rung configured (rollupInterval and rollupLadder both empty)"))
 
   /** One rung's flush frontier: the earliest lake window the rung has
    *  not flushed (a coarser rung's frontier naturally lags the fine
@@ -548,7 +558,17 @@ object IngestJob {
   }
 
   /** R5: drop whole expired segment partitions (cheap file-level delete,
-   *  no data rewrite) from the points lake and every maintained rung. */
+   *  no data rewrite) from the points lake and every maintained rung.
+   *
+   *  A coarse rung window STRADDLING the cutoff (e.g. 23 h of a 1d
+   *  window still inside retention under a mid-day cutoff) is dropped
+   *  whole — the rung frontier retreats so queries stay correct, but
+   *  that range serves raw until the window is re-flushed, and on a
+   *  quiesced lake nothing re-flushes it. Callers with a SparkSession
+   *  should prefer [[purgeAndRepair]] (what [[Maintenance.run]] calls),
+   *  which rebuilds the straddling window from the surviving segments
+   *  in the same pass; callers without one should align cutoffs to rung
+   *  window boundaries, where no straddle exists. */
   def purge(cfg: Config, cutoffSec: Long): Seq[Long] = {
     val conf = hadoopConf()
     cfg.rollupRungs.foreach(iv =>
@@ -557,6 +577,31 @@ object IngestJob {
     // the historical primary path
     if (cfg.rollupRungs.isEmpty) dropSegmentsBefore(conf, rollupPath(cfg), cutoffSec): Unit
     dropSegmentsBefore(conf, pointsPath(cfg), cutoffSec)
+  }
+
+  /** [[purge]] plus store repair (round-15 ADVICE): after the file-level
+   *  drops, each rung whose window straddles the cutoff is re-flushed
+   *  from the SURVIVING lake segments, so the still-in-retention part of
+   *  the window serves from the store again instead of raw-until-
+   *  someone-re-flushes (never, on a quiesced/finalized lake). The
+   *  rebuild is exact w.r.t. the post-purge lake: raw below the
+   *  effective cutoff is gone everywhere, so a composite over the
+   *  surviving points agrees bucket-for-bucket with what the raw path
+   *  now computes — the same truth a query sees either way. Windows at
+   *  or above the cutoff are untouched (the close gate owns them). */
+  def purgeAndRepair(spark: SparkSession, cfg: Config, cutoffSec: Long): Seq[Long] = {
+    val dropped = purge(cfg, cutoffSec)
+    val conf = spark.sessionState.newHadoopConf()
+    cfg.rollupRungs.foreach { iv =>
+      val w = rungWindowSeconds(iv)
+      val ws = cutoffSec - Math.floorMod(cutoffSec, w)
+      // `s - ws < w` instead of `s < ws + w`: ws + w overflows for a
+      // drop-everything cutoff near Long.MaxValue
+      val survivors = ws < cutoffSec && segmentDirs(conf, pointsPath(cfg))
+        .exists { case (_, s) => s >= ws && s - ws < w }
+      if (survivors) flushRung(spark, cfg, iv, Seq(ws))
+    }
+    dropped
   }
 
   private def dropSegmentsBefore(conf: Configuration, dir: String, cutoffSec: Long): Seq[Long] = {

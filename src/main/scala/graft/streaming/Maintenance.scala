@@ -12,7 +12,8 @@ import org.apache.spark.sql.{Column, SparkSession}
  * core/.../core/TimeSeriesShard.java:446-645).
  *
  *  1. retention purge of expired segment partitions — file-level drop,
- *     no rewrite ([[IngestJob.purge]]);
+ *     no rewrite — plus re-flush of any rung window straddling the
+ *     cutoff from the surviving segments ([[IngestJob.purgeAndRepair]]);
  *  2. series/latest log maintenance — idle-series removal when a
  *     cutoff is given ([[IngestJob.purgeIdleSeries]], which also
  *     snapshots the logs), else a plain one-row-per-series compaction
@@ -47,7 +48,7 @@ object Maintenance {
       idleCutoffSec: Option[Long] = None,
       targetFileBytes: Long = 128L << 20,
       sketchRetain: Map[String, Column] = Map.empty): Report = {
-    val purged = retentionCutoffSec.map(IngestJob.purge(cfg, _)).getOrElse(Nil)
+    val purged = retentionCutoffSec.map(IngestJob.purgeAndRepair(spark, cfg, _)).getOrElse(Nil)
     idleCutoffSec match {
       case Some(cut) => IngestJob.purgeIdleSeries(spark, cfg, cut)
       case None => IngestJob.compact(spark, cfg)

@@ -532,6 +532,64 @@ class RollupRoutingSpec extends AnyFunSuite {
       sql("v_raw", q.replace("v_ladder", "$V")).collect().map(_.toString).sorted.toSeq)
   }
 
+  // ---------- round 15: rung choice maximizes the served frontier ----------
+
+  test("ladder × frontier: a fully-flushed finer rung beats a lagging coarser rung") {
+    // a 2-week daily dashboard over a 1h+1d ladder where the 1d rung's
+    // close-gated frontier stops mid-range: first-coarsest-with-any-head
+    // (rounds 13-14) served the head from the 1d rung and scanned the
+    // whole tail raw; the dispatch must instead serve the ENTIRE range
+    // from the 1h rung, whose frontier covers it — no Union, no raw
+    // dedupe window
+    val (pts, store1h) = env
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_lag1d").toString
+    Rollup.build(pts, "1d").write.mode("overwrite").parquet(s"$dir/rollup1d")
+    val mid = Lo + 7 * 86400
+    RollupRouting.registerLadder(spark, pts,
+      Seq((spark.read.parquet(s"$dir/rollup1d"), "1d", mid),
+        (store1h, "1h", Long.MaxValue)),
+      "v_ladder_lag")
+    val q =
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder_lag WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(routed(a), plan)
+    assert(!plan.contains("rollup1d"),
+      s"the lagging 1d rung must lose to the fully-flushed 1h rung:\n$plan")
+    assert(!plan.contains("Union"),
+      s"a rung covering the whole range must not hybrid-split:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder_lag", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
+  test("ladder × frontier: when every rung lags, the freshest frontier wins the split") {
+    // both rungs maintained, both behind the range end: the 1h rung's
+    // fresher frontier serves more closed days, so it wins and the split
+    // lands on ITS frontier (1d's would re-scan two extra days raw)
+    val (pts, store1h) = env
+    val dir = java.nio.file.Files.createTempDirectory("graft_route_lagboth").toString
+    Rollup.build(pts, "1d").write.mode("overwrite").parquet(s"$dir/rollup1d")
+    val mid1d = Lo + 7 * 86400
+    val mid1h = Lo + 9 * 86400
+    RollupRouting.registerLadder(spark, pts,
+      Seq((spark.read.parquet(s"$dir/rollup1d"), "1d", mid1d),
+        (store1h, "1h", mid1h)),
+      "v_ladder_lagboth")
+    val q =
+      s"""SELECT metric, ts - ts % 86400 AS b, round(sum($clean), 4) AS s
+         |FROM v_ladder_lagboth WHERE ts >= $Lo AND ts < $Hi GROUP BY 1, 2""".stripMargin
+    val a = spark.sql(q)
+    val plan = a.queryExecution.executedPlan.toString
+    assert(plan.contains("Union"), s"a lagging ladder must hybrid-split:\n$plan")
+    assert(!plan.contains("rollup1d"),
+      s"the 1h rung's fresher frontier must win the split:\n$plan")
+    assert(plan.contains(s">= $mid1h"),
+      s"the raw tail must start at the WINNING rung's frontier, not the 1d one's:\n$plan")
+    assert(a.collect().map(_.toString).sorted.toSeq ===
+      sql("v_raw", q.replace("v_ladder_lagboth", "$V")).collect().map(_.toString).sorted.toSeq)
+  }
+
   test("ladder × calendar: Kolkata months refuse the 1h rung and serve from a 30m rung") {
     // +05:30 walls sit on half hours: illegal against 1h rows, legal
     // against 30m — the coarsest-first walk must land on the 30m store,

@@ -243,19 +243,37 @@ class IngestJobSpec extends AnyFunSuite {
     assert(IngestJob.rungFrontier(spark, cfg, "1d") === t0 + day)
     // every lake segment is closed and flushed on the 1h rung
     assert(IngestJob.rungFrontier(spark, cfg, "1h") === Long.MaxValue)
-    // engine-path ladder dispatch: the straddling daily range serves the
-    // closed day from the 1d rung and the open day raw
+    // engine-path ladder dispatch (round-15 rung choice): the straddling
+    // daily range serves ENTIRELY from the fully-flushed 1h rung — its
+    // frontier (∞) reaches further than the lagging 1d rung's, so no raw
+    // scan of the open day happens at all
     val ladder = IngestJob.rollupLadder(spark, cfg)
     assert(ladder.map(_._2).toSet === Set("1h", "1d"))
     val res = graft.rollup.Rollup.downsampleLadder(
       IngestJob.points(spark, cfg), ladder,
       graft.query.DownsampleSpec("1d", "sum"), t0, t0 + 2 * day)
     val plan = res.queryExecution.executedPlan.toString
-    assert(plan.contains("rollup_1d"), s"closed day must read the 1d rung:\n$plan")
-    assert(plan.contains("lake/points"), s"open day must read raw:\n$plan")
+    // the 1h primary rung's store path is lake/rollup (historical name)
+    assert(plan.contains("lake/rollup") && !plan.contains("rollup_1d"),
+      s"the fresher 1h rung must serve the whole straddling range:\n$plan")
+    assert(!plan.contains("lake/points"),
+      s"no raw scan when a finer rung covers the range from its store:\n$plan")
     val byBucket = res.collect().map(r =>
       r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap
     assert(byBucket === Map(t0 -> 3.0, (t0 + day) -> 12.0))
+    // equal served frontiers tie-break COARSER: with both rungs clamped
+    // to the same finite frontier, the straddle serves day 1 from the 1d
+    // rung (fewer store rows) and the open day raw
+    val clamped = ladder.map { case (df, iv, _) => (df, iv, t0 + day) }
+    val tied = graft.rollup.Rollup.downsampleLadder(
+      IngestJob.points(spark, cfg), clamped,
+      graft.query.DownsampleSpec("1d", "sum"), t0, t0 + 2 * day)
+    val tiedPlan = tied.queryExecution.executedPlan.toString
+    assert(tiedPlan.contains("rollup_1d") && tiedPlan.contains("lake/points"),
+      s"equal frontiers must tie-break to the coarser rung + raw tail:\n$tiedPlan")
+    assert(tied.collect().map(r =>
+      r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap ===
+      Map(t0 -> 3.0, (t0 + day) -> 12.0))
     // a fully-closed daily range reads ONLY the 1d rung
     val closedOnly = graft.rollup.Rollup.downsampleLadder(
       IngestJob.points(spark, cfg), ladder,
@@ -285,8 +303,12 @@ class IngestJobSpec extends AnyFunSuite {
          |FROM v_live_ladder WHERE ts >= $t0 AND ts < ${t0 + 2 * day}
          |GROUP BY 1, 2""".stripMargin)
     val sqlStraddlePlan = sqlStraddle.queryExecution.executedPlan.toString
-    assert(sqlStraddlePlan.contains("rollup_1d") && sqlStraddlePlan.contains("Window"),
-      s"straddling daily SQL must split on the 1d rung's frontier:\n$sqlStraddlePlan")
+    // round-15 rung choice: the fully-flushed 1h rung outranks the
+    // lagging 1d rung, so the straddling daily SQL serves entirely from
+    // the 1h store — no hybrid split, no raw dedupe window
+    assert(sqlStraddlePlan.contains("lake/rollup") &&
+      !sqlStraddlePlan.contains("rollup_1d") && !sqlStraddlePlan.contains("Window"),
+      s"straddling daily SQL must serve whole from the fresher 1h rung:\n$sqlStraddlePlan")
     assert(sqlStraddle.collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap ===
       Map(t0 -> 3.0, (t0 + day) -> 12.0))
   }
@@ -326,6 +348,64 @@ class IngestJobSpec extends AnyFunSuite {
     assert(served.collect().map(r =>
       r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap ===
       Map((t0 + day) -> 2.0))
+  }
+
+  test("rollupFrontier degrades to the coarsest rung on a ladder-only config (round 15)") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_ladderonly").toString
+    val day = 86400L
+    val t0 = 50 * day
+    val now = t0 + day + 3600 // day 1 open on the 1d rung
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = None, rollupLadder = Seq("1h", "1d"),
+      nowSec = Some(() => now))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0), (300L, t0 + day + 10, "cpu", 2.0))), cfg)
+    // the primary frontier is the COARSEST rung's (its close-gated
+    // windows are widest, so its frontier is the most conservative any
+    // rung gives) — previously an IllegalArgumentException
+    assert(IngestJob.rollupFrontier(spark, cfg) ===
+      IngestJob.rungFrontier(spark, cfg, "1d"))
+    assert(IngestJob.rollupFrontier(spark, cfg) === t0 + day)
+    // a config with no maintained rung at all still refuses: there is no
+    // store for a frontier to describe
+    val bare = IngestJob.Config(s"$base/lake2", s"$base/ckpt2")
+    intercept[IllegalArgumentException](IngestJob.rollupFrontier(spark, bare))
+  }
+
+  test("mid-window purge re-flushes the straddling rung window from survivors (round 15)") {
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_purge_repair").toString
+    val day = 86400L
+    val t0 = 60 * day
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"), rollupLadder = Seq("1d"),
+      nowSec = Some(() => t0 + 2 * day))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0),          // expires under the cutoff
+      (300L, t0 + 5 * 3600, "cpu", 2.0),    // survives
+      (450L, t0 + 7 * 3600, "cpu", 4.0))), cfg)
+    IngestJob.finalizeRollup(spark, cfg)
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === Long.MaxValue)
+    // retention cutoff 4 h into the day: the 1d window straddles it, so a
+    // bare purge would drop it whole and this quiesced lake would serve
+    // the surviving 20 h raw forever — purgeAndRepair re-flushes it from
+    // the surviving segments and the frontier never retreats
+    IngestJob.purgeAndRepair(spark, cfg, t0 + 4 * 3600)
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === Long.MaxValue)
+    assert(IngestJob.rungFrontier(spark, cfg, "1h") === Long.MaxValue)
+    val served = graft.rollup.Rollup.downsampleLadder(
+      IngestJob.points(spark, cfg), IngestJob.rollupLadder(spark, cfg),
+      graft.query.DownsampleSpec("1d", "sum"), t0, t0 + day)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("rollup_1d") && !plan.contains("lake/points"),
+      s"the repaired window must serve from the store, not raw:\n$plan")
+    // the rebuilt composite agrees with the post-purge lake: survivors only
+    assert(served.collect().map(r =>
+      r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap ===
+      Map(t0 -> 6.0))
   }
 
   test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
