@@ -1263,6 +1263,78 @@ object ScaleProbe {
     spark.stop()
   }
 
+  /** Frontier-aware rung-choice probe (`--ladder-fresh`, writes
+   *  BENCH_SCALE_LADDER_FRESH.json) — the round-15 dispatch change. The
+   *  deployment shape: ladder rungs maintained by SEPARATE jobs at their
+   *  own cadences (an hourly 1h job, a nightly 1d job), so the 1d store's
+   *  frontier genuinely lags a day. A "last 2 days" daily dashboard then
+   *  straddles the 1d frontier while sitting entirely under the 1h one.
+   *  Rounds 13-14 dispatched first-coarsest-with-any-head: day 1 from
+   *  the 1d store, the ENTIRE open day re-scanned raw (dedupe window +
+   *  3.3M-point scan at the 100M-event density). Round 15 ranks rungs by
+   *  served frontier, so the fully-flushed 1h rung serves both days
+   *  store-sized. Same dense regime as --routed-dense (1,500 fixed
+   *  series, 100M events / 30 days); stores build untimed; the two
+   *  dispatches are value-checked against each other before timing. */
+  private def mainLadderFresh(args: Array[String]): Unit = {
+    val rest = args.filterNot(_ == "--ladder-fresh")
+    val out = rest.headOption.getOrElse("BENCH_SCALE_LADDER_FRESH.json")
+    val spark = graft.core.GraftSession.builder()
+      .appName("graft-scale-ladder-fresh").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.query.DownsampleSpec
+    val base = sys.env.getOrElse("GRAFT_SCALE_DENSE_DIR",
+      java.nio.file.Files.createTempDirectory("graft_scale_dense").toString)
+    val n = 100000000L
+    val d = s"$base/n$n"
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$d/events.parquet")))
+      genEventsDistributed(spark, n, 1500, d)
+    val pts = graft.sources.TsdbViews.points(spark, d)
+    val stores = java.nio.file.Files.createTempDirectory("graft_ladder_fresh").toString
+    graft.rollup.Rollup.build(pts, "1h").write.mode("overwrite").parquet(s"$stores/rollup1h")
+    graft.rollup.Rollup.build(pts, "1d").write.mode("overwrite").parquet(s"$stores/rollup1d")
+    val s1h = spark.read.parquet(s"$stores/rollup1h")
+    val s1d = spark.read.parquet(s"$stores/rollup1d")
+    val day = 86400L
+    val dataStart = 1704067200L
+    val (qs, qe) = (dataStart + 28 * day, dataStart + 30 * day)
+    val f1d = dataStart + 29 * day // the nightly 1d job hasn't flushed the last day
+    val spec = DownsampleSpec("1d", "sum")
+    val ptsQ = pts.filter(col("ts") >= lit(qs) && col("ts") < lit(qe))
+    // rounds 13-14 behavior: the coarsest rung with any served head wins
+    // outright — day 1 from the 1d store, day 2 raw
+    def oldDispatch() = graft.rollup.Rollup
+      .downsampleHybrid(ptsQ, s1d, "1d", spec, qs, qe, f1d)
+    def newDispatch() = graft.rollup.Rollup.downsampleLadder(ptsQ,
+      Seq((s1d, "1d", f1d), (s1h, "1h", Long.MaxValue)), spec, qs, qe)
+    // value check before timing: both dispatches must agree exactly on
+    // rows and on the summed value (modulo FP summation order)
+    def chk(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val r = df.agg(count(lit(1)), sum(col("value"))).head
+      (r.getLong(0), r.getDouble(1))
+    }
+    val (rOld, vOld) = chk(oldDispatch())
+    val (rNew, vNew) = chk(newDispatch())
+    require(rOld == rNew && math.abs(vOld - vNew) <= 1e-6 * math.abs(vOld),
+      s"dispatches disagree: rows $rOld/$rNew values $vOld/$vNew")
+    val (tOld, _) = time(oldDispatch().count())
+    spark.catalog.clearCache()
+    val (tNew, _) = time(newDispatch().count())
+    val sb = new StringBuilder
+    sb ++= f"""{"events": $n, "users": 1500, "window_days": 2,
+      |"straddling_daily_read_sec": {"first_coarsest_r14": $tOld%.3f, "frontier_ranked_r15": $tNew%.3f, "speedup": ${tOld / math.max(tNew, 1e-9)}%.2f, "rows": $rOld},
+      |"notes": {
+      |"axis": "independently-maintained ladder rungs (hourly 1h job fresh, nightly 1d job one day behind): the last-2-days daily dashboard straddles the 1d frontier but sits wholly under the 1h one",
+      |"old": "rounds 13-14 first-coarsest-with-any-head: day 1 from the 1d store + the WHOLE open day raw (LWW dedupe window over ~n/30 points at this density)",
+      |"new": "round 15 ranks rungs by served frontier (tie-break coarser): the 1h rung serves both days store-sized (|series| x 48 rows re-aggregated), no raw scan",
+      |"check": "both dispatches value-checked equal (rows exact, sum within FP reorder tolerance) before timing; stores built untimed"}}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(out), sb.toString.getBytes("UTF-8"))
+    println(f"straddling 2-day dashboard: old=$tOld%.2f s new=$tNew%.2f s (x${tOld / math.max(tNew, 1e-9)}%.1f)")
+    println(s"wrote $out")
+    spark.stop()
+  }
+
   /** Ladder-maintenance cost/benefit probe (`--ladder-ingest`, writes
    *  BENCH_SCALE_LADDER.json) — the round-14 question: what does
    *  MAINTAINING a second (1d) rung cost at ingest, and what does it buy
@@ -1352,6 +1424,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.contains("--ladder-fresh")) { mainLadderFresh(args); return }
     if (args.contains("--ladder-ingest")) { mainLadderIngest(args); return }
     if (args.contains("--routed-dense")) { mainRoutedDense(args); return }
     if (args.contains("--batches-synth")) { mainBatchesSynth(args); return }

@@ -150,10 +150,14 @@ object RollupRouting extends Rule[LogicalPlan] with PredicateHelper {
   /** Register `viewName` as the LWW-deduped points view with a rollup
    *  LADDER attached: `stores` is (composite, interval, frontier) per
    *  rung, e.g. the 1h and 1d stores an ingest maintains. Queries are
-   *  served from the COARSEST rung that answers exactly (a daily
-   *  dashboard reads the 1d store; an hourly one the 1h store; a
+   *  served from the rung whose served frontier reaches FURTHEST,
+   *  tie-breaking coarser (round 15): with complete stores a daily
+   *  dashboard reads the 1d store and an hourly one the 1h store, a
    *  non-dividing bucket falls to the finer rung before falling back to
-   *  raw) — the reference's per-segment interval-id dispatch
+   *  raw — and when an independently-maintained coarse rung lags, a
+   *  fully-flushed finer rung serves the whole range instead of the
+   *  dashboard re-scanning the coarse rung's open tail raw. The
+   *  reference's per-segment interval-id dispatch
    *  (GorillaDownSampledTimeSeriesEncoder.java:138-180).
    *
    *  REGISTRATION CONTRACT (not merely a bound check — violating it

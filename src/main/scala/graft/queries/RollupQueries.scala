@@ -53,9 +53,10 @@ object RollupQueries {
     })
 
   /** Register the LADDER facade view `graft_points_ladder` (1h + 1d
-   *  stores): the rule serves each SQL query from the COARSEST rung that
-   *  answers exactly — a daily dashboard reads the 1d composite, an
-   *  hourly one the 1h (plan-asserted in RollupRoutingSpec). */
+   *  stores): the rule serves each SQL query from the rung whose served
+   *  frontier reaches furthest, tie-breaking coarser — with both stores
+   *  complete, a daily dashboard reads the 1d composite and an hourly
+   *  one the 1h (plan-asserted in RollupRoutingSpec). */
   private def ladderView(s: SparkSession, d: String): Unit =
     graft.plans.RollupRouting.registerLadder(s, TsdbViews.points(s, d),
       Seq((s.read.parquet(dailyStoreFor(s, d)), "1d", Long.MaxValue),

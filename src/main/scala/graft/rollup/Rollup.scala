@@ -346,11 +346,18 @@ object Rollup {
     }
   }
 
-  /** Rollup-LADDER routing for the engine path (A14 × ladder, round 14):
-   *  serve the downsample from the COARSEST rung that answers a nonempty
-   *  head — fully, or hybrid-split at its own flush frontier — falling
-   *  finer, then raw. The reference's LTS stores multiple downsampled
-   *  aggregation streams per segment and dispatches per interval id
+  /** Rollup-LADDER routing for the engine path (A14 × ladder): serve the
+   *  downsample from the rung whose served head reaches FURTHEST —
+   *  fully, or hybrid-split at its own flush frontier — tie-breaking
+   *  COARSER (fewer store rows); raw only when no rung serves at all.
+   *  The frontier rank (round 15) matters when rungs are maintained
+   *  independently (an hourly 1h job beside a nightly 1d job): a
+   *  fully-flushed finer rung then beats a lagging coarser one instead
+   *  of the dashboard re-scanning the coarse rung's open tail raw. On a
+   *  single close-gated ingest the day-floored frontiers coincide and
+   *  the tie-break preserves the coarsest-rung choice. The reference's
+   *  LTS stores multiple downsampled aggregation streams per segment and
+   *  dispatches per interval id
    *  (GorillaDownSampledTimeSeriesEncoder.java:85-120,138-180); this is
    *  the same dispatch [[graft.plans.RollupRouting.registerLadder]]
    *  gives SQL, for programmatic callers. `rungs` is (store, interval,
