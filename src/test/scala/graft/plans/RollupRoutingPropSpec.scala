@@ -90,6 +90,46 @@ class RollupRoutingPropSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL ladder == raw for random per-rung frontiers (seeded, round 15)") {
+    // fuzzes the frontier-ranked rung choice: each rung gets its OWN
+    // random frontier (complete / lagging / fresher-finer / both-lag in
+    // all combinations), and whichever rung the dispatch picks — or a
+    // split, or a refusal — the answer must equal raw exactly
+    val (pts, store1h, store1d) = env
+    val rng = new scala.util.Random(51)
+    for (i <- 0 until 30) {
+      val f1h = if (rng.nextInt(3) == 0) Long.MaxValue
+        else Lo + (rng.nextInt(16 * 24) + 1) * 3600L
+      val f1d = if (rng.nextInt(3) == 0) Long.MaxValue
+        else Lo + (rng.nextInt(16) + 1) * 86400L
+      RollupRouting.registerLadder(spark, pts,
+        Seq((store1d.filter(col("bucket_ts") < f1d), "1d", f1d),
+          (store1h.filter(col("bucket_ts") < f1h), "1h", f1h)),
+        "vp_ladder")
+      def bound(base: Long): Long = rng.nextInt(3) match {
+        case 0 => base + rng.nextInt(14) * 86400L
+        case 1 => base + rng.nextInt(14 * 24) * 3600L
+        case _ => base + rng.nextInt(14 * 86400)
+      }
+      val lo = bound(Lo)
+      val hi = math.max(lo + 86400, bound(Lo + 86400))
+      val phr = phrasings(rng.nextInt(phrasings.size))
+      val agg = aggs(rng.nextInt(aggs.size))
+      val extraKey = if (rng.nextBoolean()) ", tags['host'] AS h" else ""
+      val extraPred = if (rng.nextInt(3) == 0) " AND metric = 'click'" else ""
+      val q =
+        s"""SELECT metric$extraKey, ($phr) AS b, $agg
+           |FROM __VIEW__ WHERE ts >= $lo AND ts < $hi$extraPred
+           |GROUP BY ${if (extraKey.isEmpty) "1, 2" else "1, 2, 3"}""".stripMargin
+      val a = spark.sql(q.replace("__VIEW__", "vp_ladder"))
+        .collect().map(_.toString).sorted.toSeq
+      val b = spark.sql(q.replace("__VIEW__", "vp_raw"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(a === b,
+        s"case $i diverged (f1h=$f1h f1d=$f1d lo=$lo hi=$hi):\n$q")
+    }
+  }
+
   test("engine ladder == raw downsample for random rung frontiers and specs (seeded)") {
     import graft.query.{DownsampleSpec, QueryEngine}
     val (pts, store1h, store1d) = env
