@@ -70,6 +70,31 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(after === keptDds)
   }
 
+  test("retention purge through the pass repairs a straddling rung window (round 15)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mnt_spec3").toString
+    val day = 86400L
+    val t0 = 70 * day
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"), rollupLadder = Seq("1d"),
+      nowSec = Some(() => t0 + 2 * day))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (1L, t0 + 10, 1.0),        // expires under the mid-day cutoff
+      (2L, t0 + 5 * 3600, 2.0),  // survives
+      (3L, t0 + 7 * 3600, 4.0))), cfg, batchId = 0L)
+    IngestJob.finalizeRollup(spark, cfg)
+    // cutoff 4 h into the 1d window: the composed pass must drop the
+    // expired segment AND re-flush the straddling day from the survivors
+    // (purgeAndRepair), so the rung frontier never retreats
+    val report = Maintenance.run(spark, cfg,
+      retentionCutoffSec = Some(t0 + 4 * 3600))
+    assert(report.purgedSegments === Seq(t0))
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === Long.MaxValue)
+    assert(IngestJob.rungFrontier(spark, cfg, "1h") === Long.MaxValue)
+    val rung = spark.read.parquet(IngestJob.rungPath(cfg, "1d"))
+    assert(rung.agg(sum(col("sum"))).head.getDouble(0) === 6.0)
+  }
+
   test("no cutoffs: the pass degrades to log compaction + folds, nothing purged") {
     val base = java.nio.file.Files.createTempDirectory("graft_mnt_spec2").toString
     val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
