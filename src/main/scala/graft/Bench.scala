@@ -9,16 +9,19 @@ package graft
  *  suite had grown to 311 queries × 3 passes plus a 310 s sequential
  *  build pass. Two cuts restore the independent gate without losing
  *  coverage:
- *   - the one-time harness builds run on an 8-thread pool (each registry
- *     exposes independent `warmBuildTasks`; builds are mostly
- *     driver-bound streaming replays that never saturate local[32], so
- *     they overlap well);
+ *   - the one-time harness builds run on a thread pool (default 4,
+ *     SPARK_GRAFT_BUILD_POOL to override — the measured sweet spot at
+ *     sf0.01: 242 s sequential, 176 s 4-way, 380 s 8-way, where
+ *     contention collapses). Each registry exposes independent
+ *     `warmBuildTasks`; the driver-heavy streamed replays additionally
+ *     share a 2-slot semaphore (OracleCommon.ReplayGate) so at most two
+ *     full-table driver collects coexist whatever the pool size;
  *   - the timed section runs 2 interleaved passes and records the MIN of
  *     the two samples per query (a transient host stall inflates one
  *     pass; min takes the clean one — the standard bench statistic for
  *     noisy hosts). Round ≤14 recorded median-of-3; min-of-2 reads
- *     marginally lower on noise-free queries, which STATUS.md documents
- *     for round-over-round comparison.
+ *     marginally lower on noise-free queries — documented in STATUS.md's
+ *     round-15 section for round-over-round comparison.
  *
  *  Isolation protocol (host noise showed up as 6-13× phantom spikes when
  *  the same query ran repeatedly back-to-back):

@@ -28,9 +28,10 @@ object Graft {
     QueryEngine.run(source.points(spark), q)
 
   /** Run a TSDB query against a STREAMED lake with A14 ladder routing:
-   *  a plain filtered downsample serves from the coarsest maintained
-   *  rollup rung whose flush frontier answers it (hybrid-splitting at
-   *  the frontier); every other query shape runs the raw engine path
+   *  a plain filtered downsample serves from the maintained rollup rung
+   *  whose served frontier reaches furthest, tie-breaking coarser
+   *  (hybrid-splitting at the winning rung's frontier, round 15); every
+   *  other query shape runs the raw engine path
    *  unchanged. The JSON-front-end twin of [[registerRouted]] — same
    *  frontier-snapshot semantics, so re-call per refresh tick on a live
    *  lake. A lake with no flushed rung yet just runs raw. */
@@ -46,9 +47,9 @@ object Graft {
    *  ingest lake's raw points paired with its maintained rollup LADDER
    *  (every `cfg.rollupRungs` store that has closed windows, e.g. 1h +
    *  1d), each at the ingest's OWN per-rung flush frontier, so plain
-   *  `spark.sql` aggregates over `viewName` are served from the coarsest
-   *  maintained rung that answers exactly — closed windows from rollup
-   *  rows, the open tail raw — by the [[graft.plans.RollupRouting]]
+   *  `spark.sql` aggregates over `viewName` are served from the rung
+   *  whose served frontier reaches furthest (tie-break coarser) — closed
+   *  windows from rollup rows, the open tail raw — by the [[graft.plans.RollupRouting]]
    *  optimizer rule (A14, transparent). The production one-liner: ingest
    *  maintains, SQL serves. Requires a maintained rung with at least one
    *  closed window and a [[graft.core.GraftSession]]-built session (the

@@ -80,7 +80,9 @@ object EventsQueries {
    *  warm-up pool — see [[graft.queries.StreamQueries.warmBuildTasks]]. */
   def warmBuildTasks(s: SparkSession, d: String): Seq[(String, () => Unit)] = Seq(
     "events_store" -> (() => { docs(s, d); () }),
-    "events_sessions" -> (() => { streamedSessions(s, d); () }))
+    // the sessionization replay collects the table to the driver — share
+    // the cross-registry replay gate
+    "events_sessions" -> OracleCommon.gated(() => { streamedSessions(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // S10+F11+F12: text search with namespace + time-range clause

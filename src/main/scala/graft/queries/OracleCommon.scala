@@ -16,6 +16,20 @@ package graft.queries
  */
 object OracleCommon {
 
+  /** Concurrency gate for the DRIVER-HEAVY warm builds (the streamed
+   *  replays collect a full table to the driver and hold it for the
+   *  replay's lifetime): at most 2 run at once inside [[graft.Bench]]'s
+   *  build pool, so peak driver memory stays ~2 table copies however
+   *  large SPARK_GRAFT_BUILD_POOL is, while the driver-light lake
+   *  ingests keep the remaining pool slots busy. */
+  private[queries] val ReplayGate = new java.util.concurrent.Semaphore(2)
+
+  /** Wrap a warm-build thunk with [[ReplayGate]]. */
+  private[queries] def gated(run: () => Unit): () => Unit = () => {
+    ReplayGate.acquire()
+    try run() finally ReplayGate.release()
+  }
+
   /** Query window used by the TSDB queries: [2024-01-05, 2024-01-25) UTC. */
   val Start: Long = 1704412800L
   val End: Long = 1706140800L

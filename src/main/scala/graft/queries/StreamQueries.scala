@@ -455,12 +455,12 @@ object StreamQueries {
     "stream_idle" -> (() => { idleLakeFor(s, d); () }),
     "stream_admission_approx" -> (() => { admissionApproxLakeFor(s, d); () }),
     "stream_latest_state" -> (() => { latestStateLakeFor(s, d); () }),
-    "replay_lww" -> (() => { lwwWindows(s, d); () }),
-    "replay_ewma" -> (() => { streamedEwma(s, d); () }),
-    "replay_movavg" -> (() => { streamedMovavgSimple(s, d); () }),
-    "replay_rate" -> (() => { streamedRate(s, d); () }),
-    "replay_transitions" -> (() => { streamedTransitions(s, d); () }),
-    "replay_timediff" -> (() => { streamedTimediff(s, d); () }))
+    "replay_lww" -> OracleCommon.gated(() => { lwwWindows(s, d); () }),
+    "replay_ewma" -> OracleCommon.gated(() => { streamedEwma(s, d); () }),
+    "replay_movavg" -> OracleCommon.gated(() => { streamedMovavgSimple(s, d); () }),
+    "replay_rate" -> OracleCommon.gated(() => { streamedRate(s, d); () }),
+    "replay_transitions" -> OracleCommon.gated(() => { streamedTransitions(s, d); () }),
+    "replay_timediff" -> OracleCommon.gated(() => { streamedTimediff(s, d); () }))
 
   val defs: Map[String, Q] = Map(
     // the PURE-streaming A10 composite (R3 last-write-wins included):

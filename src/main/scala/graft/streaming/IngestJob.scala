@@ -336,9 +336,9 @@ object IngestJob {
         // raw points instead (Rollup.downsampleHybrid /
         // RollupRouting's frontier split). A coarser rung (1d) gates on
         // its own wider window, so its frontier naturally lags the
-        // fine rung's — each query picks the coarsest rung whose
-        // frontier covers it. Two flush triggers per rung, both exact
-        // and idempotent:
+        // fine rung's — each query picks the rung whose served frontier
+        // reaches furthest, tie-breaking coarser (round 15). Two flush
+        // triggers per rung, both exact and idempotent:
         //  - a closed window touched by this batch (late straggler
         //    inside the admission window) → recompute it;
         //  - a closed lake window with no rung partition yet (it
@@ -532,18 +532,22 @@ object IngestJob {
    *  `rollupUntil`). Long.MaxValue when the rollup covers the whole
    *  lake. A LADDER-ONLY config (`rollupLadder` set, no primary
    *  `rollupInterval` — representable since round 14) degrades to the
-   *  coarsest configured rung's frontier instead of throwing (round-15
-   *  ADVICE): the coarsest rung's close-gated windows are the widest,
-   *  so its frontier is the most conservative answer any rung gives —
-   *  a caller treating it as "the" frontier never over-trusts a store.
-   *  Only a config with NO maintained rung at all still refuses: there
-   *  is no store for the frontier to describe. */
+   *  MINIMUM of all configured rungs' frontiers instead of throwing
+   *  (round-15 ADVICE): under one close-gated ingest that is the
+   *  coarsest rung's (widest windows close last), and it stays the
+   *  genuinely conservative answer even when a crash skewed one rung's
+   *  flushes behind the others — a caller treating it as "the" frontier
+   *  never over-trusts any store. Only a config with NO maintained rung
+   *  at all still refuses: there is no store for the frontier to
+   *  describe. */
   def rollupFrontier(spark: SparkSession, cfg: Config): Long =
-    cfg.rollupInterval.orElse(
-        cfg.rollupRungs.sortBy(iv => -graft.core.Intervals.toSeconds(iv)).headOption)
-      .map(rungFrontier(spark, cfg, _))
-      .getOrElse(throw new IllegalArgumentException(
-        "no maintained rollup rung configured (rollupInterval and rollupLadder both empty)"))
+    cfg.rollupInterval match {
+      case Some(iv) => rungFrontier(spark, cfg, iv)
+      case None =>
+        if (cfg.rollupRungs.isEmpty) throw new IllegalArgumentException(
+          "no maintained rollup rung configured (rollupInterval and rollupLadder both empty)")
+        cfg.rollupRungs.map(rungFrontier(spark, cfg, _)).min
+    }
 
   /** One rung's flush frontier: the earliest lake window the rung has
    *  not flushed (a coarser rung's frontier naturally lags the fine
@@ -580,9 +584,10 @@ object IngestJob {
   }
 
   /** [[purge]] plus store repair (round-15 ADVICE): after the file-level
-   *  drops, each rung whose window straddles the cutoff is re-flushed
-   *  from the SURVIVING lake segments, so the still-in-retention part of
-   *  the window serves from the store again instead of raw-until-
+   *  drops, each rung whose window straddles the cutoff — and has
+   *  already CLOSED under the ingest's gate — is re-flushed from the
+   *  SURVIVING lake segments, so the still-in-retention part of the
+   *  window serves from the store again instead of raw-until-
    *  someone-re-flushes (never, on a quiesced/finalized lake). The
    *  rebuild is exact w.r.t. the post-purge lake: raw below the
    *  effective cutoff is gone everywhere, so a composite over the
@@ -592,14 +597,28 @@ object IngestJob {
   def purgeAndRepair(spark: SparkSession, cfg: Config, cutoffSec: Long): Seq[Long] = {
     val dropped = purge(cfg, cutoffSec)
     val conf = spark.sessionState.newHadoopConf()
+    val segs = segmentDirs(conf, pointsPath(cfg)).map(_._2)
+    // Only a CLOSED straddling window may be re-flushed: repairing a
+    // still-open window would hand it a partition the ingest's close
+    // gate never refreshes (the missing-partition trigger sees one, and
+    // the touched trigger fires on closed windows only), so points
+    // ingested after the repair would be invisible in the store forever
+    // while rungFrontier reports the window flushed. The anchor mirrors
+    // the close gate's (cfg.nowSec); offline, the max surviving segment
+    // start is a safe UNDER-estimate of the event-time high-water mark —
+    // a too-small anchor merely skips the repair, and the dropped window
+    // self-heals through the unflushed trigger once it truly closes (a
+    // live lake) or stays correctly served raw (a quiesced one).
+    val anchor = cfg.nowSec.map(_()).orElse(segs.maxOption).getOrElse(Long.MinValue)
     cfg.rollupRungs.foreach { iv =>
       val w = rungWindowSeconds(iv)
       val ws = cutoffSec - Math.floorMod(cutoffSec, w)
-      // `s - ws < w` instead of `s < ws + w`: ws + w overflows for a
-      // drop-everything cutoff near Long.MaxValue
-      val survivors = ws < cutoffSec && segmentDirs(conf, pointsPath(cfg))
-        .exists { case (_, s) => s >= ws && s - ws < w }
-      if (survivors) flushRung(spark, cfg, iv, Seq(ws))
+      // subtraction/bound forms instead of `ws + w`: they cannot
+      // overflow for a drop-everything cutoff near Long.MaxValue
+      val closed = ws <= Long.MaxValue - w - cfg.rollupLatenessSec &&
+        ws + w + cfg.rollupLatenessSec <= anchor
+      val survivors = ws < cutoffSec && segs.exists(s => s >= ws && s - ws < w)
+      if (closed && survivors) flushRung(spark, cfg, iv, Seq(ws))
     }
     dropped
   }

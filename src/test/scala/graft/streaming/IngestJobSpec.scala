@@ -362,9 +362,10 @@ class IngestJobSpec extends AnyFunSuite {
       nowSec = Some(() => now))
     IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
       (150L, t0 + 10, "cpu", 1.0), (300L, t0 + day + 10, "cpu", 2.0))), cfg)
-    // the primary frontier is the COARSEST rung's (its close-gated
-    // windows are widest, so its frontier is the most conservative any
-    // rung gives) — previously an IllegalArgumentException
+    // the primary frontier is the MINIMUM over all rungs' — under one
+    // close-gated ingest that is the coarsest rung's (widest windows
+    // close last), and min stays conservative even if a crash skewed
+    // one rung behind — previously an IllegalArgumentException
     assert(IngestJob.rollupFrontier(spark, cfg) ===
       IngestJob.rungFrontier(spark, cfg, "1d"))
     assert(IngestJob.rollupFrontier(spark, cfg) === t0 + day)
@@ -406,6 +407,43 @@ class IngestJobSpec extends AnyFunSuite {
     assert(served.collect().map(r =>
       r.getAs[Long]("bucket_ts") -> r.getAs[Double]("value")).toMap ===
       Map(t0 -> 6.0))
+  }
+
+  test("purge repair refuses a still-OPEN window; the close gate self-heals it (round 15)") {
+    // repairing an open window would hand it a partition the ingest's
+    // close gate never refreshes (the missing-partition trigger sees
+    // one; the touched trigger fires on closed windows only) — points
+    // ingested after the repair would silently never reach the store
+    val spark = TestSpark.spark
+    val base = java.nio.file.Files.createTempDirectory("graft_purge_open").toString
+    val day = 86400L
+    val t0 = 80 * day
+    var now = t0 + 20 * 3600 // INSIDE day 0: its 1d window is open
+    val cfg = IngestJob.Config(s"$base/lake", s"$base/ckpt",
+      retentionSec = Long.MaxValue / 4, maxFutureSec = Long.MaxValue / 4,
+      rollupInterval = Some("1h"), rollupLadder = Seq("1d"),
+      nowSec = Some(() => now))
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (150L, t0 + 10, "cpu", 1.0), (300L, t0 + 5 * 3600, "cpu", 2.0))), cfg)
+    // a quiesce-style finalize wrote the open day's partition; the purge
+    // drops it (start < cutoff) and must NOT rewrite it while open
+    IngestJob.finalizeRollup(spark, cfg)
+    IngestJob.purgeAndRepair(spark, cfg, t0 + 4 * 3600)
+    val rungDir = new java.io.File(IngestJob.rungPath(cfg, "1d"))
+    assert(!Option(rungDir.listFiles()).exists(
+      _.exists(_.getName == s"segment_start=$t0")),
+      "an open window must stay dropped, not repaired")
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === t0,
+      "the frontier must retreat so the surviving range serves raw")
+    // ingest resumes; the day eventually closes → the missing-partition
+    // trigger re-flushes it from everything that survived or arrived
+    now = t0 + 2 * day
+    IngestJob.processBatch(graft.sources.TsdbViews.pointsFromEvents(eventsDf(
+      (450L, t0 + 23 * 3600, "cpu", 4.0))), cfg)
+    assert(IngestJob.rungFrontier(spark, cfg, "1d") === Long.MaxValue)
+    val rung = spark.read.parquet(IngestJob.rungPath(cfg, "1d"))
+      .filter(col("segment_start") === t0)
+    assert(rung.agg(sum(col("sum"))).head.getDouble(0) === 6.0) // 2.0 + 4.0
   }
 
   test("replaying a micro-batch is harmless: dedupe, latest, dims, rollup all unchanged") {
