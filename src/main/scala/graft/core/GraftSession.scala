@@ -24,6 +24,21 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing keeps `parallelismFirst` (the default), but the
+      // stock 1 MB `minPartitionSize` floor collapses KB-scale shuffles
+      // to ONE post-shuffle partition, serializing every window/sort/agg
+      // after the first exchange onto a single core regardless of
+      // `cpus`. A 64 KB floor lets AQE hit its parallelism target on
+      // small inputs while remaining irrelevant at scale (any partition
+      // over 1 MB coalesces exactly as before — production plans never
+      // see the difference; guide §2.2's "fewer, larger partitions"
+      // applies to 100 MB+ shuffle regimes, which parallelismFirst
+      // already defers to advisoryPartitionSizeInBytes). Override via
+      // SPARK_GRAFT_MIN_PARTITION_SIZE. Measured (round 15, sf0.1
+      // 53-query subset, same host, min-of-2): 113.8 s -> see
+      // OPTIMIZATION_r15.md.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       // segment-pruning rule + native functions (graft.plans.SegmentPruning)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,11 +21,11 @@ object Latest {
       .groupBy(col("series_id"), col("metric"),
         // JSON-string grouping key keeps the plan a HashAggregate (map or
         // string agg buffers would force SortAggregate + a full sort)
-        to_json(col("tags")).as("__tj"))
+        graft.core.TagsJson.key(col("tags")).as("__tj"))
       .agg(
         max(col("ts")).as("last_ts"),
         // ties on ts resolve by ingest order (seq), i.e. last-write-wins
         max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
       .select("series_id", "metric", "tags", "last_ts", "last_value")
 }

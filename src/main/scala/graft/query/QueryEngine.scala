@@ -88,13 +88,13 @@ object QueryEngine {
     // discipline); segment_start is constant within a (series, ts) group
     // so max() reconstructs it exactly.
     points
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .repartition(col("series_id"))
       .groupBy(col("series_id"), col("metric"), col("__tj"), col("ts"))
       .agg(max_by(col("value"), col("seq")).as("value"),
         max(col("seq")).as("seq"),
         max(col("segment_start")).as("segment_start"))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
       .select(cols.map(col): _*)
   }
 
@@ -330,7 +330,7 @@ object QueryEngine {
       // an extra full sort of the fact rows — while string group keys
       // keep the whole stage a HashAggregate. The key is functionally
       // determined by series_id, so grouping is unchanged.
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
 
     val aggCol = temporalAgg(spec.agg, col("__v"), col("ts"), intervalSec, repSec).as("__agg")
     val grouped = prepared
@@ -346,7 +346,7 @@ object QueryEngine {
 
     grouped.select(
       col("series_id"), col("metric"),
-      from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+      graft.core.TagsJson.decode(col("__tj")).as("tags"),
       col("__bucket").as("bucket_ts"),
       valueCol.as("value"))
   }
@@ -368,14 +368,14 @@ object QueryEngine {
     val prepared = points
       .withColumn("__bucket", bucket)
       .withColumn("__v", cleanValue(col("value")))
-      .withColumn("__tj", to_json(col("tags"))) // grouping key: see downsample
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags"))) // grouping key: see downsample
     val aggCols = aggs.map { case (name, agg) =>
       temporalAgg(agg, col("__v"), col("ts"), intervalSec, None).as(name)
     }
     prepared
       .groupBy(col("series_id"), col("metric"), col("__tj"), col("__bucket"))
       .agg(aggCols.head, aggCols.tail: _*)
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
       .drop("__tj")
       .withColumnRenamed("__bucket", "bucket_ts")
   }
@@ -457,11 +457,11 @@ object QueryEngine {
         }
       }
     val grid = ds
-      .groupBy(col("series_id"), col("metric"), to_json(col("tags")).as("__tj"))
+      .groupBy(col("series_id"), col("metric"), graft.core.TagsJson.key(col("tags")).as("__tj"))
       .agg(map_from_entries(collect_list(struct(col("bucket_ts"), col("value"))))
         .as("__m"))
       .select(col("series_id"), col("metric"),
-        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        graft.core.TagsJson.decode(col("__tj")).as("tags"),
         explode(transform(seq0, b =>
           struct(b.as("bucket_ts"), try_element_at(col("__m"), b).as("value"))))
           .as("__g"))

@@ -55,7 +55,7 @@ object Rollup {
     val v = when(isnan(col("value")), lit(null)).otherwise(col("value"))
     deduped
       .withColumn("__v", v)
-      .withColumn("__tj", to_json(col("tags"))) // grouping key: HashAggregate-friendly
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags"))) // grouping key: HashAggregate-friendly
       .groupBy(col("series_id"), col("metric"), col("__tj"),
         (col("ts") - col("ts") % lit(iv)).as("bucket_ts"))
       .agg(
@@ -66,7 +66,7 @@ object Rollup {
         // last by (ts, seq): last-arrival-wins like the raw path
         max_by(col("__v"), when(col("__v").isNotNull, struct(col("ts"), col("seq")))).as("last"),
         sum(col("__v") * col("__v")).as("sumsq"))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
       .drop("__tj")
   }
 
@@ -168,7 +168,7 @@ object Rollup {
     val iv = Intervals.toSeconds(interval)
     val presence = rollup
       .filter(col("bucket_ts") >= lit(start) && col("bucket_ts") < lit(end))
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"),
         (col("bucket_ts") - col("bucket_ts") % lit(iv)).as("__bucket"))
       .agg(count(lit(1)).as("__n"))
@@ -180,7 +180,7 @@ object Rollup {
     presence
       .join(quantiles, Seq("series_id", "__bucket"), "left")
       .select(col("series_id"), col("metric"),
-        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        graft.core.TagsJson.decode(col("__tj")).as("tags"),
         col("__bucket").as("bucket_ts"), col("__p").as("value"))
   }
 
@@ -229,11 +229,11 @@ object Rollup {
     // routes aligned queries — divisibility check above)
     rollup
       .filter(col("bucket_ts") >= lit(start) && col("bucket_ts") < lit(end))
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"), bucket)
       .agg(agg.as("value"))
       .select(col("series_id"), col("metric"),
-        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        graft.core.TagsJson.decode(col("__tj")).as("tags"),
         col("__bucket").as("bucket_ts"), col("value"))
   }
 

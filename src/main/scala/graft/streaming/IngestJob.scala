@@ -263,11 +263,11 @@ object IngestJob {
     try {
       sink.getOrElse(new graft.sinks.PartitionedParquetSink(pointsPath(cfg)))
         .append(admitted)
-      val withTj = admitted.withColumn("__tj", to_json(col("tags")))
+      val withTj = admitted.withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       withTj
         .groupBy(col("series_id"), col("metric"), col("__tj"))
         .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
-        .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+        .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
         .select("series_id", "metric", "tags", "first_seen", "last_seen")
         .write.mode("append").parquet(seriesLogPath(cfg))
       withTj
@@ -275,7 +275,7 @@ object IngestJob {
         .agg(max(col("ts")).as("last_ts"),
           max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"),
           max_by(col("seq"), struct(col("ts"), col("seq"))).as("last_seq"))
-        .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+        .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
         .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
         .write.mode("append").parquet(latestLogPath(cfg))
       // per-batch PARTIAL count-min cells (≤ d·w rows per batch — the
@@ -445,10 +445,10 @@ object IngestJob {
 
   private def foldSeriesLog(log: DataFrame): DataFrame =
     log
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"))
       .agg(min(col("first_seen")).as("first_seen"), max(col("last_seen")).as("last_seen"))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
 
   def seriesDim(spark: SparkSession, cfg: Config): DataFrame =
     foldSeriesLog(spark.read.parquet(seriesLogPath(cfg)))
@@ -462,12 +462,12 @@ object IngestJob {
    *  correctly again later. */
   private def foldLatestLog(log: DataFrame): DataFrame =
     log
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .groupBy(col("series_id"), col("metric"), col("__tj"))
       .agg(max(col("last_ts")).as("last_ts"),
         max_by(col("last_value"), struct(col("last_ts"), col("last_seq"))).as("last_value"),
         max_by(col("last_seq"), struct(col("last_ts"), col("last_seq"))).as("last_seq"))
-      .withColumn("tags", from_json(col("__tj"), graft.core.TagsJson.MapSchema))
+      .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
 
   def latest(spark: SparkSession, cfg: Config): DataFrame =
     foldLatestLog(spark.read.parquet(latestLogPath(cfg)))

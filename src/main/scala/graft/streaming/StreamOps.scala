@@ -383,7 +383,7 @@ object StreamOps {
     points
       .withColumn("event_time", timestamp_seconds(col("ts")))
       .withColumn("__v", v)
-      .withColumn("__tj", to_json(col("tags")))
+      .withColumn("__tj", graft.core.TagsJson.key(col("tags")))
       .withWatermark("event_time", watermarkDelay)
       .groupBy(col("series_id"), col("metric"), col("__tj"),
         window(col("event_time"), s"$sec seconds"))
@@ -395,7 +395,7 @@ object StreamOps {
         max_by(col("__v"), when(col("__v").isNotNull, struct(col("ts"), col("seq")))).as("last"),
         sum(col("__v") * col("__v")).as("sumsq"))
       .select(col("series_id"), col("metric"),
-        from_json(col("__tj"), graft.core.TagsJson.MapSchema).as("tags"),
+        graft.core.TagsJson.decode(col("__tj")).as("tags"),
         unix_timestamp(col("window.start")).as("bucket_ts"),
         col("sum"), col("cnt"), col("min"), col("max"), col("last"), col("sumsq"))
   }
