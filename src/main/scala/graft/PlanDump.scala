@@ -16,7 +16,12 @@ object PlanDump {
     val suffix = args(1)
     val names = args.drop(2).toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.core.GraftSession.builder().appName("graft-plan-dump").getOrCreate()
+    val b = graft.core.GraftSession.builder().appName("graft-plan-dump")
+    // before/after dumps: GRAFT_PLAN_CONF="k=v;k=v" overlays session confs
+    sys.env.get("GRAFT_PLAN_CONF").foreach(_.split(';').filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split("=", 2); b.config(k, v)
+    })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (name <- names) {
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -28,17 +28,18 @@ object GraftSession {
       // stock 1 MB `minPartitionSize` floor collapses KB-scale shuffles
       // to ONE post-shuffle partition, serializing every window/sort/agg
       // after the first exchange onto a single core regardless of
-      // `cpus`. A 64 KB floor lets AQE hit its parallelism target on
+      // `cpus`. A lower floor lets AQE hit its parallelism target on
       // small inputs while remaining irrelevant at scale (any partition
       // over 1 MB coalesces exactly as before — production plans never
       // see the difference; guide §2.2's "fewer, larger partitions"
       // applies to 100 MB+ shuffle regimes, which parallelismFirst
-      // already defers to advisoryPartitionSizeInBytes). Override via
-      // SPARK_GRAFT_MIN_PARTITION_SIZE. Measured (round 15, sf0.1
-      // 53-query subset, same host, min-of-2): 113.8 s -> see
-      // OPTIMIZATION_r15.md.
+      // already defers to advisoryPartitionSizeInBytes). 256 KB chosen
+      // by interleaved same-JVM A/B at sf0.1 (OPTIMIZATION_r15.md):
+      // 64 KB over-splits sub-100 KB shuffles (pipeline-family +0.3-0.7 s
+      // per query); 256 KB keeps ~70% of the fill-family win with no
+      // measured loser. Override via SPARK_GRAFT_MIN_PARTITION_SIZE.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "256k"))
       // segment-pruning rule + native functions (graft.plans.SegmentPruning)
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -261,23 +261,42 @@ object IngestJob {
       .observe(obs, count(lit(1)).as("admitted"))
       .cache()
     try {
+      // the points append runs FIRST and alone: it materializes the
+      // cached `admitted` exactly once (completing the admission
+      // Observation) before anything else reads the cache
       sink.getOrElse(new graft.sinks.PartitionedParquetSink(pointsPath(cfg)))
         .append(admitted)
       val withTj = admitted.withColumn("__tj", graft.core.TagsJson.key(col("tags")))
-      withTj
+      // The per-batch store flushes below (series log, latest log, CMS
+      // partials, each DDS partial) are INDEPENDENT writes to disjoint
+      // store paths over the same cached frame — submit them from a
+      // small pool so the next flush's tasks back-fill executors freed
+      // by the previous one's tail (guide §2.6 "overlap independent
+      // jobs"): per-batch flush wall drops from the sum of the store
+      // flushes to roughly their max. Order-dependent maintenance
+      // (sketch fold, rollup close-gate) stays sequential AFTER the
+      // barrier. Failures propagate: the first failed flush rethrows
+      // once every submitted flush has settled (no orphaned jobs).
+      val flushes = scala.collection.mutable.ArrayBuffer.empty[(String, () => Unit)]
+      // plans are CONSTRUCTED on this thread (plan-build reads
+      // session conf through the thread-local active session); only the
+      // write ACTION runs on the pool
+      val seriesLogDf = withTj
         .groupBy(col("series_id"), col("metric"), col("__tj"))
         .agg(min(col("ts")).as("first_seen"), max(col("ts")).as("last_seen"))
         .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
         .select("series_id", "metric", "tags", "first_seen", "last_seen")
-        .write.mode("append").parquet(seriesLogPath(cfg))
-      withTj
+      flushes += "series_log" -> (() =>
+        seriesLogDf.write.mode("append").parquet(seriesLogPath(cfg)))
+      val latestLogDf = withTj
         .groupBy(col("series_id"), col("metric"), col("__tj"))
         .agg(max(col("ts")).as("last_ts"),
           max_by(col("value"), struct(col("ts"), col("seq"))).as("last_value"),
           max_by(col("seq"), struct(col("ts"), col("seq"))).as("last_seq"))
         .withColumn("tags", graft.core.TagsJson.decode(col("__tj")))
         .select("series_id", "metric", "tags", "last_ts", "last_value", "last_seq")
-        .write.mode("append").parquet(latestLogPath(cfg))
+      flushes += "latest_log" -> (() =>
+        latestLogDf.write.mode("append").parquet(latestLogPath(cfg)))
       // per-batch PARTIAL count-min cells (≤ d·w rows per batch — the
       // mergeable-summary contract; the read sums cells, never rescans).
       // Cell counts are SUMS, so unlike the fold-idempotent logs a blind
@@ -290,26 +309,49 @@ object IngestJob {
       cfg.cms.foreach { c =>
         val cells = graft.operators.CountMin
           .sketch(admitted, expr(c.keyExpr), c.depth, c.width)
-        if (batchId >= 0)
-          cells.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(cmsPath(cfg))
-        else cells.write.mode("append").parquet(cmsPath(cfg))
+        flushes += "cms" -> (() => {
+          if (batchId >= 0)
+            cells.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(cmsPath(cfg))
+          else cells.write.mode("append").parquet(cmsPath(cfg))
+        })
       }
       // per-batch PARTIAL DDSketch quantile buckets — the same
       // counts-are-sums replay discipline as the count-min cells above
       cfg.dds.foreach { c =>
         val buckets = graft.operators.QuantileSketch
           .sketch(admitted, expr(c.keyExpr), expr(c.valueExpr), c.alpha)
-        if (batchId >= 0)
-          buckets.withColumn("batch_id", lit(batchId))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(ddsPath(cfg, c.name))
-        else buckets.write.mode("append").parquet(ddsPath(cfg, c.name))
+        flushes += s"dds_${c.name}" -> (() => {
+          if (batchId >= 0)
+            buckets.withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(ddsPath(cfg, c.name))
+          else buckets.write.mode("append").parquet(ddsPath(cfg, c.name))
+        })
+      }
+      if (flushes.size == 1) flushes.head._2() else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, flushes.size))
+        try {
+          val futs = flushes.toSeq.map { case (name, run) =>
+            name -> pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = run()
+            })
+          }
+          // settle ALL before rethrowing the first failure
+          val errs = futs.flatMap { case (name, f) =>
+            try { f.get(); None }
+            catch { case e: java.util.concurrent.ExecutionException =>
+              Some(name -> e.getCause) }
+          }
+          errs.headOption.foreach { case (name, e) =>
+            throw new RuntimeException(s"store flush '$name' failed", e) }
+        } finally pool.shutdown()
       }
       // in-band maintenance (production posture): every N committed
       // batches, fold the closed sketch-store partials into the snapshot
