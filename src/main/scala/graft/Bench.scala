@@ -134,6 +134,13 @@ object Bench {
     val artifact = if (args.isEmpty) "BENCH_LOCAL.json" else "BENCH_LOCAL_partial.json"
     java.nio.file.Files.write(java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    // The full per-query line above is ~15 KB at 313 queries; a bounded
+    // stdout tail capture can start mid-line and lose it (round 15:
+    // BENCH_r15.json rc 0 but parsed:null). Emit a compact summary as the
+    // LAST stdout line — short enough that any tail window contains it
+    // whole — with a pointer to the per-query artifact. Additions only:
+    // the full contract line and BENCH_LOCAL.json are unchanged.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","builds_sec":$buildsSec,"reps":$reps,"n_queries":${results.size},"queries_file":"$artifact","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -117,6 +117,29 @@ object Dedup {
       .select(col("doc_id"), array((0 until NumPerms).map(i => col(s"__m$i")): _*).as("sig"))
   }
 
+  /** As [[signaturesFromShingles]], additionally carrying each doc's
+   *  shingle count `n` out of the SAME hash aggregate. The
+   *  verify-after-LSH consumers ([[ngramJaccard]], [[minhashEval]]) need
+   *  both the signature and the per-doc distinct-shingle total; computing
+   *  the totals as a SEPARATE groupBy(doc_id) was a second full pass over
+   *  the shingle table sharing the identical grouping key — two
+   *  operations keyed the same way belong in one exchange. Only valid
+   *  over a DISTINCT (doc_id, s) table ([[shingleRows]]): `n` counts the
+   *  rows it is given. */
+  private[graft] def signaturesAndCountsFromShingles(shingles: DataFrame): DataFrame = {
+    val hashed = shingles
+      .select(col("doc_id"), TextAnalysis.baseHash(col("s")).as("h"))
+    val minCols = (0 until NumPerms).map { i =>
+      min((col("h") * lit(PermA(i)) + lit(PermB(i))) % lit(P)).as(s"__m$i")
+    }
+    hashed
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail :+ count(lit(1)).as("n"): _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(i => col(s"__m$i")): _*).as("sig"),
+        col("n"))
+  }
+
   /** LSH banding S-curve planner — the analytical companion to
    *  [[minhashEval]]'s measured estimator quality: for each similarity
    *  `s` on a 0.05-step grid, the probability a pair at Jaccard `s`
@@ -291,12 +314,23 @@ object Dedup {
    *  contract — the same opt-in posture as the capped minhash/simhash
    *  candidate generators. */
   def ngramJaccard(docs: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    val (persisted, out) = ngramJaccardLazy(docs, threshold, maxBucketSize)
+    val materialized = Iterate.truncate(out) // pairs ≥ threshold only (small)
+    persisted.foreach(_.unpersist())
+    materialized
+  }
+
+  /** The un-materialized plan behind [[ngramJaccard]] (with the persisted
+   *  frames the caller must release) — plan evidence needs the lazy
+   *  frame, the query needs the eager truncate. */
+  private[graft] def ngramJaccardLazy(docs: DataFrame, threshold: Double,
+      maxBucketSize: Int): (Seq[DataFrame], DataFrame) = {
     // ONE shingle table feeds the signature pipeline, the per-doc counts,
-    // and both intersection sides; eagerly materialize the (small) result
-    // so the big intermediates can be unpersisted before returning
+    // and both intersection sides; the caller eagerly materializes the
+    // (small) result so the big intermediates can be unpersisted.
+    // Signatures and per-doc totals come out of one shared aggregate.
     val expl = shingleRows(docs).persist()
-    val sigs = signaturesFromShingles(expl).persist()
-    val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sigs = signaturesAndCountsFromShingles(expl).persist()
     // the pair set is read TWICE (intersection probe + the left join
     // below); unpersisted, the whole band self-join re-executes per
     // consumer — measured as the slowest bench row before this persist
@@ -319,15 +353,13 @@ object Dedup {
     val out = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("i"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
         col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-    val materialized = Iterate.truncate(out) // pairs ≥ threshold only (small)
-    expl.unpersist(); sigs.unpersist(); cand.unpersist()
-    materialized
+    (Seq(expl, sigs, cand), out)
   }
 
   /** MinHash estimator-quality evaluation over the LSH candidate set —
@@ -342,9 +374,22 @@ object Dedup {
    *  numbers tell an operator whether the capped signature path's
    *  threshold can be trusted on THEIR corpus before a dedup run. */
   def minhashEval(docs: DataFrame, threshold: Double): DataFrame = {
+    val (persisted, agg) = minhashEvalLazy(docs, threshold)
+    val out = Iterate.truncate(agg)
+    persisted.foreach(_.unpersist())
+    out
+  }
+
+  /** The un-materialized plan behind [[minhashEval]] (with the persisted
+   *  frames the caller must release) — plan evidence needs the lazy
+   *  frame, the query needs the eager truncate. */
+  private[graft] def minhashEvalLazy(docs: DataFrame,
+      threshold: Double): (Seq[DataFrame], DataFrame) = {
     val expl = shingleRows(docs).persist()
-    val sigs = signaturesFromShingles(expl).persist()
-    val counts = expl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // signature + per-doc shingle total from ONE aggregate (see
+    // signaturesAndCountsFromShingles); the per-side attach below then
+    // carries (sig, n) through a single join per side instead of two
+    val sigs = signaturesAndCountsFromShingles(expl).persist()
     val cand = candidatePairsFromSignatures(sigs, Int.MaxValue).persist()
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
@@ -357,10 +402,10 @@ object Dedup {
     val pairs = cand
       .join(inter, Seq("doc_a", "doc_b"), "left")
       .na.fill(0L, Seq("i"))
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("n").as("na"),
+        col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("n").as("nb"),
+        col("sig").as("sig_b")), "doc_b")
       .withColumn("est",
         aggregate(eq, lit(0), _ + _).cast("double") / lit(NumPerms.toDouble))
       .withColumn("exact",
@@ -371,14 +416,13 @@ object Dedup {
     // well-defined empty confusion matrix) while mean_abs_err stays
     // null EXPLICITLY — there is no error to average, and 0.0 would
     // read as "perfect estimator" rather than "no evidence"
-    val out = Iterate.truncate(pairs.agg(
+    val agg = pairs.agg(
       coalesce(sum(when(col("est") >= t && col("exact") >= t, 1L).otherwise(0L)), lit(0L)).as("tp"),
       coalesce(sum(when(col("est") >= t && col("exact") < t, 1L).otherwise(0L)), lit(0L)).as("fp"),
       coalesce(sum(when(col("est") < t && col("exact") >= t, 1L).otherwise(0L)), lit(0L)).as("fn"),
       coalesce(sum(when(col("est") < t && col("exact") < t, 1L).otherwise(0L)), lit(0L)).as("tn"),
-      round(avg(round(abs(col("est") - col("exact")), 4)), 4).as("mean_abs_err")))
-    expl.unpersist(); sigs.unpersist(); cand.unpersist()
-    out
+      round(avg(round(abs(col("est") - col("exact")), 4)), 4).as("mean_abs_err"))
+    (Seq(expl, sigs, cand), agg)
   }
 
   /** Streaming exact dedup: content-hash keyed, first-arrival-wins,

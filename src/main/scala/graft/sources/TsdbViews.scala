@@ -41,7 +41,7 @@ object TsdbViews {
    *  (`auto` = hash by ingest id, `rr` = round-robin) for corpora whose
    *  fact file is a genuinely huge single row group where the derive,
    *  not the exchange, dominates. */
-  private def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def fanout(spark: SparkSession, df: DataFrame): DataFrame = {
     val mode = spark.conf.get("spark.graft.scan.fanout", "off")
     if (mode == "off") df
     else {

@@ -196,6 +196,47 @@ object IngestJob {
     def dropped: Long = total - admitted
   }
 
+  /** Shared executor for the per-batch store flushes: one JVM-wide lazy
+   *  cached pool instead of a fresh newFixedThreadPool per micro-batch
+   *  (thread churn every trigger at a production 1-min cadence). Cached:
+   *  each batch's ≤5 flush actions run concurrently, idle threads expire,
+   *  and concurrent ingest jobs (the bench's 4-way lake-build pool) keep
+   *  the per-batch overlap they had with per-batch pools. Daemon threads
+   *  so an exiting application never blocks on the pool. */
+  private lazy val flushPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-ingest-flush-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Run independent store flushes concurrently on [[flushPool]]; every
+   *  submitted flush settles before the first failure rethrows (no
+   *  orphaned in-flight jobs), named for diagnosis. Exposed package-side
+   *  for the failure-path spec. */
+  private[streaming] def runFlushes(flushes: Seq[(String, () => Unit)]): Unit = {
+    if (flushes.size == 1) flushes.head._2()
+    else if (flushes.nonEmpty) {
+      val futs = flushes.map { case (name, run) =>
+        name -> flushPool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = run()
+        })
+      }
+      // settle ALL before rethrowing the first failure
+      val errs = futs.flatMap { case (name, f) =>
+        try { f.get(); None }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          Some(name -> e.getCause) }
+      }
+      errs.headOption.foreach { case (name, e) =>
+        throw new RuntimeException(s"store flush '$name' failed", e) }
+    }
+  }
+
   /** One micro-batch: admission + the appends (+ rollup flush when
    *  configured). The points append goes through the sink strategy
    *  surface (P4) — default is the segment-partitioned parquet lake.
@@ -334,25 +375,7 @@ object IngestJob {
           else buckets.write.mode("append").parquet(ddsPath(cfg, c.name))
         })
       }
-      if (flushes.size == 1) flushes.head._2() else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(
-          math.min(4, flushes.size))
-        try {
-          val futs = flushes.toSeq.map { case (name, run) =>
-            name -> pool.submit(new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = run()
-            })
-          }
-          // settle ALL before rethrowing the first failure
-          val errs = futs.flatMap { case (name, f) =>
-            try { f.get(); None }
-            catch { case e: java.util.concurrent.ExecutionException =>
-              Some(name -> e.getCause) }
-          }
-          errs.headOption.foreach { case (name, e) =>
-            throw new RuntimeException(s"store flush '$name' failed", e) }
-        } finally pool.shutdown()
-      }
+      runFlushes(flushes.toSeq)
       // in-band maintenance (production posture): every N committed
       // batches, fold the closed sketch-store partials into the snapshot
       // partition. Runs INSIDE foreachBatch, so no concurrent reader of

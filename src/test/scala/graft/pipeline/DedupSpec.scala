@@ -479,4 +479,24 @@ class DedupSpec extends AnyFunSuite {
     // banding is FOR
     assert(byS(0.2) < 0.02 && byS(0.95) > 0.999)
   }
+  test("shared signature+count aggregate equals the two-pass form (round 16)") {
+    // ngramJaccard/minhashEval now take per-doc shingle totals out of the
+    // SAME hash aggregate as the MinHash minima; pin bit-equality with
+    // the independent two-pass computation it replaced
+    val docs = docsOf(
+      1L -> "the quick brown fox jumps over the lazy dog again and again",
+      2L -> "the quick brown fox jumps over the lazy cat again and again",
+      3L -> "completely unrelated text with several distinct words inside here")
+    val expl = Dedup.shingleRows(docs)
+    val fused = Dedup.signaturesAndCountsFromShingles(expl)
+      .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+    val sigs = Dedup.signaturesFromShingles(expl)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val counts = expl.groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused.keySet === sigs.keySet)
+    fused.foreach { case (d, (sig, n)) =>
+      assert(sig === sigs(d)); assert(n === counts(d))
+    }
+  }
 }

@@ -628,4 +628,33 @@ class IngestJobSpec extends AnyFunSuite {
       Set("metric", "tags", "ts", "value", "seq", "series_id", "segment_start"))
     assert(IngestJob.seriesDim(spark, cfg).count() > 0)
   }
+  test("a failing store flush settles its siblings, then rethrows with the store name (round 16)") {
+    // direct pin of the shared-pool contract: every submitted flush runs
+    // to completion before the first failure propagates (no orphaned jobs)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val boom = new IllegalStateException("disk full")
+    val e = intercept[RuntimeException](IngestJob.runFlushes(Seq(
+      "ok_a" -> (() => { Thread.sleep(25); ran.incrementAndGet(): Unit }),
+      "bad" -> (() => throw boom),
+      "ok_b" -> (() => { Thread.sleep(25); ran.incrementAndGet(): Unit }))))
+    assert(e.getMessage.contains("bad"))
+    assert(e.getCause eq boom)
+    assert(ran.get() === 2, "sibling flushes must settle before the rethrow")
+
+    // end-to-end: a cms store whose path is an unwritable regular file
+    // fails ITS flush; processBatch surfaces it as that store's failure
+    val spark = TestSpark.spark
+    val cfg0 = freshCfg()
+    val cfg = cfg0.copy(cms = Some(IngestJob.CmsConfig("tags['user']", depth = 2, width = 8)))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(cfg.lakeDir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(IngestJob.cmsPath(cfg)),
+      "not a directory".getBytes)
+    val b = graft.sources.TsdbViews.pointsFromEvents(
+      eventsDf((1L, 100000L, "m", 1.0), (2L, 100001L, "m", 2.0)))
+    val e2 = intercept[RuntimeException](IngestJob.processBatch(b, cfg, batchId = 0L))
+    assert(e2.getMessage.contains("store flush 'cms' failed"), e2.getMessage)
+    // the independent sibling stores still flushed before the rethrow
+    assert(spark.read.parquet(IngestJob.seriesLogPath(cfg)).count() > 0)
+    assert(spark.read.parquet(IngestJob.latestLogPath(cfg)).count() > 0)
+  }
 }
